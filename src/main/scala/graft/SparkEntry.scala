@@ -1,20 +1,75 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.domains._
+import graft.exact.{ExactNum, Rational}
+import graft.measures._
+import graft.measurements._
+import graft.metrics._
+import graft.transformations._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
   * Each entry in [[queries]] exercises one operator of the engine (SURVEY §2
-  * inventory) against the driver-generated TPC-H-ish parquet fixtures; the
-  * matching [[oracleSql]] is ANSI SQL run by DuckDB over the same files.
-  * Column names are aliased identically on both sides (the driver's compare
-  * sorts columns by name before hashing).
+  * inventory + scale extensions) against the driver-generated parquet
+  * fixtures; the matching [[oracleSql]] is ANSI SQL run by DuckDB over the
+  * same files. Column names are aliased identically on both sides (the
+  * driver's compare sorts columns by name before hashing). Noisy
+  * measurements are exercised on their deterministic infinite-budget path
+  * (noise scale 0); the statistical behavior of the noisy paths is covered
+  * by the ScalaTest suites.
   */
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dom(df: DataFrame): DataFrameDomain =
+    DataFrameDomain.fromSparkSchema(df.schema)
+
+  private def oneRow(spark: SparkSession, name: String, v: Any): DataFrame = {
+    val (dt, value) = v match {
+      case l: Long   => (LongType, l)
+      case d: Double => (DoubleType, d)
+      case other     => (StringType, String.valueOf(other))
+    }
+    spark.createDataFrame(
+      java.util.List.of(Row(value)),
+      StructType(Seq(StructField(name, dt, nullable = false)))
+    )
+  }
+
+  private def keysDf(
+      spark: SparkSession,
+      cols: Seq[String],
+      rows: Seq[Seq[Any]]
+  ): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(cols.map(c => StructField(c, StringType, true)))
+    spark.createDataFrame(rows.map(r => Row(r: _*)).asJava, schema)
+  }
+
+  /** (l_returnflag, l_linestatus) key table incl. a combination absent from
+    * the data ("X","Y") — group-complete aggregation must emit it with the
+    * fill value.
+    */
+  private def rfLsKeys(spark: SparkSession): DataFrame =
+    keysDf(
+      spark,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(
+        Seq("A", "F"), Seq("N", "F"), Seq("N", "O"), Seq("R", "F"),
+        Seq("X", "Y")
+      )
+    )
+
+  private val rfLsKeysSql =
+    "(VALUES ('A','F'),('N','F'),('N','O'),('R','F'),('X','Y')) AS ks(l_returnflag, l_linestatus)"
+
+  private val inf = PureDPBudget(ExactNum.PosInf)
+  private val infRho = RhoZCDPBudget(ExactNum.PosInf)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -22,6 +77,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- plain relational (Spark SQL surface) ----------
     "q1_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -30,11 +86,323 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           count(lit(1)).as("count_order")
         )
+    },
+
+    // ---------- §2.1 row-level transformations ----------
+    "q_filter" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val op = Filter(dom(li), SymmetricDifference,
+        "l_quantity > 25 AND l_discount < 0.05")
+      op(li).asInstanceOf[DataFrame]
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"))
+    },
+    "q_select" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val op = Select(dom(c), SymmetricDifference,
+        Seq("c_custkey", "c_mktsegment"))
+      op(c).asInstanceOf[DataFrame]
+    },
+    "q_rename" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val op = Rename(dom(c), SymmetricDifference,
+        Map("c_custkey" -> "id", "c_mktsegment" -> "segment"))
+      op(c).asInstanceOf[DataFrame].select(col("id"), col("segment"))
+    },
+    "q_map" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      val inDom = dom(li)
+      val outDom = DataFrameDomain(Seq(
+        "revenue" -> ColumnDescriptor.double(allowNull = true)))
+      val rt = RowToRowTransformation(inDom, outDom,
+        r => Row(r.getDouble(2) * (1.0 - r.getDouble(3))),
+        augment = true)
+      val op = MapTransformation(SymmetricDifference, rt)
+      op(li).asInstanceOf[DataFrame]
+        .select("l_orderkey", "l_linenumber", "revenue")
+    },
+    "q_flatmap" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val inDom = dom(o)
+      val outDom = DataFrameDomain(Seq(
+        "g" -> ColumnDescriptor(LongType, allowNull = true)))
+      val rt = RowToRowsTransformation(inDom, outDom,
+        r => (1L to (1L + r.getLong(0) % 3)).map(g => Row(g)),
+        augment = true)
+      val op = FlatMapTransformation(SymmetricDifference, rt, maxNumRows = Some(2))
+      op(o).asInstanceOf[DataFrame]
+    },
+    "q_flatmap_bykey" -> { (s, dir) =>
+      // per-order running index over sorted line numbers
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      val inDom = dom(li)
+      val outDom = DataFrameDomain(Seq(
+        "l_orderkey" -> inDom("l_orderkey"),
+        "n_lines" -> ColumnDescriptor(LongType, allowNull = true)))
+      val rt = RowsToRowsTransformation(inDom, outDom,
+        rows => Seq(Row(rows.head.getLong(0), rows.size.toLong)))
+      val op = FlatMapByKey(IfGroupedBy("l_orderkey", SymmetricDifference), rt)
+      op(li).asInstanceOf[DataFrame]
+    },
+    "q_dropnulls" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") < 100.0, col("value")).as("value"))
+      val op = DropNulls(dom(e), SymmetricDifference, Seq("value"))
+      op(e).asInstanceOf[DataFrame]
+    },
+    "q_replacenulls" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") < 100.0, col("value")).as("value"))
+      val op = ReplaceNulls(dom(e), SymmetricDifference, Map("value" -> -1.0d))
+      op(e).asInstanceOf[DataFrame]
+    },
+    "q_dropnans" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") < 100.0, col("value"))
+            .otherwise(lit(Double.NaN)).as("value"))
+      val op = DropNaNs(dom(e), SymmetricDifference, Seq("value"))
+      op(e).asInstanceOf[DataFrame]
+    },
+    "q_replacenans" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") < 100.0, col("value"))
+            .otherwise(lit(Double.NaN)).as("value"))
+      val op = ReplaceNaNs(dom(e), SymmetricDifference, Map("value" -> -1.0d))
+      op(e).asInstanceOf[DataFrame]
+    },
+    "q_dropinfs" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") < 100.0, col("value"))
+            .otherwise(lit(Double.PositiveInfinity)).as("value"))
+      val op = DropInfs(dom(e), SymmetricDifference, Seq("value"))
+      op(e).asInstanceOf[DataFrame]
+    },
+    "q_replaceinfs" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") < 100.0, col("value"))
+            .otherwise(lit(Double.PositiveInfinity)).as("value"))
+      val op = ReplaceInfs(dom(e), SymmetricDifference,
+        Map("value" -> ((-999.0d, 999.0d))))
+      op(e).asInstanceOf[DataFrame]
+    },
+
+    // ---------- §2.2 groupby + aggregations ----------
+    "q_count" -> { (s, dir) =>
+      val op = Count(dom(t(s, dir, "lineitem")), SymmetricDifference)
+      oneRow(s, "count", op(t(s, dir, "lineitem")).asInstanceOf[Long])
+    },
+    "q_count_distinct" -> { (s, dir) =>
+      val df = t(s, dir, "orders").select("o_orderstatus", "o_orderpriority")
+      val op = CountDistinct(dom(df), SymmetricDifference)
+      oneRow(s, "count", op(df).asInstanceOf[Long])
+    },
+    "q_sum_clipped" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_quantity")
+      val op = Sum(dom2(li), SymmetricDifference, "l_quantity",
+        Rational(5), Rational(30))
+      oneRow(s, "sum", op(li).asInstanceOf[Double])
+    },
+    "q_groupby_count" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+      val gb = GroupBy(dom(li), SymmetricDifference, useL2 = false, rfLsKeys(s))
+      val cnt = CountGrouped(
+        gb.outputDomain.asInstanceOf[GroupedDataFrameDomain],
+        gb.outputMetric, "count")
+      (gb | cnt)(li).asInstanceOf[DataFrame]
+    },
+    "q_groupby_sum" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+      val gb = GroupBy(dom2(li), SymmetricDifference, useL2 = false, rfLsKeys(s))
+      val sm = SumGrouped(
+        gb.outputDomain.asInstanceOf[GroupedDataFrameDomain],
+        gb.outputMetric, "l_quantity", Rational(5), Rational(30), "sum")
+      (gb | sm)(li).asInstanceOf[DataFrame]
+        .withColumn("sum", round(col("sum"), 4))
+    },
+    "q_count_distinct_grouped" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_orderstatus", "o_orderpriority")
+      val keys = keysDf(s, Seq("o_orderstatus"),
+        Seq(Seq("F"), Seq("O"), Seq("P"), Seq("Z")))
+      val gb = GroupBy(dom(o), SymmetricDifference, useL2 = false, keys)
+      val cnt = CountDistinctGrouped(
+        gb.outputDomain.asInstanceOf[GroupedDataFrameDomain],
+        gb.outputMetric, "count")
+      (gb | cnt)(o).asInstanceOf[DataFrame]
+    },
+
+    // ---------- §2.3 joins ----------
+    "q_public_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").as("o_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val op = PublicJoin(dom(o), SymmetricDifference, c, Seq("o_custkey"))
+      op(o).asInstanceOf[DataFrame]
+    },
+    "q_public_join_left" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val big = t(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val op = PublicJoin(dom(o), SymmetricDifference, big, Seq("o_custkey"), how = "left")
+      op(o).asInstanceOf[DataFrame]
+    },
+    "q_join_nullsafe" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_custkey") % 7 === 0, null).otherwise(col("o_custkey")).as("k"))
+      val c = t(s, dir, "customer").select(
+        when(col("c_custkey") % 7 === 0, null).otherwise(col("c_custkey")).as("k"),
+        col("c_nationkey"))
+      JoinKernel.join(o, c, Seq("k"), "inner", nullsAreEqual = true)
+    },
+    "q_private_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderkey")
+        .withColumnRenamed("o_custkey", "custkey")
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val op = PrivateJoin(
+        dom(o), dom(l), "left", "right", Seq("o_orderkey"),
+        TruncationStrategy.Truncate, 2, TruncationStrategy.Truncate, 3)
+      op(Map("left" -> o, "right" -> l)).asInstanceOf[DataFrame]
+    },
+
+    // ---------- §2.4 truncation ----------
+    "q_truncate_rows" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderkey")
+      val op = LimitRowsPerGroup(dom(o), "o_custkey", 2)
+      op(o).asInstanceOf[DataFrame]
+    },
+    "q_drop_large_groups" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderkey")
+      Truncation.dropLargeGroups(o, Seq("o_custkey"), 10)
+    },
+    "q_limit_keys" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_suppkey", "l_orderkey")
+      val op = LimitKeysPerGroup(dom(li), "l_suppkey", "l_orderkey", 5, useL2 = false)
+      op(li).asInstanceOf[DataFrame]
+    },
+
+    // ---------- §2.5/2.6 measurements (deterministic ∞-budget path) ----------
+    "q_noisy_count" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+      val m = Aggregations.createCountMeasurement(
+        dom(li), SymmetricDifference, NoiseKind.Geometric,
+        ExactNum(1), inf, Some(rfLsKeys(s)))
+      m(li).asInstanceOf[DataFrame]
+    },
+    "q_noisy_sum" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+      val m = Aggregations.createSumMeasurement(
+        dom2(li), SymmetricDifference, NoiseKind.Laplace,
+        ExactNum(1), inf, "l_quantity", Rational(0), Rational(50),
+        Some(rfLsKeys(s)))
+      m(li).asInstanceOf[DataFrame].withColumn("sum", round(col("sum"), 4))
+    },
+    "q_noisy_avg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+      val m = Aggregations.createAverageMeasurement(
+        dom2(li), SymmetricDifference, NoiseKind.Laplace, NoiseKind.Geometric,
+        ExactNum(1), inf, "l_quantity", Rational(1), Rational(50),
+        Some(rfLsKeys(s)))
+      m(li).asInstanceOf[DataFrame]
+        .withColumn("average", round(col("average"), 6))
+    },
+    "q_noisy_var" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+      val m = Aggregations.createVarianceMeasurement(
+        dom2(li), SymmetricDifference, NoiseKind.Laplace, NoiseKind.Geometric,
+        ExactNum(1), inf, "l_quantity", Rational(1), Rational(50),
+        Some(rfLsKeys(s)))
+      m(li).asInstanceOf[DataFrame]
+        .withColumn("variance", round(col("variance"), 6))
+    },
+    "q_noisy_stddev" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+      val m = Aggregations.createVarianceMeasurement(
+        dom2(li), SymmetricDifference, NoiseKind.Laplace, NoiseKind.Geometric,
+        ExactNum(1), inf, "l_quantity", Rational(1), Rational(50),
+        Some(rfLsKeys(s)), outputColumn = "stddev", stddev = true)
+      m(li).asInstanceOf[DataFrame]
+        .withColumn("stddev", round(col("stddev"), 6))
+    },
+    "q_quantile" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_quantity")
+      val keys = keysDf(s, Seq("l_returnflag"), Seq(Seq("A"), Seq("N"), Seq("R")))
+      val m = Aggregations.createQuantileMeasurement(
+        dom2(li), SymmetricDifference, ExactNum(1), inf,
+        "l_quantity", 0.5, 1.0, 50.0, keys, "median")
+      m(li).asInstanceOf[DataFrame]
+        .withColumn("median", round(col("median"), 6))
+    },
+    "q_partition_selection" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id").cast(LongType))
+      val m = GeometricPartitionSelection(dom(e), Rational.zero, 5L)
+      m(e).asInstanceOf[DataFrame]
+    },
+
+    // ---------- scale extensions: text analysis ----------
+    "q_dedup_exact" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.exact(d, Seq("text"), "doc_id")
+        .select("doc_id", "text")
+    },
+    "q_token_count" -> { (s, dir) =>
+      graft.ops.TextAnalysis.tokenCount(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens")
+    },
+    "q_fingerprint" -> { (s, dir) =>
+      graft.ops.TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
+        .select("doc_id", "fingerprint")
+    },
+    "q_quality" -> { (s, dir) =>
+      graft.ops.TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), round(col("quality"), 6).as("quality"))
+    },
+    "q_lang_id" -> { (s, dir) =>
+      graft.ops.TextAnalysis.languageId(t(s, dir, "documents"), "text")
+        .select("doc_id", "lang_pred")
+    },
+
+    // ---------- scale extensions: similarity / dedup ----------
+    "q_ann_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val queriesDf = e.filter(col("vec_id") < 5)
+      graft.ops.Similarity.bruteForceTopK(
+        queriesDf, e, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id")
+    },
+    "q_minhash_dedup" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.minHashPairs(d, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+        .select("left_id", "right_id")
     }
   )
 
+  /** DataFrameDomain with float columns marked clean (no null/NaN/inf) —
+    * the DP aggregation operators require a clean measure column, and the
+    * fixture columns are in fact clean.
+    */
+  private def dom2(df: DataFrame): DataFrameDomain =
+    DataFrameDomain(df.schema.fields.toSeq.map { f =>
+      f.name -> ColumnDescriptor(f.dataType)
+    })
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for non-SQL-expressible ops (the
+    * driver records a rows-only check for those).
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -42,6 +410,190 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  count(*) AS count_order
-        |FROM lineitem GROUP BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 25 AND l_discount < 0.05""".stripMargin,
+    "q_select" -> "SELECT c_custkey, c_mktsegment FROM customer",
+    "q_rename" -> "SELECT c_custkey AS id, c_mktsegment AS segment FROM customer",
+    "q_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem""".stripMargin,
+    "q_flatmap" ->
+      """SELECT o_orderkey, o_custkey, g
+        |FROM orders, generate_series(1, 2) AS t(g)
+        |WHERE g <= least(1 + o_orderkey % 3, 2)""".stripMargin,
+    "q_flatmap_bykey" ->
+      """SELECT l_orderkey, count(*) AS n_lines
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_dropnulls" ->
+      """SELECT event_id, value FROM events WHERE value < 100.0""".stripMargin,
+    "q_replacenulls" ->
+      """SELECT event_id,
+        |  CASE WHEN value < 100.0 THEN value ELSE -1.0 END AS value
+        |FROM events""".stripMargin,
+    "q_dropnans" ->
+      "SELECT event_id, value FROM events WHERE value < 100.0",
+    "q_replacenans" ->
+      """SELECT event_id,
+        |  CASE WHEN value < 100.0 THEN value ELSE -1.0 END AS value
+        |FROM events""".stripMargin,
+    "q_dropinfs" ->
+      "SELECT event_id, value FROM events WHERE value < 100.0",
+    "q_replaceinfs" ->
+      """SELECT event_id,
+        |  CASE WHEN value < 100.0 THEN value ELSE 999.0 END AS value
+        |FROM events""".stripMargin,
+    "q_count" -> "SELECT count(*) AS count FROM lineitem",
+    "q_count_distinct" ->
+      "SELECT count(*) AS count FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)",
+    "q_sum_clipped" ->
+      "SELECT sum(least(greatest(l_quantity, 5), 30)) AS sum FROM lineitem",
+    "q_groupby_count" ->
+      s"""SELECT ks.l_returnflag, ks.l_linestatus, coalesce(c.count, 0) AS count
+        |FROM $rfLsKeysSql
+        |LEFT JOIN (SELECT l_returnflag, l_linestatus, count(*) AS count
+        |           FROM lineitem GROUP BY 1, 2) c
+        |USING (l_returnflag, l_linestatus)""".stripMargin,
+    "q_groupby_sum" ->
+      s"""SELECT ks.l_returnflag, ks.l_linestatus,
+        |  round(coalesce(c.sum, 0), 4) AS sum
+        |FROM $rfLsKeysSql
+        |LEFT JOIN (SELECT l_returnflag, l_linestatus,
+        |             sum(least(greatest(l_quantity, 5), 30)) AS sum
+        |           FROM lineitem GROUP BY 1, 2) c
+        |USING (l_returnflag, l_linestatus)""".stripMargin,
+    "q_count_distinct_grouped" ->
+      """SELECT ks.o_orderstatus, coalesce(c.count, 0) AS count
+        |FROM (VALUES ('F'),('O'),('P'),('Z')) AS ks(o_orderstatus)
+        |LEFT JOIN (SELECT o_orderstatus, count(*) AS count
+        |           FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        |           GROUP BY 1) c
+        |USING (o_orderstatus)""".stripMargin,
+    "q_public_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_nationkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_public_join_left" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment
+        |FROM orders LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+        |                       WHERE c_custkey % 2 = 0) c
+        |ON o_custkey = c_custkey""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH o AS (SELECT o_orderkey,
+        |             CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+        |           FROM orders),
+        |     c AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k,
+        |             c_nationkey
+        |           FROM customer)
+        |SELECT o.k AS k, o_orderkey, c_nationkey
+        |FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k""".stripMargin,
+    "q_private_join" ->
+      """WITH l AS (
+        |  SELECT custkey, o_orderkey FROM (
+        |    SELECT o_custkey AS custkey, o_orderkey,
+        |      row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY sha256(CAST(o_custkey AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)),
+        |                 custkey, o_orderkey) AS rn
+        |    FROM orders) WHERE rn <= 2),
+        |r AS (
+        |  SELECT o_orderkey, l_linenumber FROM (
+        |    SELECT l_orderkey AS o_orderkey, l_linenumber,
+        |      row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY sha256(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)),
+        |                 o_orderkey, l_linenumber) AS rn
+        |    FROM lineitem) WHERE rn <= 3)
+        |SELECT o_orderkey, custkey, l_linenumber FROM l JOIN r USING (o_orderkey)""".stripMargin,
+    "q_truncate_rows" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY sha256(CAST(o_custkey AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)),
+        |               o_custkey, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "q_drop_large_groups" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+        |  FROM orders) WHERE cnt <= 10""".stripMargin,
+    "q_limit_keys" ->
+      """SELECT l_suppkey, l_orderkey FROM (
+        |  SELECT l_suppkey, l_orderkey,
+        |    dense_rank() OVER (PARTITION BY l_suppkey
+        |      ORDER BY sha256(CAST(l_orderkey AS VARCHAR)), l_orderkey) AS dr
+        |  FROM lineitem) WHERE dr <= 5""".stripMargin,
+    "q_noisy_count" ->
+      s"""SELECT ks.l_returnflag, ks.l_linestatus, coalesce(c.count, 0) AS count
+        |FROM $rfLsKeysSql
+        |LEFT JOIN (SELECT l_returnflag, l_linestatus, count(*) AS count
+        |           FROM lineitem GROUP BY 1, 2) c
+        |USING (l_returnflag, l_linestatus)""".stripMargin,
+    "q_noisy_sum" ->
+      s"""SELECT ks.l_returnflag, ks.l_linestatus,
+        |  round(coalesce(c.sum, 0), 4) AS sum
+        |FROM $rfLsKeysSql
+        |LEFT JOIN (SELECT l_returnflag, l_linestatus,
+        |             sum(least(greatest(l_quantity, 0), 50)) AS sum
+        |           FROM lineitem GROUP BY 1, 2) c
+        |USING (l_returnflag, l_linestatus)""".stripMargin,
+    "q_noisy_avg" ->
+      s"""SELECT ks.l_returnflag, ks.l_linestatus,
+        |  round(coalesce(c.sod, 0) / greatest(coalesce(c.count, 0), 1) + 25.5, 6) AS average
+        |FROM $rfLsKeysSql
+        |LEFT JOIN (SELECT l_returnflag, l_linestatus,
+        |             sum(least(greatest(l_quantity, 1), 50) - 25.5) AS sod,
+        |             count(*) AS count
+        |           FROM lineitem GROUP BY 1, 2) c
+        |USING (l_returnflag, l_linestatus)""".stripMargin,
+    "q_noisy_var" ->
+      s"""SELECT ks.l_returnflag, ks.l_linestatus,
+        |  round(greatest(coalesce(c.sos, 0) / greatest(coalesce(c.count, 0), 1)
+        |    - pow(coalesce(c.sod, 0) / greatest(coalesce(c.count, 0), 1), 2), 0), 6) AS variance
+        |FROM $rfLsKeysSql
+        |LEFT JOIN (SELECT l_returnflag, l_linestatus,
+        |             sum(least(greatest(l_quantity - 25.5, -24.5), 24.5)) AS sod,
+        |             sum(least(greatest(pow(l_quantity - 25.5, 2), 0), 600.25)) AS sos,
+        |             count(*) AS count
+        |           FROM lineitem GROUP BY 1, 2) c
+        |USING (l_returnflag, l_linestatus)""".stripMargin,
+    "q_noisy_stddev" ->
+      s"""SELECT ks.l_returnflag, ks.l_linestatus,
+        |  round(sqrt(greatest(coalesce(c.sos, 0) / greatest(coalesce(c.count, 0), 1)
+        |    - pow(coalesce(c.sod, 0) / greatest(coalesce(c.count, 0), 1), 2), 0)), 6) AS stddev
+        |FROM $rfLsKeysSql
+        |LEFT JOIN (SELECT l_returnflag, l_linestatus,
+        |             sum(least(greatest(l_quantity - 25.5, -24.5), 24.5)) AS sod,
+        |             sum(least(greatest(pow(l_quantity - 25.5, 2), 0), 600.25)) AS sos,
+        |             count(*) AS count
+        |           FROM lineitem GROUP BY 1, 2) c
+        |USING (l_returnflag, l_linestatus)""".stripMargin,
+    "q_quantile" ->
+      """SELECT ks.l_returnflag,
+        |  round(coalesce(c.median, 25.5), 6) AS median
+        |FROM (VALUES ('A'),('N'),('R')) AS ks(l_returnflag)
+        |LEFT JOIN (SELECT l_returnflag,
+        |             quantile_cont(least(greatest(l_quantity, 1), 50), 0.5) AS median
+        |           FROM lineitem GROUP BY 1) c
+        |USING (l_returnflag)""".stripMargin,
+    "q_partition_selection" ->
+      """SELECT user_id, count(*) AS count
+        |FROM events GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id, round(
+        |  least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |  + CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      least(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+        |        / length(text), 1.0) * 0.5 END, 6) AS quality
+        |FROM documents""".stripMargin
   )
 }

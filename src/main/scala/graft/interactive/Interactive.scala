@@ -1,0 +1,289 @@
+package graft.interactive
+
+import graft.core.{Measurement, Transformation}
+import graft.domains.Domain
+import graft.exact.ExactNum
+import graft.measures.{Measure, PrivacyBudget}
+import graft.metrics.{Metric, SumOf, RootSumOfSquared}
+
+import scala.collection.mutable
+
+/** Interactive mechanisms (reference
+  * `measurements/interactive_measurements.py`): measurements whose output is
+  * a stateful Queryable that adaptively answers further queries while a
+  * budget lasts. Driver-side only — Spark jobs run when queued measurements
+  * execute.
+  */
+trait Queryable {
+  def answer(query: Any): Any
+}
+
+final case class MeasurementQuery(
+    measurement: Measurement,
+    dOut: Option[PrivacyBudget] = None
+)
+final case class TransformationQuery(transformation: Transformation)
+final case class IndexQuery(index: Int, inner: Any)
+
+/** Adaptive sequential composition (reference `:478`, queryable `:199`):
+  * answers measurement queries on fixed data until the budget is exhausted.
+  */
+final case class SequentialComposition(
+    inputDomain: Domain,
+    inputMetric: Metric,
+    outputMeasure: Measure,
+    dIn: ExactNum,
+    budget: PrivacyBudget
+) extends Measurement {
+  override def isInteractive: Boolean = true
+  def privacyFunction(d: ExactNum): PrivacyBudget = {
+    require(d <= dIn, s"d_in $d exceeds declared $dIn")
+    budget
+  }
+  def apply(data: Any): Any = new SequentialQueryable(this, data)
+}
+
+final class SequentialQueryable(
+    comp: SequentialComposition,
+    private var data: Any
+) extends Queryable {
+  private var remaining: PrivacyBudget = comp.budget
+  private var domain: Domain = comp.inputDomain
+  private var metric: Metric = comp.inputMetric
+  private var dIn: ExactNum = comp.dIn
+
+  def remainingBudget: PrivacyBudget = remaining
+
+  def answer(query: Any): Any = query match {
+    case MeasurementQuery(m, _) =>
+      require(m.inputDomain == domain, "measurement domain mismatch")
+      require(m.inputMetric == metric, "measurement metric mismatch")
+      require(m.outputMeasure == comp.outputMeasure, "measure mismatch")
+      val loss = m.privacyFunction(dIn)
+      remaining.minus(loss) match {
+        case Some(rest) =>
+          remaining = rest
+          m(data)
+        case None =>
+          throw new IllegalStateException(
+            s"insufficient budget: need $loss, have $remaining"
+          )
+      }
+    case TransformationQuery(t) =>
+      require(t.inputDomain == domain, "transformation domain mismatch")
+      require(t.inputMetric == metric, "transformation metric mismatch")
+      data = t(data)
+      domain = t.outputDomain
+      metric = t.outputMetric
+      dIn = t.stabilityFunction(dIn)
+      this
+    case q => throw new IllegalArgumentException(s"unknown query $q")
+  }
+}
+
+/** Parallel composition over disjoint partition elements, answered in index
+  * order (reference `:559`, queryable `:329`): the whole list costs only the
+  * max element budget.
+  */
+final case class ParallelComposition(
+    elementDomain: Domain,
+    elementMetric: Metric,
+    outputMeasure: Measure,
+    dIn: ExactNum,
+    budget: PrivacyBudget,
+    numElements: Int
+) extends Measurement {
+  def inputDomain: Domain =
+    graft.domains.ListDomain(Seq.fill(numElements)(elementDomain))
+  def inputMetric: Metric = elementMetric match {
+    case m => SumOf(m)
+  }
+  override def isInteractive: Boolean = true
+  def privacyFunction(d: ExactNum): PrivacyBudget = {
+    require(d <= dIn)
+    budget
+  }
+  def apply(data: Any): Any = {
+    val elements = data.asInstanceOf[Seq[Any]]
+    new ParallelQueryable(this, elements)
+  }
+}
+
+final class ParallelQueryable(
+    comp: ParallelComposition,
+    elements: Seq[Any]
+) extends Queryable {
+  private var current = 0
+  def currentIndex: Int = current
+  def answer(query: Any): Any = query match {
+    case IndexQuery(i, inner) =>
+      require(i >= current, s"partition $i already retired (at $current)")
+      require(i < elements.size, s"no partition $i")
+      current = i
+      val q = new SequentialQueryable(
+        SequentialComposition(
+          comp.elementDomain,
+          comp.elementMetric,
+          comp.outputMeasure,
+          comp.dIn,
+          comp.budget
+        ),
+        elements(i)
+      )
+      q.answer(inner)
+    case q => throw new IllegalArgumentException(s"unknown query $q")
+  }
+}
+
+object AccountantState extends Enumeration {
+  val Active, WaitingForSibling, WaitingForChildren, Retired = Value
+}
+
+/** User-facing privacy-budget ledger (reference
+  * `interactive_measurements.py:860-1855`): tracks (domain, metric, d_in,
+  * data, remaining budget); `transformInPlace` rebinds through a
+  * transformation's stability function, `measure` spends budget, `split`
+  * creates child accountants over a partition (parallel composition:
+  * children consumed in order, parent inactive until all retire).
+  */
+final class PrivacyAccountant private (
+    private var domain: Domain,
+    private var metric: Metric,
+    private var dIn: ExactNum,
+    val outputMeasure: Measure,
+    private var data: Any,
+    private var remaining: PrivacyBudget,
+    val parent: Option[PrivacyAccountant]
+) {
+  import AccountantState._
+
+  private var state: AccountantState.Value = Active
+  private val children = mutable.Buffer.empty[PrivacyAccountant]
+  private val queuedTransformations = mutable.Queue.empty[Transformation]
+
+  def currentState: AccountantState.Value = state
+  def remainingBudget: PrivacyBudget = remaining
+  def inputDomain: Domain = domain
+  def inputMetric: Metric = metric
+  def distance: ExactNum = dIn
+
+  private def requireActive(): Unit = state match {
+    case Active => ()
+    case s => throw new IllegalStateException(s"accountant is $s, not ACTIVE")
+  }
+
+  private def flushQueued(): Unit =
+    while (queuedTransformations.nonEmpty) {
+      val t = queuedTransformations.dequeue()
+      data = t(data)
+    }
+
+  def transformInPlace(t: Transformation): Unit = {
+    requireActive()
+    require(t.inputDomain == domain, "domain mismatch")
+    require(t.inputMetric == metric, "metric mismatch")
+    domain = t.outputDomain
+    metric = t.outputMetric
+    dIn = t.stabilityFunction(dIn)
+    queuedTransformations.enqueue(t)
+  }
+
+  /** Queue a transformation without changing the visible state until the next
+    * measure (reference `:1700`).
+    */
+  def queueTransformation(t: Transformation): Unit = transformInPlace(t)
+
+  def measure(m: Measurement): Any = {
+    requireActive()
+    require(m.inputDomain == domain, s"domain mismatch")
+    require(m.inputMetric == metric, s"metric mismatch")
+    require(m.outputMeasure == outputMeasure, "measure mismatch")
+    val loss = m.privacyFunction(dIn)
+    remaining.minus(loss) match {
+      case Some(rest) =>
+        flushQueued()
+        val result = m(data)
+        remaining = rest
+        result
+      case None =>
+        throw new IllegalStateException(
+          s"insufficient budget: need $loss, have $remaining"
+        )
+    }
+  }
+
+  /** Split over a partition transformation: one child accountant per
+    * partition element, consumed in order (reference `:1331`).
+    */
+  def split(partition: graft.transformations.PartitionByKeys): Seq[PrivacyAccountant] = {
+    requireActive()
+    require(partition.inputDomain == domain, "domain mismatch")
+    require(partition.inputMetric == metric, "metric mismatch")
+    flushQueued()
+    val parts = partition(data).asInstanceOf[Seq[Any]]
+    val childDin = partition.stabilityFunction(dIn)
+    state = WaitingForChildren
+    val kids = parts.map { p =>
+      new PrivacyAccountant(
+        partition.inputDomain, // element domain = input table domain
+        partition.outputMetric match {
+          case SumOf(inner)            => inner
+          case RootSumOfSquared(inner) => inner
+          case m                       => m
+        },
+        childDin,
+        outputMeasure,
+        p,
+        remaining,
+        Some(this)
+      )
+    }
+    kids.zipWithIndex.foreach { case (k, i) =>
+      if (i != 0) k.state = WaitingForSibling
+    }
+    children ++= kids
+    kids
+  }
+
+  def retire(): Unit = {
+    if (state == Retired) return
+    // retire any remaining children first
+    children.foreach(_.retire())
+    state = Retired
+    parent.foreach(_.onChildRetired(this))
+  }
+
+  private def onChildRetired(child: PrivacyAccountant): Unit = {
+    val idx = children.indexOf(child)
+    // activate next sibling, or reactivate parent when all children retired
+    if (children.forall(_.state == Retired)) {
+      // parallel composition: spend only the max child usage — conservative
+      // implementation spends the full split budget; reclaim unspent min.
+      val spentMax = children
+        .map(c => remaining.minus(c.remaining).map(_ => c.remaining))
+      val minRemaining = children.map(_.remaining).reduce { (a, b) =>
+        if (b.covers(a)) a else b
+      }
+      remaining = minRemaining
+      state = Active
+    } else if (idx >= 0 && idx + 1 < children.size) {
+      children(idx + 1).state = Active
+    }
+  }
+}
+
+object PrivacyAccountant {
+  /** Launch from a SequentialComposition over the source data
+    * (reference `:991`).
+    */
+  def launch(comp: SequentialComposition, data: Any): PrivacyAccountant =
+    new PrivacyAccountant(
+      comp.inputDomain,
+      comp.inputMetric,
+      comp.dIn,
+      comp.outputMeasure,
+      data,
+      comp.budget,
+      None
+    )
+}

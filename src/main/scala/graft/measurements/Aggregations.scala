@@ -1,0 +1,410 @@
+package graft.measurements
+
+import graft.core._
+import graft.domains._
+import graft.exact.{ExactNum, Rational}
+import graft.measures._
+import graft.metrics._
+import graft.transformations._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Noise-mechanism selection for the factories
+  * (reference `measurements/aggregations.py:95-134`).
+  */
+sealed trait NoiseKind
+object NoiseKind {
+  case object Laplace extends NoiseKind
+  case object Geometric extends NoiseKind
+  case object DiscreteGaussian extends NoiseKind
+  case object Gaussian extends NoiseKind
+}
+
+/** Fully-assembled DP aggregation pipelines
+  * (reference `measurements/aggregations.py`, 2332 LoC). Noise scale chosen
+  * by `calculateNoiseScale` (`utils/parameters.py:17-124`): b = d_mid/ε for
+  * pure DP, σ² = d_mid²/(2ρ) for zCDP.
+  */
+object Aggregations {
+
+  def calculateScale(
+      dMid: ExactNum,
+      budget: PrivacyBudget,
+      kind: NoiseKind
+  ): NoiseMechanism = {
+    def pureScale(eps: ExactNum): Rational =
+      if (dMid.isZero) Rational.zero
+      else {
+        require(eps > ExactNum.zero, "ε must be positive")
+        if (!eps.isFinite) Rational.zero
+        else (dMid / eps).toRational
+      }
+    def zcdpSigmaSq(rho: ExactNum): Rational =
+      if (dMid.isZero) Rational.zero
+      else {
+        require(rho > ExactNum.zero, "ρ must be positive")
+        if (!rho.isFinite) Rational.zero
+        else (dMid.pow2 / (ExactNum(2) * rho)).toRational
+      }
+    (kind, budget) match {
+      case (NoiseKind.Laplace, PureDPBudget(e))   => LaplaceMechanism(pureScale(e))
+      case (NoiseKind.Geometric, PureDPBudget(e)) => GeometricMechanism(pureScale(e))
+      case (NoiseKind.DiscreteGaussian, RhoZCDPBudget(r)) =>
+        DiscreteGaussianMechanism(zcdpSigmaSq(r))
+      case (NoiseKind.Gaussian, RhoZCDPBudget(r)) =>
+        GaussianMechanism(zcdpSigmaSq(r))
+      case (k, b) =>
+        throw new IllegalArgumentException(s"mechanism $k incompatible with $b")
+    }
+  }
+
+  /** Noisy (grouped) count (reference `aggregations.py:136-359`). */
+  def createCountMeasurement(
+      inputDomain: DataFrameDomain,
+      inputMetric: Metric,
+      kind: NoiseKind,
+      dIn: ExactNum,
+      budget: PrivacyBudget,
+      groupKeys: Option[DataFrame] = None,
+      countColumn: String = "count",
+      distinct: Boolean = false
+  ): Measurement = groupKeys match {
+    case None =>
+      val counter =
+        if (distinct) CountDistinct(inputDomain, inputMetric)
+        else Count(inputDomain, inputMetric)
+      val dMid = counter.stabilityFunction(dIn)
+      counter | AddNoiseScalar(
+        counter.outputDomain.asInstanceOf[ScalarDomain],
+        calculateScale(dMid, budget, kind)
+      )
+    case Some(keys) =>
+      val useL2 = kind == NoiseKind.DiscreteGaussian || kind == NoiseKind.Gaussian
+      val groupBy = GroupBy(inputDomain, inputMetric, useL2, keys)
+      val gDomain = groupBy.outputDomain.asInstanceOf[GroupedDataFrameDomain]
+      val counter =
+        if (distinct)
+          CountDistinctGrouped(gDomain, groupBy.outputMetric, countColumn)
+        else CountGrouped(gDomain, groupBy.outputMetric, countColumn)
+      val dMid = counter.stabilityFunction(groupBy.stabilityFunction(dIn))
+      val noise = AddNoiseToColumn(
+        counter.outputDomain.asInstanceOf[DataFrameDomain],
+        counter.outputMetric,
+        countColumn,
+        calculateScale(dMid, budget, kind)
+      )
+      groupBy | counter | noise
+  }
+
+  /** Noisy (grouped) clipped sum (reference `aggregations.py:595-827`). */
+  def createSumMeasurement(
+      inputDomain: DataFrameDomain,
+      inputMetric: Metric,
+      kind: NoiseKind,
+      dIn: ExactNum,
+      budget: PrivacyBudget,
+      measureColumn: String,
+      lower: Rational,
+      upper: Rational,
+      groupKeys: Option[DataFrame] = None,
+      sumColumn: String = "sum"
+  ): Measurement = groupKeys match {
+    case None =>
+      val summer = Sum(inputDomain, inputMetric, measureColumn, lower, upper)
+      val dMid = summer.stabilityFunction(dIn)
+      summer | AddNoiseScalar(
+        summer.outputDomain.asInstanceOf[ScalarDomain],
+        calculateScale(dMid, budget, kind)
+      )
+    case Some(keys) =>
+      val useL2 = kind == NoiseKind.DiscreteGaussian || kind == NoiseKind.Gaussian
+      val groupBy = GroupBy(inputDomain, inputMetric, useL2, keys)
+      val gDomain = groupBy.outputDomain.asInstanceOf[GroupedDataFrameDomain]
+      val summer = SumGrouped(
+        gDomain,
+        groupBy.outputMetric,
+        measureColumn,
+        lower,
+        upper,
+        sumColumn
+      )
+      val dMid = summer.stabilityFunction(groupBy.stabilityFunction(dIn))
+      val noise = AddNoiseToColumn(
+        summer.outputDomain.asInstanceOf[DataFrameDomain],
+        summer.outputMetric,
+        sumColumn,
+        calculateScale(dMid, budget, kind)
+      )
+      groupBy | summer | noise
+  }
+
+  /** Noisy (grouped) average = midpoint + noisy-sum-of-deviations /
+    * noisy-count, half the budget each (reference `aggregations.py:829-1122`).
+    */
+  def createAverageMeasurement(
+      inputDomain: DataFrameDomain,
+      inputMetric: Metric,
+      kind: NoiseKind,
+      countKind: NoiseKind,
+      dIn: ExactNum,
+      budget: PrivacyBudget,
+      measureColumn: String,
+      lower: Rational,
+      upper: Rational,
+      groupKeys: Option[DataFrame] = None,
+      outputColumn: String = "average"
+  ): Measurement = {
+    val midpoint = (lower + upper) / Rational.two
+    val halfBudget = halve(budget)
+    val isFloat = inputDomain(measureColumn).isFloat
+    // deviations from midpoint, clipped to ±(u−l)/2
+    val devBound = (upper - lower) / Rational.two
+    val shifted = shiftToDeviations(inputDomain, measureColumn, midpoint, isFloat)
+    val sumM = createSumMeasurement(
+      shifted.outputDomain.asInstanceOf[DataFrameDomain],
+      inputMetric,
+      kind,
+      dIn,
+      halfBudget,
+      measureColumn,
+      if (isFloat) -devBound else -devBound.floorInt,
+      if (isFloat) devBound else devBound.ceilInt,
+      groupKeys,
+      sumColumn = "sod"
+    )
+    val countM = createCountMeasurement(
+      shifted.outputDomain.asInstanceOf[DataFrameDomain],
+      inputMetric,
+      countKind,
+      dIn,
+      halfBudget,
+      groupKeys,
+      countColumn = "count"
+    )
+    val composed = shifted | Composition(Seq(sumM, countM))
+    PostProcess(
+      composed,
+      { case Seq(sodAny, countAny) =>
+        groupKeys match {
+          case None =>
+            val sod = toD(sodAny); val n = math.max(toD(countAny), 1.0)
+            sod / n + midpoint.toDouble
+          case Some(_) =>
+            val sodDf = sodAny.asInstanceOf[DataFrame]
+            val cntDf = countAny.asInstanceOf[DataFrame]
+            val keyCols = cntDf.columns.filterNot(_ == "count").toSeq
+            val joined = sodDf.join(cntDf, keyCols)
+            joined
+              .withColumn(
+                outputColumn,
+                col("sod") / greatest(col("count"), lit(1L)) +
+                  lit(midpoint.toDouble)
+              )
+              .drop("sod", "count")
+        }
+      }: Any => Any
+    )
+  }
+
+  /** Noisy (grouped) variance / stddev via sum-of-deviations, sum of squared
+    * deviations and count, a third of the budget each
+    * (reference `aggregations.py:1122-1735`). Population variance.
+    */
+  def createVarianceMeasurement(
+      inputDomain: DataFrameDomain,
+      inputMetric: Metric,
+      kind: NoiseKind,
+      countKind: NoiseKind,
+      dIn: ExactNum,
+      budget: PrivacyBudget,
+      measureColumn: String,
+      lower: Rational,
+      upper: Rational,
+      groupKeys: Option[DataFrame] = None,
+      outputColumn: String = "variance",
+      stddev: Boolean = false
+  ): Measurement = {
+    val midpoint = (lower + upper) / Rational.two
+    val third = split(budget, 3)
+    val devBound = (upper - lower) / Rational.two
+    val sqBound = devBound * devBound
+    val shifted = shiftToDeviationsWithSquare(inputDomain, measureColumn, midpoint)
+    val shiftedDomain = shifted.outputDomain.asInstanceOf[DataFrameDomain]
+    val sodM = createSumMeasurement(
+      shiftedDomain, inputMetric, kind, dIn, third, "__dev",
+      -devBound, devBound, groupKeys, sumColumn = "sod")
+    val sosM = createSumMeasurement(
+      shiftedDomain, inputMetric, kind, dIn, third, "__dev2",
+      Rational.zero, sqBound, groupKeys, sumColumn = "sos")
+    val countM = createCountMeasurement(
+      shiftedDomain, inputMetric, countKind, dIn, third, groupKeys,
+      countColumn = "count")
+    val composed = shifted | Composition(Seq(sodM, sosM, countM))
+    PostProcess(
+      composed,
+      { case Seq(sodAny, sosAny, countAny) =>
+        groupKeys match {
+          case None =>
+            val sod = toD(sodAny); val sos = toD(sosAny)
+            val n = math.max(toD(countAny), 1.0)
+            val v = math.max(sos / n - math.pow(sod / n, 2), 0.0)
+            if (stddev) math.sqrt(v) else v
+          case Some(_) =>
+            val sodDf = sodAny.asInstanceOf[DataFrame]
+            val sosDf = sosAny.asInstanceOf[DataFrame]
+            val cntDf = countAny.asInstanceOf[DataFrame]
+            val keyCols = cntDf.columns.filterNot(_ == "count").toSeq
+            val joined = sodDf.join(sosDf, keyCols).join(cntDf, keyCols)
+            val n = greatest(col("count"), lit(1L))
+            val variance = greatest(
+              col("sos") / n - pow(col("sod") / n, 2),
+              lit(0.0)
+            )
+            joined
+              .withColumn(outputColumn, if (stddev) sqrt(variance) else variance)
+              .drop("sod", "sos", "count")
+        }
+      }: Any => Any
+    )
+  }
+
+  /** Noisy per-group quantile (reference `aggregations.py:1736-1902`). */
+  def createQuantileMeasurement(
+      inputDomain: DataFrameDomain,
+      inputMetric: Metric,
+      dIn: ExactNum,
+      budget: PrivacyBudget,
+      measureColumn: String,
+      quantile: Double,
+      lower: Double,
+      upper: Double,
+      groupKeys: DataFrame,
+      outputColumn: String = "quantile"
+  ): Measurement = {
+    val groupBy = GroupBy(inputDomain, inputMetric, useL2 = false, groupKeys)
+    val gDomain = groupBy.outputDomain.asInstanceOf[GroupedDataFrameDomain]
+    val dMid = groupBy.stabilityFunction(dIn)
+    val (eps, measure) = budget match {
+      case PureDPBudget(e) =>
+        (
+          if (e.isFinite)
+            Some((e / dMid.max(ExactNum.one)).toDouble)
+          else None,
+          PureDP: Measure
+        )
+      case RhoZCDPBudget(r) =>
+        // ρ = (ε·d)²/8 → ε = √(8ρ)/d
+        (
+          if (r.isFinite)
+            Some(
+              math.sqrt(8.0 * r.toDouble) / dMid.max(ExactNum.one).toDouble
+            )
+          else None,
+          RhoZCDP: Measure
+        )
+      case b => throw new IllegalArgumentException(s"unsupported budget $b")
+    }
+    groupBy | NoisyQuantileGrouped(
+      gDomain,
+      groupBy.outputMetric,
+      measureColumn,
+      quantile,
+      lower,
+      upper,
+      eps,
+      measure,
+      outputColumn
+    )
+  }
+
+  /** DP key discovery (reference `aggregations.py:1993-2058`): α = d_in/ε,
+    * threshold = smallest τ with δ(τ) ≤ target δ.
+    */
+  def createPartitionSelectionMeasurement(
+      inputDomain: DataFrameDomain,
+      epsilon: Double,
+      delta: Double,
+      dIn: ExactNum,
+      countColumn: String = "count"
+  ): GeometricPartitionSelection = {
+    require(epsilon > 0 && delta > 0 && delta < 1)
+    val d = dIn.toRational.toDouble
+    val alpha = Rational.fromDouble(d / epsilon)
+    val p = math.exp(-epsilon / d)
+    // invert δ = d·p^(τ−d+1)/(1+p): τ = d − 1 + ln(δ(1+p)/d)/ln p, rounded up
+    val tau = math.max(
+      1L,
+      math.ceil(d - 1 + math.log(delta * (1 + p) / d) / math.log(p)).toLong
+    )
+    GeometricPartitionSelection(inputDomain, alpha, tau, countColumn)
+  }
+
+  // ---- helpers ----
+
+  private def toD(v: Any): Double = v match {
+    case d: Double => d; case l: Long => l.toDouble; case i: Int => i.toDouble
+    case other => other.toString.toDouble
+  }
+
+  private def halve(b: PrivacyBudget): PrivacyBudget = split(b, 2)
+
+  private def split(b: PrivacyBudget, k: Int): PrivacyBudget = {
+    val kE = ExactNum(k.toLong)
+    b match {
+      case PureDPBudget(e)      => PureDPBudget(if (e.isFinite) e / kE else e)
+      case RhoZCDPBudget(r)     => RhoZCDPBudget(if (r.isFinite) r / kE else r)
+      case ApproxDPBudget(e, d) =>
+        ApproxDPBudget(if (e.isFinite) e / kE else e, d / kE)
+    }
+  }
+
+  /** Replace the measure column by its deviation from the midpoint (keeps
+    * name/type; reference `aggregations.py:1934-1990`).
+    */
+  private def shiftToDeviations(
+      domain: DataFrameDomain,
+      measureColumn: String,
+      midpoint: Rational,
+      isFloat: Boolean
+  ): Transformation = {
+    new StableDfTransformation {
+      def inputDomain: Domain = domain
+      def outputDomain: Domain = domain
+      def inputMetric: Metric = SymmetricDifference
+      def outputMetric: Metric = SymmetricDifference
+      def applyDf(df: DataFrame): DataFrame =
+        if (isFloat)
+          df.withColumn(measureColumn, col(measureColumn) - lit(midpoint.toDouble))
+        else df.withColumn(measureColumn, col(measureColumn) - lit(midpoint.num / midpoint.den))
+    }
+  }
+
+  /** Adds __dev and __dev2 (deviation and squared deviation) columns. */
+  private def shiftToDeviationsWithSquare(
+      domain: DataFrameDomain,
+      measureColumn: String,
+      midpoint: Rational
+  ): Transformation = {
+    val outDomain = domain
+      .withColumn("__dev", ColumnDescriptor.double())
+      .withColumn("__dev2", ColumnDescriptor.double())
+    new StableDfTransformation {
+      def inputDomain: Domain = domain
+      def outputDomain: Domain = outDomain
+      def inputMetric: Metric = SymmetricDifference
+      def outputMetric: Metric = SymmetricDifference
+      def applyDf(df: DataFrame): DataFrame =
+        df.withColumn(
+            "__dev",
+            col(measureColumn).cast("double") - lit(midpoint.toDouble)
+          )
+          .withColumn("__dev2", pow(col("__dev"), 2))
+    }
+  }
+
+  private implicit class RationalOps(r: Rational) {
+    def floorInt: Rational = Rational(r.num / r.den)
+    def ceilInt: Rational =
+      if (r.isWhole) r else Rational(r.num / r.den + (if (r.signum > 0) 1 else 0))
+  }
+}

@@ -1,0 +1,259 @@
+package graft.transformations
+
+import graft.core.Transformation
+import graft.domains._
+import graft.exact.ExactNum
+import graft.metrics._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Base for 1-stable DataFrame→DataFrame transformations. */
+abstract class StableDfTransformation extends Transformation {
+  def stabilityFunction(dIn: ExactNum): ExactNum = dIn
+  final def apply(data: Any): Any = applyDf(data.asInstanceOf[DataFrame])
+  def applyDf(df: DataFrame): DataFrame
+}
+
+/** Keep rows matching a SQL predicate; stability 1
+  * (reference `transformations/spark_transformations/filter.py:24-167`).
+  * The predicate is parsed by Catalyst, so pushdown/codegen apply.
+  */
+final case class Filter(
+    inputDomain: DataFrameDomain,
+    metric: Metric,
+    filterExpr: String
+) extends StableDfTransformation {
+  def outputDomain: Domain = inputDomain
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame = df.filter(expr(filterExpr))
+}
+
+/** Project a subset of columns (no expressions, no renames;
+  * reference `select.py:30-179`).
+  */
+final case class Select(
+    inputDomain: DataFrameDomain,
+    metric: Metric,
+    columns: Seq[String]
+) extends StableDfTransformation {
+  columns.foreach(c => require(inputDomain.contains(c), s"no column $c"))
+  metric match {
+    case IfGroupedBy(c, _) =>
+      require(columns.contains(c), s"cannot select away grouping column $c")
+    case _ => ()
+  }
+  def outputDomain: Domain = inputDomain.select(columns)
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame = df.select(columns.map(col): _*)
+}
+
+/** Rename columns; remaps an `IfGroupedBy` metric column too
+  * (reference `rename.py:32-199`).
+  */
+final case class Rename(
+    inputDomain: DataFrameDomain,
+    metric: Metric,
+    mapping: Map[String, String]
+) extends StableDfTransformation {
+  mapping.keys.foreach(c => require(inputDomain.contains(c), s"no column $c"))
+  def outputDomain: Domain = inputDomain.rename(mapping)
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric match {
+    case IfGroupedBy(c, inner) if mapping.contains(c) =>
+      IfGroupedBy(mapping(c), inner)
+    case m => m
+  }
+  def applyDf(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(mapping.getOrElse(c, c))): _*)
+}
+
+object SpecialValues {
+  /** Columns eligible for NaN/inf handling must be float-typed. */
+  def requireFloat(domain: DataFrameDomain, columns: Seq[String]): Unit =
+    columns.foreach { c =>
+      require(domain.contains(c), s"no column $c")
+      require(domain(c).isFloat, s"column $c is not float-typed")
+    }
+}
+
+/** Drop rows with ±inf in the given columns (reference `nan.py:37-210`). */
+final case class DropInfs(
+    inputDomain: DataFrameDomain,
+    metric: Metric,
+    columns: Seq[String]
+) extends StableDfTransformation {
+  SpecialValues.requireFloat(inputDomain, columns)
+  def outputDomain: Domain = DataFrameDomain(inputDomain.schema.map {
+    case (n, d) if columns.contains(n) => n -> d.copy(allowInf = false)
+    case other                         => other
+  })
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame =
+    df.filter(
+      columns
+        .map(c =>
+          col(c).isNull || isnan(col(c)) ||
+            (col(c) =!= lit(Double.PositiveInfinity) &&
+              col(c) =!= lit(Double.NegativeInfinity))
+        )
+        .reduce(_ && _)
+    )
+}
+
+/** Drop rows with NaN in the given columns (reference `nan.py:213-385`). */
+final case class DropNaNs(
+    inputDomain: DataFrameDomain,
+    metric: Metric,
+    columns: Seq[String]
+) extends StableDfTransformation {
+  SpecialValues.requireFloat(inputDomain, columns)
+  def outputDomain: Domain = DataFrameDomain(inputDomain.schema.map {
+    case (n, d) if columns.contains(n) => n -> d.copy(allowNaN = false)
+    case other                         => other
+  })
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame =
+    df.filter(columns.map(c => col(c).isNull || !isnan(col(c))).reduce(_ && _))
+}
+
+/** Drop rows with null in the given columns (reference `nan.py:388-553`). */
+final case class DropNulls(
+    inputDomain: DataFrameDomain,
+    metric: Metric,
+    columns: Seq[String]
+) extends StableDfTransformation {
+  columns.foreach(c => require(inputDomain.contains(c), s"no column $c"))
+  def outputDomain: Domain = DataFrameDomain(inputDomain.schema.map {
+    case (n, d) if columns.contains(n) => n -> d.copy(allowNull = false)
+    case other                         => other
+  })
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame = df.na.drop("any", columns)
+}
+
+/** Replace ±inf by constants (reference `nan.py:556-749`). */
+final case class ReplaceInfs(
+    inputDomain: DataFrameDomain,
+    metric: Metric,
+    replace: Map[String, (Double, Double)] // col -> (negReplacement, posReplacement)
+) extends StableDfTransformation {
+  SpecialValues.requireFloat(inputDomain, replace.keys.toSeq)
+  def outputDomain: Domain = DataFrameDomain(inputDomain.schema.map {
+    case (n, d) if replace.contains(n) => n -> d.copy(allowInf = false)
+    case other                         => other
+  })
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame =
+    replace.foldLeft(df) { case (acc, (c, (neg, pos))) =>
+      acc.withColumn(
+        c,
+        when(col(c) === lit(Double.NegativeInfinity), lit(neg))
+          .when(col(c) === lit(Double.PositiveInfinity), lit(pos))
+          .otherwise(col(c))
+      )
+    }
+}
+
+/** Replace NaN by constants (reference `nan.py:752-929`). */
+final case class ReplaceNaNs(
+    inputDomain: DataFrameDomain,
+    metric: Metric,
+    replace: Map[String, Double]
+) extends StableDfTransformation {
+  SpecialValues.requireFloat(inputDomain, replace.keys.toSeq)
+  def outputDomain: Domain = DataFrameDomain(inputDomain.schema.map {
+    case (n, d) if replace.contains(n) => n -> d.copy(allowNaN = false)
+    case other                         => other
+  })
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame =
+    replace.foldLeft(df) { case (acc, (c, v)) =>
+      acc.withColumn(c, when(isnan(col(c)), lit(v)).otherwise(col(c)))
+    }
+}
+
+/** Replace null by constants (reference `nan.py:932-1109`). */
+final case class ReplaceNulls(
+    inputDomain: DataFrameDomain,
+    metric: Metric,
+    replace: Map[String, Any]
+) extends StableDfTransformation {
+  replace.keys.foreach(c => require(inputDomain.contains(c), s"no column $c"))
+  def outputDomain: Domain = DataFrameDomain(inputDomain.schema.map {
+    case (n, d) if replace.contains(n) => n -> d.copy(allowNull = false)
+    case other                         => other
+  })
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame =
+    replace.foldLeft(df) { case (acc, (c, v)) =>
+      acc.withColumn(c, coalesce(col(c), lit(v)))
+    }
+}
+
+/** Add a column unique per (row-content, duplicate-index), converting
+  * row-level to id-level distance (reference `id.py:28-153`).
+  *
+  * Uses sha2 over a canonical JSON of all columns plus a duplicate index from
+  * a window over identical rows. One shuffle on all columns — unavoidable for
+  * exact duplicate indexing.
+  */
+final case class AddUniqueColumn(
+    inputDomain: DataFrameDomain,
+    column: String
+) extends StableDfTransformation {
+  require(!inputDomain.contains(column), s"column $column already exists")
+  def outputDomain: Domain =
+    inputDomain.withColumn(column, ColumnDescriptor.string())
+  def inputMetric: Metric = SymmetricDifference
+  def outputMetric: Metric = IfGroupedBy(column, SymmetricDifference)
+  def applyDf(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val w = Window.partitionBy(cols.map(col): _*).orderBy(lit(1))
+    df.withColumn(
+      column,
+      sha2(
+        concat_ws(
+          " ",
+          (cols.map(c => col(c).cast("string")) :+
+            row_number().over(w).cast("string")): _*
+        ),
+        256
+      )
+    )
+  }
+}
+
+/** Caching control (reference `persist.py:22-139`). */
+final case class Persist(inputDomain: DataFrameDomain, metric: Metric)
+    extends StableDfTransformation {
+  def outputDomain: Domain = inputDomain
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame = df.persist()
+}
+
+final case class Unpersist(inputDomain: DataFrameDomain, metric: Metric)
+    extends StableDfTransformation {
+  def outputDomain: Domain = inputDomain
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame = df.unpersist()
+}
+
+/** Force evaluation (reference `persist.py:103-139`). */
+final case class SparkAction(inputDomain: DataFrameDomain, metric: Metric)
+    extends StableDfTransformation {
+  def outputDomain: Domain = inputDomain
+  def inputMetric: Metric = metric
+  def outputMetric: Metric = metric
+  def applyDf(df: DataFrame): DataFrame = { df.count(); df }
+}

@@ -1,0 +1,143 @@
+package graft.transformations
+
+import graft.core.Transformation
+import graft.domains._
+import graft.exact.ExactNum
+import graft.metrics._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic-random truncation kernels
+  * (reference `utils/truncation.py:41-313`): order rows within a group by a
+  * SHA-256 hash of the whole row so the kept subset is stable but
+  * data-independent, then keep by row_number / dense_rank. Single Window per
+  * kernel → one shuffle on the group columns; whole-stage codegen applies.
+  */
+object Truncation {
+
+  /** Stable per-row hash: sha2 over all columns, cast to string with a
+    * separator that cannot collide on the five primitive types.
+    */
+  def rowHash(df: DataFrame): Column =
+    sha2(concat_ws("|", df.columns.map(c => col(c).cast("string")): _*), 256)
+
+  /** Keep at most `threshold` rows per group (reference `truncation.py:91-162`). */
+  def truncateLargeGroups(
+      df: DataFrame,
+      groupColumns: Seq[String],
+      threshold: Int
+  ): DataFrame = {
+    val order = rowHash(df) +: df.columns.map(col).toSeq
+    val w = Window.partitionBy(groupColumns.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= threshold)
+      .drop("__rn")
+  }
+
+  /** Drop groups with more than `threshold` rows (reference `truncation.py:165-225`). */
+  def dropLargeGroups(
+      df: DataFrame,
+      groupColumns: Seq[String],
+      threshold: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(groupColumns.map(col): _*)
+    df.withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") <= threshold)
+      .drop("__cnt")
+  }
+
+  /** Keep at most `threshold` distinct keys per group
+    * (reference `truncation.py:228-313`).
+    */
+  def limitKeysPerGroup(
+      df: DataFrame,
+      groupColumns: Seq[String],
+      keyColumns: Seq[String],
+      threshold: Int
+  ): DataFrame = {
+    val keyHash =
+      sha2(concat_ws("|", keyColumns.map(c => col(c).cast("string")): _*), 256)
+    val w = Window
+      .partitionBy(groupColumns.map(col): _*)
+      .orderBy(keyHash +: keyColumns.map(col): _*)
+    df.withColumn("__dr", dense_rank().over(w))
+      .filter(col("__dr") <= threshold)
+      .drop("__dr")
+  }
+}
+
+/** Transformation wrapper: ≤ k rows per group under IfGroupedBy; converts
+  * grouped distance to row distance with stability k
+  * (reference `truncation.py:18-176`).
+  */
+final case class LimitRowsPerGroup(
+    inputDomain: DataFrameDomain,
+    groupColumn: String,
+    threshold: Int
+) extends Transformation {
+  require(threshold >= 0)
+  def inputMetric: Metric = IfGroupedBy(groupColumn, SymmetricDifference)
+  def outputMetric: Metric = SymmetricDifference
+  def outputDomain: Domain = inputDomain
+  def stabilityFunction(dIn: ExactNum): ExactNum =
+    dIn * ExactNum(threshold.toLong)
+  def apply(data: Any): Any =
+    Truncation.truncateLargeGroups(
+      data.asInstanceOf[DataFrame],
+      Seq(groupColumn),
+      threshold
+    )
+}
+
+/** ≤ k distinct keys per group; stability k (L1) or √k (L2)
+  * (reference `truncation.py:179-375`).
+  */
+final case class LimitKeysPerGroup(
+    inputDomain: DataFrameDomain,
+    groupColumn: String,
+    keyColumn: String,
+    threshold: Int,
+    useL2: Boolean
+) extends Transformation {
+  require(threshold >= 0)
+  def inputMetric: Metric =
+    IfGroupedBy(keyColumn, SymmetricDifference)
+  def outputMetric: Metric =
+    if (useL2) IfGroupedBy(groupColumn, RootSumOfSquared(SymmetricDifference))
+    else IfGroupedBy(groupColumn, SumOf(SymmetricDifference))
+  def outputDomain: Domain = inputDomain
+  def stabilityFunction(dIn: ExactNum): ExactNum =
+    if (useL2) dIn * ExactNum(threshold.toLong).sqrt
+    else dIn * ExactNum(threshold.toLong)
+  def apply(data: Any): Any =
+    Truncation.limitKeysPerGroup(
+      data.asInstanceOf[DataFrame],
+      Seq(groupColumn),
+      Seq(keyColumn),
+      threshold
+    )
+}
+
+/** Two-level truncation: ≤ k rows per (key, group) pair
+  * (reference `truncation.py:378-576`).
+  */
+final case class LimitRowsPerKeyPerGroup(
+    inputDomain: DataFrameDomain,
+    groupColumn: String,
+    keyColumn: String,
+    threshold: Int
+) extends Transformation {
+  require(threshold >= 0)
+  def inputMetric: Metric = IfGroupedBy(keyColumn, SymmetricDifference)
+  def outputMetric: Metric = IfGroupedBy(keyColumn, SymmetricDifference)
+  def outputDomain: Domain = inputDomain
+  def stabilityFunction(dIn: ExactNum): ExactNum =
+    dIn * ExactNum(threshold.toLong)
+  def apply(data: Any): Any =
+    Truncation.truncateLargeGroups(
+      data.asInstanceOf[DataFrame],
+      Seq(keyColumn, groupColumn),
+      threshold
+    )
+}
