@@ -1,0 +1,75 @@
+package graft
+
+import graft.domains._
+import graft.exact.{ExactNum, Rational}
+import graft.interactive._
+import graft.measures._
+import graft.measurements._
+import graft.metrics._
+import graft.transformations._
+import org.apache.spark.sql.Row
+
+class InteractiveSpec extends SharedSpark {
+
+  private val domain = DataFrameDomain(Seq("A" -> ColumnDescriptor.string(true)))
+  private def data = df("A STRING", Seq(Row("a"), Row("a"), Row("b")))
+
+  private def countM(eps: Long) = Aggregations.createCountMeasurement(
+    domain, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+    PureDPBudget(ExactNum(eps)),
+    Some(df("A STRING", Seq(Row("a"), Row("b")))))
+
+  test("accountant meters budget and refuses overdraft") {
+    val comp = SequentialComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum(3)))
+    val acct = PrivacyAccountant.launch(comp, data)
+    acct.measure(countM(2))
+    assert(acct.remainingBudget == PureDPBudget(ExactNum(1)))
+    assertThrows[IllegalStateException](acct.measure(countM(2)))
+    acct.measure(countM(1))
+    assert(acct.remainingBudget == PureDPBudget(ExactNum.zero))
+  }
+
+  test("transformInPlace rebinds distance through stability") {
+    val comp = SequentialComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum(10)))
+    val acct = PrivacyAccountant.launch(comp, data)
+    acct.transformInPlace(Filter(domain, SymmetricDifference, "A = 'a'"))
+    assert(acct.distance == ExactNum(1))
+    assert(acct.inputDomain == domain)
+    // a measurement built for the post-filter state runs fine
+    acct.measure(countM(1))
+  }
+
+  test("sequential queryable answers until budget runs out") {
+    val comp = SequentialComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum(2)))
+    val q = comp(data).asInstanceOf[SequentialQueryable]
+    q.answer(MeasurementQuery(countM(2)))
+    assertThrows[IllegalStateException](q.answer(MeasurementQuery(countM(1))))
+  }
+
+  test("split creates in-order children; parent reactivates after retire") {
+    val comp = SequentialComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum(4)))
+    val acct = PrivacyAccountant.launch(comp, data)
+    val partition = PartitionByKeys(
+      domain, SymmetricDifference, Seq("A"), Seq(Seq("a"), Seq("b")))
+    val kids = acct.split(partition)
+    assert(kids.size == 2)
+    assert(acct.currentState == AccountantState.WaitingForChildren)
+    assert(kids(0).currentState == AccountantState.Active)
+    assert(kids(1).currentState == AccountantState.WaitingForSibling)
+    kids(0).measure(countM(2))
+    kids(0).retire()
+    assert(kids(1).currentState == AccountantState.Active)
+    kids(1).retire()
+    assert(acct.currentState == AccountantState.Active)
+    // parallel composition: only the max child spend is charged
+    assert(acct.remainingBudget == PureDPBudget(ExactNum(2)))
+  }
+}

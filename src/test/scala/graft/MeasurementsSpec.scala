@@ -1,0 +1,187 @@
+package graft
+
+import graft.core._
+import graft.domains._
+import graft.exact.{ExactNum, Rational}
+import graft.measures._
+import graft.measurements._
+import graft.metrics._
+import graft.transformations._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+class MeasurementsSpec extends SharedSpark {
+
+  private val longCol = ColumnDescriptor.long
+
+  test("noise mechanism privacy functions") {
+    assert(
+      NoisePrivacy.privacyFunction(LaplaceMechanism(Rational(2)), ExactNum(1)) ==
+        PureDPBudget(ExactNum.ratio(1, 2))
+    )
+    assert(
+      NoisePrivacy.privacyFunction(GeometricMechanism(Rational(1, 2)), ExactNum(1)) ==
+        PureDPBudget(ExactNum(2))
+    )
+    assert(
+      NoisePrivacy.privacyFunction(DiscreteGaussianMechanism(Rational(2)), ExactNum(2)) ==
+        RhoZCDPBudget(ExactNum(1))
+    )
+    // zero scale + nonzero distance → infinite loss
+    assert(
+      NoisePrivacy.privacyFunction(LaplaceMechanism(Rational.zero), ExactNum(1)) ==
+        PureDPBudget(ExactNum.PosInf)
+    )
+  }
+
+  test("AddNoise expression: scale 0 is the identity") {
+    val data = df("K STRING, count BIGINT", Seq(Row("a", 5L), Row("b", 7L)))
+    val out = data.withColumn("count",
+      AddNoise(col("count"), GeometricMechanism(Rational.zero)))
+    assert(sortedRows(out) == Seq(Seq("a", "5"), Seq("b", "7")))
+  }
+
+  test("AddNoise expression: geometric noise has the right spread") {
+    val n = 20000
+    val data = spark.range(n).withColumnRenamed("id", "v")
+    val alpha = Rational(2)
+    val noised = data
+      .withColumn("noisy", AddNoise(col("v"), GeometricMechanism(alpha)))
+      .withColumn("noise", col("noisy") - col("v"))
+    val stats = noised.agg(
+      avg(col("noise")).as("mean"),
+      variance(col("noise")).as("var")
+    ).head()
+    val e = math.exp(1.0 / alpha.toDouble)
+    val expectedVar = 2 * e / math.pow(e - 1, 2)
+    assert(math.abs(stats.getDouble(0)) < 0.15, s"mean=${stats.getDouble(0)}")
+    assert(
+      math.abs(stats.getDouble(1) - expectedVar) / expectedVar < 0.1,
+      s"var=${stats.getDouble(1)} expected=$expectedVar"
+    )
+  }
+
+  test("AddNoiseToColumn materializes (stable across actions)") {
+    val data = df("K STRING, count BIGINT", Seq(Row("a", 100L), Row("b", 200L)))
+    val m = AddNoiseToColumn(
+      DataFrameDomain(Seq("K" -> ColumnDescriptor.string(true), "count" -> longCol)),
+      OnColumn("count", SumOf(AbsoluteDifference)),
+      "count",
+      GeometricMechanism(Rational(5))
+    )
+    val out = m(data).asInstanceOf[DataFrame]
+    // materialized: two collects see identical noise
+    assert(sortedRows(out) == sortedRows(out))
+    val again = out.collect().toSeq.map(_.toSeq)
+    assert(again == out.collect().toSeq.map(_.toSeq))
+  }
+
+  test("count measurement with infinite budget is exact and group-complete") {
+    val data = df("A STRING", Seq(Row("a"), Row("a"), Row("b")))
+    val keys = df("A STRING", Seq(Row("a"), Row("c")))
+    val m = Aggregations.createCountMeasurement(
+      DataFrameDomain(Seq("A" -> ColumnDescriptor.string(true))),
+      SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+      PureDPBudget(ExactNum.PosInf), Some(keys))
+    val out = m(data).asInstanceOf[DataFrame]
+    assert(sortedRows(out) == Seq(Seq("a", "2"), Seq("c", "0")))
+  }
+
+  test("count measurement privacy function: eps = d_in/alpha via scale calc") {
+    val domain = DataFrameDomain(Seq("A" -> ColumnDescriptor.string(true)))
+    val keys = df("A STRING", Seq(Row("a")))
+    val m = Aggregations.createCountMeasurement(
+      domain, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+      PureDPBudget(ExactNum(1)), Some(keys))
+    // built for eps=1 at d_in=1 → privacyFunction(1) == 1
+    assert(m.privacyFunction(ExactNum(1)) == PureDPBudget(ExactNum(1)))
+    // at d_in=2 → eps doubles
+    assert(m.privacyFunction(ExactNum(2)) == PureDPBudget(ExactNum(2)))
+  }
+
+  test("zCDP sum measurement privacy function") {
+    val domain = DataFrameDomain(
+      Seq("A" -> ColumnDescriptor.string(true), "X" -> longCol))
+    val keys = df("A STRING", Seq(Row("a")))
+    val m = Aggregations.createSumMeasurement(
+      domain, SymmetricDifference, NoiseKind.DiscreteGaussian, ExactNum(1),
+      RhoZCDPBudget(ExactNum(1)), "X", Rational(0), Rational(2), Some(keys))
+    // sensitivity 2, rho target 1 → sigma^2 = 4/2 = 2; at d_in=1:
+    // rho = sens^2/(2 sigma^2) = 4/4 = 1
+    assert(m.privacyFunction(ExactNum(1)) == RhoZCDPBudget(ExactNum(1)))
+  }
+
+  test("composition adds budgets") {
+    val domain = ScalarDomain(longCol)
+    val m1 = AddNoiseScalar(domain, GeometricMechanism(Rational(1)))
+    val m2 = AddNoiseScalar(domain, GeometricMechanism(Rational(2)))
+    val c = Composition(Seq(m1, m2))
+    assert(
+      c.privacyFunction(ExactNum(1)) ==
+        PureDPBudget(ExactNum.one + ExactNum.ratio(1, 2))
+    )
+    val outs = c(5L).asInstanceOf[Seq[Any]]
+    assert(outs.size == 2)
+  }
+
+  test("converters: PureDP to zCDP squares epsilon over two") {
+    val m = AddNoiseScalar(ScalarDomain(longCol), GeometricMechanism(Rational(1, 2)))
+    val conv = PureDPToRhoZCDP(m)
+    assert(conv.privacyFunction(ExactNum(1)) == RhoZCDPBudget(ExactNum(2)))
+  }
+
+  test("quantile noise-free path interpolates like quantile_cont") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0)
+    val r = new graft.random.SplitMix(1)
+    val q50 = NoisyQuantileCore.compute(vals, 0.5, 0.0, 10.0, None, r)
+    assert(q50 == 2.5)
+    val q25 = NoisyQuantileCore.compute(vals, 0.25, 0.0, 10.0, None, r)
+    assert(q25 == 1.75)
+    // empty group → midpoint of bounds
+    assert(NoisyQuantileCore.compute(Nil, 0.5, 0.0, 10.0, None, r) == 5.0)
+  }
+
+  test("noisy quantile lands in-range and near the target at high epsilon") {
+    val vals = (1 to 99).map(_.toDouble)
+    val r = new graft.random.SplitMix(42)
+    val estimates = (1 to 50).map(_ =>
+      NoisyQuantileCore.compute(vals, 0.5, 0.0, 100.0, Some(5.0), r))
+    estimates.foreach(e => assert(e >= 0.0 && e <= 100.0))
+    val mean = estimates.sum / estimates.size
+    assert(math.abs(mean - 50.0) < 5.0, s"mean=$mean")
+  }
+
+  test("partition selection with zero alpha keeps counts >= threshold") {
+    val data = df("U BIGINT",
+      (1 to 10).map(_ => Row(1L)) ++ Seq(Row(2L), Row(2L), Row(3L)))
+    val m = GeometricPartitionSelection(
+      DataFrameDomain(Seq("U" -> longCol)), Rational.zero, 2L)
+    val out = m(data).asInstanceOf[DataFrame]
+    assert(sortedRows(out) == Seq(Seq("1", "10"), Seq("2", "2")))
+  }
+
+  test("partition selection delta decreases with threshold") {
+    val d = DataFrameDomain(Seq("U" -> longCol))
+    def delta(tau: Long): Double = {
+      val m = GeometricPartitionSelection(d, Rational(1), tau)
+      m.privacyFunction(ExactNum(1)) match {
+        case ApproxDPBudget(_, dd) => dd.toDouble
+        case b                     => fail(s"unexpected $b")
+      }
+    }
+    assert(delta(20) < delta(5))
+    assert(delta(5) < 1.0)
+  }
+
+  test("SparseVectorPrefixSums noise-free picks the 95th-percentile bin") {
+    // one group, bins 1..10 with count 10 each; total 100, threshold 95
+    val rows = (1 to 10).map(b => Row("g", b.toLong, 10L))
+    val data = df("G STRING, rank BIGINT, count BIGINT", rows)
+    val m = SparseVectorPrefixSums(
+      DataFrameDomain(Seq("G" -> ColumnDescriptor.string(true),
+        "rank" -> longCol, "count" -> longCol)),
+      Seq("G"), "rank", "count", Rational.zero)
+    val out = m(data).asInstanceOf[DataFrame]
+    assert(sortedRows(out) == Seq(Seq("g", "10")))
+  }
+}

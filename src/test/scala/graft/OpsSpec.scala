@@ -1,0 +1,129 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SharedSpark {
+
+  private def docs = df(
+    "doc_id BIGINT, text STRING",
+    Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      Row(2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      Row(3L, "completely different content about spark query engines and distributed joins"),
+      Row(4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      Row(5L, "unrelated short text")
+    )
+  )
+
+  test("exact dedup keeps one representative per text") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(out.count() == 4) // docs 1 and 4 merge
+    assert(out.filter(col("doc_id") === 4L).count() == 0)
+  }
+
+  test("fingerprint dedup is whitespace/case-insensitive") {
+    val d = df("doc_id BIGINT, text STRING",
+      Seq(Row(1L, "Hello  World"), Row(2L, "hello world"), Row(3L, "bye")))
+    val out = Dedup.exactByFingerprint(d, "text", "doc_id")
+    assert(out.count() == 2)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips distinct docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, jaccardThreshold = 0.5)
+    val found = pairs.select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 4L))) // identical
+    assert(found.contains((1L, 2L)) || found.contains((2L, 4L))) // near-dup
+    assert(!found.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc
+    // jaccard of identical docs is 1
+    val j14 = pairs.filter(col("left_id") === 1L && col("right_id") === 4L)
+      .select("jaccard").head().getDouble(0)
+    assert(j14 == 1.0)
+  }
+
+  test("simhash of identical docs is equal; near-dups within distance") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDistance = 8)
+    val found = pairs.select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 4L)))
+    val h14 = pairs.filter(col("left_id") === 1L && col("right_id") === 4L)
+      .select("hamming").head().getAs[Number](0).longValue()
+    assert(h14 == 0L)
+  }
+
+  test("ngram jaccard pairs verify exactly") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, jaccardThreshold = 0.9)
+    val found = pairs.select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 4L)))
+    assert(!found.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("brute-force ANN returns self first, in cosine order") {
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      Seq(
+        Row(0L, Seq(1.0f, 0.0f, 0.0f)),
+        Row(1L, Seq(0.9f, 0.1f, 0.0f)),
+        Row(2L, Seq(0.0f, 1.0f, 0.0f)),
+        Row(3L, Seq(0.0f, 0.0f, 1.0f))
+      ))
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "embedding", k = 2)
+    val neighbors = out.orderBy(desc("cosine")).collect()
+      .map(r => r.getAs[Long]("neighbor_id")).toSeq
+    assert(neighbors == Seq(0L, 1L))
+  }
+
+  test("LSH ANN agrees with brute force on easy neighbors") {
+    val base = (0 until 50).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat)
+      Row(i.toLong, v.toSeq)
+    }
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>", base)
+    val queries = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", 1,
+      numPlanes = 8, numProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self is always its own nearest neighbor and shares its own bucket
+    assert(brute == Set((0L, 0L), (1L, 1L), (2L, 2L)))
+    assert(lsh == brute)
+  }
+
+  test("cosineDupPairs finds duplicate embeddings") {
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      Seq(
+        Row(0L, Seq(1.0f, 0.0f)),
+        Row(1L, Seq(2.0f, 0.0f)), // same direction
+        Row(2L, Seq(0.0f, 1.0f))
+      ))
+    val out = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.99,
+      numPlanes = 4)
+    val found = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((0L, 1L)))
+  }
+
+  test("text analysis columns") {
+    val d = df("doc_id BIGINT, text STRING",
+      Seq(Row(1L, "Hello   world  foo"), Row(2L, "")))
+    val tc = TextAnalysis.tokenCount(d, "text").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(tc(1L) == 3L)
+    val fp = TextAnalysis.fingerprint(d, "text")
+    assert(fp.select("fingerprint").distinct().count() == 2)
+    val lang = TextAnalysis.languageId(
+      df("doc_id BIGINT, text STRING",
+        Seq(Row(1L, "the cat and the dog of it is that"),
+            Row(2L, "el gato y la casa de los perros"),
+            Row(3L, "zzz qqq"))), "text")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(lang(1L) == "en")
+    assert(lang(2L) == "es")
+    assert(lang(3L) == "und")
+  }
+}

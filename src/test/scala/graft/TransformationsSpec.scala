@@ -1,0 +1,188 @@
+package graft
+
+import graft.core._
+import graft.domains._
+import graft.exact.{ExactNum, Rational}
+import graft.metrics._
+import graft.transformations._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+class TransformationsSpec extends SharedSpark {
+
+  private def abDf: DataFrame = df(
+    "A STRING, X BIGINT",
+    Seq(Row("a1", 2L), Row("a1", 3L), Row("a2", 5L), Row("a2", -1L))
+  )
+  private def abDomain: DataFrameDomain = DataFrameDomain(
+    Seq("A" -> ColumnDescriptor.string(true), "X" -> ColumnDescriptor(
+      org.apache.spark.sql.types.LongType, allowNull = true))
+  )
+
+  test("group-complete aggregation: key table defines the output row set") {
+    val keys = df("A STRING", Seq(Row("a0"), Row("a1")))
+    val g = GroupedDataFrame(abDf, keys)
+    val out = g.agg(Seq(("count", count(lit(1)), lit(0L))))
+    // a0 absent from data → fill 0; a2 in data but not in keys → dropped
+    assert(
+      sortedRows(out) == Seq(Seq("a0", "0"), Seq("a1", "2"))
+    )
+  }
+
+  test("group-complete aggregation matches null keys null-safely") {
+    val data = df("A STRING, X BIGINT", Seq(Row(null, 7L), Row("a1", 1L)))
+    val keys = df("A STRING", Seq(Row(null), Row("a1")))
+    val out = GroupedDataFrame(data, keys)
+      .agg(Seq(("count", count(lit(1)), lit(0L))))
+    assert(sortedRows(out) == Seq(Seq("a1", "1"), Seq("∅", "1")))
+  }
+
+  test("Filter keeps schema and is 1-stable") {
+    val op = Filter(abDomain, SymmetricDifference, "X > 2")
+    val out = op(abDf).asInstanceOf[DataFrame]
+    assert(sortedRows(out) == Seq(Seq("a1", "3"), Seq("a2", "5")))
+    assert(op.stabilityFunction(ExactNum(3)) == ExactNum(3))
+  }
+
+  test("Rename remaps IfGroupedBy metric column") {
+    val op = Rename(abDomain, IfGroupedBy("A", SymmetricDifference), Map("A" -> "B"))
+    assert(op.outputMetric == IfGroupedBy("B", SymmetricDifference))
+  }
+
+  test("FlatMap stability multiplies by the row cap") {
+    val rt = RowToRowsTransformation(
+      abDomain,
+      DataFrameDomain(Seq("Y" -> ColumnDescriptor(
+        org.apache.spark.sql.types.LongType, allowNull = true))),
+      r => Seq(Row(1L), Row(2L), Row(3L)),
+      augment = false
+    )
+    val op = FlatMapTransformation(SymmetricDifference, rt, Some(2))
+    assert(op.stabilityFunction(ExactNum(1)) == ExactNum(2))
+    val out = op(abDf).asInstanceOf[DataFrame]
+    assert(out.count() == 8) // 4 rows × cap 2
+    // no cap → infinite stability
+    val unbounded = FlatMapTransformation(SymmetricDifference, rt, None)
+    assert(unbounded.stabilityFunction(ExactNum(1)) == ExactNum.PosInf)
+  }
+
+  test("GroupingFlatMap dedups the new group column and has sqrt(k) L2 stability") {
+    val rt = RowToRowsTransformation(
+      abDomain,
+      DataFrameDomain(abDomain.schema :+
+        ("G" -> ColumnDescriptor.string(true))),
+      r => Seq(
+        Row(r.get(0), r.get(1), "g1"),
+        Row(r.get(0), r.get(1), "g1"), // duplicate group → dropped
+        Row(r.get(0), r.get(1), "g2")
+      ),
+      augment = false
+    )
+    val op = GroupingFlatMap(RootSumOfSquared(SymmetricDifference), rt, 4)
+    assert(op.stabilityFunction(ExactNum(1)) == ExactNum(4).sqrt)
+    val out = op(abDf).asInstanceOf[DataFrame]
+    assert(out.count() == 8) // 2 distinct groups per input row
+  }
+
+  test("Sum clips before summing; sensitivity max(|l|,|u|)") {
+    val op = Sum(
+      DataFrameDomain(Seq("A" -> ColumnDescriptor.string(true),
+        "X" -> ColumnDescriptor.long)),
+      SymmetricDifference, "X", Rational(0), Rational(3))
+    // clip: 2,3,3,0 → 8
+    assert(op(abDf) == 8L)
+    assert(op.stabilityFunction(ExactNum(1)) == ExactNum(3))
+    // Hamming: u − l
+    val opH = op.copy(inputMetric = HammingDistance)
+    assert(opH.stabilityFunction(ExactNum(1)) == ExactNum(3))
+  }
+
+  test("CountDistinct counts null-containing rows") {
+    val data = df("A STRING, X BIGINT",
+      Seq(Row(null, 1L), Row(null, 1L), Row("a", 1L)))
+    val op = CountDistinct(abDomain, SymmetricDifference)
+    assert(op(data) == 2L)
+    // Hamming doubles
+    assert(CountDistinct(abDomain, HammingDistance)
+      .stabilityFunction(ExactNum(2)) == ExactNum(4))
+  }
+
+  test("truncation is deterministic and respects thresholds") {
+    val data = df("A STRING, X BIGINT",
+      (1 to 10).map(i => Row("g", i.toLong)) :+ Row("h", 99L))
+    val out1 = Truncation.truncateLargeGroups(data, Seq("A"), 3)
+    val out2 = Truncation.truncateLargeGroups(data, Seq("A"), 3)
+    assertSameRows(out1, out2)
+    assert(out1.filter(col("A") === "g").count() == 3)
+    assert(out1.filter(col("A") === "h").count() == 1)
+    val dropped = Truncation.dropLargeGroups(data, Seq("A"), 3)
+    assert(sortedRows(dropped) == Seq(Seq("h", "99")))
+  }
+
+  test("limitKeysPerGroup keeps at most k distinct keys") {
+    val data = df("G STRING, K BIGINT",
+      (1 to 6).flatMap(k => Seq(Row("g", k.toLong), Row("g", k.toLong))))
+    val out = Truncation.limitKeysPerGroup(data, Seq("G"), Seq("K"), 2)
+    assert(out.select("K").distinct().count() == 2)
+    assert(out.count() == 4) // both duplicate rows of each kept key survive
+  }
+
+  test("PublicJoin stability is the public side's max key multiplicity") {
+    val priv = df("K BIGINT, V STRING", Seq(Row(1L, "x"), Row(2L, "y")))
+    val pub = df("K BIGINT, W STRING",
+      Seq(Row(1L, "a"), Row(1L, "b"), Row(1L, "c"), Row(2L, "d")))
+    val op = PublicJoin(
+      DataFrameDomain(Seq("K" -> ColumnDescriptor.long,
+        "V" -> ColumnDescriptor.string(true))),
+      SymmetricDifference, pub, Seq("K"))
+    assert(op.maxMultiplicity == 3L)
+    assert(op.stabilityFunction(ExactNum(2)) == ExactNum(6))
+    assert(op(priv).asInstanceOf[DataFrame].count() == 4)
+  }
+
+  test("PrivateJoin stability formula") {
+    val d = DataFrameDomain(Seq("K" -> ColumnDescriptor.long))
+    val op = PrivateJoin(d, d, "left", "right", Seq("K"),
+      TruncationStrategy.Truncate, 2, TruncationStrategy.Drop, 3)
+    // τ_l·s_r·d_r + τ_r·s_l·d_l = 2·3·1 + 3·2·1 = 12
+    assert(op.stabilityFunction(ExactNum(1)) == ExactNum(12))
+  }
+
+  test("null-safe join kernel merges keys under outer join") {
+    val l = df("K BIGINT, V STRING", Seq(Row(null, "ln"), Row(1L, "l1")))
+    val r = df("K BIGINT, W STRING", Seq(Row(null, "rn"), Row(2L, "r2")))
+    val inner = JoinKernel.join(l, r, Seq("K"), "inner", nullsAreEqual = true)
+    assert(sortedRows(inner) == Seq(Seq("∅", "ln", "rn")))
+    val noNulls = JoinKernel.join(l, r, Seq("K"), "inner", nullsAreEqual = false)
+    assert(noNulls.count() == 0)
+  }
+
+  test("PartitionByKeys splits with null-safe filters") {
+    val data = df("A STRING, X BIGINT",
+      Seq(Row("a", 1L), Row(null, 2L), Row("b", 3L)))
+    val op = PartitionByKeys(abDomain, SymmetricDifference, Seq("A"),
+      Seq(Seq("a"), Seq(null)))
+    val parts = op(data).asInstanceOf[Seq[DataFrame]]
+    assert(parts.size == 2)
+    assert(parts(0).count() == 1)
+    assert(parts(1).count() == 1) // null key matched null-safely
+  }
+
+  test("chaining composes stability and validates domains") {
+    val f1 = Filter(abDomain, SymmetricDifference, "X > 0")
+    val f2 = Filter(abDomain, SymmetricDifference, "X < 10")
+    val chained = f1 | f2
+    assert(chained.stabilityFunction(ExactNum(5)) == ExactNum(5))
+    val sel = Select(abDomain, SymmetricDifference, Seq("A"))
+    assertThrows[IllegalArgumentException](sel | f1) // domain mismatch
+  }
+
+  test("AddUniqueColumn produces distinct values even for identical rows") {
+    val data = df("A STRING", Seq(Row("x"), Row("x"), Row("x")))
+    val op = AddUniqueColumn(
+      DataFrameDomain(Seq("A" -> ColumnDescriptor.string(true))), "id")
+    val out = op(data).asInstanceOf[DataFrame]
+    assert(out.select("id").distinct().count() == 3)
+    assert(op.outputMetric == IfGroupedBy("id", SymmetricDifference))
+  }
+}
