@@ -388,6 +388,150 @@ object SparkEntry {
       graft.ops.Dedup.minHashPairs(d, "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
         .select("left_id", "right_id")
+    },
+
+    // ---------- §2.4 remaining: two-level truncation, partition, dict ----------
+    "q_rows_per_key_per_group" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_suppkey", "l_returnflag")
+      val op = LimitRowsPerKeyPerGroup(dom(li), "l_returnflag", "l_suppkey", 2)
+      op(li).asInstanceOf[DataFrame]
+    },
+    "q_grouping_flatmap" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val inDom = dom2(li)
+      val outDom = DataFrameDomain(inDom.schema :+
+        ("bucket" -> ColumnDescriptor.string()))
+      val rt = RowToRowsTransformation(inDom, outDom,
+        r => {
+          val q = r.getDouble(2)
+          val sized = if (q < 25.0) "lo" else "hi"
+          Seq(Row(r.get(0), r.get(1), r.get(2), "all"),
+              Row(r.get(0), r.get(1), r.get(2), sized),
+              Row(r.get(0), r.get(1), r.get(2), "all")) // dup group dropped
+        },
+        augment = false)
+      val op = GroupingFlatMap(RootSumOfSquared(SymmetricDifference), rt, 2)
+      op(li).asInstanceOf[DataFrame].select("l_orderkey", "l_linenumber", "bucket")
+    },
+    "q_partition" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_orderstatus", "o_orderkey")
+      val op = PartitionByKeys(dom(o), SymmetricDifference,
+        Seq("o_orderstatus"), Seq(Seq("F"), Seq("O")))
+      val parts = op(o).asInstanceOf[Seq[DataFrame]]
+      parts.reduce(_ union _)
+    },
+    "q_dict_pipeline" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val d = dom(o)
+      val pipeline =
+        CreateDictFromValue(d, SymmetricDifference, "t") |
+          TransformValue(
+            DictDomain(Map("t" -> d)),
+            DictMetric(Map("t" -> SymmetricDifference)),
+            "t", "f",
+            Filter(d, SymmetricDifference, "o_totalprice > 100000")) |
+          GetValue(
+            DictDomain(Map("t" -> d,
+              "f" -> d)),
+            DictMetric(Map("t" -> SymmetricDifference,
+              "f" -> SymmetricDifference)),
+            "f")
+      pipeline(o).asInstanceOf[DataFrame]
+    },
+    "q_private_join_onkey" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      val dd = DictDomain(Map("orders" -> dom(o), "customer" -> dom(c)))
+      val ark = AddRemoveKeys(Map("orders" -> "custkey", "customer" -> "custkey"))
+      val op = PrivateJoinOnKey(dd, ark, "orders", "customer", "joined", Seq("custkey"))
+      op(Map("orders" -> o, "customer" -> c))
+        .asInstanceOf[Map[String, DataFrame]]("joined")
+    },
+    "q_noisy_count_total" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_returnflag")
+      val m = Aggregations.createCountMeasurement(
+        dom(li), SymmetricDifference, NoiseKind.Geometric, ExactNum(1), inf)
+      oneRow(s, "count", m(li).asInstanceOf[Long])
+    },
+    "q_persist_identity" -> { (s, dir) =>
+      val r = t(s, dir, "region")
+      val d = dom(r)
+      val chain = Persist(d, SymmetricDifference) |
+        graft.core.Identity(d, SymmetricDifference) |
+        SparkAction(d, SymmetricDifference) |
+        Unpersist(d, SymmetricDifference)
+      chain(r).asInstanceOf[DataFrame]
+    },
+    "q_bounds" -> { (s, dir) =>
+      val e = t(s, dir, "events").select("event_type", "value")
+      val m = Aggregations.createBoundsMeasurement(
+        dom2(e), SymmetricDifference, ExactNum(1), inf, "value",
+        Seq("event_type"))
+      m(e).asInstanceOf[DataFrame]
+    },
+    "q_add_unique" -> { (s, dir) =>
+      val n = t(s, dir, "nation").select("n_regionkey")
+      val op = AddUniqueColumn(dom(n), "uid")
+      op(n).asInstanceOf[DataFrame]
+    },
+
+    // ---------- streaming surface (unified batch path) ----------
+    "q_window_counts" -> { (s, dir) =>
+      val e = t(s, dir, "events").withColumn(
+        "event_time",
+        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+      graft.streaming.Streams
+        .windowedCounts(e, "event_time", Seq("event_type"), "1 hour")
+        .select(
+          col("window_start").cast(LongType).as("ws"),
+          col("event_type"), col("count"))
+    },
+
+    // ---------- scale extensions: remaining ----------
+    "q_subword_count" -> { (s, dir) =>
+      graft.ops.TextAnalysis
+        .subwordCountEstimate(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_subwords")
+    },
+    "q_dedup_fingerprint" -> { (s, dir) =>
+      graft.ops.Dedup
+        .exactByFingerprint(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id")
+    },
+    "q_simhash_pairs" -> { (s, dir) =>
+      graft.ops.Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 10)
+        .select("left_id", "right_id")
+    },
+    "q_ngram_jaccard" -> { (s, dir) =>
+      graft.ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, jaccardThreshold = 0.5)
+        .select("left_id", "right_id")
+    },
+    "q_cosine_dup" -> { (s, dir) =>
+      graft.ops.Similarity.cosineDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.95)
+        .select("left_id", "right_id")
+    },
+    "q_lsh_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.lshTopK(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id")
+    },
+    "q_multimodal" -> { (s, dir) =>
+      // synthesize binary assets from document text bytes (testdata has no
+      // binary column); exercises the full decode/feature/frame plumbing
+      val assets = t(s, dir, "documents").select(
+        col("doc_id").as("asset_id"), lit("image").as("modality"),
+        encode(col("text"), "UTF-8").as("content"), lit(null).cast("string").as("uri"))
+      val decodable = graft.ops.Multimodal.filterDecodable(assets)
+      val decoded = graft.ops.Multimodal.decodeMetadata(decodable)
+      val featured = graft.ops.Multimodal.extractFeatures(decoded, dim = 4)
+      featured
+        .filter(size(col("features")) === 4)
+        .select(col("asset_id"), col("metadata.n_bytes").as("n_bytes"))
     }
   )
 
@@ -594,6 +738,62 @@ object SparkEntry {
         |  + CASE WHEN length(text) = 0 THEN 0.0 ELSE
         |      least(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
         |        / length(text), 1.0) * 0.5 END, 6) AS quality
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_rows_per_key_per_group" ->
+      """SELECT l_suppkey, l_returnflag FROM (
+        |  SELECT l_suppkey, l_returnflag,
+        |    row_number() OVER (PARTITION BY l_suppkey, l_returnflag
+        |      ORDER BY l_suppkey) AS rn
+        |  FROM lineitem) WHERE rn <= 2""".stripMargin,
+    "q_grouping_flatmap" ->
+      """SELECT l_orderkey, l_linenumber, 'all' AS bucket FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 25 THEN 'lo' ELSE 'hi' END AS bucket
+        |FROM lineitem""".stripMargin,
+    "q_partition" ->
+      """SELECT o_orderstatus, o_orderkey FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
+    "q_dict_pipeline" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000",
+    "q_private_join_onkey" ->
+      """SELECT o_custkey AS custkey, o_orderkey, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_noisy_count_total" -> "SELECT count(*) AS count FROM lineitem",
+    "q_persist_identity" -> "SELECT r_regionkey, r_name FROM region",
+    "q_bounds" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(length(printf('%b',
+        |      CAST(floor(greatest(abs(value), 1)) AS BIGINT))) AS BIGINT) AS rank,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(floor(sum(c) * 0.95) AS BIGINT) AS thr,
+        |        max(rank) AS maxrank
+        |      FROM b GROUP BY 1),
+        |p AS (SELECT b.event_type, rank,
+        |        sum(c) OVER (PARTITION BY b.event_type ORDER BY rank) AS prefix
+        |      FROM b),
+        |sel AS (SELECT p.event_type,
+        |          coalesce(min(CASE WHEN prefix >= thr THEN rank END), max(t.maxrank)) AS r
+        |        FROM p JOIN t USING (event_type) GROUP BY 1)
+        |SELECT event_type, power(2.0, r) AS upper, -power(2.0, r) AS lower
+        |FROM sel""".stripMargin,
+    "q_window_counts" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
+        |  event_type, count(*) AS count
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT)
+        |    + length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS n_subwords
+        |FROM documents""".stripMargin,
+    "q_dedup_fingerprint" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE octet_length(encode(text)) >= 12""".stripMargin
   )
 }

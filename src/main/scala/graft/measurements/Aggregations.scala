@@ -339,6 +339,65 @@ object Aggregations {
     GeometricPartitionSelection(inputDomain, alpha, tau, countColumn)
   }
 
+  /** DP bounds finding (reference `aggregations.py:2059-2332`): bin |x| by
+    * powers of two, run sparse-vector above-threshold over the per-bin
+    * prefix sums, return symmetric bounds ±2^selected per group.
+    *
+    * Binning is integer-exact (binary digit length of floor(|x|)), not
+    * float log2 — identical across engines and monotone in |x|.
+    */
+  def createBoundsMeasurement(
+      inputDomain: DataFrameDomain,
+      inputMetric: Metric,
+      dIn: ExactNum,
+      budget: PrivacyBudget,
+      measureColumn: String,
+      groupColumns: Seq[String] = Nil,
+      lowerColumn: String = "lower",
+      upperColumn: String = "upper"
+  ): Measurement = {
+    val eps = budget match {
+      case PureDPBudget(e) => e
+      case b => throw new IllegalArgumentException(s"bounds needs PureDP, got $b")
+    }
+    val alpha: Rational =
+      if (!eps.isFinite) Rational.zero
+      else (ExactNum(4) * dIn / eps).toRational
+    val svtDomain = DataFrameDomain(
+      groupColumns.map(c => c -> inputDomain(c)) ++
+        Seq("rank" -> ColumnDescriptor.long, "count" -> ColumnDescriptor.long)
+    )
+    val svt = SparseVectorPrefixSums(
+      svtDomain, groupColumns, "rank", "count", alpha, "__sel")
+    val inDomain0: Domain = inputDomain
+    val inMetric0: Metric = inputMetric
+    val prep = new graft.core.Transformation {
+      def inputDomain: Domain = inDomain0
+      def outputDomain: Domain = svtDomain
+      def inputMetric: Metric = inMetric0
+      def outputMetric: Metric = OnColumn("count", SumOf(AbsoluteDifference))
+      def stabilityFunction(d: ExactNum): ExactNum = d
+      def apply(data: Any): Any = {
+        val df = data.asInstanceOf[DataFrame]
+        val mag = greatest(abs(col(measureColumn)).cast("double"), lit(1.0))
+        val bin = length(conv(floor(mag).cast("long").cast("string"), 10, 2))
+          .cast("long")
+        df.withColumn("rank", bin)
+          .groupBy((groupColumns.map(col) :+ col("rank")): _*)
+          .agg(count(lit(1)).as("count"))
+      }
+    }
+    PostProcess(
+      prep | svt,
+      { any =>
+        val df = any.asInstanceOf[DataFrame]
+        df.withColumn(upperColumn, pow(lit(2.0), col("__sel")))
+          .withColumn(lowerColumn, -col(upperColumn))
+          .drop("__sel")
+      }: Any => Any
+    )
+  }
+
   // ---- helpers ----
 
   private def toD(v: Any): Double = v match {

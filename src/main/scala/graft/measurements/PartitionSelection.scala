@@ -108,7 +108,9 @@ final case class SparseVectorPrefixSums(
       .agg(sum(col(countColumn)).as("__total"))
       .withColumn(
         "__noisy_threshold",
-        AddNoise((col("__total") * lit(0.95)).cast("long"), GeometricMechanism(halfAlpha))
+        // floor() explicitly: cast-to-long truncation vs rounding differs
+        // across engines, floor is unambiguous
+        AddNoise(floor(col("__total") * lit(0.95)).cast("long"), GeometricMechanism(halfAlpha))
       )
       .drop("__total")
     val prefixed = df

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.exact.Rational
+import graft.measurements.{AddNoise, GeometricMechanism}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators (beyond the reference's batch-only
+  * surface): event-time windowed aggregation with watermarks, streaming
+  * dedup, sessionization, and a DP-noised streaming count.
+  *
+  * All transforms are `readStream`-compatible: they only use watermark +
+  * window/session aggregations and `dropDuplicates`, so they run
+  * incrementally with bounded state on a cluster. The same code paths work
+  * on batch DataFrames (Spark's unified API), which is how the specs drive
+  * them.
+  */
+object Streams {
+
+  /** Tumbling/sliding event-time window counts with a watermark bounding
+    * state retention.
+    */
+  def windowedCounts(
+      stream: DataFrame,
+      tsCol: String,
+      groupCols: Seq[String],
+      windowDuration: String,
+      slideDuration: Option[String] = None,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val withWm =
+      if (stream.isStreaming) stream.withWatermark(tsCol, watermark)
+      else stream
+    val win = slideDuration match {
+      case Some(slide) => window(col(tsCol), windowDuration, slide)
+      case None        => window(col(tsCol), windowDuration)
+    }
+    withWm
+      .groupBy(win +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("count"))
+      .select(
+        col("window.start").as("window_start") +:
+          col("window.end").as("window_end") +:
+          groupCols.map(col) :+ col("count"): _*
+      )
+  }
+
+  /** Exact streaming dedup on key columns; the watermark bounds the dedup
+    * state (late duplicates beyond it may reappear — documented trade).
+    */
+  def dedupStream(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val withWm =
+      if (stream.isStreaming) stream.withWatermark(tsCol, watermark)
+      else stream
+    withWm.dropDuplicates(keyCols :+ tsCol)
+  }
+
+  /** Session windows per user with an inactivity gap. */
+  def sessionize(
+      stream: DataFrame,
+      tsCol: String,
+      userCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val withWm =
+      if (stream.isStreaming) stream.withWatermark(tsCol, watermark)
+      else stream
+    withWm
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(userCol),
+        col("events")
+      )
+  }
+
+  /** Windowed counts with two-sided-geometric noise applied to each emitted
+    * count — each (window, group) cell is released once per trigger, so a
+    * per-cell ε applies under event-level DP.
+    */
+  def noisyWindowedCounts(
+      stream: DataFrame,
+      tsCol: String,
+      groupCols: Seq[String],
+      windowDuration: String,
+      alpha: Rational,
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    windowedCounts(stream, tsCol, groupCols, windowDuration, None, watermark)
+      .withColumn("count", AddNoise(col("count"), GeometricMechanism(alpha)))
+}

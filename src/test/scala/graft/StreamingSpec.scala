@@ -1,0 +1,78 @@
+package graft
+
+import graft.exact.Rational
+import graft.streaming.Streams
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Drives the streaming operators through actual Structured Streaming
+  * micro-batches (MemoryStream → memory sink), not just the batch path.
+  */
+class StreamingSpec extends SharedSpark {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates a real stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = input.toDF().toDF("event_time", "kind")
+    val out = Streams.windowedCounts(stream, "event_time", Seq("kind"), "10 minutes")
+    val query = out.writeStream
+      .format("memory")
+      .queryName("wc_test")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData((ts(1), "a"), (ts(2), "a"), (ts(11), "a"), (ts(3), "b"))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT kind, count FROM wc_test ORDER BY kind, count")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+    } finally query.stop()
+  }
+
+  test("dedupStream drops duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val stream = input.toDF().toDF("event_time", "id")
+    val out = Streams.dedupStream(stream, "event_time", Seq("id"))
+    val query = out.writeStream
+      .format("memory")
+      .queryName("dd_test")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((ts(1), 7L), (ts(1), 7L), (ts(2), 8L))
+      query.processAllAvailable()
+      input.addData((ts(1), 7L)) // duplicate in a later batch, inside watermark
+      query.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dd_test").head().getLong(0) == 2L)
+    } finally query.stop()
+  }
+
+  test("sessionize groups events by inactivity gap (batch path)") {
+    val data = df(
+      "event_time TIMESTAMP, user STRING",
+      Seq(Row(ts(0), "u1"), Row(ts(5), "u1"), Row(ts(50), "u1"), Row(ts(0), "u2"))
+    )
+    val out = Streams.sessionize(data, "event_time", "user", gap = "10 minutes")
+    val sessions = out.collect().map(r => (r.getString(2), r.getLong(3))).toSeq.sorted
+    assert(sessions == Seq(("u1", 1L), ("u1", 2L), ("u2", 1L)))
+  }
+
+  test("noisyWindowedCounts with zero alpha equals exact counts") {
+    val data = df(
+      "event_time TIMESTAMP, kind STRING",
+      Seq(Row(ts(1), "a"), Row(ts(2), "a"), Row(ts(21), "b"))
+    )
+    val out = Streams.noisyWindowedCounts(
+      data, "event_time", Seq("kind"), "10 minutes", Rational.zero)
+    val rows = out.collect().map(r => (r.getAs[String]("kind"), r.getAs[Long]("count")))
+      .toSeq.sorted
+    assert(rows == Seq(("a", 2L), ("b", 1L)))
+  }
+}
