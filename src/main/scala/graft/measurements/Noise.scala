@@ -86,18 +86,30 @@ final case class AddNoiseScalar(
   * `Nondeterministic` expression alone would re-sample on every action.
   */
 object Sanitize {
+  /** When true, freeze via a temp-parquet round trip (survives executor
+    * loss — the reference's temp-Hive-table behavior). Default uses
+    * `localCheckpoint(eager = true)`: the lineage is truncated so the noise
+    * CANNOT be recomputed differently (a lost block fails the job rather
+    * than silently re-sampling), at a fraction of the cost.
+    */
+  @volatile var durable: Boolean = false
+
   def apply(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_materialized_")
-      .toString
     val shuffled = df
       .withColumn("__rand", rand())
       .repartition(col("__rand"))
       .drop("__rand")
       .sortWithinPartitions(df.columns.map(col): _*)
-    shuffled.write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir)
+    if (durable) {
+      val spark = df.sparkSession
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_materialized_")
+      dir.toFile.deleteOnExit()
+      shuffled.write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    } else {
+      shuffled.localCheckpoint(true)
+    }
   }
 }
 
