@@ -88,6 +88,51 @@ object SparkEntry {
         )
     },
 
+    "q3_revenue" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+    },
+    "q5_nation_revenue" -> { (s, dir) =>
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+    },
+    "q6_discount_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"))
+    },
+    "q18_large_orders" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 150)
+      val o = t(s, dir, "orders")
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("qty"), 2).as("qty"))
+    },
+
     // ---------- §2.1 row-level transformations ----------
     "q_filter" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -555,6 +600,35 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q3_revenue" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+    "q6_discount_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, round(qty, 2) AS qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) b
+        |ON o_orderkey = b.l_orderkey""".stripMargin,
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 25 AND l_discount < 0.05""".stripMargin,
