@@ -272,6 +272,21 @@ object SparkEntry {
       (gb | sm)(li).asInstanceOf[DataFrame]
         .withColumn("sum", round(col("sum"), 4))
     },
+    "q_groupby_domains" -> { (s, dir) =>
+      // key table = Cartesian product of declared per-column domains
+      // (reference groupby.py:212-302); 5 segments x 25 nations = 125 keys
+      val c = t(s, dir, "customer").select("c_mktsegment", "c_nationkey")
+      val keys = GroupedDataFrame.keysFromColumnDomains(s, Seq(
+        "c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY"),
+        "c_nationkey" -> (0 until 25).map(i => i: Any)
+      ))
+      val gb = GroupBy(dom(c), SymmetricDifference, useL2 = false, keys)
+      val cnt = CountGrouped(
+        gb.outputDomain.asInstanceOf[GroupedDataFrameDomain],
+        gb.outputMetric, "count")
+      (gb | cnt)(c).asInstanceOf[DataFrame]
+    },
     "q_count_distinct_grouped" -> { (s, dir) =>
       val o = t(s, dir, "orders").select("o_orderstatus", "o_orderpriority")
       val keys = keysDf(s, Seq("o_orderstatus"),
@@ -551,7 +566,7 @@ object SparkEntry {
     },
     "q_ngram_jaccard" -> { (s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, jaccardThreshold = 0.5)
+        shingleSize = 3, jaccardThreshold = 0.5, maxDocFreq = 20)
         .select("left_id", "right_id")
     },
     "q_cosine_dup" -> { (s, dir) =>
@@ -682,6 +697,15 @@ object SparkEntry {
         |             sum(least(greatest(l_quantity, 5), 30)) AS sum
         |           FROM lineitem GROUP BY 1, 2) c
         |USING (l_returnflag, l_linestatus)""".stripMargin,
+    "q_groupby_domains" ->
+      """SELECT ks.c_mktsegment, ks.c_nationkey, coalesce(c.count, 0) AS count
+        |FROM (SELECT s.c_mktsegment, CAST(n.g AS INTEGER) AS c_nationkey
+        |      FROM (VALUES ('AUTOMOBILE'),('BUILDING'),('FURNITURE'),
+        |                   ('HOUSEHOLD'),('MACHINERY')) s(c_mktsegment)
+        |      CROSS JOIN generate_series(0, 24) n(g)) ks
+        |LEFT JOIN (SELECT c_mktsegment, c_nationkey, count(*) AS count
+        |           FROM customer GROUP BY 1, 2) c
+        |USING (c_mktsegment, c_nationkey)""".stripMargin,
     "q_count_distinct_grouped" ->
       """SELECT ks.o_orderstatus, coalesce(c.count, 0) AS count
         |FROM (VALUES ('F'),('O'),('P'),('Z')) AS ks(o_orderstatus)

@@ -203,7 +203,7 @@ object ExactNum {
   val zero: ExactNum = Finite(Map.empty)
   val one: ExactNum = Finite(Map(BigInt(1) -> Rational.one))
 
-  def apply(n: Long): ExactNum = Finite(Map(BigInt(1) -> Rational(n)))
+  def apply(n: Long): ExactNum = finite(Map(BigInt(1) -> Rational(n)))
   def apply(r: Rational): ExactNum =
     if (r.isZero) zero else Finite(Map(BigInt(1) -> r))
   def ratio(n: Long, d: Long): ExactNum = apply(Rational(n, d))

@@ -263,13 +263,18 @@ object Dedup {
       .filter(col("__df") <= maxDocFreq)
       .select("__sh")
     val filtered = sh.join(rare, "__sh")
+    // One fused pass: the self-join on shared shingles IS the candidate set,
+    // and counting join hits per pair IS the intersection size over rare
+    // shingles. Because the doc-frequency cap can hide shared-but-frequent
+    // shingles from the intersection, re-verify survivors exactly below.
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val candidates = filtered
       .select(col("__sh"), col("__id").as("left_id"))
       .join(filtered.select(col("__sh"), col("__id").as("right_id")), "__sh")
       .filter(col("left_id") < col("right_id"))
-      .select("left_id", "right_id")
-      .distinct()
-    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("__rareInter"))
+    // exact verification on the (small) candidate set, over ALL shingles
     candidates
       .join(sh.select(col("__id").as("left_id"), col("__sh")), "left_id")
       .join(sh.select(col("__id").as("right_id"), col("__sh").as("__sh2")), Seq("right_id"))

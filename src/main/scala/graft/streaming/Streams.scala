@@ -82,6 +82,43 @@ object Streams {
       )
   }
 
+  /** Running per-key event counts via arbitrary stateful processing
+    * (`mapGroupsWithState`): state survives across micro-batches with a
+    * processing-time timeout bounding retention. The custom-state analog of
+    * the reference's (batch-only) interactive accumulation.
+    */
+  def runningCounts(
+      stream: DataFrame,
+      keyCol: String,
+      stateTimeout: Option[String] = None
+  ): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val keyIdx = stream.schema.fieldIndex(keyCol)
+    implicit val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val longEnc = Encoders.scalaLong
+    // default NoTimeout: state is bounded by key cardinality; pass a
+    // duration to evict idle keys (requires a periodic trigger in prod)
+    val mode = if (stateTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+    stream
+      .groupByKey(r => String.valueOf(r.get(keyIdx)))(Encoders.STRING)
+      .mapGroupsWithState[Long, (String, Long)](mode) {
+        (key: String, rows: Iterator[org.apache.spark.sql.Row], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val total = state.getOption.getOrElse(0L)
+            state.remove()
+            (key, total)
+          } else {
+            val total = state.getOption.getOrElse(0L) + rows.size
+            state.update(total)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            (key, total)
+          }
+      }
+  }
+
   /** Windowed counts with two-sided-geometric noise applied to each emitted
     * count — each (window, group) cell is released once per trigger, so a
     * per-cell ε applies under event-level DP.
