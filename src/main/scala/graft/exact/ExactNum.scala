@@ -260,10 +260,14 @@ object ExactNum {
       val term = c.toBigDecimal(mc).multiply(sqrtS, mc)
       acc = acc.add(term, mc)
     }
-    // widen by one ulp in the requested direction to stay conservative
+    // widen by a relative epsilon in the requested direction to stay
+    // conservative (NOT acc.ulp — that is 1 for scale-0 BigDecimals)
+    val eps = acc.abs
+      .max(JBigDecimal.ONE)
+      .movePointLeft(precision - 2)
     mode match {
-      case RoundingMode.CEILING => acc.add(acc.ulp)
-      case RoundingMode.FLOOR   => acc.subtract(acc.ulp)
+      case RoundingMode.CEILING => acc.add(eps)
+      case RoundingMode.FLOOR   => acc.subtract(eps)
       case _                    => acc
     }
   }

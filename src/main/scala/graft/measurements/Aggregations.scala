@@ -58,6 +58,41 @@ object Aggregations {
     }
   }
 
+  /** ApproxDP budgets build through the pure-DP or zCDP mechanism and wrap
+    * with the matching converter (reference wraps factories the same way):
+    * (ε,δ) with a pure mechanism spends (ε,0); with a Gaussian mechanism the
+    * largest ρ with ρ+2√(ρ·ln(1/δ)) ≤ ε is used (rounded down — more noise,
+    * privacy-safe).
+    */
+  def withApproxDP(
+      budget: PrivacyBudget,
+      kind: NoiseKind
+  )(build: PrivacyBudget => Measurement): Measurement = budget match {
+    case ApproxDPBudget(eps, delta) =>
+      kind match {
+        case NoiseKind.Laplace | NoiseKind.Geometric =>
+          PureDPToApproxDP(build(PureDPBudget(eps)))
+        case NoiseKind.Gaussian | NoiseKind.DiscreteGaussian =>
+          require(
+            delta > ExactNum.zero,
+            "Gaussian mechanisms need δ > 0 under approximate DP"
+          )
+          val rho =
+            if (!eps.isFinite) ExactNum.PosInf
+            else {
+              // solve x² + 2bx − ε = 0 for x = √ρ, b = √(ln(1/δ))
+              val e = eps.toDouble(roundUp = false)
+              val b = math.sqrt(-math.log(delta.toDouble(roundUp = false)))
+              // 1e-9 relative margin absorbs the converter's own
+              // conservative upward rounding on the way back to ε
+              val x = (-b + math.sqrt(b * b + e)) * (1.0 - 1e-9)
+              ExactNum.fromDouble(math.max(x * x, 0.0))
+            }
+          RhoZCDPToApproxDP(build(RhoZCDPBudget(rho)), delta)
+      }
+    case b => build(b)
+  }
+
   /** Noisy (grouped) count (reference `aggregations.py:136-359`). */
   def createCountMeasurement(
       inputDomain: DataFrameDomain,

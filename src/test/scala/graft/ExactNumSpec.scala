@@ -29,6 +29,16 @@ class ExactNumSpec extends AnyFunSuite {
     assert(Rational.fromDouble(3.0) == Rational(3))
   }
 
+  test("ExactNum directed toDouble stays tight on integers") {
+    // regression: BigDecimal.ulp of a scale-0 value is 1, which once made
+    // ExactNum(1).toDouble(roundUp=false) return 0.0
+    assert(ExactNum(1).toDouble(roundUp = false) > 0.999999)
+    assert(ExactNum(1).toDouble(roundUp = false) <= 1.0)
+    assert(ExactNum(1).toDouble(roundUp = true) >= 1.0)
+    assert(ExactNum(1).toDouble(roundUp = true) < 1.000001)
+    assert(ExactNum(1000000).toDouble(roundUp = false) > 999999.0)
+  }
+
   test("sqrt produces exact radicals: sqrt(8) = 2*sqrt(2)") {
     val s8 = ExactNum(8).sqrt
     val s2 = ExactNum(2).sqrt
