@@ -76,6 +76,70 @@ class MeasurementsSpec extends SharedSpark {
     assert(again == out.collect().toSeq.map(_.toSeq))
   }
 
+  test("end-to-end noisy count: per-group noise matches the geometric law") {
+    // 2000 groups with known count 3 each; noisy counts − 3 are iid
+    // two-sided-geometric(α = d/ε = 1) samples through the FULL pipeline
+    // (groupBy + key join + noise expression + sanitize).
+    import spark.implicits._
+    val n = 2000
+    val data = (0 until n).flatMap(g => Seq.fill(3)(g.toLong)).toDF("G")
+    val keys = (0 until n).map(_.toLong).toDF("G")
+    val domain = DataFrameDomain(Seq("G" -> longCol))
+    val m = Aggregations.createCountMeasurement(
+      domain, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+      PureDPBudget(ExactNum(1)), Some(keys))
+    val out = m(data).asInstanceOf[DataFrame]
+    val noise = out.select((col("count") - lit(3L)).as("e"))
+      .agg(avg(col("e")), variance(col("e"))).head()
+    val alpha = 1.0
+    val e = math.exp(1.0 / alpha)
+    val expectedVar = 2 * e / math.pow(e - 1, 2)
+    assert(math.abs(noise.getDouble(0)) < 0.2, s"mean=${noise.getDouble(0)}")
+    assert(
+      math.abs(noise.getDouble(1) - expectedVar) / expectedVar < 0.25,
+      s"var=${noise.getDouble(1)} expected=$expectedVar"
+    )
+  }
+
+  test("end-to-end noisy sum with Laplace matches the Laplace law") {
+    import spark.implicits._
+    val n = 2000
+    val data = (0 until n).map(g => (g.toLong, 1.0d)).toDF("G", "X")
+    val keys = (0 until n).map(_.toLong).toDF("G")
+    val domain = DataFrameDomain(
+      Seq("G" -> longCol, "X" -> ColumnDescriptor.double()))
+    // sensitivity 2, ε = 1 → b = 2
+    val m = Aggregations.createSumMeasurement(
+      domain, SymmetricDifference, NoiseKind.Laplace, ExactNum(1),
+      PureDPBudget(ExactNum(1)), "X", graft.exact.Rational(0),
+      graft.exact.Rational(2), Some(keys))
+    val out = m(data).asInstanceOf[DataFrame]
+    val noise = out.select((col("sum") - lit(1.0d)).as("e"))
+      .agg(avg(col("e")), variance(col("e"))).head()
+    val b = 2.0
+    assert(math.abs(noise.getDouble(0)) < 0.3, s"mean=${noise.getDouble(0)}")
+    assert(
+      math.abs(noise.getDouble(1) - 2 * b * b) / (2 * b * b) < 0.25,
+      s"var=${noise.getDouble(1)} expected=${2 * b * b}"
+    )
+  }
+
+  test("noisy grouped quantile stays in bounds and near the target") {
+    import spark.implicits._
+    val data = (0 until 3).flatMap(g => (1 to 99).map(v => (g.toLong, v.toDouble)))
+      .toDF("G", "X")
+    val keys = (0 until 3).map(_.toLong).toDF("G")
+    val domain = DataFrameDomain(
+      Seq("G" -> longCol, "X" -> ColumnDescriptor.double()))
+    val m = Aggregations.createQuantileMeasurement(
+      domain, SymmetricDifference, ExactNum(1), PureDPBudget(ExactNum(5)),
+      "X", 0.5, 0.0, 100.0, keys, "median")
+    val out = m(data).asInstanceOf[DataFrame]
+    val medians = out.select("median").collect().map(_.getDouble(0))
+    medians.foreach(v => assert(v >= 0.0 && v <= 100.0))
+    medians.foreach(v => assert(math.abs(v - 50.0) < 25.0, s"median=$v"))
+  }
+
   test("count measurement with infinite budget is exact and group-complete") {
     val data = df("A STRING", Seq(Row("a"), Row("a"), Row("b")))
     val keys = df("A STRING", Seq(Row("a"), Row("c")))
