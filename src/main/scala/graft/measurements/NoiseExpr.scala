@@ -1,11 +1,11 @@
 package graft.measurements
 
 import graft.exact.Rational
-import graft.random.{Samplers, SplitMix}
+import graft.random.{RandomSource, Samplers, SplitMix}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
@@ -54,8 +54,7 @@ case class AddNoise(
     mechanism: NoiseMechanism,
     seed: Long
 ) extends UnaryExpression
-    with Nondeterministic
-    with CodegenFallback {
+    with Nondeterministic {
 
   override def dataType: DataType =
     if (mechanism.isDiscrete) LongType else DoubleType
@@ -105,16 +104,65 @@ case class AddNoise(
 
   override protected def withNewChildInternal(newChild: Expression): AddNoise =
     copy(child = newChild)
+
+  /** Codegen keeps the noise inside the whole-stage span (no fallback row
+    * conversion): a per-partition RNG is installed via a partition-init
+    * statement (pattern: `expressions.Rand`), the sampling itself runs in
+    * [[NoiseGen]].
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rngClass = classOf[RandomSource].getName
+    val rngTerm = ctx.addMutableState(rngClass, "graftNoiseRng")
+    ctx.addPartitionInitializationStatement(
+      s"$rngTerm = new graft.random.SplitMix(" +
+        s"${seed}L ^ (partitionIndex * ${0x9e3779b97f4a7c15L}L));"
+    )
+    val mechRef =
+      ctx.addReferenceObj("graftMech", mechanism, classOf[NoiseMechanism].getName)
+    val fn = if (mechanism.isDiscrete) "addLong" else "addDouble"
+    defineCodeGen(
+      ctx,
+      ev,
+      input => s"graft.measurements.NoiseGen.$fn($mechRef, $rngTerm, $input)"
+    )
+  }
+}
+
+/** Static sampling kernel shared by the interpreted and generated paths. */
+object NoiseGen {
+  def addLong(mech: NoiseMechanism, rng: RandomSource, v: Long): Long =
+    mech match {
+      case GeometricMechanism(a) =>
+        if (a.isZero) v else v + Samplers.discreteLaplace(a, rng).toLong
+      case DiscreteGaussianMechanism(s2) =>
+        if (s2.isZero) v else v + Samplers.discreteGaussian(s2, rng).toLong
+      case m => throw new IllegalArgumentException(s"not discrete: $m")
+    }
+
+  def addDouble(mech: NoiseMechanism, rng: RandomSource, v: Double): Double =
+    mech match {
+      case LaplaceMechanism(b) =>
+        if (b.isZero) v else v + Samplers.laplace(b.toDouble, rng)
+      case GaussianMechanism(s2) =>
+        if (s2.isZero) v else v + Samplers.gaussian(math.sqrt(s2.toDouble), rng)
+      case m => throw new IllegalArgumentException(s"not continuous: $m")
+    }
 }
 
 object AddNoise {
-  /** Column wrapper: `noisy(col("count"), GeometricMechanism(alpha))`. */
-  def apply(column: Column, mechanism: NoiseMechanism): Column =
+  /** Column wrapper: `noisy(col("count"), GeometricMechanism(alpha))`.
+    * Casts the input to the mechanism's carrier type so the generated code
+    * is a straight primitive call.
+    */
+  def apply(column: Column, mechanism: NoiseMechanism): Column = {
+    val cast = if (mechanism.isDiscrete) column.cast("long")
+               else column.cast("double")
     ColumnShim.column(
       AddNoise(
-        ColumnShim.expression(column),
+        ColumnShim.expression(cast),
         mechanism,
         graft.random.RandomSource.secureSeed()
       )
     )
+  }
 }
