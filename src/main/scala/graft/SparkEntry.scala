@@ -580,6 +580,13 @@ object SparkEntry {
         e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3)
         .select("query_id", "neighbor_id")
     },
+    "q_ivf_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.ivfTopK(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3,
+        nlist = 16, nprobe = 4)
+        .select("query_id", "neighbor_id")
+    },
     "q_multimodal" -> { (s, dir) =>
       // synthesize binary assets from document text bytes (testdata has no
       // binary column); exercises the full decode/feature/frame plumbing

@@ -287,3 +287,21 @@ object PrivacyAccountant {
       None
     )
 }
+
+/** Convenience wrapper (reference `create_adaptive_composition`, `:1856`):
+  * an adaptive-composition accountant over a DataFrame input.
+  */
+object AdaptiveComposition {
+  def create(
+      inputDomain: Domain,
+      inputMetric: Metric,
+      dIn: ExactNum,
+      budget: PrivacyBudget,
+      outputMeasure: Measure,
+      data: Any
+  ): PrivacyAccountant =
+    PrivacyAccountant.launch(
+      SequentialComposition(inputDomain, inputMetric, outputMeasure, dIn, budget),
+      data
+    )
+}

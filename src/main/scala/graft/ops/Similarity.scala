@@ -138,6 +138,88 @@ object Similarity {
       .drop("__rk")
   }
 
+  /** IVF (inverted-file) ANN: corpus bucketed by nearest of `nlist`
+    * deterministic sample centroids; each query probes its `nprobe` nearest
+    * centroid buckets and verifies exact cosine inside them.
+    *
+    * Scale path: centroid assignment is one narrow mapPartitions over the
+    * corpus (nlist small dot products per row, centroids broadcast by
+    * closure); the probe join shuffles only on centroid id, so each query
+    * touches ~nprobe/nlist of the corpus. A k-means refinement would drop in
+    * where the centroid sample is taken.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    require(nprobe >= 1 && nprobe <= nlist)
+    // deterministic centroid sample: nlist corpus vectors with the smallest
+    // xxhash64(id) — stable, data-independent of vector values
+    val centroids: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "empty corpus")
+
+    def nearest(v: Array[Double], n: Int): Array[Int] = {
+      val sims = centroids.zipWithIndex.map { case (c, i) =>
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var j = 0
+        val len = math.min(v.length, c.length)
+        while (j < len) { dot += v(j) * c(j); nv += v(j) * v(j); nc += c(j) * c(j); j += 1 }
+        (if (nv == 0 || nc == 0) -1.0 else dot / math.sqrt(nv * nc), i)
+      }
+      sims.sortBy(-_._1).take(n).map(_._2)
+    }
+
+    def assign(df: DataFrame, vc: String, outCol: String, n: Int): DataFrame = {
+      val schema = StructType(df.schema.fields :+
+        StructField(outCol, ArrayType(IntegerType, false), false))
+      val vIdx = df.schema.fieldIndex(vc)
+      df.mapPartitions { rows =>
+        rows.map { r =>
+          val v = r.getSeq[Float](vIdx).map(_.toDouble).toArray
+          Row.fromSeq(r.toSeq :+ nearest(v, n).toSeq)
+        }
+      }(Encoders.row(schema))
+    }
+
+    val bucketed = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "__cv", "__cells", 1
+    ).withColumn("__cell", element_at(col("__cells"), 1)).drop("__cells")
+    val probed = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "__qv", "__cells", nprobe
+    ).withColumn("__cell", explode(col("__cells"))).drop("__cells")
+
+    val scored = bucketed
+      .join(broadcast(probed), "__cell")
+      .withColumn(
+        "cosine",
+        cosine(col("__qv").cast("array<double>"), col("__cv").cast("array<double>"))
+      )
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates via LSH
     * buckets (all-pairs within bucket), verified exactly.
     */

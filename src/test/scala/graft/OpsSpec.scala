@@ -95,6 +95,19 @@ class OpsSpec extends SharedSpark {
     assert(lsh == brute)
   }
 
+  test("IVF ANN finds self and close neighbors") {
+    val base = (0 until 60).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat)
+      Row(i.toLong, v.toSeq)
+    }
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>", base)
+    val queries = vecs.filter(col("vec_id") < 3)
+    val out = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", 1,
+      nlist = 8, nprobe = 8) // probe all cells → exact for top-1
+    val top1 = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 == Set((0L, 0L), (1L, 1L), (2L, 2L)))
+  }
+
   test("cosineDupPairs finds duplicate embeddings") {
     val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
       Seq(
