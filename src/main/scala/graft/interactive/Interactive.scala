@@ -25,6 +25,27 @@ final case class MeasurementQuery(
 final case class TransformationQuery(transformation: Transformation)
 final case class IndexQuery(index: Int, inner: Any)
 
+/** Wrap a non-interactive measurement as an interactive one whose queryable
+  * answers exactly one `MeasurementQuery`-free fetch (reference
+  * `MakeInteractive`, `interactive_measurements.py:724`).
+  */
+final case class MakeInteractive(inner: Measurement) extends Measurement {
+  require(!inner.isInteractive, "already interactive")
+  def inputDomain: Domain = inner.inputDomain
+  def inputMetric: Metric = inner.inputMetric
+  def outputMeasure: Measure = inner.outputMeasure
+  override def isInteractive: Boolean = true
+  def privacyFunction(dIn: ExactNum): PrivacyBudget = inner.privacyFunction(dIn)
+  def apply(data: Any): Any = new Queryable {
+    private var answered = false
+    def answer(query: Any): Any = {
+      require(!answered, "result already fetched")
+      answered = true
+      inner(data)
+    }
+  }
+}
+
 /** Adaptive sequential composition (reference `:478`, queryable `:199`):
   * answers measurement queries on fixed data until the budget is exhausted.
   */

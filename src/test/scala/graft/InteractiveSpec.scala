@@ -52,6 +52,16 @@ class InteractiveSpec extends SharedSpark {
     assertThrows[IllegalStateException](q.answer(MeasurementQuery(countM(1))))
   }
 
+  test("MakeInteractive answers exactly once") {
+    val m = MakeInteractive(countM(1))
+    assert(m.isInteractive)
+    assert(m.privacyFunction(ExactNum(1)) == PureDPBudget(ExactNum(1)))
+    val q = m(data).asInstanceOf[Queryable]
+    val out = q.answer(null)
+    assert(out.asInstanceOf[org.apache.spark.sql.DataFrame].count() == 2)
+    assertThrows[IllegalArgumentException](q.answer(null))
+  }
+
   test("split creates in-order children; parent reactivates after retire") {
     val comp = SequentialComposition(
       domain, SymmetricDifference, PureDP, ExactNum(1),

@@ -84,6 +84,19 @@ class TransformationsSpec extends SharedSpark {
     assert(out.count() == 8) // 2 distinct groups per input row
   }
 
+  test("clip bounds round inward so the claimed sensitivity stays sound") {
+    import graft.exact.Rational
+    val third = Rational(1, 3)
+    val (lo, hi) = ClipBounds.doubles(third, Rational(2, 3))
+    // lower rounded up, upper rounded down: the float interval is inside
+    // the exact interval
+    assert(lo >= 1.0 / 3.0 - 1e-15 && lo * 3 >= 1.0)
+    assert(hi <= 2.0 / 3.0 + 1e-15 && hi * 3 <= 2.0)
+    assert(lo <= hi)
+    assertThrows[IllegalArgumentException](
+      ClipBounds.doubles(Rational(1), Rational(0)))
+  }
+
   test("Sum clips before summing; sensitivity max(|l|,|u|)") {
     val op = Sum(
       DataFrameDomain(Seq("A" -> ColumnDescriptor.string(true),
