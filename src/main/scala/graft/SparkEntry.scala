@@ -449,6 +449,12 @@ object SparkEntry {
         shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
         .select("left_id", "right_id")
     },
+    "q_dedup_cluster" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.dropNearDuplicates(d, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+        .select("doc_id")
+    },
 
     // ---------- §2.4 remaining: two-level truncation, partition, dict ----------
     "q_rows_per_key_per_group" -> { (s, dir) =>

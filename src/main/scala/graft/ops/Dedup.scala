@@ -170,6 +170,77 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs: every document gets a
+    * cluster id = the minimum doc id reachable through the pair graph
+    * (hash-min label propagation, converges in O(graph diameter) rounds —
+    * near-dup graphs are shallow, so a small `maxIterations` suffices).
+    *
+    * Each round is one shuffle on ids; intermediate labels are persisted
+    * and the loop stops early when no label changes.
+    */
+  def duplicateClusters(
+      ids: DataFrame, // one column: the id universe
+      pairs: DataFrame, // columns left_id, right_id
+      idCol: String,
+      maxIterations: Int = 20
+  ): DataFrame = {
+    val edges = pairs
+      .select(col("left_id").as("a"), col("right_id").as("b"))
+      .union(pairs.select(col("right_id").as("a"), col("left_id").as("b")))
+      .persist()
+    var labels = ids
+      .select(col(idCol).as("a"), col(idCol).as("cluster_id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // candidate label per node: min of own and neighbors' labels
+      val neighborLabels = edges
+        .join(labels.select(col("a").as("b"), col("cluster_id")), "b")
+        .select(col("a"), col("cluster_id"))
+      val next = labels
+        .select(col("a"), col("cluster_id"))
+        .union(neighborLabels)
+        .groupBy(col("a"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "__old"), "a")
+        .filter(col("cluster_id") =!= col("__old"))
+        .limit(1)
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("a").as(idCol), col("cluster_id"))
+  }
+
+  /** End-to-end near-duplicate removal: keep one representative (the
+    * cluster-minimum id) per MinHash near-dup cluster.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      jaccardThreshold: Double = 0.8
+  ): DataFrame = {
+    val pairs =
+      minHashPairs(df, idCol, textCol, shingleSize, numHashes, bands, jaccardThreshold)
+    val clusters =
+      duplicateClusters(df.select(idCol), pairs, idCol)
+    df.join(
+      clusters.filter(col(idCol) === col("cluster_id")).select(idCol),
+      Seq(idCol),
+      "left_semi"
+    )
+  }
+
   /** 64-bit SimHash per document over whitespace tokens — computed in a
     * single narrow map (no shuffle): per token a 64-bit hash votes ±1 on
     * each bit, the sign of each bit's tally forms the fingerprint.

@@ -44,6 +44,24 @@ class OpsSpec extends SharedSpark {
     assert(j14 == 1.0)
   }
 
+  test("duplicateClusters propagates the min id through chains") {
+    val ids = df("doc_id BIGINT", (1L to 6L).map(Row(_)))
+    // chain 1-2-3, pair 4-5, singleton 6
+    val pairs = df("left_id BIGINT, right_id BIGINT",
+      Seq(Row(1L, 2L), Row(2L, 3L), Row(4L, 5L)))
+    val out = Dedup.duplicateClusters(ids, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("dropNearDuplicates keeps one representative per cluster") {
+    val out = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 16, jaccardThreshold = 0.5)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1,2,4 cluster together → keep 1; 3 and 5 survive alone
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   test("simhash of identical docs is equal; near-dups within distance") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDistance = 8)
     val found = pairs.select("left_id", "right_id").collect()
