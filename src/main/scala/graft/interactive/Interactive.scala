@@ -46,6 +46,15 @@ final case class MakeInteractive(inner: Measurement) extends Measurement {
   }
 }
 
+/** Apply a transformation to every answer of an inner queryable (reference
+  * `DecorateQueryable`, `interactive_measurements.py:413`): post-processing
+  * for interactive mechanisms, privacy-free.
+  */
+final class DecorateQueryable(inner: Queryable, decorate: Any => Any)
+    extends Queryable {
+  def answer(query: Any): Any = decorate(inner.answer(query))
+}
+
 /** Adaptive sequential composition (reference `:478`, queryable `:199`):
   * answers measurement queries on fixed data until the budget is exhausted.
   */

@@ -80,6 +80,27 @@ object GroupedDataFrame {
     dfs.reduce(_.crossJoin(_))
   }
 
+  /** Keys from an explicit tuple list (reference `groupby.py:304-386`). */
+  def keysFromList(
+      spark: org.apache.spark.sql.SparkSession,
+      columns: Seq[String],
+      keys: Seq[Seq[Any]]
+  ): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(columns.nonEmpty)
+    require(keys.forall(_.size == columns.size), "key arity mismatch")
+    val types = columns.indices.map(i => inferType(keys.map(_(i))))
+    val schema = org.apache.spark.sql.types.StructType(
+      columns.zip(types).map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = true)
+      }
+    )
+    spark.createDataFrame(
+      keys.map(k => org.apache.spark.sql.Row(k: _*)).asJava,
+      schema
+    )
+  }
+
   private def inferType(values: Seq[Any]): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     values.collectFirst {

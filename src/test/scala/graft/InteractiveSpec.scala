@@ -52,6 +52,21 @@ class InteractiveSpec extends SharedSpark {
     assertThrows[IllegalStateException](q.answer(MeasurementQuery(countM(1))))
   }
 
+  test("DecorateQueryable post-processes answers") {
+    val m = MakeInteractive(countM(1))
+    val q = new DecorateQueryable(
+      m(data).asInstanceOf[Queryable],
+      out => out.asInstanceOf[org.apache.spark.sql.DataFrame].count())
+    assert(q.answer(null) == 2L)
+  }
+
+  test("keysFromList builds a typed key table") {
+    val keys = graft.transformations.GroupedDataFrame.keysFromList(
+      spark, Seq("A", "B"), Seq(Seq("x", 1L), Seq("y", 2L), Seq(null, 3L)))
+    assert(keys.schema.map(_.dataType.simpleString) == Seq("string", "bigint"))
+    assert(keys.count() == 3)
+  }
+
   test("MakeInteractive answers exactly once") {
     val m = MakeInteractive(countM(1))
     assert(m.isInteractive)
