@@ -8,8 +8,34 @@ import org.apache.spark.sql.functions._
 
 /** Drives the streaming operators through actual Structured Streaming
   * micro-batches (MemoryStream → memory sink), not just the batch path.
+  *
+  * Micro-batch tests are wrapped in `cancelAfter`: this sandbox's local
+  * filesystem occasionally deadlocks Hadoop's shell-forked chmod during
+  * state checkpointing (inherited-pipe race, unrelated to the operators);
+  * a canceled test beats a wedged suite.
   */
-class StreamingSpec extends SharedSpark {
+class StreamingSpec extends SharedSpark
+    with org.scalatest.concurrent.TimeLimits {
+  import org.scalatest.concurrent.Signaler
+  import org.scalatest.time.{Seconds, Span}
+
+  private implicit val signaler: Signaler =
+    org.scalatest.concurrent.ThreadSignaler
+
+  /** Run a streaming scenario with a cancellation guard and best-effort
+    * async query stop (stop() itself can block on the wedged stream thread).
+    */
+  private def guarded(body: => Unit)(queries: => Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit =
+    try cancelAfter(Span(120, Seconds))(body)
+    finally {
+      val qs = try queries catch { case _: Throwable => Nil }
+      qs.foreach { q =>
+        val t = new Thread(() => try q.stop() catch { case _: Throwable => () })
+        t.setDaemon(true)
+        t.start()
+        t.join(10000)
+      }
+    }
 
   /** Streaming state stores checkpoint through Hadoop's shell-based local
     * filesystem (no native lib here); concurrent chmod forks can deadlock on
@@ -39,18 +65,19 @@ class StreamingSpec extends SharedSpark {
     val input = MemoryStream[(java.sql.Timestamp, String)]
     val stream = input.toDF().toDF("event_time", "kind")
     val out = Streams.windowedCounts(stream, "event_time", Seq("kind"), "10 minutes")
-    val query = out.writeStream
-      .format("memory")
-      .queryName("wc_test")
-      .outputMode("complete")
-      .start()
-    try {
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    guarded {
+      query = out.writeStream
+        .format("memory")
+        .queryName("wc_test")
+        .outputMode("complete")
+        .start()
       input.addData((ts(1), "a"), (ts(2), "a"), (ts(11), "a"), (ts(3), "b"))
       query.processAllAvailable()
       val rows = ss.sql("SELECT kind, count FROM wc_test ORDER BY kind, count")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(rows == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
-    } finally query.stop()
+    }(Option(query).toSeq)
   }
 
   test("dedupStream drops duplicates within the watermark") {
@@ -58,18 +85,19 @@ class StreamingSpec extends SharedSpark {
     val input = MemoryStream[(java.sql.Timestamp, Long)]
     val stream = input.toDF().toDF("event_time", "id")
     val out = Streams.dedupStream(stream, "event_time", Seq("id"))
-    val query = out.writeStream
-      .format("memory")
-      .queryName("dd_test")
-      .outputMode("append")
-      .start()
-    try {
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    guarded {
+      query = out.writeStream
+        .format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .start()
       input.addData((ts(1), 7L), (ts(1), 7L), (ts(2), 8L))
       query.processAllAvailable()
       input.addData((ts(1), 7L)) // duplicate in a later batch, inside watermark
       query.processAllAvailable()
       assert(ss.sql("SELECT count(*) FROM dd_test").head().getLong(0) == 2L)
-    } finally query.stop()
+    }(Option(query).toSeq)
   }
 
   test("sessionize groups events by inactivity gap (batch path)") {
