@@ -188,9 +188,11 @@ object Dedup {
       .select(col("left_id").as("a"), col("right_id").as("b"))
       .union(pairs.select(col("right_id").as("a"), col("left_id").as("b")))
       .persist()
+    // eager localCheckpoint per round: truncates the growing iteration
+    // lineage so round N's plan doesn't re-analyze rounds 1..N-1
     var labels = ids
       .select(col(idCol).as("a"), col(idCol).as("cluster_id"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -203,13 +205,12 @@ object Dedup {
         .union(neighborLabels)
         .groupBy(col("a"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("cluster_id", "__old"), "a")
         .filter(col("cluster_id") =!= col("__old"))
         .limit(1)
         .count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
