@@ -253,17 +253,21 @@ object ExactNum {
     // the sign of the coefficient.
     val mc = new MathContext(precision, RoundingMode.HALF_EVEN)
     var acc = JBigDecimal.ZERO
+    var maxTerm = JBigDecimal.ONE
     for ((s, c) <- terms if !c.isZero) {
       val sqrtS =
         if (s == 1) JBigDecimal.ONE
         else new JBigDecimal(s.bigInteger).sqrt(mc)
       val term = c.toBigDecimal(mc).multiply(sqrtS, mc)
+      maxTerm = maxTerm.max(term.abs)
       acc = acc.add(term, mc)
     }
-    // widen by a relative epsilon in the requested direction to stay
-    // conservative (NOT acc.ulp — that is 1 for scale-0 BigDecimals)
+    // widen by an epsilon relative to the LARGEST term magnitude (not the
+    // possibly-cancelled sum): each term carries rounding error proportional
+    // to its own size, so a tiny sum of huge terms still gets a wide-enough
+    // interval. (NOT acc.ulp — that is 1 for scale-0 BigDecimals.)
     val eps = acc.abs
-      .max(JBigDecimal.ONE)
+      .max(maxTerm)
       .movePointLeft(precision - 2)
     mode match {
       case RoundingMode.CEILING => acc.add(eps)

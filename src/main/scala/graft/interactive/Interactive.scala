@@ -144,21 +144,29 @@ final class ParallelQueryable(
     elements: Seq[Any]
 ) extends Queryable {
   private var current = 0
+  // one metered queryable per element, created on first touch and REUSED on
+  // repeat queries — a fresh queryable per query would reset the element's
+  // budget and make per-element spend unbounded
+  private val subQueryables =
+    scala.collection.mutable.Map.empty[Int, SequentialQueryable]
   def currentIndex: Int = current
   def answer(query: Any): Any = query match {
     case IndexQuery(i, inner) =>
       require(i >= current, s"partition $i already retired (at $current)")
       require(i < elements.size, s"no partition $i")
       current = i
-      val q = new SequentialQueryable(
-        SequentialComposition(
-          comp.elementDomain,
-          comp.elementMetric,
-          comp.outputMeasure,
-          comp.dIn,
-          comp.budget
-        ),
-        elements(i)
+      val q = subQueryables.getOrElseUpdate(
+        i,
+        new SequentialQueryable(
+          SequentialComposition(
+            comp.elementDomain,
+            comp.elementMetric,
+            comp.outputMeasure,
+            comp.dIn,
+            comp.budget
+          ),
+          elements(i)
+        )
       )
       q.answer(inner)
     case q => throw new IllegalArgumentException(s"unknown query $q")
@@ -287,14 +295,10 @@ final class PrivacyAccountant private (
     val idx = children.indexOf(child)
     // activate next sibling, or reactivate parent when all children retired
     if (children.forall(_.state == Retired)) {
-      // parallel composition: spend only the max child usage — conservative
-      // implementation spends the full split budget; reclaim unspent min.
-      val spentMax = children
-        .map(c => remaining.minus(c.remaining).map(_ => c.remaining))
-      val minRemaining = children.map(_.remaining).reduce { (a, b) =>
-        if (b.covers(a)) a else b
-      }
-      remaining = minRemaining
+      // parallel composition: the parent keeps the componentwise minimum of
+      // the children's remaining budgets (covers() is not a total order for
+      // (ε,δ) pairs, so take the meet explicitly)
+      remaining = children.map(_.remaining).reduce(PrivacyAccountant.meet)
       state = Active
     } else if (idx >= 0 && idx + 1 < children.size) {
       children(idx + 1).state = Active
@@ -303,6 +307,22 @@ final class PrivacyAccountant private (
 }
 
 object PrivacyAccountant {
+  /** Componentwise minimum of two budgets of the same measure. */
+  private[interactive] def meet(
+      a: graft.measures.PrivacyBudget,
+      b: graft.measures.PrivacyBudget
+  ): graft.measures.PrivacyBudget = {
+    import graft.measures._
+    (a, b) match {
+      case (PureDPBudget(x), PureDPBudget(y))   => PureDPBudget(x.min(y))
+      case (RhoZCDPBudget(x), RhoZCDPBudget(y)) => RhoZCDPBudget(x.min(y))
+      case (ApproxDPBudget(e1, d1), ApproxDPBudget(e2, d2)) =>
+        ApproxDPBudget(e1.min(e2), d1.min(d2))
+      case _ =>
+        throw new IllegalArgumentException(s"measure mismatch: $a vs $b")
+    }
+  }
+
   /** Launch from a SequentialComposition over the source data
     * (reference `:991`).
     */

@@ -191,10 +191,12 @@ object Aggregations {
   ): Measurement = {
     val midpoint = (lower + upper) / Rational.two
     val halfBudget = halve(budget)
-    val isFloat = inputDomain(measureColumn).isFloat
-    // deviations from midpoint, clipped to ±(u−l)/2
+    // deviations from the EXACT midpoint as doubles (integer columns are
+    // cast: subtracting a truncated integer midpoint while adding back the
+    // exact one in post-processing would bias the average by the midpoint's
+    // fractional part), clipped to ±(u−l)/2
     val devBound = (upper - lower) / Rational.two
-    val shifted = shiftToDeviations(inputDomain, measureColumn, midpoint, isFloat)
+    val shifted = shiftToDeviations(inputDomain, measureColumn, midpoint)
     val sumM = createSumMeasurement(
       shifted.outputDomain.asInstanceOf[DataFrameDomain],
       inputMetric,
@@ -202,8 +204,8 @@ object Aggregations {
       dIn,
       halfBudget,
       measureColumn,
-      if (isFloat) -devBound else -devBound.floorInt,
-      if (isFloat) devBound else devBound.ceilInt,
+      -devBound,
+      devBound,
       groupKeys,
       sumColumn = "sod"
     )
@@ -366,10 +368,10 @@ object Aggregations {
     val d = dIn.toRational.toDouble
     val alpha = Rational.fromDouble(d / epsilon)
     val p = math.exp(-epsilon / d)
-    // invert δ = d·p^(τ−d+1)/(1+p): τ = d − 1 + ln(δ(1+p)/d)/ln p, rounded up
+    // invert δ = d·p^(τ−d)/(1+p): τ = d + ln(δ(1+p)/d)/ln p, rounded up
     val tau = math.max(
       1L,
-      math.ceil(d - 1 + math.log(delta * (1 + p) / d) / math.log(p)).toLong
+      math.ceil(d + math.log(delta * (1 + p) / d) / math.log(p)).toLong
     )
     GeometricPartitionSelection(inputDomain, alpha, tau, countColumn)
   }
@@ -452,24 +454,25 @@ object Aggregations {
     }
   }
 
-  /** Replace the measure column by its deviation from the midpoint (keeps
-    * name/type; reference `aggregations.py:1934-1990`).
+  /** Replace the measure column by its double deviation from the exact
+    * midpoint (reference `aggregations.py:1934-1990`).
     */
   private def shiftToDeviations(
       domain: DataFrameDomain,
       measureColumn: String,
-      midpoint: Rational,
-      isFloat: Boolean
+      midpoint: Rational
   ): Transformation = {
+    val outDomain = domain.withColumn(measureColumn, ColumnDescriptor.double())
     new StableDfTransformation {
       def inputDomain: Domain = domain
-      def outputDomain: Domain = domain
+      def outputDomain: Domain = outDomain
       def inputMetric: Metric = SymmetricDifference
       def outputMetric: Metric = SymmetricDifference
       def applyDf(df: DataFrame): DataFrame =
-        if (isFloat)
-          df.withColumn(measureColumn, col(measureColumn) - lit(midpoint.toDouble))
-        else df.withColumn(measureColumn, col(measureColumn) - lit(midpoint.num / midpoint.den))
+        df.withColumn(
+          measureColumn,
+          col(measureColumn).cast("double") - lit(midpoint.toDouble)
+        )
     }
   }
 

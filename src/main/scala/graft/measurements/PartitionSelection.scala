@@ -36,14 +36,16 @@ final case class GeometricPartitionSelection(
     else if (alpha.isZero) ApproxDPBudget(ExactNum.PosInf, ExactNum.one)
     else {
       val eps = dIn / ExactNum(alpha)
-      // δ: chance any individual's ≤ d_in rows survive thresholding.
-      // P(X ≥ k) for two-sided geometric, k ≥ 1:  p^k/(1+p), p = e^(−1/α);
-      // conservative union bound δ = d_in · P(X ≥ τ − d_in + 1).
+      // δ: chance any individual's ≤ d_in rows survive thresholding — a
+      // group holding only their count c ≤ d is released iff noise
+      // X ≥ τ − c, worst at c = d. P(X ≥ k) for two-sided geometric,
+      // k ≥ 1: p^k/(1+p), p = e^(−1/α); for k ≤ 0 bound by 1.
+      // Conservative union bound δ = d_in · P(X ≥ τ − d_in).
       val d = dIn.toRational.toDouble
       val tau = threshold.toDouble
       val p = math.exp(-1.0 / alpha.toDouble)
-      val k = math.max(tau - d + 1.0, 1.0)
-      val tail = math.pow(p, k) / (1.0 + p)
+      val k = tau - d
+      val tail = if (k < 1.0) 1.0 else math.pow(p, k) / (1.0 + p)
       val delta = math.min(1.0, d * tail)
       ApproxDPBudget(eps, ExactNum.fromDouble(Math.nextUp(delta)))
     }

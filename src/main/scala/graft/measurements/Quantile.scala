@@ -138,9 +138,8 @@ final case class NoisyQuantileGrouped(
     val (q, lo, hi, eps) = (quantile, lower, upper, epsilon)
     val seed = RandomSource.secureSeed()
     val perGroup = df
-      .groupByKey { r =>
-        keyIdxs.map(i => if (r.isNullAt(i)) "\u0000" else "v" + r.get(i)).mkString("\u0001")
-      }(Encoders.STRING)
+      .groupByKey(r => graft.transformations.GroupKeys.encode(r, keyIdxs))(
+        Encoders.STRING)
       .flatMapGroups { (_, rows) =>
         val it = rows.buffered
         val first = it.head
@@ -160,15 +159,20 @@ final case class NoisyQuantileGrouped(
         val result = NoisyQuantileCore.compute(vals, q, lo, hi, eps, rng)
         Iterator.single(Row.fromSeq(keyVals :+ result))
       }(enc)
-    // group-complete: fill missing groups with the empty-group quantile
-    val emptyRng = new SplitMix(seed)
-    val fillValue =
-      NoisyQuantileCore.compute(Nil, q, lo, hi, eps, emptyRng)
+    // Group-complete: empty groups get the mechanism's empty-input
+    // distribution — with noise that is an INDEPENDENT Uniform(lower, upper)
+    // draw per group (the exponential mechanism over a single gap interval);
+    // a shared constant would correlate empty groups and break the per-group
+    // guarantee. The noise-free path's midpoint is deterministic by design.
+    val fill: org.apache.spark.sql.Column = epsilon match {
+      case Some(_) => lit(lo) + rand() * lit(hi - lo)
+      case None    => lit((lo + hi) / 2)
+    }
     val cond = keyCols.map(c => g.groupKeys(c) <=> perGroup(c)).reduce(_ && _)
     val joined = g.groupKeys.join(perGroup, cond, "left")
     val out = joined.select(
       keyCols.map(c => g.groupKeys(c).as(c)) :+
-        coalesce(joined(outputColumn), lit(fillValue)).as(outputColumn): _*
+        coalesce(joined(outputColumn), fill).as(outputColumn): _*
     )
     Sanitize(out)
   }

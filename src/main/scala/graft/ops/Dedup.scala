@@ -34,17 +34,21 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
-  /** Word-level shingles of size k, distinct per document. */
+  /** Word-level shingles of size k, distinct per document (column-expression
+    * variant of [[shingleRows]] with identical semantics: documents shorter
+    * than k tokens produce NO shingles).
+    */
   def shingles(textCol: Column, k: Int): Column = {
     val toks = split(trim(lower(textCol)), "\\s+")
-    // sliding windows via transform over indices
-    array_distinct(
-      filter(
-        transform(
-          sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))
-        ),
-        s => length(s) > 0
+    when(size(toks) < k, array().cast("array<string>")).otherwise(
+      array_distinct(
+        filter(
+          transform(
+            sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+          ),
+          s => length(s) > 0
+        )
       )
     )
   }
@@ -288,7 +292,9 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDistance, using
-    * 4×16-bit block LSH (pigeonhole: distance ≤ 3 ⇒ one block equal).
+    * block LSH with maxDistance+1 blocks (pigeonhole: ≤ maxDistance
+    * differing bits cannot touch every block, so some block matches
+    * exactly). maxDistance ≤ 15 keeps blocks ≥ 4 bits.
     */
   def simHashPairs(
       df: DataFrame,
@@ -296,10 +302,22 @@ object Dedup {
       textCol: String,
       maxDistance: Int = 3
   ): DataFrame = {
+    require(
+      maxDistance >= 0 && maxDistance <= 15,
+      "maxDistance must be in [0, 15] for 64-bit block LSH recall"
+    )
+    val nBlocks = maxDistance + 1
+    val width = 64 / nBlocks
     val sigs = simHash(df.select(col(idCol), col(textCol)), idCol, textCol)
       .select(col(idCol).as("__id"), col("simhash"))
-    val blocks = (0 until 4).map { b =>
-      struct(lit(b).as("blk"), (shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))).as("bv"))
+    val blocks = (0 until nBlocks).map { b =>
+      // last block absorbs the remainder bits
+      val w = if (b == nBlocks - 1) 64 - width * (nBlocks - 1) else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(
+        lit(b).as("blk"),
+        (shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))).as("bv")
+      )
     }
     val banded = sigs
       .select(col("__id"), col("simhash"), explode(array(blocks: _*)).as("b"))

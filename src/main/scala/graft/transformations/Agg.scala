@@ -33,7 +33,11 @@ final case class GroupBy(
   def stabilityFunction(dIn: ExactNum): ExactNum = inputMetric match {
     case SymmetricDifference => dIn
     case HammingDistance     => dIn * ExactNum(2)
-    case IfGroupedBy(_, _)   => dIn
+    // only sound when the grouped column is one of the groupby keys AND the
+    // inner combination is L1 (an L2 bound does not bound the L1 distance)
+    case IfGroupedBy(c, SumOf(SymmetricDifference))
+        if groupColumns.contains(c) =>
+      dIn
     case m => throw new IllegalArgumentException(s"unsupported metric $m")
   }
   def apply(data: Any): Any =
