@@ -46,8 +46,8 @@ final case class GeometricPartitionSelection(
       val p = math.exp(-1.0 / alpha.toDouble)
       val k = tau - d
       val tail = if (k < 1.0) 1.0 else math.pow(p, k) / (1.0 + p)
-      val delta = math.min(1.0, d * tail)
-      ApproxDPBudget(eps, ExactNum.fromDouble(Math.nextUp(delta)))
+      val delta = math.min(1.0, Math.nextUp(math.min(1.0, d * tail)))
+      ApproxDPBudget(eps, ExactNum.fromDouble(delta))
     }
   }
 

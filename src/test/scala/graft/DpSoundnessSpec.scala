@@ -1,0 +1,110 @@
+package graft
+
+import graft.domains._
+import graft.exact.{ExactNum, Rational}
+import graft.interactive._
+import graft.measures._
+import graft.measurements._
+import graft.metrics._
+import graft.transformations._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Adversarial regression tests for privacy-accounting soundness — each of
+  * these once failed (bugs found in review, not by the oracle gate, which
+  * only sees noise-free paths).
+  */
+class DpSoundnessSpec extends SharedSpark {
+
+  test("empty groups draw independent quantile noise") {
+    import spark.implicits._
+    val data = Seq(("x", 5.0)).toDF("G", "V") // a, b, c all empty
+    val keys = Seq("a", "b", "c").toDF("G")
+    val gdom = GroupedDataFrameDomain(
+      Seq("G" -> ColumnDescriptor.string(true), "V" -> ColumnDescriptor.double()),
+      Seq("G"))
+    val m = NoisyQuantileGrouped(gdom, SumOf(SymmetricDifference),
+      "V", 0.5, 0.0, 100.0, Some(1.0))
+    val out = m(GroupedDataFrame(data, keys)).asInstanceOf[DataFrame]
+    val vals = out.filter(col("G") =!= "x").collect().map(_.getDouble(1))
+    // three independent uniform draws: collision probability ~0
+    assert(vals.toSet.size == 3, s"correlated empty-group draws: ${vals.toSeq}")
+    // still frozen across actions
+    assert(out.collect().toSeq.map(_.toSeq) == out.collect().toSeq.map(_.toSeq))
+  }
+
+  test("parallel queryable meters repeated queries to the same index") {
+    val domain = DataFrameDomain(Seq("A" -> ColumnDescriptor.string(true)))
+    val part = df("A STRING", Seq(Row("a")))
+    def m(eps: Long) = Aggregations.createCountMeasurement(
+      domain, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+      PureDPBudget(ExactNum(eps)), Some(df("A STRING", Seq(Row("a")))))
+    val comp = ParallelComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum(2)), numElements = 2)
+    val q = comp(Seq[Any](part, part)).asInstanceOf[ParallelQueryable]
+    q.answer(IndexQuery(0, MeasurementQuery(m(2))))
+    // second full-budget query against the SAME element must be refused
+    assertThrows[IllegalStateException](
+      q.answer(IndexQuery(0, MeasurementQuery(m(1)))))
+    // the next element still has its own fresh budget
+    q.answer(IndexQuery(1, MeasurementQuery(m(2))))
+  }
+
+  test("partition selection delta accounts for the tau - d survival event") {
+    val d = DataFrameDomain(Seq("U" -> ColumnDescriptor.long))
+    def deltaAt(tau: Long): Double =
+      GeometricPartitionSelection(d, Rational(1), tau)
+        .privacyFunction(ExactNum(1)) match {
+        case ApproxDPBudget(_, dd) => dd.toDouble
+        case b                     => fail(s"unexpected $b")
+      }
+    // an individual with 1 row forming a group of count 1 is released iff
+    // noise >= tau - 1; at tau = 1 that is noise >= 0, probability > 1/2
+    assert(deltaAt(1) == 1.0 || deltaAt(1) > 0.5)
+    // requested delta must be an upper bound after threshold inversion
+    for (eps <- Seq(0.5, 1.0, 3.0); target <- Seq(1e-3, 1e-6, 1e-9)) {
+      val m = Aggregations.createPartitionSelectionMeasurement(
+        d, eps, target, ExactNum(1))
+      m.privacyFunction(ExactNum(1)) match {
+        case ApproxDPBudget(e, dd) =>
+          assert(dd.toDouble <= target * 1.0000001,
+            s"eps=$eps target=$target got delta=${dd.toDouble}")
+          assert(e.toDouble <= eps * 1.0000001)
+        case b => fail(s"unexpected $b")
+      }
+    }
+  }
+
+  test("GroupBy rejects L2-grouped input distances") {
+    val dom = DataFrameDomain(
+      Seq("A" -> ColumnDescriptor.string(true), "X" -> ColumnDescriptor.long))
+    val keys = df("A STRING", Seq(Row("a")))
+    val gb = GroupBy(dom, IfGroupedBy("A", RootSumOfSquared(SymmetricDifference)),
+      useL2 = true, keys)
+    assertThrows[IllegalArgumentException](gb.stabilityFunction(ExactNum(1)))
+    // non-key grouped column is also rejected
+    val gb2 = GroupBy(dom, IfGroupedBy("X", SumOf(SymmetricDifference)),
+      useL2 = false, keys)
+    assertThrows[IllegalArgumentException](gb2.stabilityFunction(ExactNum(1)))
+    // the sound case passes
+    val gb3 = GroupBy(dom, IfGroupedBy("A", SumOf(SymmetricDifference)),
+      useL2 = false, keys)
+    assert(gb3.stabilityFunction(ExactNum(2)) == ExactNum(2))
+  }
+
+  test("integer-column average is unbiased for fractional midpoints") {
+    import spark.implicits._
+    // values 1..4 in one group; bounds [1, 4] -> midpoint 2.5 (fractional)
+    val data = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L)).toDF("G", "X")
+    val keys = Seq("g").toDF("G")
+    val dom = DataFrameDomain(
+      Seq("G" -> ColumnDescriptor.string(true), "X" -> ColumnDescriptor.long))
+    val m = Aggregations.createAverageMeasurement(
+      dom, SymmetricDifference, NoiseKind.Laplace, NoiseKind.Geometric,
+      ExactNum(1), PureDPBudget(ExactNum.PosInf), "X",
+      Rational(1), Rational(4), Some(keys))
+    val avg = m(data).asInstanceOf[DataFrame].select("average").head().getDouble(0)
+    assert(math.abs(avg - 2.5) < 1e-9, s"biased average: $avg")
+  }
+}
