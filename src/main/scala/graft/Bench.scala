@@ -17,8 +17,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent; don't let one query's persisted
-      // intermediates distort the next one's timing
+      // intermediates distort the next one's timing. localCheckpoint
+      // blocks are only released when their RDDs are GC'd (the
+      // ContextCleaner works off weak references), so prompt a GC too.
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
