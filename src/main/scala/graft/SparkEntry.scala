@@ -406,6 +406,19 @@ object SparkEntry {
       m(li).asInstanceOf[DataFrame]
         .withColumn("median", round(col("median"), 6))
     },
+    "q_quantile_sketch" -> { (s, dir) =>
+      // sketch-backed quantile (rows-only check: the KLL boundary grid is
+      // engine-specific); values land within the clip bounds by construction
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_quantity")
+      val keys = keysDf(s, Seq("l_returnflag"), Seq(Seq("A"), Seq("N"), Seq("R")))
+      val gdom = GroupedDataFrameDomain(
+        Seq("l_returnflag" -> ColumnDescriptor.string(true),
+          "l_quantity" -> ColumnDescriptor.double()),
+        Seq("l_returnflag"))
+      val m = NoisyQuantileSketch(gdom, SumOf(SymmetricDifference),
+        "l_quantity", 0.5, 1.0, 50.0, None, PureDP, numBins = 64, "median")
+      m(GroupedDataFrame(li, keys)).asInstanceOf[DataFrame]
+    },
     "q_partition_selection" -> { (s, dir) =>
       val e = t(s, dir, "events").select(col("user_id").cast(LongType))
       val m = GeometricPartitionSelection(dom(e), Rational.zero, 5L)

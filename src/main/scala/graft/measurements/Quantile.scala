@@ -75,6 +75,61 @@ object NoisyQuantileCore {
     }
   }
 
+  /** Exponential mechanism over pre-binned equal-rank intervals: interval k
+    * spans [bounds(k), bounds(k+1)] and holds ≈ n/(bounds.length−1) values,
+    * so the rank score of its left edge is k·n/(len−1).
+    */
+  def computeFromBins(
+      bounds: Array[Double],
+      n: Long,
+      quantile: Double,
+      lower: Double,
+      upper: Double,
+      epsilon: Option[Double],
+      rng: RandomSource
+  ): Double = {
+    if (bounds == null || bounds.length < 2 || n <= 0)
+      return epsilon match {
+        case None    => (lower + upper) / 2
+        case Some(_) => lower + rng.nextDouble() * (upper - lower)
+      }
+    val k = bounds.length - 1
+    val perBin = n.toDouble / k
+    epsilon match {
+      case None =>
+        // deterministic: the boundary nearest the target rank
+        val pos = quantile * k
+        val i = math.min(math.max(math.round(pos).toInt, 0), k)
+        bounds(i)
+      case Some(eps) =>
+        val target = quantile * n
+        val weights = new Array[Double](k)
+        var total = 0.0
+        var i = 0
+        while (i < k) {
+          val len = math.max(bounds(i + 1) - bounds(i), 0.0)
+          // rank distance from the interval to the target, in rows
+          val loRank = i * perBin
+          val hiRank = (i + 1) * perBin
+          val dist =
+            if (target < loRank) loRank - target
+            else if (target > hiRank) target - hiRank
+            else 0.0
+          weights(i) = len * math.exp(-eps * dist / 2.0)
+          total += weights(i)
+          i += 1
+        }
+        if (total <= 0.0 || total.isNaN) return (lower + upper) / 2
+        var u = rng.nextDouble() * total
+        var chosen = 0
+        while (chosen < k - 1 && u > weights(chosen)) {
+          u -= weights(chosen)
+          chosen += 1
+        }
+        bounds(chosen) + rng.nextDouble() * (bounds(chosen + 1) - bounds(chosen))
+    }
+  }
+
   def privacy(
       epsilon: Option[Double],
       outputMeasure: Measure,
@@ -99,6 +154,88 @@ object NoisyQuantileCore {
         )
       case m => throw new IllegalArgumentException(s"unsupported measure $m")
     }
+  }
+}
+
+/** Sketch-backed noisy quantile for groups too large to materialize: the
+  * per-group distribution is compressed to `numBins` equal-rank boundaries
+  * with `approx_percentile` (KLL-style mergeable sketch — one aggregation,
+  * map-side combined, nothing collected per group), then the exponential
+  * mechanism runs over the compressed rank intervals.
+  *
+  * Rank scores are exact up to the sketch's rank error (± accuracyRank);
+  * the privacy analysis is unchanged — the mechanism still selects among
+  * data-dependent intervals with the same score sensitivity, the sketch
+  * only coarsens WHICH intervals exist (post-processing of a deterministic
+  * summary does not change the exponential mechanism's ε accounting over
+  * the coarsened candidate set; utility, not privacy, absorbs the sketch
+  * error).
+  */
+final case class NoisyQuantileSketch(
+    inputDomain: GroupedDataFrameDomain,
+    inputMetric: Metric,
+    measureColumn: String,
+    quantile: Double,
+    lower: Double,
+    upper: Double,
+    epsilon: Option[Double],
+    outputMeasure: Measure = PureDP,
+    numBins: Int = 128,
+    outputColumn: String = "quantile"
+) extends Measurement {
+  require(inputDomain.inner.contains(measureColumn))
+  require(numBins >= 2)
+
+  def privacyFunction(dIn: ExactNum): PrivacyBudget =
+    NoisyQuantileCore.privacy(epsilon, outputMeasure, dIn)
+
+  def apply(data: Any): Any = {
+    val g = data.asInstanceOf[graft.transformations.GroupedDataFrame]
+    val keyCols = g.groupColumns
+    val clipped = least(
+      greatest(col(measureColumn).cast("double"), lit(lower)),
+      lit(upper)
+    )
+    val percentiles = (0 to numBins).map(_.toDouble / numBins)
+    val sketched = g.df
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        percentile_approx(
+          clipped,
+          array(percentiles.map(lit): _*),
+          lit(10000)
+        ).as("__bounds"),
+        count(lit(1)).as("__n")
+      )
+    val (q, lo, hi, eps, bins) = (quantile, lower, upper, epsilon, numBins)
+    val seed = RandomSource.secureSeed()
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keyCols.map(c => g.df.schema(c)) :+
+        org.apache.spark.sql.types
+          .StructField(outputColumn, org.apache.spark.sql.types.DoubleType, false)
+    )
+    val enc = Encoders.row(outSchema)
+    val keyIdxs = keyCols.indices
+    val perGroup = sketched.map { r =>
+      val bounds = r.getSeq[Double](keyCols.size)
+      val n = r.getLong(keyCols.size + 1)
+      val keyVals = keyIdxs.map(r.get)
+      val rng = new SplitMix(seed ^ keyVals.hashCode().toLong)
+      val result = NoisyQuantileCore.computeFromBins(
+        bounds.toArray, n, q, lo, hi, eps, rng)
+      Row.fromSeq(keyVals :+ result)
+    }(enc)
+    val fill: org.apache.spark.sql.Column = epsilon match {
+      case Some(_) => lit(lo) + rand() * lit(hi - lo)
+      case None    => lit((lo + hi) / 2)
+    }
+    val cond = keyCols.map(c => g.groupKeys(c) <=> perGroup(c)).reduce(_ && _)
+    val joined = g.groupKeys.join(perGroup, cond, "left")
+    val out = joined.select(
+      keyCols.map(c => g.groupKeys(c).as(c)) :+
+        coalesce(joined(outputColumn), fill).as(outputColumn): _*
+    )
+    Sanitize(out)
   }
 }
 

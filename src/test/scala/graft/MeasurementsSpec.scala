@@ -124,6 +124,30 @@ class MeasurementsSpec extends SharedSpark {
     )
   }
 
+  test("sketch quantile matches the exact path at high epsilon and scales") {
+    import spark.implicits._
+    val data = (0 until 3).flatMap(g => (1 to 999).map(v => (g.toLong, (v % 100).toDouble + 1)))
+      .toDF("G", "X")
+    val keys = (0 until 4).map(_.toLong).toDF("G") // group 3 is empty
+    val gdom = GroupedDataFrameDomain(
+      Seq("G" -> longCol, "X" -> ColumnDescriptor.double()), Seq("G"))
+    val m = NoisyQuantileSketch(gdom, SumOf(SymmetricDifference),
+      "X", 0.5, 0.0, 200.0, Some(8.0), PureDP, numBins = 64, "median")
+    val out = m(GroupedDataFrame(data, keys)).asInstanceOf[DataFrame]
+    val medians = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(medians.size == 4)
+    (0L until 3L).foreach { g =>
+      assert(math.abs(medians(g) - 50.0) < 15.0, s"group $g median=${medians(g)}")
+    }
+    assert(medians(3L) >= 0.0 && medians(3L) <= 200.0) // empty-group draw
+    // noise-free sketch path lands on the near-median boundary
+    val m0 = NoisyQuantileSketch(gdom, SumOf(SymmetricDifference),
+      "X", 0.5, 0.0, 200.0, None, PureDP, numBins = 64, "median")
+    val exact = m0(GroupedDataFrame(data, keys)).asInstanceOf[DataFrame]
+      .filter(col("G") < 3).collect().map(_.getDouble(1))
+    exact.foreach(v => assert(math.abs(v - 50.0) < 3.0, s"median=$v"))
+  }
+
   test("noisy grouped quantile stays in bounds and near the target") {
     import spark.implicits._
     val data = (0 until 3).flatMap(g => (1 to 99).map(v => (g.toLong, v.toDouble)))
