@@ -131,6 +131,20 @@ object Aggregations {
       groupBy | counter | noise
   }
 
+  /** Noisy (grouped) distinct-row count (reference `aggregations.py:361-594`). */
+  def createCountDistinctMeasurement(
+      inputDomain: DataFrameDomain,
+      inputMetric: Metric,
+      kind: NoiseKind,
+      dIn: ExactNum,
+      budget: PrivacyBudget,
+      groupKeys: Option[DataFrame] = None,
+      countColumn: String = "count"
+  ): Measurement =
+    createCountMeasurement(
+      inputDomain, inputMetric, kind, dIn, budget, groupKeys, countColumn,
+      distinct = true)
+
   /** Noisy (grouped) clipped sum (reference `aggregations.py:595-827`). */
   def createSumMeasurement(
       inputDomain: DataFrameDomain,

@@ -61,6 +61,22 @@ class MeasurementsSpec extends SharedSpark {
     )
   }
 
+  test("AddNoise discrete Gaussian through codegen has variance ≈ sigma^2") {
+    val n = 20000
+    val data = spark.range(n).withColumnRenamed("id", "v")
+    val sigmaSq = graft.exact.Rational(9)
+    val stats = data
+      .withColumn("noisy", AddNoise(col("v"), DiscreteGaussianMechanism(sigmaSq)))
+      .select((col("noisy") - col("v")).as("e"))
+      .agg(avg(col("e")), variance(col("e")))
+      .head()
+    assert(math.abs(stats.getDouble(0)) < 0.15, s"mean=${stats.getDouble(0)}")
+    assert(
+      math.abs(stats.getDouble(1) - 9.0) / 9.0 < 0.1,
+      s"var=${stats.getDouble(1)}"
+    )
+  }
+
   test("AddNoiseToColumn materializes (stable across actions)") {
     val data = df("K STRING, count BIGINT", Seq(Row("a", 100L), Row("b", 200L)))
     val m = AddNoiseToColumn(
