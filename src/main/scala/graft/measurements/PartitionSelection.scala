@@ -46,7 +46,14 @@ final case class GeometricPartitionSelection(
       val p = math.exp(-1.0 / alpha.toDouble)
       val k = tau - d
       val tail = if (k < 1.0) 1.0 else math.pow(p, k) / (1.0 + p)
-      val delta = math.min(1.0, Math.nextUp(math.min(1.0, d * tail)))
+      // exp/pow/multiply round to nearest, so the computed tail can sit
+      // several ulps BELOW the true CMF tail for large k. Widen by a relative
+      // 1e-9 margin (same policy as Aggregations.withApproxDP) plus one
+      // subnormal step so even an underflowed product stays an upper bound —
+      // a single nextUp only compensates one ulp.
+      val delta = math.min(
+        1.0,
+        d * tail * (1.0 + 1e-9) + java.lang.Double.MIN_VALUE)
       ApproxDPBudget(eps, ExactNum.fromDouble(delta))
     }
   }

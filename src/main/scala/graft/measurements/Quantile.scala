@@ -48,20 +48,44 @@ object NoisyQuantileCore {
           else values(n - 1)
         }
       case Some(eps) =>
-        // intervals I_k = (v_{k-1}, v_k), k = 0..n with sentinels
+        // intervals I_k = (v_{k-1}, v_k), k = 0..n with sentinels.
+        // Subtract the best score before exponentiating (logsumexp shift, a
+        // constant factor that cancels in the normalized distribution) so the
+        // best non-empty interval always has weight len·1 — without it, large
+        // ε or distant gaps underflow every weight to 0 and the fallback
+        // becomes a data-dependent deterministic output outside the EM proof.
         val target = quantile * n
-        var totalWeight = 0.0
-        val weights = new Array[Double](n + 1)
+        var bestScore = Double.NegativeInfinity
         var k = 0
         while (k <= n) {
           val lo = if (k == 0) lower else values(k - 1)
           val hi = if (k == n) upper else values(k)
+          if (hi - lo > 0.0) {
+            val score = -math.abs(k - target)
+            if (score > bestScore) bestScore = score
+          }
+          k += 1
+        }
+        var totalWeight = 0.0
+        val weights = new Array[Double](n + 1)
+        k = 0
+        while (k <= n) {
+          val lo = if (k == 0) lower else values(k - 1)
+          val hi = if (k == n) upper else values(k)
           val len = math.max(hi - lo, 0.0)
-          val score = -math.abs(k - target)
-          weights(k) = len * math.exp(eps * score / 2.0)
+          // guard: a zero-length interval can out-score bestScore (which only
+          // ranges over non-empty ones), and 0·exp(+big) = 0·Inf = NaN
+          weights(k) =
+            if (len <= 0.0) 0.0
+            else {
+              val score = -math.abs(k - target)
+              len * math.exp(eps * (score - bestScore) / 2.0)
+            }
           totalWeight += weights(k)
           k += 1
         }
+        // Only reachable when every interval has zero length (lower == upper
+        // after clipping) — then the midpoint IS the whole support.
         if (totalWeight <= 0.0 || totalWeight.isNaN) return (lower + upper) / 2
         var u = rng.nextDouble() * totalWeight
         var chosen = 0
@@ -75,58 +99,88 @@ object NoisyQuantileCore {
     }
   }
 
-  /** Exponential mechanism over pre-binned equal-rank intervals: interval k
-    * spans [bounds(k), bounds(k+1)] and holds ≈ n/(bounds.length−1) values,
-    * so the rank score of its left edge is k·n/(len−1).
+  /** Exponential mechanism over a DATA-INDEPENDENT equal-width grid: bin k
+    * spans [lower + k·w, lower + (k+1)·w] with w = (upper−lower)/numBins, and
+    * `counts(k)` rows fall in it. The bin's rank interval is
+    * [cum(k), cum(k)+counts(k)]; its utility is −(rank distance to the target
+    * rank q·n). Because the grid does not depend on the data, a neighboring
+    * dataset changes each cumulative count by ≤ d_in and n by ≤ d_in — the
+    * same score sensitivity as the materialized gap-interval mechanism — so
+    * the ε accounting in [[privacy]] carries over unchanged. (This replaces
+    * an earlier approx_percentile-sketch variant whose data-dependent
+    * boundaries had unbounded score sensitivity.)
     */
-  def computeFromBins(
-      bounds: Array[Double],
-      n: Long,
+  def computeFromHistogram(
+      counts: Array[Long],
       quantile: Double,
       lower: Double,
       upper: Double,
       epsilon: Option[Double],
       rng: RandomSource
   ): Double = {
-    if (bounds == null || bounds.length < 2 || n <= 0)
+    val k = if (counts == null) 0 else counts.length
+    if (k == 0 || upper <= lower)
       return epsilon match {
         case None    => (lower + upper) / 2
         case Some(_) => lower + rng.nextDouble() * (upper - lower)
       }
-    val k = bounds.length - 1
-    val perBin = n.toDouble / k
+    val w = (upper - lower) / k
+    var n = 0L
+    var i = 0
+    while (i < k) { n += counts(i); i += 1 }
+    if (n <= 0)
+      return epsilon match {
+        case None    => (lower + upper) / 2
+        case Some(_) => lower + rng.nextDouble() * (upper - lower)
+      }
     epsilon match {
       case None =>
-        // deterministic: the boundary nearest the target rank
-        val pos = quantile * k
-        val i = math.min(math.max(math.round(pos).toInt, 0), k)
-        bounds(i)
+        // deterministic: linear interpolation at rank q·(n−1) assuming a
+        // uniform spread inside the target bin (quantile_cont on the grid)
+        val target = quantile * (n - 1)
+        var cum = 0L
+        var i = 0
+        while (i < k && cum + counts(i) <= target) { cum += counts(i); i += 1 }
+        if (i >= k) upper
+        else {
+          val within = if (counts(i) <= 0) 0.0 else (target - cum) / counts(i)
+          lower + (i + within) * w
+        }
       case Some(eps) =>
         val target = quantile * n
-        val weights = new Array[Double](k)
-        var total = 0.0
+        // max-score shift (see compute()): keeps the best bin at weight w·1
+        var bestScore = Double.NegativeInfinity
+        val dist = new Array[Double](k)
+        var cum = 0L
         var i = 0
         while (i < k) {
-          val len = math.max(bounds(i + 1) - bounds(i), 0.0)
-          // rank distance from the interval to the target, in rows
-          val loRank = i * perBin
-          val hiRank = (i + 1) * perBin
-          val dist =
+          val loRank = cum.toDouble
+          val hiRank = (cum + counts(i)).toDouble
+          dist(i) =
             if (target < loRank) loRank - target
             else if (target > hiRank) target - hiRank
             else 0.0
-          weights(i) = len * math.exp(-eps * dist / 2.0)
+          if (-dist(i) > bestScore) bestScore = -dist(i)
+          cum += counts(i)
+          i += 1
+        }
+        val weights = new Array[Double](k)
+        var total = 0.0
+        i = 0
+        while (i < k) {
+          weights(i) = math.exp(eps * (-dist(i) - bestScore) / 2.0)
           total += weights(i)
           i += 1
         }
-        if (total <= 0.0 || total.isNaN) return (lower + upper) / 2
+        if (total <= 0.0 || total.isNaN)
+          return lower + rng.nextDouble() * (upper - lower)
         var u = rng.nextDouble() * total
         var chosen = 0
         while (chosen < k - 1 && u > weights(chosen)) {
           u -= weights(chosen)
           chosen += 1
         }
-        bounds(chosen) + rng.nextDouble() * (bounds(chosen + 1) - bounds(chosen))
+        lower + (chosen + rng.nextDouble()) * w
     }
   }
 
@@ -157,19 +211,20 @@ object NoisyQuantileCore {
   }
 }
 
-/** Sketch-backed noisy quantile for groups too large to materialize: the
-  * per-group distribution is compressed to `numBins` equal-rank boundaries
-  * with `approx_percentile` (KLL-style mergeable sketch — one aggregation,
-  * map-side combined, nothing collected per group), then the exponential
-  * mechanism runs over the compressed rank intervals.
+/** Histogram-backed noisy quantile for groups too large to materialize: each
+  * group is compressed to `numBins` per-bin counts over a FIXED equal-width
+  * grid spanning [lower, upper] (one map-side-combined aggregation, nothing
+  * collected per group), then the exponential mechanism runs over the bins'
+  * rank intervals ([[NoisyQuantileCore.computeFromHistogram]]).
   *
-  * Rank scores are exact up to the sketch's rank error (± accuracyRank);
-  * the privacy analysis is unchanged — the mechanism still selects among
-  * data-dependent intervals with the same score sensitivity, the sketch
-  * only coarsens WHICH intervals exist (post-processing of a deterministic
-  * summary does not change the exponential mechanism's ε accounting over
-  * the coarsened candidate set; utility, not privacy, absorbs the sketch
-  * error).
+  * The grid is data-independent, so the rank-score sensitivity is identical
+  * to the materialized mechanism's (each neighboring row moves one count by
+  * one) and the ε accounting in `privacyFunction` is sound as-is. An earlier
+  * variant ran the mechanism over approx_percentile (KLL) boundaries; those
+  * boundaries are PRE-processing of private data — between neighbors they
+  * can shift a score by the sketch's rank error, not 1 — so that path was
+  * replaced by this one. Utility absorbs the grid resolution
+  * ((upper−lower)/numBins) instead.
   */
 final case class NoisyQuantileSketch(
     inputDomain: GroupedDataFrameDomain,
@@ -196,17 +251,23 @@ final case class NoisyQuantileSketch(
       greatest(col(measureColumn).cast("double"), lit(lower)),
       lit(upper)
     )
-    val percentiles = (0 to numBins).map(_.toDouble / numBins)
-    val sketched = g.df
+    // Fixed equal-width grid: bin = clamp(floor((x−lower)/w), 0, numBins−1).
+    // One hash aggregation (map-side combined) producing numBins Long counts
+    // per group — no per-group materialization, no sketch.
+    val width = (upper - lower) / numBins
+    val binCol =
+      if (width > 0)
+        least(
+          greatest(floor((clipped - lit(lower)) / lit(width)), lit(0d)),
+          lit((numBins - 1).toDouble)
+        ).cast("int")
+      else lit(0)
+    val binned = g.df.withColumn("__bin", binCol)
+    val countCols = (0 until numBins).map(k =>
+      sum(when(col("__bin") === k, 1L).otherwise(0L)).as(s"__c$k"))
+    val counted = binned
       .groupBy(keyCols.map(col): _*)
-      .agg(
-        percentile_approx(
-          clipped,
-          array(percentiles.map(lit): _*),
-          lit(10000)
-        ).as("__bounds"),
-        count(lit(1)).as("__n")
-      )
+      .agg(countCols.head, countCols.tail: _*)
     val (q, lo, hi, eps, bins) = (quantile, lower, upper, epsilon, numBins)
     val seed = RandomSource.secureSeed()
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -216,13 +277,15 @@ final case class NoisyQuantileSketch(
     )
     val enc = Encoders.row(outSchema)
     val keyIdxs = keyCols.indices
-    val perGroup = sketched.map { r =>
-      val bounds = r.getSeq[Double](keyCols.size)
-      val n = r.getLong(keyCols.size + 1)
+    val perGroup = counted.map { r =>
+      val counts = Array.tabulate(bins)(k => r.getLong(keyIdxs.size + k))
       val keyVals = keyIdxs.map(r.get)
-      val rng = new SplitMix(seed ^ keyVals.hashCode().toLong)
-      val result = NoisyQuantileCore.computeFromBins(
-        bounds.toArray, n, q, lo, hi, eps, rng)
+      val rng = new SplitMix(
+        RandomSource.groupSeed(
+          seed,
+          graft.transformations.GroupKeys.encode(r, keyIdxs)))
+      val result = NoisyQuantileCore.computeFromHistogram(
+        counts, q, lo, hi, eps, rng)
       Row.fromSeq(keyVals :+ result)
     }(enc)
     val fill: org.apache.spark.sql.Column = epsilon match {
@@ -277,7 +340,7 @@ final case class NoisyQuantileGrouped(
     val perGroup = df
       .groupByKey(r => graft.transformations.GroupKeys.encode(r, keyIdxs))(
         Encoders.STRING)
-      .flatMapGroups { (_, rows) =>
+      .flatMapGroups { (encKey, rows) =>
         val it = rows.buffered
         val first = it.head
         val keyVals = keyIdxs.map(first.get)
@@ -292,7 +355,7 @@ final case class NoisyQuantileGrouped(
               case other     => other.toString.toDouble
             }
         }.filterNot(_.isNaN).toSeq
-        val rng = new SplitMix(seed ^ keyVals.hashCode().toLong)
+        val rng = new SplitMix(RandomSource.groupSeed(seed, encKey))
         val result = NoisyQuantileCore.compute(vals, q, lo, hi, eps, rng)
         Iterator.single(Row.fromSeq(keyVals :+ result))
       }(enc)

@@ -80,6 +80,21 @@ final class SplitMix(seed: Long) extends RandomSource {
 object RandomSource {
   def secureSeed(): Long = new java.security.SecureRandom().nextLong()
   def default(): RandomSource = new SplitMix(secureSeed())
+
+  /** Per-group seed: first 8 bytes of SHA-256 of the encoded group key, XORed
+    * with the session seed. A 32-bit `hashCode` collides deterministically
+    * beyond ~2^16 groups, which would give distinct groups an identical noise
+    * stream; 64 bits of a cryptographic hash keeps per-group streams
+    * independent out to ~2^32 groups.
+    */
+  def groupSeed(sessionSeed: Long, encodedKey: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h = md.digest(encodedKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var x = 0L
+    var i = 0
+    while (i < 8) { x = (x << 8) | (h(i) & 0xffL); i += 1 }
+    x ^ sessionSeed
+  }
 }
 
 /** Exact discrete samplers over BigInt/rational arithmetic — no floating

@@ -141,10 +141,27 @@ final case class UnwrapIfGroupedBy(
     column: String,
     innerMetric: Metric
 ) extends Transformation {
+  // Mirrors reference converters.py:24-78 (UnwrapIfGroupedBy): the inner
+  // metric must be SumOf(...) or RootSumOfSquared(...); the output metric is
+  // the inner's inner metric, and the L2 case squares the distance. Accepting
+  // arbitrary inner metrics (e.g. the group-level SymmetricDifference produced
+  // by AddRemoveKeys chains) would let a user-level distance pass through as a
+  // row-level distance 1 with no truncation — silently under-noised.
+  private val unwrapped: Metric = innerMetric match {
+    case SumOf(m)            => m
+    case RootSumOfSquared(m) => m
+    case other =>
+      throw new IllegalArgumentException(
+        s"UnwrapIfGroupedBy requires inner metric SumOf(...) or " +
+          s"RootSumOfSquared(...), got $other"
+      )
+  }
+  private val isL2: Boolean = innerMetric.isInstanceOf[RootSumOfSquared]
   def inputMetric: Metric = IfGroupedBy(column, innerMetric)
-  def outputMetric: Metric = SymmetricDifference
+  def outputMetric: Metric = unwrapped
   def outputDomain: Domain = inputDomain
-  def stabilityFunction(dIn: ExactNum): ExactNum = dIn
+  def stabilityFunction(dIn: ExactNum): ExactNum =
+    if (isL2) dIn * dIn else dIn
   def apply(data: Any): Any = data
 }
 

@@ -107,4 +107,48 @@ class DpSoundnessSpec extends SharedSpark {
     val avg = m(data).asInstanceOf[DataFrame].select("average").head().getDouble(0)
     assert(math.abs(avg - 2.5) < 1e-9, s"biased average: $avg")
   }
+
+  test("UnwrapIfGroupedBy only unwraps SumOf/RootSumOfSquared inner metrics") {
+    val dom = DataFrameDomain(
+      Seq("A" -> ColumnDescriptor.string(true), "X" -> ColumnDescriptor.long))
+    // the unsound chain: AddRemoveKeys-style group-level SymmetricDifference
+    // must NOT pass through as a row-level distance
+    assertThrows[IllegalArgumentException](
+      UnwrapIfGroupedBy(dom, "A", SymmetricDifference))
+    val l1 = UnwrapIfGroupedBy(dom, "A", SumOf(SymmetricDifference))
+    assert(l1.outputMetric == SymmetricDifference)
+    assert(l1.stabilityFunction(ExactNum(3)) == ExactNum(3))
+    val l2 = UnwrapIfGroupedBy(dom, "A", RootSumOfSquared(SymmetricDifference))
+    assert(l2.outputMetric == SymmetricDifference)
+    assert(l2.stabilityFunction(ExactNum(3)) == ExactNum(9))
+  }
+
+  test("per-group noise seeds survive 32-bit hash collisions") {
+    // "Aa" and "BB" share a Java hashCode; their noise streams must differ
+    assert("Aa".hashCode == "BB".hashCode)
+    val seed = 12345L
+    assert(graft.random.RandomSource.groupSeed(seed, "Aa") !=
+      graft.random.RandomSource.groupSeed(seed, "BB"))
+  }
+
+  test("exponential mechanism survives weight underflow at extreme epsilon") {
+    // all mass at 10 inside [0, 1000]: without the max-score shift every
+    // weight underflows at eps=5000 and the old code fell back to the
+    // deterministic midpoint 500 — a data-dependent output outside the proof
+    // at q=0.25 the interval [0,10] (rank distance 250) strictly dominates
+    // [10,1000] (rank distance 750): every draw must land in it
+    val vals = Seq.fill(1000)(10.0)
+    val rs = (1 to 50).map { i =>
+      NoisyQuantileCore.compute(vals, 0.25, 0.0, 1000.0, Some(5000.0),
+        new graft.random.SplitMix(i.toLong))
+    }
+    assert(rs.forall(v => v >= 0.0 && v <= 10.0), s"draws far from mass: $rs")
+    // histogram path: same property
+    val counts = Array.tabulate(100)(k => if (k == 1) 1000L else 0L)
+    val hs = (1 to 50).map { i =>
+      NoisyQuantileCore.computeFromHistogram(counts, 0.5, 0.0, 1000.0,
+        Some(5000.0), new graft.random.SplitMix(i.toLong))
+    }
+    assert(hs.count(v => v >= 10.0 && v < 20.0) >= 45, s"hist draws: $hs")
+  }
 }
