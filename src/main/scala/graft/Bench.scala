@@ -12,6 +12,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup (untimed): force a full read of every table (xxhash64 over all
+    // columns defeats the parquet count-from-metadata shortcut) plus one
+    // representative query, so the timed loop measures steady-state execution
+    // instead of first-touch page-cache misses and JIT compilation.
+    import org.apache.spark.sql.functions.{expr, lit}
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .select(expr("sum(xxhash64(struct(*)))")).collect()
+      catch { case _: Throwable => () }
+    }
+    SparkEntry.queries.get("q1_agg").foreach { fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -135,31 +135,27 @@ object Dedup {
       .select(col("__id"), explode(array(bandCols: _*)).as("b"))
       .select(col("__id"), col("b.band").as("__band"), col("b.bh").as("__bh"))
 
-    // 4. candidates within buckets; cap pathological buckets
-    val bucketed = banded
-      .withColumn(
-        "__bs",
-        count(lit(1)).over(Window.partitionBy(col("__band"), col("__bh")))
-      )
-      .filter(col("__bs") <= maxBucketSize)
-      .drop("__bs")
-    val l = bucketed.select(col("__band"), col("__bh"), col("__id").as("left_id"))
-    val r = bucketed.select(col("__band"), col("__bh"), col("__id").as("right_id"))
-    val candidates = l
-      .join(r, Seq("__band", "__bh"))
-      .filter(col("left_id") < col("right_id"))
-      .select("left_id", "right_id")
-      .distinct()
+    // 4. candidates within buckets: ONE aggregation collects each bucket's
+    // members, then pairs are exploded in place — replaces a window count
+    // (shuffle) + two-sided self-join (two shuffles) + distinct. The size
+    // filter both skips singleton buckets and caps pathological ones, so no
+    // task ever materializes more than C(maxBucketSize, 2) pairs.
+    val candidates = pairsFromBuckets(
+      banded.groupBy(col("__band"), col("__bh"))
+        .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+        .filter(size(col("__ids")).between(2, maxBucketSize)),
+      "__ids"
+    ).distinct()
 
-    // 5. exact verification on shingle sets
+    // 5. exact verification on shingle sets: equi-join on (id, shingle) so
+    // the shared-shingle count IS the join cardinality per pair
     val sizes = shingleSets.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val inter = candidates
       .join(shingleSets.select(col("__id").as("left_id"), col("__sh")), "left_id")
       .join(
-        shingleSets.select(col("__id").as("right_id"), col("__sh").as("__sh2")),
-        Seq("right_id")
+        shingleSets.select(col("__id").as("right_id"), col("__sh")),
+        Seq("right_id", "__sh")
       )
-      .filter(col("__sh") === col("__sh2"))
       .groupBy(col("left_id"), col("right_id"))
       .agg(count(lit(1)).as("__inter"))
     inter
@@ -174,6 +170,20 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** All ordered pairs (arr(i), arr(j)), i < j, from a sorted-array column —
+    * two chained generators (posexplode + explode over a slice), fully
+    * codegen'd, no typed serialization and no self-join. Because the array
+    * is sorted and its elements distinct, left < right holds by construction.
+    */
+  private def pairsFromBuckets(buckets: DataFrame, arrCol: String): DataFrame =
+    buckets
+      .select(posexplode(col(arrCol)).as(Seq("__i", "left_id")), col(arrCol))
+      .select(
+        col("left_id"),
+        explode(slice(col(arrCol), col("__i") + lit(2), size(col(arrCol))))
+          .as("right_id")
+      )
+
   /** Connected components over near-duplicate pairs: every document gets a
     * cluster id = the minimum doc id reachable through the pair graph
     * (hash-min label propagation, converges in O(graph diameter) rounds —
@@ -182,45 +192,113 @@ object Dedup {
     * Each round is one shuffle on ids; intermediate labels are persisted
     * and the loop stops early when no label changes.
     */
+  /** Edge count below which connected components run as driver-side
+    * union-find instead of distributed label propagation. Near-dup edge sets
+    * are tiny relative to the corpus (dup rate × docs), so even at 100 TB
+    * most runs stay under this; the distributed loop remains the fallback
+    * for genuinely huge graphs.
+    */
+  val SmallGraphMaxEdges: Long = 2000000L
+
   def duplicateClusters(
       ids: DataFrame, // one column: the id universe
       pairs: DataFrame, // columns left_id, right_id
       idCol: String,
-      maxIterations: Int = 20
+      maxIterations: Int = 20,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges
   ): DataFrame = {
-    val edges = pairs
-      .select(col("left_id").as("a"), col("right_id").as("b"))
-      .union(pairs.select(col("right_id").as("a"), col("left_id").as("b")))
-      .persist()
-    // eager localCheckpoint per round: truncates the growing iteration
-    // lineage so round N's plan doesn't re-analyze rounds 1..N-1
-    var labels = ids
-      .select(col(idCol).as("a"), col(idCol).as("cluster_id"))
-      .localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIterations) {
-      // candidate label per node: min of own and neighbors' labels
-      val neighborLabels = edges
-        .join(labels.select(col("a").as("b"), col("cluster_id")), "b")
-        .select(col("a"), col("cluster_id"))
-      val next = labels
-        .select(col("a"), col("cluster_id"))
-        .union(neighborLabels)
-        .groupBy(col("a"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+    val spark = ids.sparkSession
+    val pairsP = pairs.select(col("left_id"), col("right_id")).persist()
+    val pairCount = pairsP.count()
+
+    if (pairCount <= smallGraphMaxEdges) {
+      // Small-graph fast path: union-find on the driver (one collect of the
+      // bounded pair list), result broadcast back — one job + one broadcast
+      // join instead of O(diameter) shuffle rounds.
+      val edgeRows = pairsP.collect()
+      pairsP.unpersist()
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var root = x
+        while (parent.getOrDefault(root, root) != root)
+          root = parent.getOrDefault(root, root)
+        var cur = x // path compression
+        while (parent.getOrDefault(cur, cur) != root) {
+          val nxt = parent.getOrDefault(cur, cur)
+          parent.put(cur, root)
+          cur = nxt
+        }
+        root
+      }
+      edgeRows.foreach { r =>
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) parent.put(ra, rb)
+      }
+      // min id per component is the cluster label
+      val minOf = new java.util.HashMap[Any, Any]()
+      val lt: (Any, Any) => Boolean =
+        (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      val nodes = new java.util.HashSet[Any]()
+      edgeRows.foreach { r => nodes.add(r.get(0)); nodes.add(r.get(1)) }
+      nodes.forEach { n =>
+        val root = find(n)
+        val cur = minOf.get(root)
+        if (cur == null || lt(n, cur)) minOf.put(root, n)
+      }
+      val idField = ids.schema(ids.schema.fieldIndex(idCol))
+      val mapSchema = org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = "a"), idField.copy(name = "cluster_id")))
+      val mapRows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](nodes.size)
+      nodes.forEach(n => mapRows += org.apache.spark.sql.Row(n, minOf.get(find(n))))
+      val mapping = spark.createDataFrame(
+        spark.sparkContext.parallelize(mapRows.toSeq, 1), mapSchema)
+      ids
+        .select(col(idCol).as("a"))
+        .join(broadcast(mapping).withColumnRenamed("cluster_id", "__c"),
+          Seq("a"), "left")
+        .select(col("a").as(idCol), coalesce(col("__c"), col("a")).as("cluster_id"))
+    } else {
+      // Distributed hash-min label propagation, restricted to edge-incident
+      // nodes (isolated ids are their own cluster and never enter the loop).
+      // Converges in O(graph diameter) rounds; eager localCheckpoint per
+      // round truncates the growing iteration lineage.
+      val edges = pairsP
+        .select(col("left_id").as("a"), col("right_id").as("b"))
+        .union(pairsP.select(col("right_id").as("a"), col("left_id").as("b")))
+        .persist()
+      val active = edges.select(col("a")).distinct()
+      var labels = active
+        .select(col("a"), col("a").as("cluster_id"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "__old"), "a")
-        .filter(col("cluster_id") =!= col("__old"))
-        .limit(1)
-        .count()
-      labels = next
-      converged = changed == 0
-      i += 1
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        // candidate label per node: min of own and neighbors' labels
+        val neighborLabels = edges
+          .join(labels.select(col("a").as("b"), col("cluster_id")), "b")
+          .select(col("a"), col("cluster_id"))
+        val next = labels
+          .select(col("a"), col("cluster_id"))
+          .union(neighborLabels)
+          .groupBy(col("a"))
+          .agg(min(col("cluster_id")).as("cluster_id"))
+          .localCheckpoint(true)
+        val changed = next
+          .join(labels.withColumnRenamed("cluster_id", "__old"), "a")
+          .filter(col("cluster_id") =!= col("__old"))
+          .limit(1)
+          .count()
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+      edges.unpersist()
+      pairsP.unpersist()
+      ids
+        .select(col(idCol).as("a"))
+        .join(labels.withColumnRenamed("cluster_id", "__c"), Seq("a"), "left")
+        .select(col("a").as(idCol), coalesce(col("__c"), col("a")).as("cluster_id"))
     }
-    edges.unpersist()
-    labels.select(col("a").as(idCol), col("cluster_id"))
   }
 
   /** End-to-end near-duplicate removal: keep one representative (the
@@ -322,14 +400,20 @@ object Dedup {
     val banded = sigs
       .select(col("__id"), col("simhash"), explode(array(blocks: _*)).as("b"))
       .select(col("__id"), col("simhash"), col("b.blk").as("__blk"), col("b.bv").as("__bv"))
-    val l = banded.select(col("__blk"), col("__bv"),
-      col("__id").as("left_id"), col("simhash").as("__sl"))
-    val r = banded.select(col("__blk"), col("__bv"),
-      col("__id").as("right_id"), col("simhash").as("__sr"))
-    l.join(r, Seq("__blk", "__bv"))
-      .filter(col("left_id") < col("right_id"))
-      .select(col("left_id"), col("right_id"),
-        bit_count(col("__sl").bitwiseXOR(col("__sr"))).as("hamming"))
+    // one aggregation per block bucket + in-place pair explosion (sorted by
+    // id, so left < right by construction) — replaces the two-sided
+    // self-join; same candidate set
+    val buckets = banded
+      .groupBy(col("__blk"), col("__bv"))
+      .agg(sort_array(collect_list(struct(col("__id"), col("simhash")))).as("__xs"))
+      .filter(size(col("__xs")) >= 2)
+    buckets
+      .select(posexplode(col("__xs")).as(Seq("__i", "__l")), col("__xs"))
+      .select(
+        col("__l"),
+        explode(slice(col("__xs"), col("__i") + lit(2), size(col("__xs")))).as("__r"))
+      .select(col("__l.__id").as("left_id"), col("__r.__id").as("right_id"),
+        bit_count(col("__l.simhash").bitwiseXOR(col("__r.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
@@ -347,32 +431,55 @@ object Dedup {
       maxDocFreq: Int = 100
   ): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleSize).persist()
-    val rare = sh
+    // Candidate pairs share ≥ 1 rare shingle (doc frequency ≤ maxDocFreq):
+    // group ids per shingle in ONE aggregation and explode pairs in place
+    // (≤ C(maxDocFreq, 2) per shingle) — no self-join. Counting a pair's
+    // occurrences across shingles gives its rare-intersection size. Because
+    // the doc-frequency cap can hide shared-but-frequent shingles from the
+    // intersection, survivors are re-verified exactly below.
+    val grouped = sh
       .groupBy(col("__sh"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDocFreq)
-      .select("__sh")
-    val filtered = sh.join(rare, "__sh")
-    // One fused pass: the self-join on shared shingles IS the candidate set,
-    // and counting join hits per pair IS the intersection size over rare
-    // shingles. Because the doc-frequency cap can hide shared-but-frequent
-    // shingles from the intersection, re-verify survivors exactly below.
-    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val candidates = filtered
-      .select(col("__sh"), col("__id").as("left_id"))
-      .join(filtered.select(col("__sh"), col("__id").as("right_id")), "__sh")
-      .filter(col("left_id") < col("right_id"))
-      .groupBy(col("left_id"), col("right_id"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .persist()
+    val candidates = pairsFromBuckets(
+      grouped.filter(size(col("__ids")).between(2, maxDocFreq)),
+      "__ids"
+    ).groupBy(col("left_id"), col("right_id"))
       .agg(count(lit(1)).as("__rareInter"))
-    // exact verification on the (small) candidate set, over ALL shingles
-    candidates
+    // Prune before the expensive intersection join with an upper bound on
+    // the achievable intersection: a shared shingle is either rare (df in
+    // [2, maxDocFreq] — counted exactly by __rareInter), or frequent (df >
+    // maxDocFreq — at most min of the docs' frequent-shingle counts __f);
+    // df = 1 shingles can never be shared. jaccard ≤ Imax/(nl+nr−Imax).
+    val freqCounts = grouped
+      .filter(size(col("__ids")) > maxDocFreq)
+      .select(explode(col("__ids")).as("__id"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__f"))
+    val stats = sh
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__n"))
+      .join(freqCounts, Seq("__id"), "left")
+      .na.fill(0L, Seq("__f"))
+    val sized = candidates
+      .join(
+        stats.select(col("__id").as("left_id"), col("__n").as("__nl"),
+          col("__f").as("__fl")), "left_id")
+      .join(
+        stats.select(col("__id").as("right_id"), col("__n").as("__nr"),
+          col("__f").as("__fr")), "right_id")
+      .withColumn("__imax", col("__rareInter") + least(col("__fl"), col("__fr")))
+      .filter(
+        col("__imax").cast("double") /
+          (col("__nl") + col("__nr") - col("__imax")) >= jaccardThreshold)
+      .drop("__imax", "__fl", "__fr")
+    // exact verification on the (small) candidate set, over ALL shingles:
+    // equi-join on (id, shingle) so shared-shingle count = join cardinality
+    sized
       .join(sh.select(col("__id").as("left_id"), col("__sh")), "left_id")
-      .join(sh.select(col("__id").as("right_id"), col("__sh").as("__sh2")), Seq("right_id"))
-      .filter(col("__sh") === col("__sh2"))
-      .groupBy(col("left_id"), col("right_id"))
+      .join(sh.select(col("__id").as("right_id"), col("__sh")), Seq("right_id", "__sh"))
+      .groupBy(col("left_id"), col("right_id"), col("__nl"), col("__nr"))
       .agg(count(lit(1)).as("__inter"))
-      .join(sizes.select(col("__id").as("left_id"), col("__n").as("__nl")), "left_id")
-      .join(sizes.select(col("__id").as("right_id"), col("__n").as("__nr")), "right_id")
       .withColumn(
         "jaccard",
         col("__inter").cast("double") / (col("__nl") + col("__nr") - col("__inter"))

@@ -52,6 +52,12 @@ class OpsSpec extends SharedSpark {
     val out = Dedup.duplicateClusters(ids, pairs, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // distributed label-propagation path (forced by a zero fast-path budget)
+    // must agree with the driver union-find fast path
+    val dist = Dedup.duplicateClusters(ids, pairs, "doc_id",
+        smallGraphMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == out)
   }
 
   test("dropNearDuplicates keeps one representative per cluster") {
