@@ -23,8 +23,15 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
+  // Memoized per (session, path): spark.read.parquet re-lists files and
+  // re-reads footers on every call (~100 ms); the logical plan is immutable
+  // and safely shared across queries in the same session.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent(
+      (spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   private def dom(df: DataFrame): DataFrameDomain =
     DataFrameDomain.fromSparkSchema(df.schema)
