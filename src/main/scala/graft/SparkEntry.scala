@@ -414,8 +414,9 @@ object SparkEntry {
         .withColumn("median", round(col("median"), 6))
     },
     "q_quantile_sketch" -> { (s, dir) =>
-      // sketch-backed quantile (rows-only check: the KLL boundary grid is
-      // engine-specific); values land within the clip bounds by construction
+      // histogram-backed quantile over a fixed equal-width grid — the
+      // noise-free path interpolates deterministically, so DuckDB replicates
+      // the binning + interpolation exactly
       val li = t(s, dir, "lineitem").select("l_returnflag", "l_quantity")
       val keys = keysDf(s, Seq("l_returnflag"), Seq(Seq("A"), Seq("N"), Seq("R")))
       val gdom = GroupedDataFrameDomain(
@@ -425,6 +426,7 @@ object SparkEntry {
       val m = NoisyQuantileSketch(gdom, SumOf(SymmetricDifference),
         "l_quantity", 0.5, 1.0, 50.0, None, PureDP, numBins = 64, "median")
       m(GroupedDataFrame(li, keys)).asInstanceOf[DataFrame]
+        .withColumn("median", round(col("median"), 6))
     },
     "q_partition_selection" -> { (s, dir) =>
       val e = t(s, dir, "events").select(col("user_id").cast(LongType))
@@ -925,6 +927,82 @@ object SparkEntry {
     "q_multimodal" ->
       """SELECT doc_id AS asset_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents WHERE octet_length(encode(text)) >= 12""".stripMargin
+        |FROM documents WHERE octet_length(encode(text)) >= 12""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+        |                    c.vec_id) AS rk
+        |  FROM q, embeddings c
+        |) WHERE rk <= 3""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(toks, ['the','and','of','to','a','in','is','that','it','for'])) AS s_en,
+        |    len(list_intersect(toks, ['el','la','de','que','y','en','un','por','con','los'])) AS s_es,
+        |    len(list_intersect(toks, ['le','la','de','et','les','des','en','un','du','une'])) AS s_fr,
+        |    len(list_intersect(toks, ['der','die','und','das','ist','von','mit','den','ein','zu'])) AS s_de,
+        |    len(list_intersect(toks, ['的','是','了','在','我','有','和','就','不','人'])) AS s_zh
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+        |    WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+        |    WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+        |    WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+        |    ELSE 'zh' END AS lang_pred
+        |FROM s""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS sh
+        |  FROM t
+        |), dfreq AS (SELECT sh, count(*) AS c FROM sh GROUP BY 1),
+        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.id AS l, b.id AS r
+        |  FROM sh a JOIN sh b USING (sh) JOIN dfreq USING (sh)
+        |  WHERE dfreq.c BETWEEN 2 AND 20 AND a.id < b.id GROUP BY 1, 2
+        |), inter AS (
+        |  SELECT c.l, c.r, count(*) AS i FROM cand c
+        |  JOIN sh x ON x.id = c.l JOIN sh y ON y.id = c.r AND y.sh = x.sh
+        |  GROUP BY 1, 2
+        |)
+        |SELECT l AS left_id, r AS right_id FROM inter
+        |JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
+        |WHERE CAST(i AS DOUBLE) / (sl.n + sr.n - i) >= 0.5""".stripMargin,
+    "q_quantile_sketch" ->
+      """WITH clipped AS (
+        |  SELECT l_returnflag,
+        |    least(greatest(CAST(l_quantity AS DOUBLE), 1.0), 50.0) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('A','N','R')
+        |), b AS (
+        |  SELECT l_returnflag,
+        |    CAST(least(greatest(floor((v - 1.0) / (49.0/64)), 0), 63) AS INT) AS bin,
+        |    count(*) AS c
+        |  FROM clipped GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT l_returnflag, bin, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) - c AS cumb,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM b
+        |)
+        |SELECT l_returnflag,
+        |  round(1.0 + (bin + (0.5*(n-1) - cumb)/c) * (49.0/64), 6) AS median
+        |FROM agg WHERE cumb <= 0.5*(n-1) AND 0.5*(n-1) < cumb + c""".stripMargin
   )
 }
