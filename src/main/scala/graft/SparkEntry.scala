@@ -456,6 +456,23 @@ object SparkEntry {
       graft.ops.TextAnalysis.languageId(t(s, dir, "documents"), "text")
         .select("doc_id", "lang_pred")
     },
+    "q_prdp_transform" -> { (s, dir) =>
+      // per-record DP mechanisms on the σ=0 noise-free path: every
+      // transformation round-trips to the input value exactly
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(graft.ops.PerRecordDp.logTransformationMechanism(
+          col("l_quantity"), 1.0, 0.0), 6).as("log_t"),
+        round(graft.ops.PerRecordDp.squareRootTransformationMechanism(
+          col("l_quantity"), 1.0, 0.0), 6).as("sqrt_t"),
+        round(graft.ops.PerRecordDp.fourthRootTransformationMechanism(
+          col("l_quantity"), 1.0, 0.0), 6).as("fourth_t"),
+        round(graft.ops.PerRecordDp.squareRootGaussianMechanism(
+          col("l_quantity"), 0.0), 6).as("sg_t"),
+        round(graft.ops.PerRecordDp.exponentialPolylogarithmicMechanism(
+          col("l_quantity"), 1.0, 4.0, 0.0), 6).as("ep_t"))
+    },
 
     // ---------- scale extensions: similarity / dedup ----------
     "q_ann_topk" -> { (s, dir) =>
@@ -985,6 +1002,14 @@ object SparkEntry {
         |SELECT l AS left_id, r AS right_id FROM inter
         |JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
         |WHERE CAST(i AS DOUBLE) / (sl.n + sr.n - i) >= 0.5""".stripMargin,
+    "q_prdp_transform" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CAST(l_quantity AS DOUBLE), 6) AS log_t,
+        |  round(CAST(l_quantity AS DOUBLE), 6) AS sqrt_t,
+        |  round(CAST(l_quantity AS DOUBLE), 6) AS fourth_t,
+        |  round(CAST(l_quantity AS DOUBLE), 6) AS sg_t,
+        |  round(CAST(l_quantity AS DOUBLE), 6) AS ep_t
+        |FROM lineitem""".stripMargin,
     "q_quantile_sketch" ->
       """WITH clipped AS (
         |  SELECT l_returnflag,

@@ -32,6 +32,13 @@ object NoisePrivacy {
         if (s2.isZero)
           RhoZCDPBudget(if (dIn.isZero) ExactNum.zero else ExactNum.PosInf)
         else RhoZCDPBudget(dIn.pow2 / (ExactNum(2) * ExactNum(s2)))
+      case m @ (_: SqrtGaussianMechanism | _: ExpPolylogMechanism) =>
+        // Per-record mechanisms (reference utils/prdp.py) carry a per-record
+        // guarantee, not a worst-case one; the reference likewise keeps them
+        // out of noise_mechanisms' privacy functions.
+        throw new IllegalArgumentException(
+          s"$m has no standalone worst-case DP accounting; " +
+            "use it through a per-record-DP accountant")
     }
 
   def outputMeasure(mechanism: NoiseMechanism): Measure = mechanism match {
@@ -75,6 +82,8 @@ final case class AddNoiseScalar(
       case GaussianMechanism(s2) =>
         if (s2.isZero) asDouble(data)
         else asDouble(data) + Samplers.gaussian(math.sqrt(s2.toDouble), rng)
+      case m =>
+        NoiseGen.addDouble(m, rng, asDouble(data))
     }
   }
 }

@@ -41,6 +41,21 @@ final case class GaussianMechanism(sigmaSquared: Rational)
   def addsNoNoise: Boolean = sigmaSquared.isZero
 }
 
+/** Per-record DP additive mechanisms (reference `utils/prdp.py`): shape-1/2
+  * generalized Gaussian and exponential-polylogarithmic noise.
+  */
+final case class SqrtGaussianMechanism(sigma: Rational) extends NoiseMechanism {
+  require(sigma.signum >= 0)
+  def isDiscrete = false
+  def addsNoNoise: Boolean = sigma.isZero
+}
+final case class ExpPolylogMechanism(d: Rational, a: Rational, sigma: Rational)
+    extends NoiseMechanism {
+  require(d.signum > 0 && a.signum > 0 && sigma.signum >= 0)
+  def isDiscrete = false
+  def addsNoNoise: Boolean = sigma.isZero
+}
+
 /** Nondeterministic Catalyst expression adding mechanism noise to a numeric
   * column — the engine's replacement for the reference's
   * `pandas_udf(...).asNondeterministic()` (`spark_measurements.py:241-245`):
@@ -85,6 +100,15 @@ case class AddNoise(
           val x = toDouble(v)
           if (s2.isZero) x
           else x + Samplers.gaussian(math.sqrt(s2.toDouble), rng)
+        case SqrtGaussianMechanism(s) =>
+          val x = toDouble(v)
+          if (s.isZero) x
+          else x + graft.random.Prdp.sqrtGaussian(s.toDouble, rng)
+        case ExpPolylogMechanism(d, a, s) =>
+          val x = toDouble(v)
+          if (s.isZero) x
+          else
+            x + graft.random.Prdp.expPolylog(d.toDouble, a.toDouble, s.toDouble, rng)
       }
   }
 
@@ -145,6 +169,11 @@ object NoiseGen {
         if (b.isZero) v else v + Samplers.laplace(b.toDouble, rng)
       case GaussianMechanism(s2) =>
         if (s2.isZero) v else v + Samplers.gaussian(math.sqrt(s2.toDouble), rng)
+      case SqrtGaussianMechanism(s) =>
+        if (s.isZero) v else v + graft.random.Prdp.sqrtGaussian(s.toDouble, rng)
+      case ExpPolylogMechanism(d, a, s) =>
+        if (s.isZero) v
+        else v + graft.random.Prdp.expPolylog(d.toDouble, a.toDouble, s.toDouble, rng)
       case m => throw new IllegalArgumentException(s"not continuous: $m")
     }
 }

@@ -68,6 +68,30 @@ class OpsSpec extends SharedSpark {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("per-record DP mechanisms: sigma=0 is identity, noisy stays unbiased-ish") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val zero = df.select(
+      col("x"),
+      graft.ops.PerRecordDp.logTransformationMechanism(col("x"), 1.0, 0.0).as("lg"),
+      graft.ops.PerRecordDp.squareRootTransformationMechanism(col("x"), 1.0, 0.0).as("sq"),
+      graft.ops.PerRecordDp.fourthRootTransformationMechanism(col("x"), 1.0, 0.0).as("fr"),
+      graft.ops.PerRecordDp.squareRootGaussianMechanism(col("x"), 0.0).as("sg"),
+      graft.ops.PerRecordDp.exponentialPolylogarithmicMechanism(col("x"), 1.0, 4.0, 0.0).as("ep")
+    ).collect()
+    zero.foreach { r =>
+      val x = r.getDouble(0)
+      Seq(1, 2, 3, 4, 5).foreach(i =>
+        assert(math.abs(r.getDouble(i) - x) < 1e-6, s"col $i of x=$x: ${r.getDouble(i)}"))
+    }
+    // noisy sqrt-transform: mean of (y − σ²) ≈ x over many draws (σ=1, x=50)
+    val many = Seq.fill(20000)(50.0).toDF("x")
+    val noisy = many.select(
+      graft.ops.PerRecordDp.squareRootTransformationMechanism(col("x"), 1.0, 1.0).as("y"))
+    val m = noisy.agg(avg(col("y") - lit(1.0))).head().getDouble(0)
+    assert(math.abs(m - 50.0) < 1.0, s"mean=$m")
+  }
+
   test("simhash of identical docs is equal; near-dups within distance") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDistance = 8)
     val found = pairs.select("left_id", "right_id").collect()

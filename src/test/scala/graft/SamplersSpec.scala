@@ -91,4 +91,91 @@ class SamplersSpec extends AnyFunSuite {
     (1 to 70000).foreach(_ => c2(r.nextBigInt(BigInt(7)).toInt) += 1)
     c2.foreach(c => assert(math.abs(c - 10000) < 500, c2.mkString(",")))
   }
+
+  test("Lambert W round-trips on both real branches") {
+    import graft.random.Prdp.lambertW
+    for (z <- Seq(-0.367, -0.3, -0.1, -0.01, -1e-6, 0.0, 1e-6, 0.5, 1.0, 10.0, 1e6)) {
+      val w = lambertW(z, 0)
+      assert(math.abs(w * math.exp(w) - z) <= 1e-10 * (1 + math.abs(z)),
+        s"W0($z)=$w")
+    }
+    for (z <- Seq(-0.3678, -0.36, -0.3, -0.1, -0.01, -1e-4, -1e-8)) {
+      val w = lambertW(z, -1)
+      assert(w <= -1.0 + 1e-9, s"W-1($z)=$w above -1")
+      assert(math.abs(w * math.exp(w) - z) <= 1e-9 * (1 + math.abs(w)),
+        s"W-1($z)=$w")
+    }
+    assert(math.abs(lambertW(-1.0 / math.E, 0) + 1.0) < 1e-6)
+  }
+
+  test("sqrt-Gaussian inverse CDF inverts the closed-form CDF") {
+    import graft.random.Prdp.sqrtGaussianInverseCdf
+    // GG(shape 1/2, scale σ) CDF: 1/2 + sign(y)·(1 − e^{−u}(1+u))/2, u=√(|y|/σ)
+    def cdf(y: Double, sigma: Double): Double = {
+      val u = math.sqrt(math.abs(y) / sigma)
+      0.5 + math.signum(y) * 0.5 * (1.0 - math.exp(-u) * (1.0 + u))
+    }
+    for (sigma <- Seq(1.0, 10.0); p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val y = sqrtGaussianInverseCdf(p, sigma)
+      assert(math.abs(cdf(y, sigma) - p) < 1e-9, s"p=$p sigma=$sigma y=$y")
+    }
+    // antisymmetry
+    assert(sqrtGaussianInverseCdf(0.5, 3.0) == 0.0)
+    assert(math.abs(
+      sqrtGaussianInverseCdf(0.8, 2.0) + sqrtGaussianInverseCdf(0.2, 2.0)) < 1e-9)
+  }
+
+  test("sqrt-Gaussian samples match GG(1/2) moments") {
+    import graft.random.Prdp
+    val rng = new SplitMix(42L)
+    val n = 200000
+    val sigma = 1.0
+    var s = 0.0; var s2 = 0.0
+    (1 to n).foreach { _ =>
+      val x = Prdp.sqrtGaussian(sigma, rng); s += x; s2 += x * x
+    }
+    val mean = s / n
+    val v = s2 / n - mean * mean
+    // Var = σ²·Γ(6)/Γ(2) = 120σ²; kurtosis is high so allow 10%
+    assert(math.abs(mean) < 0.2, s"mean=$mean")
+    assert(math.abs(v - 120.0) / 120.0 < 0.10, s"var=$v")
+  }
+
+  test("exponential polylogarithmic inverse CDF matches reference vectors") {
+    import graft.random.Prdp.expPolylogInverseCdf
+    // expected values from the reference's test suite (test_prdp.py:245-256)
+    // at d=1, a=4, σ=1
+    val vectors = Seq(
+      0.09728810883531885 -> -3.0,
+      0.16120949170524884 -> -2.0,
+      0.2776681067903467 -> -1.0,
+      0.5 -> 0.0,
+      0.7223318932096533 -> 1.0,
+      0.8387905082947511 -> 2.0,
+      0.9027118911646812 -> 3.0
+    )
+    vectors.foreach { case (p, expected) =>
+      val y = expPolylogInverseCdf(p, 1.0, 4.0, 1.0)
+      assert(math.abs(y - expected) < 1e-6, s"p=$p got $y expected $expected")
+    }
+  }
+
+  test("transformation mechanisms hit reference mean/variance formulas") {
+    import graft.random.Prdp
+    val rng = new SplitMix(7L)
+    val n = 200000
+    val (x, offset, sigma) = (100.0, 1.0, 1.0)
+    // sqrt transform: E[y − σ²] = x, Var[y] = 2σ⁴ + 4σ²(x+offset)
+    var s = 0.0; var s2 = 0.0
+    (1 to n).foreach { _ =>
+      val g = math.sqrt(x + offset) + sigma * rng.nextGaussianStd()
+      val y = g * g - offset
+      s += y; s2 += y * y
+    }
+    val mean = s / n
+    val v = s2 / n - mean * mean
+    val expVar = 2 * math.pow(sigma, 4) + 4 * sigma * sigma * (x + offset)
+    assert(math.abs(mean - sigma * sigma - x) / x < 0.05, s"mean=$mean")
+    assert(math.abs(v - expVar) / expVar < 0.10, s"var=$v exp=$expVar")
+  }
 }
