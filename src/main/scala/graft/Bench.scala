@@ -41,7 +41,47 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Reference-envelope sweep (BASELINE.md / benchmark/count_sum.py
+    // workload shapes): noisy grouped count+sum over 2 Long columns at the
+    // reference's smallest/middle/largest CI domain sizes, on both the
+    // empty-df and 1-row-per-group datasets. The reference's CI budget for
+    // the full sweep is 25 minutes; each shape here is one timed entry.
+    val sweepResults: Map[String, Double] = {
+      import org.apache.spark.sql.functions.col
+      import graft.domains.{ColumnDescriptor, DataFrameDomain}
+      import graft.exact.{ExactNum, Rational}
+      import graft.measures.PureDPBudget
+      import graft.measurements.{Aggregations, NoiseKind}
+      import graft.metrics.SymmetricDifference
+      Seq(100, 10000, 640000).flatMap { n =>
+        Seq(false, true).map { empty =>
+          val name = s"q_countsum_${n}g${if (empty) "_empty" else ""}"
+          val t0 = System.nanoTime()
+          try {
+            val keys = spark.range(n.toLong).select(col("id").as("A"))
+            val data = spark.range(if (empty) 0L else n.toLong)
+              .select(col("id").as("A"), (col("id") % 97).as("X"))
+            val dom = DataFrameDomain(
+              Seq("A" -> ColumnDescriptor.long, "X" -> ColumnDescriptor.long))
+            val mCount = Aggregations.createCountMeasurement(
+              dom, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+              PureDPBudget(ExactNum(1)), Some(keys))
+            mCount(data).asInstanceOf[org.apache.spark.sql.DataFrame].count()
+            val mSum = Aggregations.createSumMeasurement(
+              dom, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+              PureDPBudget(ExactNum(1)), "X", Rational(0), Rational(97),
+              Some(keys))
+            mSum(data).asInstanceOf[org.apache.spark.sql.DataFrame].count()
+          } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          System.gc()
+          name -> dt
+        }
+      }.toMap
+    }
+    val all = results ++ sweepResults
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

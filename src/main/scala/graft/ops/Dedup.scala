@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Shared compiled whitespace pattern: `String.split(regex)` recompiles
+    * the pattern on EVERY call, which at corpus scale is a per-row
+    * allocation+compile in the hottest loop.
+    */
+  private[ops] val Whitespace: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
+
   /** Exact dedup: one representative row (min id) per distinct value of
     * `cols`. Hash-based aggregate — single shuffle on the dedup key.
     */
@@ -75,7 +82,7 @@ object Dedup {
     df.flatMap { r =>
       val id = r.get(idIdx)
       val text = if (r.isNullAt(tIdx)) "" else r.getString(tIdx)
-      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val toks = Whitespace.split(text.toLowerCase.trim).filter(_.nonEmpty)
       val set = scala.collection.mutable.LinkedHashSet.empty[String]
       if (toks.length >= k) {
         var i = 0
@@ -346,7 +353,7 @@ object Dedup {
     df.map { row =>
       val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
       val counts = new Array[Int](64)
-      text.toLowerCase.split("\\s+").foreach { tok =>
+      Whitespace.split(text.toLowerCase).foreach { tok =>
         if (tok.nonEmpty) {
           val h = scala.util.hashing.MurmurHash3.stringHash(tok).toLong &
             0xffffffffL | (scala.util.hashing.MurmurHash3

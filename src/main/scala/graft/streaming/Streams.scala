@@ -17,6 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
+  /** Configure a session for large streaming state: RocksDB state store
+    * (spillable, off-heap — state no longer bounded by executor heap, the
+    * prerequisite for billions of keys per executor) with changelog
+    * checkpointing (per-batch delta upload instead of full snapshots) and
+    * bounded block-cache memory. Returns the same session for chaining.
+    */
+  def configureLargeState(
+      spark: org.apache.spark.sql.SparkSession,
+      boundedMemoryMb: Long = 1024
+  ): org.apache.spark.sql.SparkSession = {
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+      boundedMemoryMb.toString)
+    spark
+  }
+
   /** Tumbling/sliding event-time window counts with a watermark bounding
     * state retention.
     */
