@@ -629,7 +629,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(
         e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3,
-        nlist = 16, nprobe = 4)
+        nlist = 16, nprobe = 4, refineIterations = 2)
         .select("query_id", "neighbor_id")
     },
     "q_multimodal" -> { (s, dir) =>

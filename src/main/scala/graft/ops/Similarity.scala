@@ -148,6 +148,72 @@ object Similarity {
     * touches ~nprobe/nlist of the corpus. A k-means refinement would drop in
     * where the centroid sample is taken.
     */
+  /** Spherical k-means (Lloyd) refinement of IVF centroids: `iterations`
+    * rounds of assign-to-nearest (narrow per-partition pass, centroids in
+    * the task closure) followed by a per-cell mean. The mean is computed by
+    * `posexplode` over vector components + one `groupBy(cell, dim)` sum —
+    * map-side combined, a single shuffle of nlist·dim running sums per
+    * round, nothing per-row ever collected. Only the nlist·dim centroid
+    * matrix itself returns to the driver.
+    */
+  def kMeansCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      init: Array[Array[Double]],
+      iterations: Int
+  ): Array[Array[Double]] = {
+    var centroids = init.map(normalized)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(size(col("__v")) > 0)
+      .as[Seq[Double]]
+    (0 until iterations).foreach { _ =>
+      val cs = centroids // stable reference for the closure
+      val sums = vecs
+        .map(v => (nearestIdx(cs, v.toArray), v))
+        .toDF("__cell", "__v")
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(sum(col("__x")).as("__s"))
+        .collect()
+      val dim = centroids.head.length
+      val acc = Array.fill(centroids.length)(new Array[Double](dim))
+      sums.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        if (c >= 0 && c < acc.length && d < dim) acc(c)(d) = r.getDouble(2)
+      }
+      // empty cells keep their previous centroid (standard Lloyd fallback)
+      centroids = acc.zip(centroids).map { case (s, prev) =>
+        if (s.forall(_ == 0.0)) prev else normalized(s)
+      }
+    }
+    centroids
+  }
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_ * inv)
+  }
+
+  /** Nearest centroid by dot product (centroids pre-normalized). */
+  private def nearestIdx(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val cen = cs(c)
+      var dot = 0.0; var i = 0
+      val len = math.min(v.length, cen.length)
+      while (i < len) { dot += v(i) * cen(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -155,21 +221,27 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4
+      nprobe: Int = 4,
+      refineIterations: Int = 0
   ): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     require(nprobe >= 1 && nprobe <= nlist)
     // deterministic centroid sample: nlist corpus vectors with the smallest
-    // xxhash64(id) — stable, data-independent of vector values
-    val centroids: Array[Array[Double]] = corpus
+    // xxhash64(id) — stable, data-independent of vector values; optionally
+    // refined by spherical k-means
+    val sampled: Array[Array[Double]] = corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy(col("__h"))
       .limit(nlist)
       .collect()
       .map(_.getSeq[Double](1).toArray)
-    require(centroids.nonEmpty, "empty corpus")
+    require(sampled.nonEmpty, "empty corpus")
+    val centroids =
+      if (refineIterations > 0)
+        kMeansCentroids(corpus, vecCol, sampled, refineIterations)
+      else sampled
 
     def nearest(v: Array[Double], n: Int): Array[Int] = {
       val sims = centroids.zipWithIndex.map { case (c, i) =>

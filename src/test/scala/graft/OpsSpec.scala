@@ -156,6 +156,45 @@ class OpsSpec extends SharedSpark {
     assert(top1 == Set((0L, 0L), (1L, 1L), (2L, 2L)))
   }
 
+  test("k-means refinement improves the spherical objective and keeps IVF exact") {
+    // 4 tight clusters around orthogonal axes + noise
+    val rnd = new scala.util.Random(3)
+    val base = (0 until 200).map { i =>
+      val axis = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d == axis) 1.0 else 0.0) + 0.05 * rnd.nextGaussian()).map(_.toFloat)
+      Row(i.toLong, v.toSeq)
+    }
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>", base)
+    val sample = vecs.limit(4).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def objective(cs: Array[Array[Double]]): Double = {
+      // mean max-dot over normalized vectors — higher is tighter
+      val all = vecs.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      all.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = v.map(_ / n)
+        cs.map(c => c.zip(u).map { case (a, b) => a * b }.sum).max
+      }.sum / all.length
+    }
+    val refined = Similarity.kMeansCentroids(vecs, "embedding", sample, 3)
+    assert(refined.length == 4)
+    // initial sample is 4 near-collinear-with-axis vectors but noisy; Lloyd
+    // rounds must not make the objective worse and should tighten it
+    val before = objective(sample.map(v => {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }))
+    val after = objective(refined)
+    assert(after >= before - 1e-9, s"objective worsened: $before -> $after")
+    assert(after > 0.95, s"refined objective too low: $after")
+    // refined IVF with full probing stays exact on top-1
+    val queries = vecs.filter(col("vec_id") < 3)
+    val out = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", 1,
+      nlist = 4, nprobe = 4, refineIterations = 2)
+    val top1 = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 == Set((0L, 0L), (1L, 1L), (2L, 2L)))
+  }
+
   test("cosineDupPairs finds duplicate embeddings") {
     val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
       Seq(
