@@ -64,6 +64,13 @@ object Aggregations {
     * largest ρ with ρ+2√(ρ·ln(1/δ)) ≤ ε is used (rounded down — more noise,
     * privacy-safe).
     */
+  /** Opt-in: calibrate Gaussian ApproxDP budgets through the tight CKS
+    * zCDP→(ε,δ) conversion ([[TightZcdp]]) instead of the reference-matching
+    * Bun–Steinke bound — admits a larger ρ (less noise) for the same
+    * (ε, δ). Default false so behavior matches the reference exactly.
+    */
+  @volatile var tightApproxDPCalibration: Boolean = false
+
   def withApproxDP(
       budget: PrivacyBudget,
       kind: NoiseKind
@@ -77,18 +84,26 @@ object Aggregations {
             delta > ExactNum.zero,
             "Gaussian mechanisms need δ > 0 under approximate DP"
           )
-          val rho =
-            if (!eps.isFinite) ExactNum.PosInf
-            else {
-              // solve x² + 2bx − ε = 0 for x = √ρ, b = √(ln(1/δ))
-              val e = eps.toDouble(roundUp = false)
-              val b = math.sqrt(-math.log(delta.toDouble(roundUp = false)))
-              // 1e-9 relative margin absorbs the converter's own
-              // conservative upward rounding on the way back to ε
-              val x = (-b + math.sqrt(b * b + e)) * (1.0 - 1e-9)
-              ExactNum.fromDouble(math.max(x * x, 0.0))
-            }
-          RhoZCDPToApproxDP(build(RhoZCDPBudget(rho)), delta)
+          if (tightApproxDPCalibration && eps.isFinite && delta < ExactNum.one) {
+            val rho = TightZcdp.rhoFor(
+              eps.toDouble(roundUp = false),
+              delta.toDouble(roundUp = false))
+            RhoZCDPToApproxDPTight(
+              build(RhoZCDPBudget(ExactNum.fromDouble(rho))), delta)
+          } else {
+            val rho =
+              if (!eps.isFinite) ExactNum.PosInf
+              else {
+                // solve x² + 2bx − ε = 0 for x = √ρ, b = √(ln(1/δ))
+                val e = eps.toDouble(roundUp = false)
+                val b = math.sqrt(-math.log(delta.toDouble(roundUp = false)))
+                // 1e-9 relative margin absorbs the converter's own
+                // conservative upward rounding on the way back to ε
+                val x = (-b + math.sqrt(b * b + e)) * (1.0 - 1e-9)
+                ExactNum.fromDouble(math.max(x * x, 0.0))
+              }
+            RhoZCDPToApproxDP(build(RhoZCDPBudget(rho)), delta)
+          }
       }
     case b => build(b)
   }

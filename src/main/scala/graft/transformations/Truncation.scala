@@ -35,16 +35,32 @@ object Truncation {
       .drop("__rn")
   }
 
-  /** Drop groups with more than `threshold` rows (reference `truncation.py:165-225`). */
+  /** Drop groups with more than `threshold` rows (reference `truncation.py:165-225`).
+    *
+    * Implemented as a map-side-combined count plus an anti-join against the
+    * (typically tiny) set of over-threshold keys rather than a count window:
+    * a count window shuffles every row of a hot key to one reducer, while
+    * the partial aggregation reduces each input partition to one running
+    * count per key before the shuffle — immune to key skew at 100 TB. The
+    * anti-join's right side holds only the over-threshold keys — usually a
+    * tiny fraction — and AQE broadcasts it when it is (falling back to a
+    * shuffled anti-join when a small threshold makes it large).
+    */
   def dropLargeGroups(
       df: DataFrame,
       groupColumns: Seq[String],
       threshold: Int
   ): DataFrame = {
-    val w = Window.partitionBy(groupColumns.map(col): _*)
-    df.withColumn("__cnt", count(lit(1)).over(w))
-      .filter(col("__cnt") <= threshold)
-      .drop("__cnt")
+    val gcols = groupColumns.map(col)
+    val bigKeys = df
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > threshold)
+      .select(gcols: _*)
+    // null-safe anti-join condition: groups keyed by NULL must also honor
+    // the threshold, and a plain equi-join would never match them
+    val cond = groupColumns.map(c => df(c) <=> bigKeys(c)).reduce(_ && _)
+    df.join(bigKeys, cond, "left_anti")
   }
 
   /** Keep at most `threshold` distinct keys per group

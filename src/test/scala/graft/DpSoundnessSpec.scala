@@ -131,6 +131,34 @@ class DpSoundnessSpec extends SharedSpark {
       graft.random.RandomSource.groupSeed(seed, "BB"))
   }
 
+  test("tight CKS zCDP conversion dominates the classic bound and stays sound") {
+    import graft.measurements.TightZcdp
+    for (rho <- Seq(0.01, 0.1, 0.5, 2.0); delta <- Seq(1e-3, 1e-6, 1e-9)) {
+      val epsStd = rho + 2.0 * math.sqrt(rho * -math.log(delta))
+      val epsTight = TightZcdp.epsFor(rho, delta)
+      // never worse than the classic bound...
+      assert(epsTight <= epsStd + 1e-9, s"rho=$rho delta=$delta: $epsTight > $epsStd")
+      // ...and the claimed (ε, δ) is actually satisfied per the δ(ε) curve
+      assert(TightZcdp.deltaFor(rho, epsTight) <= delta * (1 + 1e-6),
+        s"rho=$rho delta=$delta eps=$epsTight")
+      // strictly better in the typical regime
+      if (delta <= 1e-6) assert(epsTight < epsStd * 0.999,
+        s"no improvement at rho=$rho delta=$delta: $epsTight vs $epsStd")
+    }
+    for (eps <- Seq(0.5, 1.0, 4.0); delta <- Seq(1e-3, 1e-6)) {
+      val b = math.sqrt(-math.log(delta))
+      val x = -b + math.sqrt(b * b + eps)
+      val rhoStd = x * x
+      val rhoTight = TightZcdp.rhoFor(eps, delta)
+      assert(rhoTight >= rhoStd * (1 - 1e-6),
+        s"calibration regressed: $rhoTight < $rhoStd")
+      assert(TightZcdp.deltaFor(rhoTight, eps) <= delta * (1 + 1e-6),
+        s"unsound rho at eps=$eps delta=$delta")
+    }
+    // delta is monotone increasing in rho (more privacy loss, bigger tail)
+    assert(TightZcdp.deltaFor(0.1, 2.0) < TightZcdp.deltaFor(0.3, 2.0))
+  }
+
   test("exponential mechanism survives weight underflow at extreme epsilon") {
     // all mass at 10 inside [0, 1000]: without the max-score shift every
     // weight underflows at eps=5000 and the old code fell back to the
