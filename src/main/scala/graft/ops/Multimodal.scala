@@ -98,6 +98,61 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Image resize plumbing: rewrites the content header to the target
+    * dimensions and downsamples the payload proportionally to the pixel
+    * ratio. STUB kernel (a real implementation would decode, interpolate and
+    * re-encode); the Spark shape — narrow partition-local pass, binary in /
+    * binary out, metadata consistent with a subsequent [[decodeMetadata]] —
+    * is the real contract.
+    */
+  def resize(
+      df: DataFrame,
+      targetWidth: Int,
+      targetHeight: Int,
+      contentCol: String = "content"
+  ): DataFrame = {
+    require(targetWidth > 0 && targetHeight > 0)
+    val idx = df.schema.fieldIndex(contentCol)
+    val (tw, th) = (targetWidth, targetHeight)
+    val outSchema = StructType(df.schema.fields)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val content = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val resized: Array[Byte] =
+          if (content == null || content.length < 12) content
+          else {
+            def int32(off: Int): Int =
+              ((content(off) & 0xff) << 24) | ((content(off + 1) & 0xff) << 16) |
+                ((content(off + 2) & 0xff) << 8) | (content(off + 3) & 0xff)
+            val (w, h) = (int32(4), int32(8))
+            val srcPixels = math.max(w.toLong * h.toLong, 1L)
+            val ratio = math.min(1.0, (tw.toLong * th.toLong).toDouble / srcPixels)
+            val payload = content.length - 12
+            val newPayload = math.max((payload * ratio).toInt, 0)
+            val out = new Array[Byte](12 + newPayload)
+            System.arraycopy(content, 0, out, 0, 4) // mime tag
+            def putInt32(off: Int, v: Int): Unit = {
+              out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+              out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+            }
+            putInt32(4, tw); putInt32(8, th)
+            // deterministic stride sampling of the payload (stub for real
+            // interpolation)
+            if (newPayload > 0) {
+              val step = payload.toDouble / newPayload
+              var i = 0
+              while (i < newPayload) {
+                out(12 + i) = content(12 + math.min((i * step).toInt, payload - 1))
+                i += 1
+              }
+            }
+            out
+          }
+        Row.fromSeq(r.toSeq.updated(idx, resized))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Video frame sampling plumbing: emits ≤ maxFrames (asset_id, frame_idx,
     * frame_bytes) rows per asset. The STUB "decoder" slices the content
     * into equal chunks; a real implementation would seek keyframes.

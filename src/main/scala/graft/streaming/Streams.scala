@@ -143,6 +143,44 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner interval join: rows pair when their keys match and
+    * their event times lie within ±`within` of each other. Watermarks on
+    * BOTH sides bound the join state Spark must retain (state eviction =
+    * watermark − interval), which is what keeps this runnable indefinitely
+    * on a cluster. Works identically on batch frames.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      keyCols: Seq[String],
+      within: String = "15 minutes",
+      watermark: String = "30 minutes"
+  ): DataFrame = {
+    require(leftTs != rightTs,
+      "leftTs and rightTs must be distinct column names for an interval join")
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark)
+             else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark)
+             else right).alias("r")
+    val keyCond = keyCols
+      .map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val timeCond =
+      col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $within") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within")
+    val joined = l.join(r, keyCond && timeCond, "inner")
+    // project one copy of each key column
+    val rightCols = right.columns.filterNot(keyCols.contains)
+    joined.select(
+      keyCols.map(c => col(s"l.$c")) ++
+        left.columns.filterNot(keyCols.contains).map(c => col(s"l.$c")) ++
+        rightCols.map(c => col(s"r.$c")): _*
+    )
+  }
+
   /** Windowed counts with two-sided-geometric noise applied to each emitted
     * count — each (window, group) cell is released once per trigger, so a
     * per-cell ε applies under event-level DP.

@@ -48,6 +48,20 @@ class MultimodalSpec extends SharedSpark {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("resize rewrites dimensions, shrinks payload, stays decodable") {
+    val resized = Multimodal.resize(
+      Multimodal.filterDecodable(assets), 320, 240)
+    val meta = Multimodal.decodeMetadata(resized)
+      .select(col("asset_id"), col("metadata.width"), col("metadata.height"),
+        col("metadata.n_bytes"), col("metadata.ok"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // 640x480 → 320x240: quarter the pixels, payload 100 → 25
+    assert(meta(1L) == ((320, 240, 12L + 25L, true)))
+    // 32x32 upscale request is clamped (ratio capped at 1): payload kept
+    assert(meta(2L) == ((320, 240, 12L + 4L, true)))
+  }
+
   test("sampleFrames emits at most k frames covering the content") {
     val frames = Multimodal.sampleFrames(
       Multimodal.filterDecodable(assets), maxFrames = 4)

@@ -134,4 +134,40 @@ class StreamingSpec extends SharedSpark
       .toSeq.sorted
     assert(rows == Seq(("a", 2L), ("b", 1L)))
   }
+
+  test("intervalJoin pairs events within the time window, streaming micro-batch") {
+    implicit val sqlCtx = ss.sqlContext
+    val impressions = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val l = impressions.toDF().toDF("imp_time", "kind", "imp_id")
+    val r = clicks.toDF().toDF("click_time", "kind", "click_id")
+    val out = Streams.intervalJoin(
+      l, r, "imp_time", "click_time", Seq("kind"), within = "5 minutes")
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    guarded {
+      query = out.writeStream
+        .format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .start()
+      impressions.addData((ts(1), "a", 10L), (ts(20), "a", 11L), (ts(1), "b", 12L))
+      clicks.addData((ts(3), "a", 100L), (ts(40), "a", 101L))
+      query.processAllAvailable()
+      val rows = ss.sql("SELECT imp_id, click_id FROM ij_test")
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      // only imp 10 (10:01, kind a) is within ±5 min of click 100 (10:03)
+      assert(rows == Set((10L, 100L)))
+    }(Option(query).toSeq)
+
+    // batch path: identical semantics
+    val lb = spark.createDataFrame(Seq((ts(1), "a", 10L), (ts(20), "a", 11L)))
+      .toDF("imp_time", "kind", "imp_id")
+    val rb = spark.createDataFrame(Seq((ts(3), "a", 100L), (ts(40), "a", 101L)))
+      .toDF("click_time", "kind", "click_id")
+    val batch = Streams.intervalJoin(
+      lb, rb, "imp_time", "click_time", Seq("kind"), within = "5 minutes")
+      .select("imp_id", "click_id")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(batch == Set((10L, 100L)))
+  }
 }
