@@ -15,15 +15,33 @@ import org.apache.spark.sql.functions._
   * join degrades gracefully to sort-merge on the (already shuffled-by-key)
   * aggregate output.
   */
-final case class GroupedDataFrame(df: DataFrame, groupKeys: DataFrame) {
-  val groupColumns: Seq[String] = groupKeys.columns.toSeq
+final case class GroupedDataFrame(df: DataFrame, rawGroupKeys: DataFrame) {
+  // The reference dedups the key table unconditionally at construction
+  // (grouped_dataframe.py:43): with duplicate key rows a grouped noisy
+  // measurement would release the same group twice with independent noise
+  // draws — an unaccounted double spend. Mirror that here — but when the key
+  // table is driver-local (the overwhelmingly common literal key list),
+  // dedup eagerly into a new local relation instead of adding a
+  // Deduplicate (shuffle) stage to every grouped query's plan.
+  val groupKeys: DataFrame =
+    if (rawGroupKeys.isLocal) {
+      import scala.jdk.CollectionConverters._
+      val rows = rawGroupKeys.collect()
+      val distinct = new java.util.LinkedHashSet[org.apache.spark.sql.Row]()
+      rows.foreach(distinct.add)
+      if (distinct.size == rows.length) rawGroupKeys
+      else
+        rawGroupKeys.sparkSession.createDataFrame(
+          distinct.asScala.toSeq.asJava, rawGroupKeys.schema)
+    } else rawGroupKeys.dropDuplicates()
+  val groupColumns: Seq[String] = rawGroupKeys.columns.toSeq
   require(groupColumns.nonEmpty, "at least one group column required")
   require(
     groupColumns.forall(df.columns.contains),
     s"group columns $groupColumns not all present in ${df.columns.toSeq}"
   )
 
-  /** Group-complete aggregation: one output row per key-table row.
+  /** Group-complete aggregation: one output row per DISTINCT key-table row.
     *
     * @param aggs (outputName, aggregate expression, fill value for empty
     *             groups) triples.

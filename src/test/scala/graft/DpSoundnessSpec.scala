@@ -131,6 +131,22 @@ class DpSoundnessSpec extends SharedSpark {
       graft.random.RandomSource.groupSeed(seed, "BB"))
   }
 
+  test("duplicate key-table rows release each group once, not twice") {
+    import spark.implicits._
+    // a duplicated key row must NOT produce two (independently noised)
+    // releases of the same group — reference dedups keys at construction
+    val data = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("G", "X")
+    val keys = Seq("a", "a", "b").toDF("G") // "a" duplicated
+    val dom = DataFrameDomain(
+      Seq("G" -> ColumnDescriptor.string(true), "X" -> ColumnDescriptor.long))
+    val m = Aggregations.createCountMeasurement(
+      dom, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+      PureDPBudget(ExactNum.PosInf), Some(keys))
+    val out = m(data).asInstanceOf[DataFrame].collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(out == Seq(("a", 2L), ("b", 1L)), s"got $out")
+  }
+
   test("tight CKS zCDP conversion dominates the classic bound and stays sound") {
     import graft.measurements.TightZcdp
     for (rho <- Seq(0.01, 0.1, 0.5, 2.0); delta <- Seq(1e-3, 1e-6, 1e-9)) {
