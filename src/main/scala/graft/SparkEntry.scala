@@ -841,8 +841,10 @@ object SparkEntry {
         |USING (l_returnflag, l_linestatus)""".stripMargin,
     "q_noisy_var" ->
       s"""SELECT ks.l_returnflag, ks.l_linestatus,
-        |  round(greatest(coalesce(c.sos, 0) / greatest(coalesce(c.count, 0), 1)
-        |    - pow(coalesce(c.sod, 0) / greatest(coalesce(c.count, 0), 1), 2), 0), 6) AS variance
+        |  CASE WHEN coalesce(c.count, 0) <= 1 THEN 'NaN'::DOUBLE
+        |    ELSE round(least(greatest(
+        |      (c.sos - c.sod * c.sod / c.count) / (c.count - 1), 0), 600.25), 6)
+        |  END AS variance
         |FROM $rfLsKeysSql
         |LEFT JOIN (SELECT l_returnflag, l_linestatus,
         |             sum(least(greatest(l_quantity - 25.5, -24.5), 24.5)) AS sod,
@@ -852,8 +854,10 @@ object SparkEntry {
         |USING (l_returnflag, l_linestatus)""".stripMargin,
     "q_noisy_stddev" ->
       s"""SELECT ks.l_returnflag, ks.l_linestatus,
-        |  round(sqrt(greatest(coalesce(c.sos, 0) / greatest(coalesce(c.count, 0), 1)
-        |    - pow(coalesce(c.sod, 0) / greatest(coalesce(c.count, 0), 1), 2), 0)), 6) AS stddev
+        |  CASE WHEN coalesce(c.count, 0) <= 1 THEN 'NaN'::DOUBLE
+        |    ELSE round(sqrt(least(greatest(
+        |      (c.sos - c.sod * c.sod / c.count) / (c.count - 1), 0), 600.25)), 6)
+        |  END AS stddev
         |FROM $rfLsKeysSql
         |LEFT JOIN (SELECT l_returnflag, l_linestatus,
         |             sum(least(greatest(l_quantity - 25.5, -24.5), 24.5)) AS sod,

@@ -306,14 +306,24 @@ object Aggregations {
       shiftedDomain, inputMetric, countKind, dIn, third, groupKeys,
       countColumn = "count")
     val composed = shifted | Composition(Seq(sodM, sosM, countM))
+    // Reference semantics (aggregations.py:1348-1386): SAMPLE variance
+    // (n−1 denominator), NaN when the noisy count ≤ 1 (sample variance of
+    // ≤ 1 points is undefined), clamped into [0, (upper−lower)²/4] (the
+    // largest variance attainable inside the clip bounds).
+    val clampHi = sqBound.toDouble
     PostProcess(
       composed,
       { case Seq(sodAny, sosAny, countAny) =>
         groupKeys match {
           case None =>
             val sod = toD(sodAny); val sos = toD(sosAny)
-            val n = math.max(toD(countAny), 1.0)
-            val v = math.max(sos / n - math.pow(sod / n, 2), 0.0)
+            val n = toD(countAny)
+            val v =
+              if (n <= 1.0) Double.NaN
+              else
+                math.min(
+                  math.max((sos - sod * sod / n) / (n - 1.0), 0.0),
+                  clampHi)
             if (stddev) math.sqrt(v) else v
           case Some(_) =>
             val sodDf = sodAny.asInstanceOf[DataFrame]
@@ -321,11 +331,14 @@ object Aggregations {
             val cntDf = countAny.asInstanceOf[DataFrame]
             val keyCols = cntDf.columns.filterNot(_ == "count").toSeq
             val joined = sodDf.join(sosDf, keyCols).join(cntDf, keyCols)
-            val n = greatest(col("count"), lit(1L))
-            val variance = greatest(
-              col("sos") / n - pow(col("sod") / n, 2),
-              lit(0.0)
-            )
+            val n = col("count").cast("double")
+            val sampleVar = least(
+              greatest(
+                (col("sos") - col("sod") * col("sod") / n) / (n - lit(1.0)),
+                lit(0.0)),
+              lit(clampHi))
+            val variance =
+              when(col("count") <= 1L, lit(Double.NaN)).otherwise(sampleVar)
             joined
               .withColumn(outputColumn, if (stddev) sqrt(variance) else variance)
               .drop("sod", "sos", "count")

@@ -164,6 +164,32 @@ class MeasurementsSpec extends SharedSpark {
     exact.foreach(v => assert(math.abs(v - 50.0) < 3.0, s"median=$v"))
   }
 
+  test("variance is the sample variance, NaN under 2 points, clamped to range²/4") {
+    import spark.implicits._
+    val data = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 7L)).toDF("G", "X")
+    val keys = Seq("a", "b", "c").toDF("G")
+    val dom = DataFrameDomain(
+      Seq("G" -> ColumnDescriptor.string(true), "X" -> ColumnDescriptor.long))
+    val m = Aggregations.createVarianceMeasurement(
+      dom, SymmetricDifference, NoiseKind.Laplace, NoiseKind.Geometric,
+      ExactNum(1), PureDPBudget(ExactNum.PosInf), "X",
+      graft.exact.Rational(0), graft.exact.Rational(40), Some(keys))
+    val out = m(data).asInstanceOf[DataFrame].collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    // sample variance of {10,20,30} = 100; "b" has 1 point, "c" none → NaN
+    assert(math.abs(out("a") - 100.0) < 1e-9, s"a=${out("a")}")
+    assert(out("b").isNaN && out("c").isNaN, s"$out")
+    // clamp: two points at the bounds give sample var (u−l)²/2 > (u−l)²/4
+    val extreme = Seq(("a", 0L), ("a", 40L)).toDF("G", "X")
+    val m2 = Aggregations.createVarianceMeasurement(
+      dom, SymmetricDifference, NoiseKind.Laplace, NoiseKind.Geometric,
+      ExactNum(1), PureDPBudget(ExactNum.PosInf), "X",
+      graft.exact.Rational(0), graft.exact.Rational(40),
+      Some(Seq("a").toDF("G")))
+    val v = m2(extreme).asInstanceOf[DataFrame].head().getDouble(1)
+    assert(v == 400.0, s"clamp failed: $v") // (40−0)²/4
+  }
+
   test("noisy grouped quantile stays in bounds and near the target") {
     import spark.implicits._
     val data = (0 until 3).flatMap(g => (1 to 99).map(v => (g.toLong, v.toDouble)))
