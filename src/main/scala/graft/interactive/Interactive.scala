@@ -218,6 +218,19 @@ final class PrivacyAccountant private (
 
   def transformInPlace(t: Transformation): Unit = {
     requireActive()
+    queueTransformation(t)
+  }
+
+  /** Queue a transformation to run when the accountant next touches its data
+    * (reference `:1700-1778`): allowed in any state except RETIRED — a
+    * WAITING accountant updates its visible (domain, metric, d_in)
+    * immediately and applies the data transformation lazily on activation.
+    * `transformInPlace` is the ACTIVE-only strict variant.
+    */
+  def queueTransformation(t: Transformation): Unit = {
+    if (state == Retired)
+      throw new IllegalStateException(
+        "cannot queue transformations on a RETIRED accountant")
     require(t.inputDomain == domain, "domain mismatch")
     require(t.inputMetric == metric, "metric mismatch")
     domain = t.outputDomain
@@ -225,11 +238,6 @@ final class PrivacyAccountant private (
     dIn = t.stabilityFunction(dIn)
     queuedTransformations.enqueue(t)
   }
-
-  /** Queue a transformation without changing the visible state until the next
-    * measure (reference `:1700`).
-    */
-  def queueTransformation(t: Transformation): Unit = transformInPlace(t)
 
   def measure(m: Measurement): Any = {
     requireActive()

@@ -274,7 +274,8 @@ object Aggregations {
 
   /** Noisy (grouped) variance / stddev via sum-of-deviations, sum of squared
     * deviations and count, a third of the budget each
-    * (reference `aggregations.py:1122-1735`). Population variance.
+    * (reference `aggregations.py:1122-1735`). Sample variance (n−1), NaN for
+    * noisy count ≤ 1, clamped into [0, (upper−lower)²/4].
     */
   def createVarianceMeasurement(
       inputDomain: DataFrameDomain,

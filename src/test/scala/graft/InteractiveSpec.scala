@@ -97,4 +97,36 @@ class InteractiveSpec extends SharedSpark {
     // parallel composition: only the max child spend is charged
     assert(acct.remainingBudget == PureDPBudget(ExactNum(2)))
   }
+
+  test("queueTransformation is allowed while WAITING; transformInPlace is not") {
+    val comp = SequentialComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum.PosInf))
+    val acct = PrivacyAccountant.launch(comp, data)
+    val partition = PartitionByKeys(
+      domain, SymmetricDifference, Seq("A"), Seq(Seq("a"), Seq("b")))
+    val kids = acct.split(partition)
+    assert(acct.currentState == AccountantState.WaitingForChildren)
+    // reference :1700-1778: queueing on a WAITING accountant updates the
+    // visible metadata immediately and applies the data lazily
+    val filter = Filter(domain, SymmetricDifference, "A = 'a'")
+    acct.queueTransformation(filter)
+    assert(acct.inputDomain == filter.outputDomain)
+    assertThrows[IllegalStateException](acct.transformInPlace(filter))
+    kids.foreach(_.retire())
+    assert(acct.currentState == AccountantState.Active)
+    // the queued filter applies before the next measurement: b drops to 0
+    val infCount = Aggregations.createCountMeasurement(
+      domain, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+      PureDPBudget(ExactNum.PosInf),
+      Some(df("A STRING", Seq(Row("a"), Row("b")))))
+    val counts = acct.measure(infCount)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("a" -> 2L, "b" -> 0L), s"got $counts")
+    // RETIRED accountants refuse queued transformations
+    acct.retire()
+    assertThrows[IllegalStateException](
+      acct.queueTransformation(Filter(domain, SymmetricDifference, "A = 'a'")))
+  }
 }
