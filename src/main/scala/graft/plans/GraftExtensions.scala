@@ -5,6 +5,8 @@ import graft.measurements._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -22,8 +24,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * so it participates in whole-stage codegen like any built-in.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dpNoise)
+    ext.injectFunction(GraftFunctions.dpCount)
+    ext.injectFunction(GraftFunctions.dpSum)
+  }
 }
 
 object GraftFunctions {
@@ -71,11 +76,92 @@ object GraftFunctions {
     }
   )
 
+  private def parseMechanism(
+      name: String,
+      mechExpr: Expression,
+      scaleExpr: Expression
+  ): NoiseMechanism = {
+    require(
+      mechExpr.foldable && scaleExpr.foldable,
+      s"$name mechanism and scale must be literals")
+    val mechName = String.valueOf(mechExpr.eval()).toLowerCase
+    val scale = scaleExpr.eval() match {
+      case d: java.lang.Double     => Rational.fromDouble(d)
+      case f: java.lang.Float      => Rational.fromDouble(f.toDouble)
+      case n: java.lang.Number     => Rational(n.longValue())
+      case d: java.math.BigDecimal => Rational.fromDouble(d.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => Rational.fromDouble(d.toDouble)
+      case other => throw new IllegalArgumentException(s"bad scale: $other")
+    }
+    mechName match {
+      case "geometric"         => GeometricMechanism(scale)
+      case "laplace"           => LaplaceMechanism(scale)
+      case "gaussian"          => GaussianMechanism(scale)
+      case "discrete_gaussian" => DiscreteGaussianMechanism(scale)
+      case other =>
+        throw new IllegalArgumentException(s"unknown mechanism: $other")
+    }
+  }
+
+  /** `dp_count(mechanism, scale)` — a noisy COUNT(*) aggregate: lowers to the
+    * built-in Count wrapped in [[AddNoise]], so `SELECT k, dp_count(
+    * 'geometric', 2.0) FROM t GROUP BY k` is a one-expression DP groupby.
+    */
+  val dpCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("dp_count"),
+    new ExpressionInfo(
+      classOf[AddNoise].getName,
+      null,
+      "dp_count",
+      "dp_count(mechanism, scale) - noisy COUNT(*)",
+      "dp_count('geometric', 2.0)"
+    ),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "dp_count(mechanism, scale) takes 2 arguments")
+      val Seq(mechExpr, scaleExpr) = children
+      val mechanism = parseMechanism("dp_count", mechExpr, scaleExpr)
+      require(mechanism.isDiscrete, "dp_count needs a discrete mechanism")
+      val agg = aggregate.Count(Seq(expressions.Literal(1)))
+        .toAggregateExpression()
+      AddNoise(Cast(agg, LongType), mechanism,
+        graft.random.RandomSource.secureSeed())
+    }
+  )
+
+  /** `dp_sum(value, lower, upper, mechanism, scale)` — a noisy clipped SUM:
+    * lowers to Sum(clip(value)) wrapped in [[AddNoise]].
+    */
+  val dpSum: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("dp_sum"),
+    new ExpressionInfo(
+      classOf[AddNoise].getName,
+      null,
+      "dp_sum",
+      "dp_sum(value, lower, upper, mechanism, scale) - noisy clipped SUM",
+      "dp_sum(x, 0.0, 50.0, 'laplace', 25.0)"
+    ),
+    (children: Seq[Expression]) => {
+      require(children.size == 5,
+        "dp_sum(value, lower, upper, mechanism, scale) takes 5 arguments")
+      val Seq(value, loE, hiE, mechExpr, scaleExpr) = children
+      require(loE.foldable && hiE.foldable, "dp_sum bounds must be literals")
+      val mechanism = parseMechanism("dp_sum", mechExpr, scaleExpr)
+      val carrier = if (mechanism.isDiscrete) LongType else DoubleType
+      val clipped = expressions.Least(Seq(
+        expressions.Greatest(Seq(Cast(value, carrier), Cast(loE, carrier))),
+        Cast(hiE, carrier)))
+      val agg = aggregate.Sum(clipped).toAggregateExpression()
+      AddNoise(Cast(agg, carrier), mechanism,
+        graft.random.RandomSource.secureSeed())
+    }
+  )
+
   /** Register into an existing session (the extensions class does this for
     * sessions built with `spark.sql.extensions`).
     */
   def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = dpNoise
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Seq(dpNoise, dpCount, dpSum).foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
   }
 }

@@ -30,6 +30,25 @@ class ExtensionsSpec extends SharedSpark {
     assert(math.abs(stats.getDouble(1) - expectedVar) / expectedVar < 0.1)
   }
 
+  test("dp_count and dp_sum are one-expression DP aggregates in SQL") {
+    GraftFunctions.register(spark)
+    val d = df("K STRING, n BIGINT",
+      Seq(Row("a", 10L), Row("a", 30L), Row("b", 100L)))
+    d.createOrReplaceTempView("ext_agg")
+    val rows = spark
+      .sql("""SELECT K, dp_count('geometric', 0.0) AS c,
+              dp_sum(n, 0, 20, 'geometric', 0.0) AS s
+              FROM ext_agg GROUP BY K""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // scale 0: exact counts and clipped sums (10+20 for a, 20 for b)
+    assert(rows == Set(("a", 2L, 30L), ("b", 1L, 20L)))
+    // continuous variant over doubles
+    val s = spark
+      .sql("SELECT dp_sum(n, 0.0, 20.0, 'laplace', 0.0) AS s FROM ext_agg")
+      .head().getDouble(0)
+    assert(s == 50.0)
+  }
+
   test("dp_noise rejects non-literal mechanism and bad arity") {
     GraftFunctions.register(spark)
     val d = df("K STRING, n BIGINT", Seq(Row("a", 10L)))
