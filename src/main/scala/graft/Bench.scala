@@ -80,7 +80,37 @@ object Bench {
         }
       }.toMap
     }
-    val all = results ++ sweepResults
+    // Reference quantile benchmark shape (benchmark/quantile.py, CI budget
+    // 84 min for its sweep): per-group noisy median over many small groups
+    // and few huge groups.
+    val quantileSweep: Map[String, Double] = {
+      import org.apache.spark.sql.functions.col
+      import graft.domains.{ColumnDescriptor, DataFrameDomain}
+      import graft.exact.{ExactNum, Rational}
+      import graft.measures.PureDPBudget
+      import graft.measurements.Aggregations
+      import graft.metrics.SymmetricDifference
+      Seq(("q_quantile_10000g", 10000, 10), ("q_quantile_10g", 10, 100000))
+        .map { case (name, groups, perGroup) =>
+          val t0 = System.nanoTime()
+          try {
+            val keys = spark.range(groups.toLong).select(col("id").as("A"))
+            val data = spark.range(groups.toLong * perGroup)
+              .select((col("id") % groups).as("A"), (col("id") % 97).cast("double").as("X"))
+            val dom = DataFrameDomain(
+              Seq("A" -> ColumnDescriptor.long, "X" -> ColumnDescriptor.double()))
+            val m = Aggregations.createQuantileMeasurement(
+              dom, SymmetricDifference, ExactNum(1), PureDPBudget(ExactNum(1)),
+              "X", 0.5, 0.0, 97.0, keys, "median")
+            m(data).asInstanceOf[org.apache.spark.sql.DataFrame].count()
+          } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          System.gc()
+          name -> dt
+        }.toMap
+    }
+    val all = results ++ sweepResults ++ quantileSweep
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
