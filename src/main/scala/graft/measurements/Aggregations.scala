@@ -348,6 +348,27 @@ object Aggregations {
     )
   }
 
+  /** Noisy standard deviation — the reference's separate factory
+    * (`aggregations.py:1552-1735`); same pipeline as variance with a final
+    * square root.
+    */
+  def createStandardDeviationMeasurement(
+      inputDomain: DataFrameDomain,
+      inputMetric: Metric,
+      kind: NoiseKind,
+      countKind: NoiseKind,
+      dIn: ExactNum,
+      budget: PrivacyBudget,
+      measureColumn: String,
+      lower: Rational,
+      upper: Rational,
+      groupKeys: Option[DataFrame] = None,
+      outputColumn: String = "stddev"
+  ): Measurement =
+    createVarianceMeasurement(
+      inputDomain, inputMetric, kind, countKind, dIn, budget, measureColumn,
+      lower, upper, groupKeys, outputColumn, stddev = true)
+
   /** Noisy per-group quantile (reference `aggregations.py:1736-1902`). */
   def createQuantileMeasurement(
       inputDomain: DataFrameDomain,

@@ -188,6 +188,15 @@ class MeasurementsSpec extends SharedSpark {
       Some(Seq("a").toDF("G")))
     val v = m2(extreme).asInstanceOf[DataFrame].head().getDouble(1)
     assert(v == 400.0, s"clamp failed: $v") // (40−0)²/4
+    // the dedicated stddev factory is sqrt of the same pipeline
+    val m3 = Aggregations.createStandardDeviationMeasurement(
+      dom, SymmetricDifference, NoiseKind.Laplace, NoiseKind.Geometric,
+      ExactNum(1), PureDPBudget(ExactNum.PosInf), "X",
+      graft.exact.Rational(0), graft.exact.Rational(40), Some(keys))
+    val sd = m3(data).asInstanceOf[DataFrame].collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(sd("a") - 10.0) < 1e-9, s"stddev=${sd("a")}")
+    assert(sd("b").isNaN && sd("c").isNaN)
   }
 
   test("noisy grouped quantile stays in bounds and near the target") {
