@@ -190,17 +190,28 @@ object Samplers {
     r
   }
 
-  /** Continuous Laplace(b) by inverse CDF. Double-precision: documented
-    * deviation from the reference's MPFR/Arb interval sampling
-    * (`random/laplace.py:12-49`); the discrete mechanisms above are the
-    * guarantee-critical exact path.
+  /** Continuous Laplace(b): exactly-rounded interval inverse-CDF sampling
+    * (Precise.laplace), matching the reference's MPFR/Arb path
+    * (`random/laplace.py:12-49`) — every representable double reachable, no
+    * double-granularity gaps near 0.
     */
-  def laplace(scale: Double, rng: RandomSource): Double = {
+  def laplace(scale: Double, rng: RandomSource): Double =
+    if (scale == 0.0) 0.0 else Precise.laplace(scale, rng)
+
+  /** Continuous Gaussian N(0, σ²), exactly-rounded interval inverse-CDF
+    * (`random/continuous_gaussian.py:13-76`).
+    */
+  def gaussian(sigma: Double, rng: RandomSource): Double =
+    if (sigma == 0.0) 0.0 else Precise.gaussian(sigma * sigma, rng)
+
+  /** Double-precision fast variants, NOT reference-parity: granularity
+    * ~2^-52·scale near 0. Kept for non-guarantee uses (simulation harnesses).
+    */
+  def laplaceFast(scale: Double, rng: RandomSource): Double = {
     val u = rng.nextDouble() - 0.5
     -scale * math.signum(u) * math.log1p(-2.0 * math.abs(u))
   }
 
-  /** Continuous Gaussian N(0, σ²). */
-  def gaussian(sigma: Double, rng: RandomSource): Double =
+  def gaussianFast(sigma: Double, rng: RandomSource): Double =
     sigma * rng.nextGaussianStd()
 }

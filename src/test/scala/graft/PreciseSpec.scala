@@ -1,0 +1,149 @@
+package graft
+
+import java.math.{BigDecimal => JBD}
+
+import graft.random.{Iv, IvMath, Precise, RandomSource, SplitMix}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rigor tests for the exactly-rounded interval samplers (reference
+  * `random/laplace.py`, `random/continuous_gaussian.py`, `utils/arb.py`):
+  * point-transcendental accuracy against published constants, deterministic
+  * correct-rounding with scripted uniform bits (including the near-zero
+  * granularity case a double-precision inverse CDF cannot produce), and
+  * moment sanity.
+  */
+class PreciseSpec extends AnyFunSuite {
+
+  /** RandomSource whose nextLong() plays a script (top bit cleared by the
+    * sampler's >>> 1, so script values are the 63-bit payloads shifted left).
+    */
+  private final class Scripted(payloads63: Seq[Long]) extends RandomSource {
+    private var i = 0
+    def nextLong(): Long = {
+      val v = if (i < payloads63.length) payloads63(i) else 0L
+      i += 1
+      v << 1 // sampler does >>> 1
+    }
+    def nextDouble(): Double = fail("not used")
+    def nextGaussianStd(): Double = fail("not used")
+  }
+
+  private def assertDigits(v: JBD, expected: String, tolExp: Int): Unit = {
+    val diff = v.subtract(new JBD(expected)).abs()
+    assert(diff.compareTo(new JBD(s"1E-$tolExp")) < 0, s"got $v want $expected")
+  }
+
+  test("lnPoint matches published digits") {
+    assertDigits(IvMath.lnPoint(new JBD(2), 40), "0.6931471805599453094172321214581765680755", 35)
+    assertDigits(IvMath.lnPoint(new JBD("0.1"), 40), "-2.302585092994045684017991454684364207601", 34)
+    // tiny argument: ln(1e-300) = -300·ln(10)
+    assertDigits(IvMath.lnPoint(new JBD("1E-300"), 40), "-690.7755278982137052053974364053092622804", 31)
+    // near-1 argument keeps full relative accuracy: ln(1+2^-80)
+    val x = JBD.ONE.add(new JBD(math.pow(2, -80)))
+    val got = IvMath.lnPoint(x, 40)
+    // ln(1+e) = e - e^2/2 + ...; e = 2^-80 ≈ 8.2718e-25
+    val expectedLead = new JBD(math.pow(2, -80))
+    val relErr = got.subtract(expectedLead).abs().divide(expectedLead, new java.math.MathContext(10))
+    assert(relErr.doubleValue() < 1e-24, s"relErr=$relErr")
+  }
+
+  test("expPoint and erfPoint match published digits") {
+    assertDigits(IvMath.expPoint(JBD.ONE, 40), "2.718281828459045235360287471352662497757", 35)
+    assertDigits(IvMath.expPoint(new JBD(-10), 40), "0.00004539992976248485153559151556055061023791", 40)
+    assertDigits(IvMath.erfPoint(JBD.ONE, 40), "0.8427007929497148693412206350826092592961", 36)
+    assertDigits(IvMath.erfPoint(new JBD("0.5"), 40), "0.5204998778130465376827466538919645287365", 36)
+    assertDigits(IvMath.erfPoint(new JBD(3), 40), "0.9999779095030014145586272238704176796202", 36)
+    assertDigits(IvMath.erfPoint(new JBD(-1), 40), "-0.8427007929497148693412206350826092592961", 36)
+  }
+
+  test("erfinvPoint inverts erf with a honored error bound") {
+    for (y <- Seq("0.5", "0.9", "-0.3", "0.999999", "0.99999999999999999999")) {
+      val (z, bound) = IvMath.erfinvPoint(new JBD(y), 30)
+      val back = IvMath.erfPoint(z, 45)
+      val resid = back.subtract(new JBD(y)).abs()
+      // residual consistent with the claimed bound via the derivative at z
+      val zd = z.doubleValue()
+      val deriv = 2.0 / math.sqrt(math.Pi) * math.exp(-zd * zd)
+      assert(resid.doubleValue() <= bound.doubleValue() * deriv * 1.01 + 1e-40,
+        s"y=$y resid=$resid bound=$bound")
+      assert(bound.doubleValue() < 1e-25, s"bound too wide for y=$y: $bound")
+    }
+    // known value: erfinv(0.5) = 0.4769362762044698733814...
+    val (z, _) = IvMath.erfinvPoint(new JBD("0.5"), 35)
+    assertDigits(z, "0.4769362762044698733814183536431714177847", 30)
+  }
+
+  test("scripted Laplace sample near zero is exactly rounded (gap-free)") {
+    // p = [1/2 + 2^-126, 1/2 + 2^-126 + 2^-189]: first two rounds cannot
+    // certify, third does. True value -ln(1-2·2^-126) = 2^-125 + O(2^-251),
+    // whose nearest double is exactly 2^-125 — unreachable for the legacy
+    // double sampler (its smallest positive output is ~2^-52·b).
+    val src = new Scripted(Seq(1L << 62, 1L, 0L))
+    val x = Precise.laplace(1.0, src)
+    assert(x == math.pow(2, -125), s"got $x")
+  }
+
+  test("scripted Laplace typical value is exactly rounded") {
+    // single round: p = [v/2^63, (v+1)/2^63] with v = 3·2^61 → p ≈ 3/4,
+    // x* = -ln(1 - 2·1/4) = -ln(1/2) = ln 2
+    val src = new Scripted(Seq(3L << 61))
+    val x = Precise.laplace(1.0, src)
+    assert(math.abs(x - 0.6931471805599453) < 1e-15, s"got $x")
+  }
+
+  test("scripted Gaussian matches the published 75th-percentile quantile") {
+    // p ≈ 3/4 → z = Φ^{-1}(0.75) = 0.674489750196081743202227014...
+    val src = new Scripted(Seq(3L << 61))
+    val x = Precise.gaussian(1.0, src)
+    assert(math.abs(x - 0.6744897501960817) < 2e-16, s"got $x")
+  }
+
+  test("scripted uniform midpoint") {
+    val src = new Scripted(Seq(1L << 62))
+    val x = Precise.uniform(-3.0, 5.0, src)
+    assert(math.abs(x - 1.0) < 1e-15, s"got $x")
+  }
+
+  test("gaussian tail sample certifies (p extremely close to 1)") {
+    // 63 one-bits: p = [1 - 2^-63, 1): first round cannot certify (erfinv
+    // upper endpoint is the +inf sentinel); later rounds pin the tail.
+    val src = new Scripted(Seq((1L << 63) - 1, 3L << 61, 0L, 0L, 0L))
+    val x = Precise.gaussian(1.0, src)
+    assert(x > 8.5 && x < 10.0, s"got $x") // Φ^{-1}(1-2^-65) ≈ 9.16
+  }
+
+  test("moments: Laplace and Gaussian at modest N") {
+    val r = new SplitMix(0xBEEF)
+    val n = 20000
+    val b = 2.5
+    var sum = 0.0; var sumSq = 0.0
+    var i = 0
+    while (i < n) { val x = Precise.laplace(b, r); sum += x; sumSq += x * x; i += 1 }
+    val mean = sum / n
+    val varL = sumSq / n - mean * mean
+    assert(math.abs(mean) < 0.12, s"laplace mean=$mean")
+    assert(math.abs(varL - 2 * b * b) / (2 * b * b) < 0.1, s"laplace var=$varL")
+
+    var gs = 0.0; var gss = 0.0
+    i = 0
+    while (i < n) { val x = Precise.gaussian(2.25, r); gs += x; gss += x * x; i += 1 }
+    val gMean = gs / n
+    val gVar = gss / n - gMean * gMean
+    assert(math.abs(gMean) < 0.08, s"gaussian mean=$gMean")
+    assert(math.abs(gVar - 2.25) / 2.25 < 0.1, s"gaussian var=$gVar")
+  }
+
+  test("throughput smoke: samples per second") {
+    val r = new SplitMix(42)
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 2000) { Precise.laplace(1.0, r); i += 1 }
+    val lapUs = (System.nanoTime() - t0) / 2000 / 1000.0
+    i = 0
+    val t1 = System.nanoTime()
+    while (i < 2000) { Precise.gaussian(1.0, r); i += 1 }
+    val gausUs = (System.nanoTime() - t1) / 2000 / 1000.0
+    info(s"laplace ${lapUs}us/sample, gaussian ${gausUs}us/sample")
+    assert(lapUs < 500 && gausUs < 2000, s"laplace=$lapUs gaussian=$gausUs")
+  }
+}
