@@ -615,8 +615,18 @@ object SparkEntry {
         .select("left_id", "right_id")
     },
     "q_cosine_dup" -> { (s, dir) =>
+      // plant exactly-collinear duplicates (×2-scaled vectors, cosine = 1,
+      // same LSH bucket in every band by construction) so the DuckDB exact
+      // all-pairs oracle and the LSH output provably coincide: natural max
+      // cosine in the fixture is ~0.49 << 0.95
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e
+        .filter(col("vec_id") % 40 === 0)
+        .select(
+          (col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       graft.ops.Similarity.cosineDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 0.95)
+        e.unionByName(planted), "vec_id", "embedding", 0.95)
         .select("left_id", "right_id")
     },
     "q_lsh_topk" -> { (s, dir) =>
@@ -949,6 +959,16 @@ object SparkEntry {
       """SELECT doc_id AS asset_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents WHERE octet_length(encode(text)) >= 12""".stripMargin,
+    "q_cosine_dup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, x -> x * 2) AS embedding
+        |  FROM base WHERE vec_id % 40 = 0),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id AS left_id, b.vec_id AS right_id
+        |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 5)

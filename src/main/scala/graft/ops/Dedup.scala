@@ -144,13 +144,12 @@ object Dedup {
 
     // 4. candidates within buckets: ONE aggregation collects each bucket's
     // members, then pairs are exploded in place — replaces a window count
-    // (shuffle) + two-sided self-join (two shuffles) + distinct. The size
-    // filter both skips singleton buckets and caps pathological ones, so no
-    // task ever materializes more than C(maxBucketSize, 2) pairs.
+    // (shuffle) + two-sided self-join (two shuffles) + distinct. Oversized
+    // buckets are removed BEFORE the array aggregation (boundedBuckets), so
+    // no task ever materializes more than maxBucketSize elements or
+    // C(maxBucketSize, 2) pairs.
     val candidates = pairsFromBuckets(
-      banded.groupBy(col("__band"), col("__bh"))
-        .agg(sort_array(collect_list(col("__id"))).as("__ids"))
-        .filter(size(col("__ids")).between(2, maxBucketSize)),
+      boundedBuckets(banded, Seq("__band", "__bh"), col("__id"), maxBucketSize),
       "__ids"
     ).distinct()
 
@@ -177,12 +176,49 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** Bucket membership arrays, computed skew-proof: bucket cardinalities are
+    * counted first (a map-side-combinable count, no arrays), keys over `cap`
+    * are removed with a broadcast anti-join, and only then are member arrays
+    * collected. A post-aggregation size filter would OOM materializing the
+    * very array it is about to drop (one degenerate key — e.g. every empty
+    * document hashing to the same signature — puts the whole corpus into a
+    * single aggregation buffer); counting first bounds every task at `cap`
+    * members. The dropped keys are observable via [[oversizedBucketKeys]].
+    */
+  private[ops] def boundedBuckets(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      value: Column,
+      cap: Int
+  ): DataFrame = {
+    val keys = keyCols.map(col)
+    rows
+      .join(broadcast(oversizedBucketKeys(rows, keyCols, cap).select(keys: _*)),
+        keyCols, "left_anti")
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(value)).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+  }
+
+  /** The bucket keys (with sizes) that [[boundedBuckets]] drops — count this
+    * to monitor recall loss from the cap on skewed corpora.
+    */
+  private[ops] def oversizedBucketKeys(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      cap: Int
+  ): DataFrame =
+    rows
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > cap)
+
   /** All ordered pairs (arr(i), arr(j)), i < j, from a sorted-array column —
     * two chained generators (posexplode + explode over a slice), fully
     * codegen'd, no typed serialization and no self-join. Because the array
     * is sorted and its elements distinct, left < right holds by construction.
     */
-  private def pairsFromBuckets(buckets: DataFrame, arrCol: String): DataFrame =
+  private[ops] def pairsFromBuckets(buckets: DataFrame, arrCol: String): DataFrame =
     buckets
       .select(posexplode(col(arrCol)).as(Seq("__i", "left_id")), col(arrCol))
       .select(
@@ -385,7 +421,55 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDistance: Int = 3
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    // buckets over the cap are removed before any array materializes (the
+    // degenerate case is real: every empty/whitespace doc has simhash 0, so
+    // a web corpus puts millions of rows into one (block, 0) bucket);
+    // monitor the loss with simHashDroppedBuckets
+    val buckets = boundedBuckets(
+      simHashBanded(df, idCol, textCol, maxDistance),
+      Seq("__blk", "__bv"),
+      struct(col("__id"), col("simhash")),
+      maxBucketSize
+    )
+    // in-place pair explosion (sorted by id, so left < right by
+    // construction) — replaces the two-sided self-join; same candidate set
+    buckets
+      .select(posexplode(col("__ids")).as(Seq("__i", "__l")), col("__ids"))
+      .select(
+        col("__l"),
+        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids")))).as("__r"))
+      .select(col("__l.__id").as("left_id"), col("__r.__id").as("right_id"),
+        bit_count(col("__l.simhash").bitwiseXOR(col("__r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  /** The (block, value) buckets simHashPairs drops under its cap, with their
+    * sizes — count/inspect to see what the cap costs on a given corpus.
+    */
+  def simHashDroppedBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 1000
+  ): DataFrame =
+    oversizedBucketKeys(
+      simHashBanded(df, idCol, textCol, maxDistance),
+      Seq("__blk", "__bv"),
+      maxBucketSize)
+
+  /** Block-LSH rows (id, simhash, block index, block value) shared by
+    * simHashPairs and simHashDroppedBuckets.
+    */
+  private def simHashBanded(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int
   ): DataFrame = {
     require(
       maxDistance >= 0 && maxDistance <= 15,
@@ -404,25 +488,9 @@ object Dedup {
         (shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))).as("bv")
       )
     }
-    val banded = sigs
+    sigs
       .select(col("__id"), col("simhash"), explode(array(blocks: _*)).as("b"))
       .select(col("__id"), col("simhash"), col("b.blk").as("__blk"), col("b.bv").as("__bv"))
-    // one aggregation per block bucket + in-place pair explosion (sorted by
-    // id, so left < right by construction) — replaces the two-sided
-    // self-join; same candidate set
-    val buckets = banded
-      .groupBy(col("__blk"), col("__bv"))
-      .agg(sort_array(collect_list(struct(col("__id"), col("simhash")))).as("__xs"))
-      .filter(size(col("__xs")) >= 2)
-    buckets
-      .select(posexplode(col("__xs")).as(Seq("__i", "__l")), col("__xs"))
-      .select(
-        col("__l"),
-        explode(slice(col("__xs"), col("__i") + lit(2), size(col("__xs")))).as("__r"))
-      .select(col("__l.__id").as("left_id"), col("__r.__id").as("right_id"),
-        bit_count(col("__l.simhash").bitwiseXOR(col("__r.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDistance)
   }
 
   /** Exact n-gram Jaccard pairs: candidates share at least one k-shingle

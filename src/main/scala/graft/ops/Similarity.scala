@@ -72,13 +72,20 @@ object Similarity {
   /** LSH bucket signature: sign pattern of `numPlanes` pseudo-random
     * hyperplane projections, packed into a long.
     */
-  def lshSignature(vecCol: Column, numPlanes: Int): Column = {
+  def lshSignature(vecCol: Column, numPlanes: Int): Column =
+    lshSignatureFrom(vecCol, 0, numPlanes)
+
+  /** Signature over the plane family [firstPlane, firstPlane + numPlanes) —
+    * disjoint offsets give independent hash bands.
+    */
+  def lshSignatureFrom(vecCol: Column, firstPlane: Int, numPlanes: Int): Column = {
+    require(numPlanes > 0 && numPlanes <= 63, "numPlanes must be in [1, 63]")
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
         zip_with(
           vecCol.cast("array<double>"),
           sequence(lit(0), size(vecCol) - 1),
-          (x, i) => x * planeSign(p, i)
+          (x, i) => x * planeSign(firstPlane + p, i)
         ),
         lit(0.0d),
         (acc, x) => acc + x
@@ -292,8 +299,23 @@ object Similarity {
       .drop("__rk")
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates via LSH
-    * buckets (all-pairs within bucket), verified exactly.
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, verified exactly.
+    *
+    * Candidates come from `bands` independent random-hyperplane signature
+    * families (union of bands — multi-band recall like MinHash banding,
+    * `bands` = 2 already makes the miss probability per near-dup pair the
+    * square of a single band's). Exactly-collinear duplicates share every
+    * signature, so they are found with probability 1.
+    *
+    * Scale path: a bucket over `maxBucketSize` is first SPLIT by
+    * `splitPlanes` additional hyperplanes (near-identical vectors keep
+    * colliding — a split never separates collinear dups); only sub-buckets
+    * still over the cap — an irreducible set of (near-)identical vectors
+    * whose true pair set is itself quadratic — are dropped, observable via
+    * [[cosineDupDroppedBuckets]]. Bucket arrays are collected only after the
+    * oversize keys are anti-joined out (Dedup.boundedBuckets), so no task
+    * materializes an unbounded aggregation buffer, and pairs explode
+    * in place (Dedup.pairsFromBuckets) — no self-join.
     */
   def cosineDupPairs(
       df: DataFrame,
@@ -301,30 +323,84 @@ object Similarity {
       vecCol: String,
       threshold: Double = 0.95,
       numPlanes: Int = 12,
+      bands: Int = 2,
+      splitPlanes: Int = 10,
       maxBucketSize: Int = 10000
   ): DataFrame = {
-    val sigs = df.select(
-      col(idCol).as("__id"),
-      col(vecCol).as("__v"),
-      lshSignature(col(vecCol), numPlanes).as("__bucket")
-    )
-    val bounded = sigs
-      .withColumn(
-        "__bs",
-        count(lit(1)).over(Window.partitionBy(col("__bucket")))
-      )
-      .filter(col("__bs") <= maxBucketSize)
-      .drop("__bs")
-    val l = bounded.select(col("__bucket"), col("__id").as("left_id"), col("__v").as("__vl"))
-    val r = bounded.select(col("__bucket"), col("__id").as("right_id"), col("__v").as("__vr"))
-    l.join(r, "__bucket")
-      .filter(col("left_id") < col("right_id"))
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val routed = routedBuckets(base, numPlanes, bands, splitPlanes, maxBucketSize)
+    val candidates = Dedup
+      .pairsFromBuckets(
+        Dedup.boundedBuckets(routed, Seq("__band", "__bkt"), col("__id"), maxBucketSize),
+        "__ids")
+      .distinct()
+    candidates
+      .join(base.select(col("__id").as("left_id"), col("__v").as("__vl")), "left_id")
+      .join(base.select(col("__id").as("right_id"), col("__v").as("__vr")), "right_id")
       .withColumn(
         "cosine",
         cosine(col("__vl").cast("array<double>"), col("__vr").cast("array<double>"))
       )
       .filter(col("cosine") >= threshold)
       .select(col("left_id"), col("right_id"), col("cosine"))
-      .distinct()
+  }
+
+  /** The (band, bucket) keys cosineDupPairs drops even after splitting, with
+    * sizes — each is a set of ≥ maxBucketSize near-identical vectors.
+    */
+  def cosineDupDroppedBuckets(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int = 12,
+      bands: Int = 2,
+      splitPlanes: Int = 10,
+      maxBucketSize: Int = 10000
+  ): DataFrame =
+    Dedup.oversizedBucketKeys(
+      routedBuckets(
+        df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+        numPlanes, bands, splitPlanes, maxBucketSize),
+      Seq("__band", "__bkt"),
+      maxBucketSize)
+
+  /** Per-band bucket assignment with oversize splitting: rows carry a short
+    * signature and a longer one; keys whose short-signature bucket exceeds
+    * the cap (found by a count-only aggregation, broadcast back) switch to
+    * the long signature.
+    */
+  private def routedBuckets(
+      base: DataFrame,
+      numPlanes: Int,
+      bands: Int,
+      splitPlanes: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
+    require(bands >= 1, "bands must be >= 1")
+    val sigs = (0 until bands)
+      .map { b =>
+        // disjoint plane families per band and for the split refinement
+        val off = b * (numPlanes + splitPlanes)
+        base.select(
+          col("__id"),
+          lit(b).as("__band"),
+          lshSignatureFrom(col("__v"), off, numPlanes).as("__s"),
+          lshSignatureFrom(col("__v"), off + numPlanes, splitPlanes).as("__x"))
+      }
+      .reduce(_ unionByName _)
+    val over = sigs
+      .groupBy(col("__band"), col("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("__band"), col("__s"), lit(true).as("__over"))
+    sigs
+      .join(broadcast(over), Seq("__band", "__s"), "left")
+      .select(
+        col("__id"),
+        col("__band"),
+        when(col("__over").isNotNull,
+          concat_ws(":", col("__s"), col("__x")))
+          .otherwise(col("__s").cast("string"))
+          .as("__bkt"))
   }
 }

@@ -218,13 +218,16 @@ final case class AddUniqueColumn(
   def applyDf(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     val w = Window.partitionBy(cols.map(col): _*).orderBy(lit(1))
+    // to_json over a struct is injective for a fixed schema (JSON escaping),
+    // unlike concat_ws whose separator can be forged by field contents
     df.withColumn(
       column,
       sha2(
-        concat_ws(
-          " ",
-          (cols.map(c => col(c).cast("string")) :+
-            row_number().over(w).cast("string")): _*
+        to_json(
+          struct(
+            (cols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"c$i") } :+
+              row_number().over(w).cast("string").as("rn")): _*
+          )
         ),
         256
       )

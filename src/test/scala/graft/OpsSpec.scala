@@ -208,6 +208,54 @@ class OpsSpec extends SharedSpark {
     assert(found == Set((0L, 1L)))
   }
 
+  test("cosineDupPairs splits oversize buckets instead of dropping them") {
+    // 120 random-ish 4-d vectors + 10 planted collinear dups; numPlanes = 1
+    // forces at most two primary buckets per band, far over the cap of 12,
+    // so every pair found proves the split path (a dropping implementation
+    // would return nothing from the over-cap buckets)
+    val rnd = new scala.util.Random(7)
+    val naturals = (0 until 120).map { i =>
+      Row(i.toLong, Seq.fill(4)(rnd.nextGaussian().toFloat))
+    }
+    val planted = (0 until 10).map { i =>
+      val base = naturals(i * 7).getSeq[Float](1)
+      Row(1000L + i * 7, base.map(x => x * 2.0f))
+    }
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>", naturals ++ planted)
+    val out = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.999,
+      numPlanes = 1, bands = 2, splitPlanes = 10, maxBucketSize = 12)
+    val found = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { i =>
+      assert(found.contains((i * 7L, 1000L + i * 7)), s"missing planted pair $i")
+    }
+  }
+
+  test("cosineDupPairs drops only irreducible near-identical sets, observably") {
+    // 60 copies of one direction: splitting cannot separate them (collinear
+    // vectors share every signature), so the bucket is dropped and reported
+    val copies = (0 until 60).map(i => Row(i.toLong, Seq(1.0f, 1.0f, (i % 3).toFloat * 1e-7f)))
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>", copies)
+    val out = Similarity.cosineDupPairs(vecs, "vec_id", "embedding", 0.99,
+      numPlanes = 4, maxBucketSize = 10)
+    assert(out.count() == 0)
+    val dropped = Similarity.cosineDupDroppedBuckets(vecs, "vec_id", "embedding",
+      numPlanes = 4, maxBucketSize = 10)
+    assert(dropped.count() > 0)
+  }
+
+  test("simHashPairs survives degenerate skew (identical docs) under the cap") {
+    // 5000 identical docs: one bucket per block holds the whole corpus; the
+    // cap removes them before any aggregation buffer materializes, so this
+    // completes without the quadratic 12.5M-pair explosion
+    val many = (0 until 5000).map(i => Row(i.toLong, "same text for every single document"))
+    val d = df("doc_id BIGINT, text STRING", many)
+    val out = Dedup.simHashPairs(d, "doc_id", "text", maxDistance = 3, maxBucketSize = 100)
+    assert(out.count() == 0)
+    val dropped = Dedup.simHashDroppedBuckets(d, "doc_id", "text",
+      maxDistance = 3, maxBucketSize = 100)
+    assert(dropped.agg(max(col("bucket_size"))).head().getLong(0) == 5000L)
+  }
+
   test("text analysis columns") {
     val d = df("doc_id BIGINT, text STRING",
       Seq(Row(1L, "Hello   world  foo"), Row(2L, "")))
