@@ -110,7 +110,44 @@ object Bench {
           name -> dt
         }.toMap
     }
-    val all = results ++ sweepResults ++ quantileSweep
+    // Private-join truncation under key skew (reference envelope
+    // benchmark/private_join.py): 6.4M rows over 640k join keys, uniform
+    // vs power-law (one key owning 10% of all rows). The two-phase salted
+    // truncation must keep the skewed run within ~2× of the uniform one.
+    val pjoinSweep: Map[String, Double] = {
+      import org.apache.spark.sql.functions.{col, when}
+      import graft.domains.{ColumnDescriptor, DataFrameDomain}
+      import graft.transformations.{PrivateJoin, TruncationStrategy}
+      Seq(("q_pjoin_uniform", false), ("q_pjoin_skew", true)).map {
+        case (name, skew) =>
+          val t0 = System.nanoTime()
+          try {
+            val groups = 640000L
+            val key =
+              if (skew) when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
+              else col("id") % groups
+            val left = spark.range(groups * 10)
+              .select(key.as("K"), (col("id") % 97).as("V"))
+            val right = spark.range(groups)
+              .select(col("id").as("K"), (col("id") % 7).as("W"))
+            val domL = DataFrameDomain(
+              Seq("K" -> ColumnDescriptor.long, "V" -> ColumnDescriptor.long))
+            val domR = DataFrameDomain(
+              Seq("K" -> ColumnDescriptor.long, "W" -> ColumnDescriptor.long))
+            val pj = PrivateJoin(
+              domL, domR, on = Seq("K"),
+              leftStrategy = TruncationStrategy.Truncate, leftThreshold = 5,
+              rightStrategy = TruncationStrategy.Truncate, rightThreshold = 5)
+            pj(Map("left" -> left, "right" -> right))
+              .asInstanceOf[org.apache.spark.sql.DataFrame].count()
+          } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          System.gc()
+          name -> dt
+      }.toMap
+    }
+    val all = results ++ sweepResults ++ quantileSweep ++ pjoinSweep
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

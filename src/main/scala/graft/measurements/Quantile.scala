@@ -7,6 +7,7 @@ import graft.measures._
 import graft.metrics._
 import graft.random.{RandomSource, SplitMix}
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exponential-mechanism quantile (Smith 2011; reference
@@ -302,10 +303,28 @@ final case class NoisyQuantileSketch(
   }
 }
 
-/** Per-group noisy quantile over a GroupedDataFrame: one `flatMapGroups`
-  * pass (sorted within each group in memory), group-complete via null-safe
-  * left join against the public key table — no pandas/Arrow boundary
-  * (reference `spark_measurements.py:248-364` + `dataframe.py`).
+/** Per-group noisy quantile over a GroupedDataFrame, group-complete via
+  * null-safe left join against the public key table — no pandas/Arrow
+  * boundary (reference `spark_measurements.py:248-364` + `dataframe.py`).
+  *
+  * Scale design: no per-group materialization anywhere. A window count
+  * supplies n per group (one hash-partitioning shuffle, spill-backed), a
+  * partition-local sort orders each group's values (Spark's external sorter
+  * spills), and the exponential mechanism over gap intervals runs as a
+  * SINGLE STREAMING PASS per group using the Gumbel-argmax identity:
+  * P(argmax_i(ln w_i + G_i) = i) = w_i / Σw for i.i.d. standard Gumbel G_i,
+  * so tracking the running argmax (and its interval bounds) samples the EM
+  * exactly in O(1) memory. A 100M-row group costs a sort, not a task OOM.
+  *
+  * Note on the obvious alternative — routing big groups to
+  * [[NoisyQuantileSketch]] at runtime: a group's size is private data, so
+  * picking a DIFFERENT mechanism above a row-count threshold is
+  * data-dependent mechanism selection. A neighboring dataset can flip a
+  * group across the threshold, and the gap-EM's output density (spiky at
+  * data clusters) is not within e^ε of the histogram EM's (uniform within a
+  * fixed bin) — the privacy ratio is unbounded. Hence one mechanism for all
+  * sizes, made scale-safe, and the sketch stays a caller-level (public,
+  * data-independent) choice.
   */
 final case class NoisyQuantileGrouped(
     inputDomain: GroupedDataFrameDomain,
@@ -327,8 +346,6 @@ final case class NoisyQuantileGrouped(
     val g = data.asInstanceOf[graft.transformations.GroupedDataFrame]
     val keyCols = g.groupColumns
     val df = g.df
-    val mIdx = df.schema.fieldIndex(measureColumn)
-    val keyIdxs = keyCols.map(df.schema.fieldIndex)
     val outSchema = org.apache.spark.sql.types.StructType(
       keyCols.map(c => df.schema(c)) :+
         org.apache.spark.sql.types
@@ -337,28 +354,90 @@ final case class NoisyQuantileGrouped(
     val enc = Encoders.row(outSchema)
     val (q, lo, hi, eps) = (quantile, lower, upper, epsilon)
     val seed = RandomSource.secureSeed()
-    val perGroup = df
-      .groupByKey(r => graft.transformations.GroupKeys.encode(r, keyIdxs))(
-        Encoders.STRING)
-      .flatMapGroups { (encKey, rows) =>
-        val it = rows.buffered
-        val first = it.head
-        val keyVals = keyIdxs.map(first.get)
-        val vals = it.map { r =>
-          if (r.isNullAt(mIdx)) Double.NaN
-          else
-            r.get(mIdx) match {
-              case d: Double => d
-              case f: Float  => f.toDouble
-              case l: Long   => l.toDouble
-              case i: Int    => i.toDouble
-              case other     => other.toString.toDouble
-            }
-        }.filterNot(_.isNaN).toSeq
-        val rng = new SplitMix(RandomSource.groupSeed(seed, encKey))
-        val result = NoisyQuantileCore.compute(vals, q, lo, hi, eps, rng)
-        Iterator.single(Row.fromSeq(keyVals :+ result))
-      }(enc)
+    // layout after select: keys (0..k-1), __v (k), __n (k+1); NaN/null rows
+    // are excluded before the window count so n matches the value stream
+    val valCol = col(measureColumn).cast("double")
+    val prepared = df
+      .filter(valCol.isNotNull && !isnan(valCol))
+      .select(
+        (keyCols.map(col) :+
+          least(greatest(valCol, lit(lo)), lit(hi)).as("__v")): _*)
+      .withColumn(
+        "__n",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .sortWithinPartitions((keyCols.map(col) :+ col("__v")): _*)
+    val keyIdxs = keyCols.indices.toSeq
+    val vIdx = keyCols.size
+    val nIdx = keyCols.size + 1
+    val perGroup = prepared.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Row = {
+          val first = buf.head
+          val encKey =
+            graft.transformations.GroupKeys.encode(first, keyIdxs)
+          val keyVals = keyIdxs.map(first.get)
+          val n = first.getLong(nIdx)
+          val rng = new SplitMix(RandomSource.groupSeed(seed, encKey))
+          val result = eps match {
+            case None =>
+              // noise-free interpolated quantile, streaming over the sorted
+              // run: capture the values at ranks floor(pos) and floor(pos)+1
+              val pos = q * (n - 1)
+              val i = pos.toInt
+              val frac = pos - i
+              var idx = 0L
+              var vi = 0.0
+              var vi1 = 0.0
+              var last = 0.0
+              while (buf.hasNext &&
+                graft.transformations.GroupKeys.encode(buf.head, keyIdxs) == encKey) {
+                val v = buf.next().getDouble(vIdx)
+                if (idx == i) vi = v
+                if (idx == i + 1) vi1 = v
+                last = v
+                idx += 1
+              }
+              if (n == 0) (lo + hi) / 2
+              else if (i + 1 < n) vi * (1 - frac) + vi1 * frac
+              else last
+            case Some(e) =>
+              // streaming exponential mechanism over gap intervals: for gap
+              // k with length len, ln-weight = ln(len) − e·|k − q·n|/2; the
+              // Gumbel-argmax of ln-weights samples ∝ weight exactly, so
+              // only the current best interval is retained
+              val target = q * n
+              var k = 0L
+              var prev = lo
+              var bestKey = Double.NegativeInfinity
+              var bestLo = 0.0
+              var bestHi = 0.0
+              def consider(gLo: Double, gHi: Double, rank: Long): Unit = {
+                val len = gHi - gLo
+                if (len > 0.0) {
+                  val u = rng.nextDouble()
+                  val gumbel = -math.log(-math.log(u))
+                  val key = math.log(len) - e * math.abs(rank - target) / 2.0 + gumbel
+                  if (key > bestKey) { bestKey = key; bestLo = gLo; bestHi = gHi }
+                }
+              }
+              while (buf.hasNext &&
+                graft.transformations.GroupKeys.encode(buf.head, keyIdxs) == encKey) {
+                val v = buf.next().getDouble(vIdx)
+                consider(prev, v, k)
+                prev = v
+                k += 1
+              }
+              consider(prev, hi, k)
+              // every interval empty ⇔ lower == upper after clipping
+              if (bestKey.isNegInfinity) (lo + hi) / 2
+              else bestLo + rng.nextDouble() * (bestHi - bestLo)
+          }
+          Row.fromSeq(keyVals :+ result)
+        }
+      }
+    }(enc)
     // Group-complete: empty groups get the mechanism's empty-input
     // distribution — with noise that is an INDEPENDENT Uniform(lower, upper)
     // draw per group (the exponential mechanism over a single gap interval);

@@ -178,7 +178,8 @@ final case class PrivateJoin(
     leftThreshold: Int,
     rightStrategy: TruncationStrategy,
     rightThreshold: Int,
-    nullsAreEqual: Boolean = true
+    nullsAreEqual: Boolean = true,
+    saltBuckets: Int = 32
 ) extends Transformation {
   import TruncationStrategy._
 
@@ -229,7 +230,9 @@ final case class PrivateJoin(
       s: TruncationStrategy,
       tau: Int
   ): DataFrame = s match {
-    case Truncate     => Truncation.truncateLargeGroups(df, on, tau)
+    // two-phase salted top-τ: row-identical to the single window, immune
+    // to a power-law join key serializing the truncation into one task
+    case Truncate     => Truncation.truncateLargeGroupsSalted(df, on, tau, saltBuckets)
     case Drop         => Truncation.dropLargeGroups(df, on, tau)
     case NoTruncation => df
   }

@@ -35,6 +35,43 @@ object Truncation {
       .drop("__rn")
   }
 
+  /** truncateLargeGroups with a two-phase top-τ selection for hot keys:
+    * stage 1 keeps each (group, salt) bucket's τ hash-smallest rows, stage 2
+    * re-selects the τ hash-smallest among the ≤ saltBuckets·τ survivors.
+    * Row-identical to the single-window version — each of the global top-τ
+    * rows is by definition within its own bucket's top-τ — but a key holding
+    * 10% of a 100 TB table sorts on `saltBuckets` tasks instead of one.
+    * The salt derives from the row hash, so selection stays deterministic
+    * under task retries (unlike partition-id-based salting).
+    * Stage 1 shuffles the same bytes the plain window would; stage 2 only
+    * moves ≤ saltBuckets·τ rows per group.
+    */
+  def truncateLargeGroupsSalted(
+      df: DataFrame,
+      groupColumns: Seq[String],
+      threshold: Int,
+      saltBuckets: Int = 32
+  ): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    if (saltBuckets == 1) return truncateLargeGroups(df, groupColumns, threshold)
+    val cols = df.columns.toSeq
+    // materialize the hash once so both stages order by the same bytes
+    val hashed = df.withColumn("__h", rowHash(df))
+    val order = col("__h") +: cols.map(col)
+    val w1 = Window
+      .partitionBy((groupColumns.map(col) :+ pmod(xxhash64(col("__h")), lit(saltBuckets))): _*)
+      .orderBy(order: _*)
+    val stage1 = hashed
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= threshold)
+      .drop("__rn")
+    val w2 = Window.partitionBy(groupColumns.map(col): _*).orderBy(order: _*)
+    stage1
+      .withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= threshold)
+      .select(cols.map(col): _*)
+  }
+
   /** Drop groups with more than `threshold` rows (reference `truncation.py:165-225`).
     *
     * Implemented as a map-side-combined count plus an anti-join against the

@@ -215,6 +215,37 @@ class MeasurementsSpec extends SharedSpark {
     medians.foreach(v => assert(math.abs(v - 50.0) < 25.0, s"median=$v"))
   }
 
+  test("grouped quantile streams huge groups without materializing them") {
+    import spark.implicits._
+    // one 4M-row group beside two small ones: the streaming Gumbel-argmax
+    // EM and the window count never hold a group in task memory, so this
+    // completes where a per-group materializing flatMapGroups would buffer
+    // 4M doubles in one task. Noise-free path must equal the interpolated
+    // quantile; the noisy path must stay within the mechanism's bounds.
+    val big = spark.range(4000000L).select(
+      lit(0L).as("G"), (col("id") % 1001).cast("double").as("X"))
+    val small = Seq((1L, 10.0), (1L, 20.0), (2L, 70.0)).toDF("G", "X")
+    val data = big.unionByName(small)
+    val keys = Seq(0L, 1L, 2L, 3L).toDF("G")
+    val domain = DataFrameDomain(
+      Seq("G" -> longCol, "X" -> ColumnDescriptor.double()))
+    val exact = Aggregations.createQuantileMeasurement(
+      domain, SymmetricDifference, ExactNum(1), PureDPBudget(ExactNum.PosInf),
+      "X", 0.5, 0.0, 1000.0, keys, "median")
+    val got = exact(data).asInstanceOf[DataFrame].collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(got(0L) - 500.0) < 1.0, s"big-group median=${got(0L)}")
+    assert(got(1L) == 15.0 && got(2L) == 70.0)
+    assert(got(3L) == 500.0) // empty group: midpoint fill on the exact path
+    val noisy = Aggregations.createQuantileMeasurement(
+      domain, SymmetricDifference, ExactNum(1), PureDPBudget(ExactNum(5)),
+      "X", 0.5, 0.0, 1000.0, keys, "median")
+    val nv = noisy(data).asInstanceOf[DataFrame].collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(nv(0L) >= 0.0 && nv(0L) <= 1000.0)
+    assert(math.abs(nv(0L) - 500.0) < 100.0, s"noisy big-group median=${nv(0L)}")
+  }
+
   test("count measurement with infinite budget is exact and group-complete") {
     val data = df("A STRING", Seq(Row("a"), Row("a"), Row("b")))
     val keys = df("A STRING", Seq(Row("a"), Row("c")))

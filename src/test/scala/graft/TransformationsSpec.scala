@@ -132,6 +132,18 @@ class TransformationsSpec extends SharedSpark {
     assert(sortedRows(dropped) == Seq(Seq("h", "99")))
   }
 
+  test("salted truncation selects exactly the same rows as the single window") {
+    // 400 rows over 3 groups with duplicates; every salt level must agree
+    // with the plain window (the global top-τ is in each bucket's top-τ)
+    val data = df("A STRING, X BIGINT",
+      (1 to 400).map(i => Row(s"g${i % 3}", (i % 37).toLong)))
+    val plain = Truncation.truncateLargeGroups(data, Seq("A"), 7)
+    for (salts <- Seq(2, 8, 32)) {
+      val salted = Truncation.truncateLargeGroupsSalted(data, Seq("A"), 7, salts)
+      assertSameRows(plain, salted)
+    }
+  }
+
   test("limitKeysPerGroup keeps at most k distinct keys") {
     val data = df("G STRING, K BIGINT",
       (1 to 6).flatMap(k => Seq(Row("g", k.toLong), Row("g", k.toLong))))
