@@ -543,6 +543,27 @@ object SparkEntry {
             "f")
       pipeline(o).asInstanceOf[DataFrame]
     },
+    "q_dict_multi" -> { (s, dir) =>
+      // multi-value dict pipeline through the reference's factory surface:
+      // fan one table into a dict, transform all values in place, rename a
+      // key (dictionary.py:370-798)
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val d = dom(o)
+      val keyOnly = DataFrameDomain(Seq("o_orderkey" -> d.schema.toMap.apply("o_orderkey")))
+      val fan = Dict.createApplyDictOfTransformations(Seq(
+        "hi" -> Filter(d, SymmetricDifference, "o_totalprice > 150000"),
+        "lo" -> Filter(d, SymmetricDifference, "o_totalprice <= 150000")))
+      val slim = Dict.createTransformAllValues(Seq(
+        "hi" -> Select(d, SymmetricDifference, Seq("o_orderkey")),
+        "lo" -> Select(d, SymmetricDifference, Seq("o_orderkey"))))
+      val ren = Dict.createRename(
+        DictDomain(Map("hi" -> keyOnly, "lo" -> keyOnly)),
+        DictMetric(Map("hi" -> SymmetricDifference, "lo" -> SymmetricDifference)),
+        "hi", "big")
+      val out = (fan | slim | ren)(o).asInstanceOf[Map[String, DataFrame]]
+      out("big").withColumn("bucket", lit("hi"))
+        .unionByName(out("lo").withColumn("bucket", lit("lo")))
+    },
     "q_private_join_onkey" -> { (s, dir) =>
       val o = t(s, dir, "orders")
         .select(col("o_custkey").as("custkey"), col("o_orderkey"))
@@ -589,6 +610,20 @@ object SparkEntry {
         timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
       graft.streaming.Streams
         .windowedCounts(e, "event_time", Seq("event_type"), "1 hour")
+        .select(
+          col("window_start").cast(LongType).as("ws"),
+          col("event_type"), col("count"))
+    },
+
+    "q_noisy_window" -> { (s, dir) =>
+      // alpha = 0 is the noise-free path of the DP streaming release — the
+      // driver oracle checks the full window/group/count plumbing
+      val e = t(s, dir, "events").withColumn(
+        "event_time",
+        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+      graft.streaming.Streams
+        .noisyWindowedCounts(e, "event_time", Seq("event_type"), "1 hour",
+          graft.exact.Rational(0))
         .select(
           col("window_start").cast(LongType).as("ws"),
           col("event_type"), col("count"))
@@ -947,6 +982,10 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
         |  event_type, count(*) AS count
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_noisy_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
+        |  event_type, count(*) AS count
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_subword_count" ->
       """SELECT doc_id,
         |  CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT)
@@ -959,6 +998,10 @@ object SparkEntry {
       """SELECT doc_id AS asset_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents WHERE octet_length(encode(text)) >= 12""".stripMargin,
+    "q_dict_multi" ->
+      """SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 150000
+        |UNION ALL
+        |SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice <= 150000""".stripMargin,
     "q_cosine_dup" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |planted AS (

@@ -91,6 +91,47 @@ final case class GetValue(
   def apply(data: Any): Any = data.asInstanceOf[Map[String, Any]](key)
 }
 
+/** Key-column preservation check for AddRemoveKeys dict metrics.
+  *
+  * The reference's `add_remove_keys.py:1-107` worked example shows why
+  * 1-stability alone is NOT enough to augment a dict under AddRemoveKeys: a
+  * truncate→rename→AddUniqueColumn chain is 1-stable row-wise, yet it
+  * redefines the key column's meaning, so removing one key in the input
+  * removes TWO key values across the augmented dict (distance doubles). The
+  * reference solves this with named wrapper classes
+  * (`add_remove_keys.py:159-1009`) that only admit transformations which
+  * keep each entity's key value intact; this predicate expresses the same
+  * whitelist structurally: given the key column name on the input, it
+  * returns the key column name on the output iff every row the
+  * transformation emits keeps its source row's key value (row filters,
+  * truncations, value edits to non-key columns, renames with the mapping
+  * applied, public joins on the key). Anything that can write the key
+  * column — generic maps, AddUniqueColumn — is rejected.
+  */
+object ArkSafety {
+  def keyPreserving(t: Transformation, key: String): Option[String] = t match {
+    case graft.core.Identity(_, _)  => Some(key)
+    case graft.core.ChainTT(a, b)   => keyPreserving(a, key).flatMap(keyPreserving(b, _))
+    case Filter(_, _, _)            => Some(key)
+    case Select(_, _, columns)      => if (columns.contains(key)) Some(key) else None
+    case Rename(_, _, mapping)      => Some(mapping.getOrElse(key, key))
+    case DropInfs(_, _, _)          => Some(key)
+    case DropNaNs(_, _, _)          => Some(key)
+    case DropNulls(_, _, _)         => Some(key)
+    case ReplaceInfs(_, _, replace) => if (replace.contains(key)) None else Some(key)
+    case ReplaceNaNs(_, _, replace) => if (replace.contains(key)) None else Some(key)
+    case ReplaceNulls(_, _, replace) => if (replace.contains(key)) None else Some(key)
+    case Persist(_, _)              => Some(key)
+    case Unpersist(_, _)            => Some(key)
+    case SparkAction(_, _)          => Some(key)
+    case LimitRowsPerGroup(_, _, _) => Some(key)
+    case LimitKeysPerGroup(_, _, _, _, _)       => Some(key)
+    case LimitRowsPerKeyPerGroup(_, _, _, _)    => Some(key)
+    case PublicJoin(_, _, _, on, _, _) => if (on.contains(key)) Some(key) else None
+    case _                          => None
+  }
+}
+
 /** Run an inner transformation on one dict value, adding the result under a
   * new key (reference `dictionary.py:109-220` and the `TransformValue`
   * family, `add_remove_keys.py:159-1009`).
@@ -115,13 +156,20 @@ final case class TransformValue(
     case DictMetric(m) =>
       DictMetric(m + (newKey -> inner.outputMetric))
     case ark: AddRemoveKeys =>
-      // Only 1-stable inner transformations preserve AddRemoveKeys
-      // (reference add_remove_keys.py:1-107).
+      // 1-stability alone is insufficient (reference add_remove_keys.py:1-107
+      // worked example: a 1-stable chain that redefines the key column
+      // doubles the AddRemoveKeys distance). The inner transformation must
+      // provably carry each row's key value through — the structural
+      // equivalent of the reference's named TransformValue wrappers.
+      val outKeyCol = ArkSafety.keyPreserving(inner, ark.keyColumns(key))
       require(
-        inner.stabilityFunction(ExactNum.one) <= ExactNum.one,
-        "AddRemoveKeys requires a 1-stable inner transformation"
+        outKeyCol.isDefined,
+        s"AddRemoveKeys requires a key-preserving inner transformation " +
+          s"(filters, truncations, renames, non-key value edits, joins on " +
+          s"the key); ${inner.getClass.getSimpleName} may redefine key " +
+          s"column ${ark.keyColumns(key)}"
       )
-      AddRemoveKeys(ark.keyColumns + (newKey -> ark.keyColumns(key)))
+      AddRemoveKeys(ark.keyColumns + (newKey -> outKeyCol.get))
     case m => m
   }
   def stabilityFunction(dIn: ExactNum): ExactNum = inputMetric match {
@@ -131,6 +179,178 @@ final case class TransformValue(
   def apply(data: Any): Any = {
     val m = data.asInstanceOf[Map[String, Any]]
     m + (newKey -> inner(m(key)))
+  }
+}
+
+/** Whole-dict-input inner transformation whose output dict augments the
+  * input dict (reference `dictionary.py:109-220`). The inner transformation
+  * maps a DictDomain to a DictDomain with keys disjoint from its input's.
+  *
+  * Distance convention: as with [[TransformValue]], the scalar dict distance
+  * bounds every key's distance, so the augmented dict is bounded by
+  * max(dIn, inner(dIn)) — the reference's per-key {**d_in, **d_out} merge
+  * scalarized as a uniform per-key bound.
+  */
+final case class AugmentDict(inner: Transformation) extends Transformation {
+  private val inDom = inner.inputDomain match {
+    case d: DictDomain => d
+    case other =>
+      throw new IllegalArgumentException(s"inner input must be a dict, got $other")
+  }
+  private val addedDom = inner.outputDomain match {
+    case d: DictDomain => d
+    case other =>
+      throw new IllegalArgumentException(s"inner output must be a dict, got $other")
+  }
+  require(
+    addedDom.elements.keySet.intersect(inDom.elements.keySet).isEmpty,
+    "inner transformation output keys overlap the input dict")
+
+  def inputDomain: Domain = inDom
+  def inputMetric: Metric = inner.inputMetric
+  def outputDomain: Domain = DictDomain(inDom.elements ++ addedDom.elements)
+  def outputMetric: Metric = (inner.inputMetric, inner.outputMetric) match {
+    case (DictMetric(a), DictMetric(b)) => DictMetric(a ++ b)
+    case (_: AddRemoveKeys, _) =>
+      // Deliberately unsupported, mirroring the reference: augmentation is
+      // not stable under AddRemoveKeys for arbitrary inner transformations
+      // (`add_remove_keys.py:1-107` worked example — a 1-stable chain that
+      // redefines the key column doubles the distance). Use TransformValue,
+      // whose ArkSafety check admits only key-preserving inners.
+      throw new IllegalArgumentException(
+        "AugmentDict does not support AddRemoveKeys; use TransformValue")
+    case (a, b) =>
+      throw new IllegalArgumentException(s"unsupported dict metrics $a / $b")
+  }
+  def stabilityFunction(dIn: ExactNum): ExactNum =
+    dIn.max(inner.stabilityFunction(dIn))
+  def apply(data: Any): Any = {
+    val m = data.asInstanceOf[Map[String, Any]]
+    m ++ inner(m).asInstanceOf[Map[String, Any]]
+  }
+}
+
+/** The reference's dictionary pipeline factories (`dictionary.py:370-798`),
+  * built by composition exactly as there: GetValue / CreateDictFromValue /
+  * Subset / AugmentDict / ChainTT.
+  */
+object Dict {
+  import graft.core.{ChainTT, Identity}
+
+  /** data(newKey) = inner(data(key)), original value kept
+    * (reference `dictionary.py:370-434`).
+    */
+  def createCopyAndTransformValue(
+      inputDomain: DictDomain,
+      inputMetric: DictMetric,
+      key: String,
+      newKey: String,
+      inner: Transformation
+  ): Transformation = {
+    require(!inputDomain.elements.contains(newKey), s"$newKey already present")
+    AugmentDict(
+      ChainTT(
+        ChainTT(GetValue(inputDomain, inputMetric, key), inner),
+        CreateDictFromValue(inner.outputDomain, inner.outputMetric, newKey)))
+  }
+
+  /** data(newKey) = data.remove(key) (reference `dictionary.py:436-496`). */
+  def createRename(
+      inputDomain: DictDomain,
+      inputMetric: DictMetric,
+      key: String,
+      newKey: String
+  ): Transformation = {
+    val copied = createCopyAndTransformValue(
+      inputDomain, inputMetric, key, newKey,
+      Identity(inputDomain.elements(key), inputMetric.metrics(key)))
+    val keep = (inputDomain.elements.keySet - key).toSeq :+ newKey
+    ChainTT(
+      copied,
+      Subset(
+        copied.outputDomain.asInstanceOf[DictDomain],
+        copied.outputMetric.asInstanceOf[DictMetric],
+        keep))
+  }
+
+  /** One input value fanned out through a dict of transformations:
+    * out(k) = ts(k)(data) (reference `dictionary.py:498-621`). All
+    * transformations must share the input domain and metric.
+    */
+  def createApplyDictOfTransformations(
+      ts: Seq[(String, Transformation)]
+  ): Transformation = {
+    require(ts.nonEmpty, "transformation dict cannot be empty")
+    require(ts.map(_._1).distinct.size == ts.size, "duplicate output keys")
+    val inDom = ts.head._2.inputDomain
+    val inMet = ts.head._2.inputMetric
+    require(
+      ts.forall(t => t._2.inputDomain == inDom && t._2.inputMetric == inMet),
+      "transformations must share input domain and metric")
+    var baseKey = "__base"
+    while (ts.exists(_._1 == baseKey)) baseKey += "_"
+    var acc: Transformation = CreateDictFromValue(inDom, inMet, baseKey)
+    ts.foreach { case (k, t) =>
+      acc = ChainTT(
+        acc,
+        createCopyAndTransformValue(
+          acc.outputDomain.asInstanceOf[DictDomain],
+          acc.outputMetric.asInstanceOf[DictMetric],
+          baseKey, k, t))
+    }
+    ChainTT(
+      acc,
+      Subset(
+        acc.outputDomain.asInstanceOf[DictDomain],
+        acc.outputMetric.asInstanceOf[DictMetric],
+        ts.map(_._1)))
+  }
+
+  /** In-place transform of one dict value (reference `dictionary.py:622-726`):
+    * copy through a temporary key, drop the original, rename back.
+    */
+  def createTransformValue(
+      inputDomain: DictDomain,
+      inputMetric: DictMetric,
+      key: String,
+      inner: Transformation
+  ): Transformation = {
+    var tmp = key + "__tmp"
+    while (inputDomain.elements.contains(tmp)) tmp += "_"
+    val copied =
+      createCopyAndTransformValue(inputDomain, inputMetric, key, tmp, inner)
+    val withoutOriginal = Subset(
+      copied.outputDomain.asInstanceOf[DictDomain],
+      copied.outputMetric.asInstanceOf[DictMetric],
+      (inputDomain.elements.keySet - key).toSeq :+ tmp)
+    val chained = ChainTT(copied, withoutOriginal)
+    ChainTT(
+      chained,
+      createRename(
+        chained.outputDomain.asInstanceOf[DictDomain],
+        chained.outputMetric.asInstanceOf[DictMetric],
+        tmp, key))
+  }
+
+  /** Every dict value transformed in place: out(k) = ts(k)(data(k))
+    * (reference `dictionary.py:728-798`).
+    */
+  def createTransformAllValues(
+      ts: Seq[(String, Transformation)]
+  ): Transformation = {
+    require(ts.nonEmpty, "transformation dict cannot be empty")
+    require(ts.map(_._1).distinct.size == ts.size, "duplicate keys")
+    val start: Transformation = Identity(
+      DictDomain(ts.map { case (k, t) => k -> t.inputDomain }.toMap),
+      DictMetric(ts.map { case (k, t) => k -> t.inputMetric }.toMap))
+    ts.foldLeft(start) { case (acc, (k, t)) =>
+      ChainTT(
+        acc,
+        createTransformValue(
+          acc.outputDomain.asInstanceOf[DictDomain],
+          acc.outputMetric.asInstanceOf[DictMetric],
+          k, t))
+    }
   }
 }
 

@@ -1,0 +1,131 @@
+package graft
+
+import graft.core.Identity
+import graft.domains._
+import graft.exact.ExactNum
+import graft.metrics._
+import graft.transformations._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Dictionary pipeline factories (reference `dictionary.py:370-798`) and the
+  * AddRemoveKeys augmentation hazard (`add_remove_keys.py:1-107`).
+  */
+class DictSpec extends SharedSpark {
+
+  private def abDomain = DataFrameDomain(
+    Seq("A" -> ColumnDescriptor.string(), "B" -> ColumnDescriptor.string()))
+
+  private def abDf = df("A STRING, B STRING",
+    Seq(Row("a", "1"), Row("b", "2"), Row("c", "3")))
+
+  test("createCopyAndTransformValue keeps the original and adds the new key") {
+    val d = DictDomain(Map("t" -> abDomain))
+    val m = DictMetric(Map("t" -> SymmetricDifference))
+    val op = Dict.createCopyAndTransformValue(
+      d, m, "t", "f",
+      Filter(abDomain, SymmetricDifference, "A <> 'a'"))
+    assert(op.outputDomain.asInstanceOf[DictDomain].elements.keySet == Set("t", "f"))
+    assert(op.stabilityFunction(ExactNum(2)) == ExactNum(2))
+    val out = op(Map("t" -> abDf)).asInstanceOf[Map[String, DataFrame]]
+    assert(out("t").count() == 3 && out("f").count() == 2)
+  }
+
+  test("createRename moves a value to a new key") {
+    val d = DictDomain(Map("x" -> abDomain, "y" -> abDomain))
+    val m = DictMetric(Map("x" -> SymmetricDifference, "y" -> SymmetricDifference))
+    val op = Dict.createRename(d, m, "x", "z")
+    assert(op.outputDomain.asInstanceOf[DictDomain].elements.keySet == Set("y", "z"))
+    val out = op(Map("x" -> abDf, "y" -> abDf.limit(1)))
+      .asInstanceOf[Map[String, DataFrame]]
+    assert(out("z").count() == 3 && out("y").count() == 1)
+  }
+
+  test("createApplyDictOfTransformations fans one value into a dict") {
+    val op = Dict.createApplyDictOfTransformations(Seq(
+      "all" -> Identity(abDomain, SymmetricDifference),
+      "noA" -> Filter(abDomain, SymmetricDifference, "A <> 'a'")))
+    assert(op.inputDomain == abDomain)
+    assert(op.outputDomain.asInstanceOf[DictDomain].elements.keySet == Set("all", "noA"))
+    val out = op(abDf).asInstanceOf[Map[String, DataFrame]]
+    assert(out("all").count() == 3 && out("noA").count() == 2)
+  }
+
+  test("createTransformAllValues transforms each value in place") {
+    val op = Dict.createTransformAllValues(Seq(
+      "p" -> Filter(abDomain, SymmetricDifference, "A = 'a'"),
+      "q" -> Select(abDomain, SymmetricDifference, Seq("B"))))
+    val out = op(Map("p" -> abDf, "q" -> abDf))
+      .asInstanceOf[Map[String, DataFrame]]
+    assert(out("p").count() == 1)
+    assert(out("q").columns.toSeq == Seq("B") && out("q").count() == 3)
+    assert(op.outputDomain.asInstanceOf[DictDomain].elements("q")
+      .asInstanceOf[DataFrameDomain].columnNames == Seq("B"))
+  }
+
+  test("AugmentDict applies a whole-dict inner transformation") {
+    val d = DictDomain(Map("t" -> abDomain))
+    val m = DictMetric(Map("t" -> SymmetricDifference))
+    val inner = new graft.core.Transformation {
+      def inputDomain: Domain = d
+      def inputMetric: Metric = m
+      def outputDomain: Domain = DictDomain(Map("n" -> abDomain))
+      def outputMetric: Metric = DictMetric(Map("n" -> SymmetricDifference))
+      def stabilityFunction(dIn: ExactNum): ExactNum = dIn
+      def apply(data: Any): Any = {
+        val in = data.asInstanceOf[Map[String, DataFrame]]
+        Map("n" -> in("t").filter(col("A") =!= "a"))
+      }
+    }
+    val op = AugmentDict(inner)
+    val out = op(Map("t" -> abDf)).asInstanceOf[Map[String, DataFrame]]
+    assert(out.keySet == Set("t", "n"))
+    assert(out("n").count() == 2)
+  }
+
+  test("worked example: key-redefining chains double the ARK distance and are rejected") {
+    // Port of the reference add_remove_keys.py:1-107 doctest: the chain
+    // truncate → rename(A→C,B→D) → AddUniqueColumn("A") is 1-stable under
+    // row metrics, but its output "A" is a NEW key column: removing key "a"
+    // from the input removes key "a" AND its derived unique value from the
+    // augmented dict — AddRemoveKeys distance 2, not 1.
+    val x1 = abDf
+    val x2 = df("A STRING, B STRING", Seq(Row("b", "2"), Row("c", "3")))
+    val truncate = LimitRowsPerGroup(abDomain, "A", 1)
+    val renamed = DataFrameDomain(
+      Seq("C" -> ColumnDescriptor.string(), "D" -> ColumnDescriptor.string()))
+    val rename = Rename(abDomain, SymmetricDifference, Map("A" -> "C", "B" -> "D"))
+    val unique = AddUniqueColumn(renamed, "A")
+    val chain = truncate | rename | unique
+    assert(chain.stabilityFunction(ExactNum.one) == ExactNum.one)
+    val y1 = chain(x1).asInstanceOf[DataFrame]
+    val y2 = chain(x2).asInstanceOf[DataFrame]
+    // the augmented dicts are at ARK distance 2 although the inputs are at 1
+    val inDist = MetricDistance.compute(
+      AddRemoveKeys(Map("start" -> "A")),
+      Map("start" -> x1), Map("start" -> x2))
+    val outDist = MetricDistance.compute(
+      AddRemoveKeys(Map("start" -> "A", "end" -> "A")),
+      Map("start" -> x1, "end" -> y1), Map("start" -> x2, "end" -> y2))
+    assert(inDist == ExactNum.one)
+    assert(outDist == ExactNum(2))
+    // ...which is exactly why TransformValue must refuse the chain
+    val dictDom = DictDomain(Map("start" -> abDomain))
+    val ark = AddRemoveKeys(Map("start" -> "A"))
+    val err = intercept[IllegalArgumentException] {
+      TransformValue(dictDom, ark, "start", "end", chain).outputMetric
+    }
+    assert(err.getMessage.contains("key-preserving"))
+  }
+
+  test("TransformValue under ARK tracks a renamed key column") {
+    val dictDom = DictDomain(Map("start" -> abDomain))
+    val ark = AddRemoveKeys(Map("start" -> "A"))
+    val inner = LimitRowsPerGroup(abDomain, "A", 1) |
+      Rename(abDomain, SymmetricDifference, Map("A" -> "C"))
+    val op = TransformValue(dictDom, ark, "start", "end", inner)
+    assert(op.outputMetric == AddRemoveKeys(Map("start" -> "A", "end" -> "C")))
+    val out = op(Map("start" -> abDf)).asInstanceOf[Map[String, DataFrame]]
+    assert(out("end").columns.toSeq == Seq("C", "B"))
+  }
+}
