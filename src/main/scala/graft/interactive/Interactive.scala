@@ -55,6 +55,43 @@ final class DecorateQueryable(inner: Queryable, decorate: Any => Any)
   def answer(query: Any): Any = decorate(inner.answer(query))
 }
 
+/** Retire this queryable and every descendant (reference `RetireQuery`,
+  * `interactive_measurements.py:128-133`).
+  */
+final case class RetireQuery()
+
+/** Wraps a Queryable so the whole descendant tree can be retired at once
+  * (reference `RetirableQueryable`, `interactive_measurements.py:135-198`):
+  * any answer that is itself a Queryable is wrapped before being returned
+  * and remembered as a child; a [[RetireQuery]] propagates to all children,
+  * flips this queryable to retired, and returns null; any other query on a
+  * retired queryable raises.
+  */
+final class RetirableQueryable(inner: Queryable) extends Queryable {
+  private var retired = false
+  private val children = scala.collection.mutable.ListBuffer.empty[RetirableQueryable]
+
+  def isRetired: Boolean = retired
+
+  def answer(query: Any): Any = query match {
+    case RetireQuery() =>
+      if (!retired) {
+        children.foreach(_.answer(RetireQuery()))
+        retired = true
+      }
+      null
+    case q =>
+      require(!retired, "Queryable already retired")
+      inner.answer(q) match {
+        case child: Queryable =>
+          val wrapped = new RetirableQueryable(child)
+          children += wrapped
+          wrapped
+        case plain => plain
+      }
+  }
+}
+
 /** Adaptive sequential composition (reference `:478`, queryable `:199`):
   * answers measurement queries on fixed data until the budget is exhausted.
   */

@@ -43,6 +43,28 @@ class InteractiveSpec extends SharedSpark {
     acct.measure(countM(1))
   }
 
+  test("RetirableQueryable retires the whole descendant tree") {
+    // root sequential queryable wrapped Retirable; an interactive answer
+    // (MakeInteractive) comes back wrapped as a child RetirableQueryable;
+    // retiring the root retires the child too (reference
+    // interactive_measurements.py:135-198)
+    val comp = SequentialComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum(5)))
+    val root = new RetirableQueryable(comp(data).asInstanceOf[Queryable])
+    val plain = root.answer(MeasurementQuery(countM(1)))
+    assert(!plain.isInstanceOf[Queryable]) // non-queryable answers pass through
+    val child = root.answer(MeasurementQuery(MakeInteractive(countM(1))))
+    assert(child.isInstanceOf[RetirableQueryable])
+    assert(root.answer(RetireQuery()) == null)
+    assert(root.isRetired)
+    assertThrows[IllegalArgumentException](root.answer(MeasurementQuery(countM(1))))
+    assertThrows[IllegalArgumentException](
+      child.asInstanceOf[RetirableQueryable].answer(null))
+    // retiring twice is a no-op, not an error
+    assert(root.answer(RetireQuery()) == null)
+  }
+
   test("sequential queryable answers until budget runs out") {
     val comp = SequentialComposition(
       domain, SymmetricDifference, PureDP, ExactNum(1),
