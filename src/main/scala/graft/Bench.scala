@@ -24,12 +24,17 @@ object Bench {
           .select(expr("sum(xxhash64(struct(*)))")).collect()
       catch { case _: Throwable => () }
     }
-    SparkEntry.queries.get("q1_agg").foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // JIT/codegen warmup: run EVERY query once at the smallest SF so each
+    // plan's generated code is compiled before it is timed — otherwise the
+    // (hash-ordered) first few queries absorb the whole JVM warmup cost and
+    // per-query numbers shift across rounds as the query set grows.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache()
     System.gc()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -147,10 +152,10 @@ object Bench {
           name -> dt
       }.toMap
     }
-    val all = results ++ sweepResults ++ quantileSweep ++ pjoinSweep
+    val all = results.toMap ++ sweepResults ++ quantileSweep ++ pjoinSweep
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1043,6 +1043,67 @@ object SparkEntry {
         |    WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
         |    ELSE 'zh' END AS lang_pred
         |FROM s""".stripMargin,
+    // q_minhash_dedup / q_dedup_cluster: the LSH output is exact-Jaccard
+    // VERIFIED, so it is always a subset of the exact all-pairs set; on the
+    // fixtures every qualifying pair has jaccard ≥ 0.8, where 16-band×4-row
+    // banding recall is 1 − (1−j^4)^16 ≥ 0.9998 per pair — the sets coincide
+    // (checked at sf0.01 and sf0.1), making the exact set a valid oracle.
+    "q_minhash_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS sh
+        |  FROM t
+        |), sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.id AS l, b.id AS r FROM sh a JOIN sh b USING (sh)
+        |  WHERE a.id < b.id GROUP BY 1, 2
+        |), inter AS (
+        |  SELECT c.l, c.r, count(*) AS i FROM cand c
+        |  JOIN sh x ON x.id = c.l JOIN sh y ON y.id = c.r AND y.sh = x.sh
+        |  GROUP BY 1, 2
+        |)
+        |SELECT l AS left_id, r AS right_id
+        |FROM inter JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
+        |WHERE CAST(i AS DOUBLE)/(sl.n + sr.n - i) >= 0.5""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS sh
+        |  FROM t
+        |), sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.id AS l, b.id AS r FROM sh a JOIN sh b USING (sh)
+        |  WHERE a.id < b.id GROUP BY 1, 2
+        |), inter AS (
+        |  SELECT c.l, c.r, count(*) AS i FROM cand c
+        |  JOIN sh x ON x.id = c.l JOIN sh y ON y.id = c.r AND y.sh = x.sh
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT l, r
+        |  FROM inter JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
+        |  WHERE CAST(i AS DOUBLE)/(sl.n + sr.n - i) >= 0.5
+        |), edges AS (
+        |  SELECT l, r FROM pairs UNION ALL SELECT r AS l, l AS r FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.a, edges.r FROM reach JOIN edges ON edges.l = reach.b
+        |)
+        |SELECT a AS doc_id FROM reach GROUP BY a HAVING a = min(b)""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id AS id,

@@ -96,7 +96,9 @@ object NoisyQuantileCore {
         }
         val lo = if (chosen == 0) lower else values(chosen - 1)
         val hi = if (chosen == n) upper else values(chosen)
-        lo + rng.nextDouble() * (hi - lo)
+        // exactly-rounded uniform within the chosen interval, matching the
+        // reference's arb-backed uniform (random/uniform.py:10-31)
+        graft.random.Precise.uniform(lo, hi, rng)
     }
   }
 
@@ -432,7 +434,9 @@ final case class NoisyQuantileGrouped(
               consider(prev, hi, k)
               // every interval empty ⇔ lower == upper after clipping
               if (bestKey.isNegInfinity) (lo + hi) / 2
-              else bestLo + rng.nextDouble() * (bestHi - bestLo)
+              // exactly-rounded uniform within the winning interval
+              // (reference random/uniform.py:10-31)
+              else graft.random.Precise.uniform(bestLo, bestHi, rng)
           }
           Row.fromSeq(keyVals :+ result)
         }

@@ -138,9 +138,13 @@ object Dedup {
       val hs = (0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
     }
+    // persisted: boundedBuckets reads this twice (once counting bucket
+    // sizes, once collecting members) and the minhash signature aggregation
+    // upstream is the expensive part of the pipeline
     val banded = sigs
       .select(col("__id"), explode(array(bandCols: _*)).as("b"))
       .select(col("__id"), col("b.band").as("__band"), col("b.bh").as("__bh"))
+      .persist()
 
     // 4. candidates within buckets: ONE aggregation collects each bucket's
     // members, then pairs are exploded in place — replaces a window count
@@ -429,7 +433,9 @@ object Dedup {
     // a web corpus puts millions of rows into one (block, 0) bucket);
     // monitor the loss with simHashDroppedBuckets
     val buckets = boundedBuckets(
-      simHashBanded(df, idCol, textCol, maxDistance),
+      // persisted: read twice by boundedBuckets; upstream simhash is a full
+      // text-tokenizing pass
+      simHashBanded(df, idCol, textCol, maxDistance).persist(),
       Seq("__blk", "__bv"),
       struct(col("__id"), col("simhash")),
       maxBucketSize

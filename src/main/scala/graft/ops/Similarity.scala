@@ -388,6 +388,10 @@ object Similarity {
           lshSignatureFrom(col("__v"), off + numPlanes, splitPlanes).as("__x"))
       }
       .reduce(_ unionByName _)
+      // persisted: read for the oversize count, the routing join, and (via
+      // routed) the bucket aggregation — the hyperplane projections are the
+      // expensive part
+      .persist()
     val over = sigs
       .groupBy(col("__band"), col("__s"))
       .agg(count(lit(1)).as("__n"))

@@ -1,0 +1,19 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.sliding(2, 2).foreach { case Array(q, dir) =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      println(s"$q rows=$n time=${(System.nanoTime() - t0) / 1e9}")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

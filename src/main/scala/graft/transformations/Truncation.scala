@@ -50,26 +50,48 @@ object Truncation {
       df: DataFrame,
       groupColumns: Seq[String],
       threshold: Int,
-      saltBuckets: Int = 32
+      saltBuckets: Int = 32,
+      hotGroupMinRows: Long = 100000L
   ): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
     if (saltBuckets == 1) return truncateLargeGroups(df, groupColumns, threshold)
     val cols = df.columns.toSeq
-    // materialize the hash once so both stages order by the same bytes
-    val hashed = df.withColumn("__h", rowHash(df))
+    val gcols = groupColumns.map(col)
+    // Hot/cold routing: salting every group would explode the number of
+    // window partitions (groups × saltBuckets near-empty sorts dominated a
+    // 640k-uniform-group benchmark), so only keys whose row count would
+    // serialize a single task go through the two-phase path. The count
+    // aggregation is map-side combined (skew-immune) and the hot-key table
+    // is tiny, so both routing joins broadcast.
+    val hotKeys = df
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > hotGroupMinRows)
+      .select(gcols: _*)
+    val nullSafeOn = groupColumns.map(c => df(c) <=> hotKeys(c)).reduce(_ && _)
+    val cold = df.join(broadcast(hotKeys), nullSafeOn, "left_anti")
+    val coldOut = truncateLargeGroups(cold, groupColumns, threshold)
+    val hot = df.join(broadcast(hotKeys), nullSafeOn, "left_semi")
+    // two-phase top-τ on the hot keys: stage 1 keeps each (group, salt)
+    // bucket's τ hash-smallest rows, stage 2 re-selects among the
+    // ≤ saltBuckets·τ survivors. Row-identical to the single window (the
+    // global top-τ is within each bucket's top-τ); the salt derives from
+    // the row hash so selection is deterministic under task retries.
+    val hashed = hot.withColumn("__h", rowHash(hot))
     val order = col("__h") +: cols.map(col)
     val w1 = Window
-      .partitionBy((groupColumns.map(col) :+ pmod(xxhash64(col("__h")), lit(saltBuckets))): _*)
+      .partitionBy((gcols :+ pmod(xxhash64(col("__h")), lit(saltBuckets))): _*)
       .orderBy(order: _*)
     val stage1 = hashed
       .withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= threshold)
       .drop("__rn")
-    val w2 = Window.partitionBy(groupColumns.map(col): _*).orderBy(order: _*)
-    stage1
+    val w2 = Window.partitionBy(gcols: _*).orderBy(order: _*)
+    val hotOut = stage1
       .withColumn("__rn", row_number().over(w2))
       .filter(col("__rn") <= threshold)
       .select(cols.map(col): _*)
+    coldOut.unionByName(hotOut)
   }
 
   /** Drop groups with more than `threshold` rows (reference `truncation.py:165-225`).

@@ -139,8 +139,14 @@ class TransformationsSpec extends SharedSpark {
       (1 to 400).map(i => Row(s"g${i % 3}", (i % 37).toLong)))
     val plain = Truncation.truncateLargeGroups(data, Seq("A"), 7)
     for (salts <- Seq(2, 8, 32)) {
-      val salted = Truncation.truncateLargeGroupsSalted(data, Seq("A"), 7, salts)
+      // hotGroupMinRows = 0 forces every group through the two-phase path;
+      // the default routes these tiny groups through the plain window
+      val salted = Truncation.truncateLargeGroupsSalted(data, Seq("A"), 7, salts,
+        hotGroupMinRows = 0L)
       assertSameRows(plain, salted)
+      val routed = Truncation.truncateLargeGroupsSalted(data, Seq("A"), 7, salts,
+        hotGroupMinRows = 50L)
+      assertSameRows(plain, routed)
     }
   }
 
