@@ -615,6 +615,37 @@ object SparkEntry {
           col("event_type"), col("count"))
     },
 
+    "q_sessionize" -> { (s, dir) =>
+      // unified batch path of the session-window aggregation
+      val e = t(s, dir, "events").withColumn(
+        "event_time",
+        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+      graft.streaming.Streams
+        .sessionize(e, "event_time", "user_id", gap = "30 minutes")
+        .select(
+          col("user_id"),
+          col("session_start").cast(LongType).as("ss"),
+          col("events"))
+    },
+    "q_running_counts" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      graft.streaming.Streams.runningCounts(e, "event_type")
+        .toDF("event_type", "cnt")
+    },
+    "q_interval_join" -> { (s, dir) =>
+      // purchases joined to any same-user event within ±15 minutes
+      val e = t(s, dir, "events").withColumn(
+        "event_time",
+        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+      val l = e.select(col("user_id"), col("event_time").as("l_ts"),
+        col("event_id").as("l_id"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_time").as("r_ts"),
+          col("event_id").as("r_id"))
+      graft.streaming.Streams
+        .intervalJoin(l, r, "l_ts", "r_ts", Seq("user_id"), within = "15 minutes")
+        .select(col("user_id"), col("l_id"), col("r_id"))
+    },
     "q_noisy_window" -> { (s, dir) =>
       // alpha = 0 is the noise-free path of the DP streaming release — the
       // driver oracle checks the full window/group/count plumbing
@@ -982,6 +1013,44 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
         |  event_type, count(*) AS count
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_add_unique" ->
+      """SELECT n_regionkey,
+        |  sha256(to_json(struct_pack(
+        |    c0 := CAST(n_regionkey AS VARCHAR),
+        |    rn := CAST(row_number() OVER (PARTITION BY n_regionkey) AS VARCHAR)))::VARCHAR) AS uid
+        |FROM nation""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS t
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |              >= INTERVAL '30 minutes'
+        |         OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), ids AS (
+        |  SELECT user_id, t,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(epoch(min(t)) AS BIGINT) AS ss,
+        |  count(*) AS events
+        |FROM ids GROUP BY user_id, sid""".stripMargin,
+    "q_running_counts" ->
+      """SELECT event_type, count(*) AS cnt FROM events GROUP BY 1""".stripMargin,
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS t, event_id, event_type
+        |  FROM events
+        |)
+        |SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id
+        |FROM e l JOIN e r
+        |  ON l.user_id = r.user_id AND r.event_type = 'purchase'
+        | AND r.t >= l.t - INTERVAL '15 minutes'
+        | AND r.t <= l.t + INTERVAL '15 minutes'""".stripMargin,
     "q_noisy_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
         |  event_type, count(*) AS count

@@ -1,0 +1,27 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object PjoinProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val groups = 640000L
+    val left = spark.range(groups * 10).select((col("id") % groups).as("K"), (col("id") % 97).as("V"))
+    val right = spark.range(groups).select(col("id").as("K"), (col("id") % 7).as("W"))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(s"$name rows=$n time=${(System.nanoTime() - t0) / 1e9}")
+    }
+    time("warm")(left.count() + right.count())
+    time("truncL")(graft.transformations.Truncation.truncateLargeGroupsSalted(left, Seq("K"), 5).count())
+    time("truncL2")(graft.transformations.Truncation.truncateLargeGroupsSalted(left, Seq("K"), 5).count())
+    time("truncPlainL")(graft.transformations.Truncation.truncateLargeGroups(left, Seq("K"), 5).count())
+    time("truncR")(graft.transformations.Truncation.truncateLargeGroupsSalted(right, Seq("K"), 5).count())
+    val tl = graft.transformations.Truncation.truncateLargeGroupsSalted(left, Seq("K"), 5)
+    val tr = graft.transformations.Truncation.truncateLargeGroupsSalted(right, Seq("K"), 5)
+    time("join")(graft.transformations.JoinKernel.join(tl, tr, Seq("K"), "inner", true).count())
+    spark.stop()
+  }
+}

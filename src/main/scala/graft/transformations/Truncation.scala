@@ -68,6 +68,11 @@ object Truncation {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > hotGroupMinRows)
       .select(gcols: _*)
+    // Eager probe (same pattern as PublicJoin's multiplicity probe): in the
+    // common no-hot-key case the routed plan would still scan the input
+    // three more times (anti, semi, and the count above); one small driver
+    // action collapses it back to the single-window plan.
+    if (hotKeys.count() == 0) return truncateLargeGroups(df, groupColumns, threshold)
     val nullSafeOn = groupColumns.map(c => df(c) <=> hotKeys(c)).reduce(_ && _)
     val cold = df.join(broadcast(hotKeys), nullSafeOn, "left_anti")
     val coldOut = truncateLargeGroups(cold, groupColumns, threshold)
