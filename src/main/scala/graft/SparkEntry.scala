@@ -615,6 +615,17 @@ object SparkEntry {
           col("event_type"), col("count"))
     },
 
+    "q_redact_pii" -> { (s, dir) =>
+      graft.ops.TextAnalysis
+        .redactPii(t(s, dir, "documents"), "text")
+        .select("doc_id", "redacted")
+    },
+    "q_sample_hash" -> { (s, dir) =>
+      // deterministic 3/10 split by doc id — same rows on every run
+      graft.ops.Dedup
+        .sampleByHash(t(s, dir, "documents"), "doc_id", 3, 10)
+        .select("doc_id")
+    },
     "q_sessionize" -> { (s, dir) =>
       // unified batch path of the session-window aggregation
       val e = t(s, dir, "events").withColumn(
@@ -1019,6 +1030,15 @@ object SparkEntry {
         |    c0 := CAST(n_regionkey AS VARCHAR),
         |    rn := CAST(row_number() OVER (PARTITION BY n_regionkey) AS VARCHAR)))::VARCHAR) AS uid
         |FROM nation""".stripMargin,
+    "q_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d().-]{6,}\d\b', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('second', ts) AS t

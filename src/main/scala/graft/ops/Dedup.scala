@@ -28,6 +28,25 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol, cols: _*)
 
+  /** Deterministic hash-based sampling: keep a row iff
+    * pmod(xxhash64(salt, key), den) < num. Unlike `df.sample`, the decision
+    * is a pure function of the key, so (a) re-runs and retries select the
+    * SAME rows, (b) sampling by a document/user id keeps or drops all of an
+    * entity's rows together (no partial entities in the corpus), and (c)
+    * train/holdout splits from disjoint (num, den) ranges never overlap.
+    * Narrow (no shuffle), codegen'd.
+    */
+  def sampleByHash(
+      df: DataFrame,
+      keyCol: String,
+      num: Int,
+      den: Int,
+      salt: Long = 0L
+  ): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den, "need 0 <= num <= den, den > 0")
+    df.filter(pmod(xxhash64(lit(salt), col(keyCol)), lit(den)) < num)
+  }
+
   /** Exact dedup by content fingerprint (whitespace/case-insensitive). */
   def exactByFingerprint(
       df: DataFrame,

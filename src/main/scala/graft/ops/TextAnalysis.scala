@@ -104,4 +104,28 @@ object TextAnalysis {
       when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
     )
   }
+
+  /** PII redaction for training corpora: emails, IPv4 addresses, then
+    * phone-like digit runs are replaced with fixed tokens, in that order
+    * (order matters — a phone pattern could otherwise eat into an IP). The
+    * patterns are deliberately RE2-safe (no backtracking constructs), so the
+    * same regexes run identically under Java regex (Spark, codegen'd
+    * regexp_replace) and RE2 (DuckDB oracle).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[\\d().-]{6,}\\d\\b"
+
+  def redactPii(
+      df: DataFrame,
+      textCol: String,
+      out: String = "redacted"
+  ): DataFrame =
+    df.withColumn(
+      out,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>"))
 }

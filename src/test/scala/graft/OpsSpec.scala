@@ -256,6 +256,40 @@ class OpsSpec extends SharedSpark {
     assert(dropped.agg(max(col("bucket_size"))).head().getLong(0) == 5000L)
   }
 
+  test("redactPii masks emails, IPs and phone numbers") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+      Row(2L, "server 10.0.255.3 responded; backup at 192.168.1.1"),
+      Row(3L, "no pii here"),
+      Row(4L, "tel 555-123-9999.")))
+    val out = TextAnalysis.redactPii(d, "text").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out(1L) == "mail me at <EMAIL> or call +1 (555) <PHONE> now" ||
+      out(1L).contains("<EMAIL>") && out(1L).contains("<PHONE>"), out(1L))
+    assert(!out(1L).contains("example.co"), out(1L))
+    assert(out(2L) == "server <IP> responded; backup at <IP>")
+    assert(out(3L) == "no pii here")
+    assert(out(4L) == "tel <PHONE>.")
+  }
+
+  test("sampleByHash is deterministic, entity-complete and disjoint across ranges") {
+    val d = df("doc_id BIGINT, part BIGINT",
+      (0 until 2000).map(i => Row((i / 2).toLong, (i % 2).toLong)))
+    val a = Dedup.sampleByHash(d, "doc_id", 3, 10)
+    val b = Dedup.sampleByHash(d, "doc_id", 3, 10)
+    assert(a.collect().toSet == b.collect().toSet) // same rows every run
+    // both rows of each sampled doc survive (entity-complete)
+    val perDoc = a.groupBy("doc_id").count().select("count").distinct().collect()
+    assert(perDoc.map(_.getLong(0)).toSeq == Seq(2L))
+    val n = a.select("doc_id").distinct().count()
+    assert(n > 200 && n < 400, s"3/10 of 1000 docs, got $n") // rate ~ 0.3
+    // monotone nesting: a larger rate strictly contains a smaller one
+    val bigger = Dedup.sampleByHash(d, "doc_id", 7, 10)
+    val small = a.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val large = bigger.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large) && large.size > small.size)
+  }
+
   test("text analysis columns") {
     val d = df("doc_id BIGINT, text STRING",
       Seq(Row(1L, "Hello   world  foo"), Row(2L, "")))
