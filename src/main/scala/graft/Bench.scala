@@ -28,11 +28,14 @@ object Bench {
     // plan's generated code is compiled before it is timed — otherwise the
     // (hash-ordered) first few queries absorb the whole JVM warmup cost and
     // per-query numbers shift across rounds as the query set grows.
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    var warmFailures = 0
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).count() catch { case _: Throwable => warmFailures += 1 }
       spark.catalog.clearCache()
     }
+    if (warmFailures == SparkEntry.queries.size)
+      System.err.println(s"WARNING: warmup found no data at $warmDir; timed queries will absorb JIT cost")
     System.gc()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

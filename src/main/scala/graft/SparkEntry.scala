@@ -1037,7 +1037,7 @@ object SparkEntry {
         |      regexp_replace(text,
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\+?\d[\d().-]{6,}\d\b', '<PHONE>', 'g') AS redacted
+        |    '(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (

@@ -31,6 +31,8 @@ object NoisyQuantileCore {
       rng: RandomSource
   ): Double = {
     require(quantile >= 0 && quantile <= 1)
+    require(!lower.isNaN && !upper.isNaN && !lower.isInfinite && !upper.isInfinite,
+      s"bounds must be finite, got [$lower, $upper]")
     require(lower <= upper)
     val values = values0.iterator
       .map(v => math.min(math.max(v, lower), upper))
@@ -387,7 +389,7 @@ final case class NoisyQuantileGrouped(
               // noise-free interpolated quantile, streaming over the sorted
               // run: capture the values at ranks floor(pos) and floor(pos)+1
               val pos = q * (n - 1)
-              val i = pos.toInt
+              val i = math.floor(pos).toLong // Long: groups can exceed 2^31 rows
               val frac = pos - i
               var idx = 0L
               var vi = 0.0

@@ -114,7 +114,10 @@ object TextAnalysis {
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhonePattern = "\\+?\\d[\\d().-]{6,}\\d\\b"
+  // phone shapes need >= 10 digits (optional country code + 3-3-4), so ISO
+  // dates (8 digits) and dotted versions never match
+  val PhonePattern =
+    "(?:\\+?\\d{1,2}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}\\b"
 
   def redactPii(
       df: DataFrame,

@@ -129,7 +129,10 @@ object IvMath {
     */
   def toDoubleExact(a: Iv): Option[Double] = {
     val d1 = a.lo.doubleValue(); val d2 = a.hi.doubleValue()
-    if (d1 == d2 && !d1.isNaN && !d1.isInfinity) Some(d1) else None
+    // same-sign infinities are a certified result too: the whole interval
+    // overflows the double range, and the correctly-rounded value IS the
+    // infinity (a huge Laplace scale would otherwise refine forever)
+    if (d1 == d2 && !d1.isNaN) Some(d1) else None
   }
 
   // ---- widening helpers: relative 10^-k margin around a point value ----
@@ -478,6 +481,8 @@ object Precise {
   }
 
   def uniform(lower: Double, upper: Double, rng: RandomSource): Double = {
+    require(!lower.isNaN && !upper.isNaN && !lower.isInfinity && !upper.isInfinity,
+      s"bounds must be finite, got [$lower, $upper]")
     require(lower <= upper, s"lower $lower must not exceed upper $upper")
     if (lower == upper) lower
     else inverseSample(uniformInvCdf(lower, upper), rng)
