@@ -1046,7 +1046,7 @@ object SparkEntry {
         |), flagged AS (
         |  SELECT user_id, t,
         |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-        |              >= INTERVAL '30 minutes'
+        |              > INTERVAL '30 minutes'
         |         OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
         |    THEN 1 ELSE 0 END AS new_sess
         |  FROM e

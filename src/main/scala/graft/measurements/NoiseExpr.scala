@@ -63,6 +63,15 @@ final case class ExpPolylogMechanism(d: Rational, a: Rational, sigma: Rational)
   *
   * Pattern follows `org.apache.spark.sql.catalyst.expressions.Rand`
   * (seed + partition index → per-partition RNG).
+  *
+  * Throughput note: Geometric/DiscreteGaussian sample in ~1µs (exact BigInt
+  * rejection); continuous Laplace/Gaussian go through the exactly-rounded
+  * interval sampler (graft.random.Precise) at ~50µs / ~300µs per draw —
+  * reference-parity semantics, so per-row continuous noise over billions of
+  * rows costs real CPU. Group-level releases (the normal DP shape) draw once
+  * per group and don't notice; for per-row continuous noise where exact
+  * rounding is not required, Samplers.laplaceFast/gaussianFast exist but are
+  * NOT reference-parity (documented granularity gaps near 0).
   */
 case class AddNoise(
     child: Expression,
