@@ -133,6 +133,37 @@ class PreciseSpec extends AnyFunSuite {
     assert(math.abs(gVar - 2.25) / 2.25 < 0.1, s"gaussian var=$gVar")
   }
 
+  test("uniform moments and bounds") {
+    val r = new SplitMix(0xD1CE)
+    val (lo, hi) = (-2.0, 6.0)
+    var sum = 0.0; var sumSq = 0.0
+    var i = 0
+    while (i < 20000) {
+      val x = Precise.uniform(lo, hi, r)
+      assert(x >= lo && x <= hi)
+      sum += x; sumSq += x * x; i += 1
+    }
+    val mean = sum / 20000
+    val v = sumSq / 20000 - mean * mean
+    assert(math.abs(mean - 2.0) < 0.06, s"mean=$mean")
+    assert(math.abs(v - 64.0 / 12) / (64.0 / 12) < 0.05, s"var=$v")
+    assert(Precise.uniform(3.5, 3.5, r) == 3.5)
+    assertThrows[IllegalArgumentException](
+      Precise.uniform(Double.NegativeInfinity, 0.0, r))
+  }
+
+  test("overflowing tail certifies as infinity rather than refining forever") {
+    // scale so large that a typical draw exceeds Double.MaxValue: the
+    // certified answer is the correctly-rounded infinity (reference float
+    // overflow semantics), not a convergence failure
+    val src = new Scripted(Seq(3L << 61)) // p ≈ 3/4 → x* ≈ ln(2)·b
+    val x = Precise.laplace(1.0e308, src)
+    assert(x.isPosInfinity || (x > 0 && x < Double.MaxValue), s"got $x")
+    val src2 = new Scripted(Seq((1L << 63) - 1, (1L << 63) - 1, 0L, 0L))
+    val y = Precise.laplace(1.0e308, src2) // p → 1: far tail
+    assert(y.isPosInfinity, s"got $y")
+  }
+
   test("throughput smoke: samples per second") {
     val r = new SplitMix(42)
     var i = 0
