@@ -615,6 +615,20 @@ object SparkEntry {
           col("event_type"), col("count"))
     },
 
+    "q_boilerplate" -> { (s, dir) =>
+      // plant a corpus-wide footer plus a per-doc unique line: the footer's
+      // doc frequency exceeds the threshold and must vanish, the unique
+      // line must survive — verified against the DuckDB replica
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          lit("All rights reserved. Cookie policy applies."),
+          concat(lit("doc note "), col("doc_id"))).as("text"))
+      graft.ops.Dedup
+        .dropBoilerplateLines(d, "doc_id", "text", maxDocFreq = 10)
+        .select("doc_id", "clean_text")
+    },
     "q_redact_pii" -> { (s, dir) =>
       graft.ops.TextAnalysis
         .redactPii(t(s, dir, "documents"), "text")
@@ -1030,6 +1044,32 @@ object SparkEntry {
         |    c0 := CAST(n_regionkey AS VARCHAR),
         |    rn := CAST(row_number() OVER (PARTITION BY n_regionkey) AS VARCHAR)))::VARCHAR) AS uid
         |FROM nation""".stripMargin,
+    "q_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'All rights reserved. Cookie policy applies.'
+        |         || chr(10) || 'doc note ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS ln,
+        |    unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+        |  FROM d
+        |), n AS (
+        |  SELECT doc_id, pos, ln,
+        |    regexp_replace(lower(trim(ln)), '\s+', ' ', 'g') AS norm
+        |  FROM l WHERE regexp_replace(lower(trim(ln)), '\s+', ' ', 'g') <> ''
+        |), bp AS (
+        |  SELECT norm FROM n GROUP BY norm HAVING count(DISTINCT doc_id) > 10
+        |), kept AS (
+        |  SELECT n.doc_id, n.pos, n.ln FROM n ANTI JOIN bp USING (norm)
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(r.t, '') AS clean_text
+        |FROM d LEFT JOIN (
+        |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS t
+        |  FROM kept GROUP BY doc_id
+        |) r USING (doc_id)""".stripMargin,
     "q_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(

@@ -47,6 +47,55 @@ object Dedup {
     df.filter(pmod(xxhash64(lit(salt), col(keyCol)), lit(den)) < num)
   }
 
+  /** Cross-document boilerplate removal (C4/RefinedWeb-style): drop every
+    * line that occurs — after whitespace-normalized lowercasing — in more
+    * than `maxDocFreq` distinct documents (navigation chrome, cookie
+    * banners, license footers), then reassemble each document from its
+    * surviving lines in order.
+    *
+    * Scale shape: explode to (doc, position, line), one map-side-combined
+    * distinct-count per normalized line, broadcast-anti-join the (tiny)
+    * boilerplate line set, and one groupBy(doc) to reassemble — two
+    * shuffles, no window over unbounded groups. The boilerplate set is the
+    * frequency head of the line distribution, so it stays broadcastable at
+    * any corpus size for sane thresholds.
+    */
+  def dropBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Int = 10,
+      out: String = "clean_text"
+  ): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val lines = df
+      .select(
+        col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn(
+        "__norm",
+        regexp_replace(lower(trim(col("__line"))), "\\s+", " "))
+      .filter(col("__norm") =!= "")
+    val boilerplate = lines
+      .groupBy(col("__norm"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("__norm"))
+    val kept = lines.join(broadcast(boilerplate), Seq("__norm"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws(
+          "\n",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line"))).as(out))
+    df.join(
+        rebuilt.select(col("__id").as(idCol), col(out)),
+        Seq(idCol), "left")
+      .withColumn(out, coalesce(col(out), lit("")))
+  }
+
   /** Exact dedup by content fingerprint (whitespace/case-insensitive). */
   def exactByFingerprint(
       df: DataFrame,

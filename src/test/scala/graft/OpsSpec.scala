@@ -256,6 +256,21 @@ class OpsSpec extends SharedSpark {
     assert(dropped.agg(max(col("bucket_size"))).head().getLong(0) == 5000L)
   }
 
+  test("dropBoilerplateLines removes high-doc-frequency lines, keeps order") {
+    val rows = (1 to 8).map { i =>
+      Row(i.toLong, s"unique opening $i\nAccept our  cookies\nbody text $i\nCopyright 2026")
+    } :+ Row(9L, "accept our cookies") // normalization matches case/space
+    val d = df("doc_id BIGINT, text STRING", rows)
+    val out = Dedup.dropBoilerplateLines(d, "doc_id", "text", maxDocFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out(1L) == "unique opening 1\nbody text 1") // both boilerplate lines gone
+    assert(out(9L) == "") // document that was pure boilerplate
+    // below the threshold nothing is removed
+    val keep = Dedup.dropBoilerplateLines(d, "doc_id", "text", maxDocFreq = 20)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(keep(1L) == "unique opening 1\nAccept our  cookies\nbody text 1\nCopyright 2026")
+  }
+
   test("redactPii masks emails, IPs and phone numbers") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
