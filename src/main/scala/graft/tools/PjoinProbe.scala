@@ -1,6 +1,10 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Dev utility: stage-by-stage timing of the private-join truncation path
+  * (plain vs salted windows, join) on the 640k-group synthetic workload.
+  */
 object PjoinProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

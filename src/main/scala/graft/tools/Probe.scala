@@ -1,5 +1,9 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time any SparkEntry query standalone, outside the bench
+  * harness — `Probe q_name /root/testdata/sf0.1 [q_name2 dir2 ...]`.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

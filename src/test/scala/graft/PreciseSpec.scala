@@ -133,6 +133,41 @@ class PreciseSpec extends AnyFunSuite {
     assert(math.abs(gVar - 2.25) / 2.25 < 0.1, s"gaussian var=$gVar")
   }
 
+  test("interval nesting: refining the uniform narrows, never shifts") {
+    // soundness invariant of the whole interval layer: if p' ⊂ p (more
+    // uniform bits), then invCdf(p') ⊆ invCdf(p) up to each level's widening
+    // margin. A violation would mean some interval fails to contain the true
+    // value — exactly the bug class that breaks exact rounding.
+    val rnd = new java.util.Random(99)
+    val eps = new java.math.BigDecimal(java.math.BigInteger.ONE, 18) // inter-level slack
+    for (trial <- 0 until 60) {
+      var bits = java.math.BigInteger.ZERO
+      var n = 0
+      var prevL: Iv = null
+      var prevG: Iv = null
+      for (round <- 0 until 3) {
+        n += 63
+        bits = bits.shiftLeft(63).or(java.math.BigInteger.valueOf(rnd.nextLong() >>> 1))
+        val sc = new java.math.BigDecimal(java.math.BigInteger.valueOf(5).pow(n), n)
+        val p = Iv(
+          new java.math.BigDecimal(bits).multiply(sc),
+          new java.math.BigDecimal(bits.add(java.math.BigInteger.ONE)).multiply(sc))
+        val l = Precise.laplaceInvCdf(0.0, 2.5)(p, n)
+        val g = Precise.gaussianInvCdf(0.0, 4.0)(p, n)
+        if (prevL != null) {
+          assert(l.lo.compareTo(prevL.lo.subtract(eps)) >= 0 &&
+            l.hi.compareTo(prevL.hi.add(eps)) <= 0,
+            s"trial $trial round $round laplace: $l not within $prevL")
+          assert(g.lo.compareTo(prevG.lo.subtract(eps)) >= 0 &&
+            g.hi.compareTo(prevG.hi.add(eps)) <= 0,
+            s"trial $trial round $round gaussian: $g not within $prevG")
+        }
+        prevL = l
+        prevG = g
+      }
+    }
+  }
+
   test("uniform moments and bounds") {
     val r = new SplitMix(0xD1CE)
     val (lo, hi) = (-2.0, 6.0)
