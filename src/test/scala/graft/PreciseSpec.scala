@@ -199,6 +199,50 @@ class PreciseSpec extends AnyFunSuite {
     assert(y.isPosInfinity, s"got $y")
   }
 
+  test("Kolmogorov-Smirnov against analytic CDFs, accept true / reject ±30%") {
+    // sharper than moment checks: the empirical CDF of the exactly-rounded
+    // sampler must track the analytic CDF uniformly. n = 20000 puts the
+    // 1e-12-significance KS critical value at ~0.027 while a ±30% scale
+    // error shifts the CDF by ≥ 0.04 — cleanly separated.
+    val n = 20000
+    def ks(samples: Array[Double], cdf: Double => Double): Double = {
+      java.util.Arrays.sort(samples)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val f = cdf(samples(i))
+        d = math.max(d, math.max(math.abs(f - i.toDouble / n),
+          math.abs(f - (i + 1).toDouble / n)))
+        i += 1
+      }
+      d
+    }
+    val crit = math.sqrt(math.log(2.0 / 1e-12) / (2.0 * n)) // ~0.0266
+    def lapCdf(b: Double)(x: Double): Double =
+      if (x < 0) 0.5 * math.exp(x / b) else 1 - 0.5 * math.exp(-x / b)
+    def gausCdf(s: Double)(x: Double): Double = {
+      // Φ via erf series is overkill here; use the complementary bound-free
+      // approximation from Zelen & Severo (abs err < 7.5e-8)
+      val z = x / s
+      val t = 1.0 / (1.0 + 0.2316419 * math.abs(z))
+      val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+        t * (-1.821255978 + t * 1.330274429))))
+      val tail = math.exp(-z * z / 2) / math.sqrt(2 * math.Pi) * poly
+      if (z >= 0) 1 - tail else tail
+    }
+    val r = new SplitMix(0xFACADE)
+    val lap = Array.fill(n)(Precise.laplace(2.0, r))
+    val dL = ks(lap.clone(), lapCdf(2.0))
+    assert(dL < crit, s"laplace KS=$dL crit=$crit")
+    assert(ks(lap.clone(), lapCdf(2.0 * 1.3)) > crit, "must reject +30% scale")
+    assert(ks(lap.clone(), lapCdf(2.0 * 0.7)) > crit, "must reject -30% scale")
+    val gau = Array.fill(n)(Precise.gaussian(2.25, r))
+    val dG = ks(gau.clone(), gausCdf(1.5))
+    assert(dG < crit, s"gaussian KS=$dG crit=$crit")
+    assert(ks(gau.clone(), gausCdf(1.5 * 1.3)) > crit, "must reject +30% sigma")
+    assert(ks(gau.clone(), gausCdf(1.5 * 0.7)) > crit, "must reject -30% sigma")
+  }
+
   test("throughput smoke: samples per second") {
     val r = new SplitMix(42)
     var i = 0
