@@ -398,6 +398,14 @@ object IvMath {
   * of the uniform at a time, evaluate the inverse CDF on the dyadic interval
   * [bits·2^-n, (bits+1)·2^-n], and emit once the interval certifies a unique
   * double.
+  *
+  * Privacy: the emitted value equals round-to-nearest-double of an IDEAL
+  * real-valued draw (the uniform bit stream defines a real u; the output is
+  * the correct rounding of F⁻¹(u)). Rounding is a data-independent
+  * post-processing of the ideal mechanism, so the DP guarantee of the
+  * real-valued Laplace/Gaussian carries over exactly — which is precisely
+  * what a naive floating-point sampler loses (its output set depends on the
+  * location in a simulatable way; Mironov, CCS 2012).
   */
 object Precise {
   private val StepBits = 63
