@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dpNoise)
     ext.injectFunction(GraftFunctions.dpCount)
     ext.injectFunction(GraftFunctions.dpSum)
+    ext.injectFunction(GraftFunctions.dpAvg)
   }
 }
 
@@ -156,11 +157,67 @@ object GraftFunctions {
     }
   )
 
+  /** `dp_avg(value, lower, upper, sum_mechanism, sum_scale, count_mechanism,
+    * count_scale)` — noisy average via the factory decomposition
+    * (createAverageMeasurement): noisy sum of midpoint-deviations divided by
+    * the noisy count (floored at 1), plus the midpoint. Both aggregates live
+    * in one Aggregate node, exactly like writing sum(x)/count(1) by hand.
+    */
+  val dpAvg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("dp_avg"),
+    new ExpressionInfo(
+      classOf[AddNoise].getName,
+      null,
+      "dp_avg",
+      "dp_avg(value, lower, upper, sum_mech, sum_scale, count_mech, count_scale) - noisy average",
+      "dp_avg(x, 0.0, 50.0, 'laplace', 62.5, 'geometric', 2.5)"
+    ),
+    (children: Seq[Expression]) => {
+      require(children.size == 7,
+        "dp_avg(value, lower, upper, sum_mech, sum_scale, count_mech, count_scale) takes 7 arguments")
+      val Seq(value, loE, hiE, sumMechE, sumScaleE, cntMechE, cntScaleE) = children
+      require(loE.foldable && hiE.foldable, "dp_avg bounds must be literals")
+      val sumMech = parseMechanism("dp_avg", sumMechE, sumScaleE)
+      val cntMech = parseMechanism("dp_avg", cntMechE, cntScaleE)
+      require(cntMech.isDiscrete, "dp_avg count mechanism must be discrete")
+      def boundToDouble(v: Any): Double = v match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case d: java.math.BigDecimal               => d.doubleValue()
+        case n: java.lang.Number                   => n.doubleValue()
+        case other => throw new IllegalArgumentException(s"bad bound: $other")
+      }
+      val lo = boundToDouble(loE.eval())
+      val hi = boundToDouble(hiE.eval())
+      require(lo <= hi, s"dp_avg needs lower <= upper, got [$lo, $hi]")
+      val mid = (lo + hi) / 2
+      val devBound = (hi - lo) / 2
+      val clippedDev = expressions.Least(Seq(
+        expressions.Greatest(Seq(
+          expressions.Subtract(Cast(value, DoubleType),
+            expressions.Literal(mid)),
+          expressions.Literal(-devBound))),
+        expressions.Literal(devBound)))
+      val noisySod = AddNoise(
+        Cast(aggregate.Sum(clippedDev).toAggregateExpression(), DoubleType),
+        sumMech, graft.random.RandomSource.secureSeed())
+      val noisyCnt = AddNoise(
+        Cast(aggregate.Count(Seq(expressions.Literal(1))).toAggregateExpression(),
+          LongType),
+        cntMech, graft.random.RandomSource.secureSeed())
+      expressions.Add(
+        expressions.Divide(
+          noisySod,
+          Cast(expressions.Greatest(Seq(noisyCnt, expressions.Literal(1L))),
+            DoubleType)),
+        expressions.Literal(mid))
+    }
+  )
+
   /** Register into an existing session (the extensions class does this for
     * sessions built with `spark.sql.extensions`).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dpNoise, dpCount, dpSum).foreach { case (ident, info, builder) =>
+    Seq(dpNoise, dpCount, dpSum, dpAvg).foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
   }

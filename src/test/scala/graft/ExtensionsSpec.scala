@@ -30,6 +30,18 @@ class ExtensionsSpec extends SharedSpark {
     assert(math.abs(stats.getDouble(1) - expectedVar) / expectedVar < 0.1)
   }
 
+  test("dp_avg is a one-expression noisy average in SQL") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    Seq(("a", 4.0), ("a", 8.0), ("b", 20.0)).toDF("K", "n")
+      .createOrReplaceTempView("ext_avg")
+    val out = spark
+      .sql("""SELECT K, dp_avg(n, 0.0, 20.0, 'laplace', 0.0, 'geometric', 0.0) AS a
+              FROM ext_avg GROUP BY K ORDER BY K""")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("a", 6.0), ("b", 20.0)))
+  }
+
   test("dp_count and dp_sum are one-expression DP aggregates in SQL") {
     GraftFunctions.register(spark)
     val d = df("K STRING, n BIGINT",
