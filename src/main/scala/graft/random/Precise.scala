@@ -234,12 +234,26 @@ object IvMath {
     val mc = mcN(w)
     var e = 0
     var m = x
-    val xd = x.doubleValue()
-    if (xd > 0.0 && !xd.isInfinity) e = Math.getExponent(xd)
-    else e = ((x.precision().toLong - x.scale()) * 3.321928).toInt
-    if (e != 0) m = mulPow2(x, -e, mc)
-    while (m.compareTo(THREE_HALVES) >= 0) { m = mulPow2(m, -1, mc); e += 1 }
-    while (m.compareTo(THREE_QUARTERS) < 0) { m = mulPow2(m, 1, mc); e -= 1 }
+    // The e = 0 case is decided by direct BigDecimal comparison, NOT via
+    // Math.getExponent of the rounded double: for x in [0.75,1)
+    // getExponent gives -1, and a double-then-halve round trip through
+    // mulPow2 rounds m to w digits, silently voiding the "num is exact"
+    // claim below exactly where it matters (x = 1-δ, tiny |ln x|).
+    if (x.compareTo(THREE_QUARTERS) >= 0 && x.compareTo(THREE_HALVES) < 0) {
+      // e = 0, m = x untouched: num = m - 1 below is exact.
+    } else {
+      val xd = x.doubleValue()
+      if (xd > 0.0 && !xd.isInfinity) e = Math.getExponent(xd)
+      else e = ((x.precision().toLong - x.scale()) * 3.321928).toInt
+      if (e != 0) m = mulPow2(x, -e, mc)
+      while (m.compareTo(THREE_HALVES) >= 0) { m = mulPow2(m, -1, mc); e += 1 }
+      while (m.compareTo(THREE_QUARTERS) < 0) { m = mulPow2(m, 1, mc); e -= 1 }
+      // This branch cannot land on e == 0 with a rounded m except when a
+      // boundary value (x just below 0.75 or 1.5 at w digits) rounds onto
+      // it; there |ln m| ≥ ln(4/3) - 10^-w, so the relative error stays
+      // inside the series' own tolerance. The cancellation-critical
+      // near-1 inputs always take the exact branch above.
+    }
     val num = m.subtract(ONE) // exact when e == 0 (m never rounded)
     val t = num.divide(m.add(ONE), mc)
     var result: JBD = null

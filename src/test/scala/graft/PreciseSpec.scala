@@ -47,6 +47,40 @@ class PreciseSpec extends AnyFunSuite {
     assert(relErr.doubleValue() < 1e-24, s"relErr=$relErr")
   }
 
+  test("lnPoint keeps the enclosure margin for x just below 1") {
+    // Regression: for x in [0.75,1) the old exponent reduction doubled m
+    // (rounding to w digits) then halved it back, so num = m - 1 carried
+    // ~10^-w ABSOLUTE error — up to 8 orders of magnitude beyond the
+    // 10^-(d+4) widening margin for x = 1-δ with δ in (2.8e-17, 1e-8).
+    // Now x in [0.75,1.5) takes the exact branch (m never rounded).
+    val mc60 = new java.math.MathContext(60)
+    for (xs <- Seq(
+        "0.999999999999",                                       // 1 - 1e-12
+        "0.9999999999990000000000000000000000000000001234567890123", // >40 digits
+        "0.99999999999999990000000000000000000000000000000007",
+        "0.750000000000000000000000000000000000000000000001",
+        "1.499999999999999999999999999999999999999999999999")) {
+      val x = new JBD(xs)
+      val u = x.subtract(JBD.ONE) // exact
+      // ln(1+u) = u - u²/2 + u³/3 - ... ; |u| ≤ 0.25 so 200 terms is plenty
+      var expected = JBD.ZERO
+      var pow = JBD.ONE
+      for (k <- 1 to 200) {
+        pow = pow.multiply(u, mc60)
+        val term = pow.divide(JBD.valueOf(k.toLong), mc60)
+        expected = if (k % 2 == 1) expected.add(term, mc60) else expected.subtract(term, mc60)
+      }
+      for (w <- Seq(34, 40)) {
+        val got = IvMath.lnPoint(x, w)
+        val relErr = got.subtract(expected).abs()
+          .divide(expected.abs(), new java.math.MathContext(10)).doubleValue()
+        // ln() widens lnPoint by 10^-(d+4) with w = d+12; demand the point
+        // value sit two orders inside that margin.
+        assert(relErr < math.pow(10, -(w - 12 + 6)), s"x=$xs w=$w relErr=$relErr")
+      }
+    }
+  }
+
   test("expPoint and erfPoint match published digits") {
     assertDigits(IvMath.expPoint(JBD.ONE, 40), "2.718281828459045235360287471352662497757", 35)
     assertDigits(IvMath.expPoint(new JBD(-10), 40), "0.00004539992976248485153559151556055061023791", 40)
