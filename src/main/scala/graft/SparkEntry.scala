@@ -1058,9 +1058,10 @@ object SparkEntry {
         |), n AS (
         |  SELECT doc_id, pos, ln,
         |    regexp_replace(lower(trim(ln)), '\s+', ' ', 'g') AS norm
-        |  FROM l WHERE regexp_replace(lower(trim(ln)), '\s+', ' ', 'g') <> ''
+        |  FROM l
         |), bp AS (
-        |  SELECT norm FROM n GROUP BY norm HAVING count(DISTINCT doc_id) > 10
+        |  SELECT norm FROM n WHERE norm <> ''
+        |  GROUP BY norm HAVING count(DISTINCT doc_id) > 10
         |), kept AS (
         |  SELECT n.doc_id, n.pos, n.ln FROM n ANTI JOIN bp USING (norm)
         |)

@@ -75,8 +75,11 @@ object Dedup {
       .withColumn(
         "__norm",
         regexp_replace(lower(trim(col("__line"))), "\\s+", " "))
-      .filter(col("__norm") =!= "")
+    // Blank/whitespace-only lines are paragraph structure, not boilerplate:
+    // they are excluded from the doc-frequency count (and can thus never be
+    // dropped) but stay in `lines` so reassembly preserves them verbatim.
     val boilerplate = lines
+      .filter(col("__norm") =!= "")
       .groupBy(col("__norm"))
       .agg(countDistinct(col("__id")).as("__df"))
       .filter(col("__df") > maxDocFreq)

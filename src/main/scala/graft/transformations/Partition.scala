@@ -114,7 +114,14 @@ object ArkSafety {
     case graft.core.ChainTT(a, b)   => keyPreserving(a, key).flatMap(keyPreserving(b, _))
     case Filter(_, _, _)            => Some(key)
     case Select(_, _, columns)      => if (columns.contains(key)) Some(key) else None
-    case Rename(_, _, mapping)      => Some(mapping.getOrElse(key, key))
+    case Rename(_, _, mapping) =>
+      // Reject when some OTHER column is renamed onto the key's output
+      // name — that is a key redefinition even though the key's own values
+      // survive (Rename itself also rejects duplicate output names, but
+      // this whitelist must not depend on that).
+      val out = mapping.getOrElse(key, key)
+      if (mapping.exists { case (from, to) => from != key && to == out }) None
+      else Some(out)
     case DropInfs(_, _, _)          => Some(key)
     case DropNaNs(_, _, _)          => Some(key)
     case DropNulls(_, _, _)         => Some(key)

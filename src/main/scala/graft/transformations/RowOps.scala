@@ -59,6 +59,11 @@ final case class Rename(
     mapping: Map[String, String]
 ) extends StableDfTransformation {
   mapping.keys.foreach(c => require(inputDomain.contains(c), s"no column $c"))
+  // Two sources mapping onto one output name would make the result
+  // ambiguous (and could silently redefine a grouping/key column).
+  private val outNames = inputDomain.schema.map { case (n, _) => mapping.getOrElse(n, n) }
+  require(outNames.distinct.size == outNames.size,
+    s"rename produces duplicate column names: ${outNames.diff(outNames.distinct).distinct.mkString(", ")}")
   def outputDomain: Domain = inputDomain.rename(mapping)
   def inputMetric: Metric = metric
   def outputMetric: Metric = metric match {

@@ -49,6 +49,22 @@ class TransformationsSpec extends SharedSpark {
     assert(op.outputMetric == IfGroupedBy("B", SymmetricDifference))
   }
 
+  test("Rename rejects duplicate output column names") {
+    // Renaming another column onto an existing name would redefine it —
+    // the exact hole that would let a key redefinition slip past the
+    // AddRemoveKeys key-preservation whitelist.
+    val e1 = intercept[IllegalArgumentException] {
+      Rename(abDomain, SymmetricDifference, Map("X" -> "A"))
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val e2 = intercept[IllegalArgumentException] {
+      Rename(abDomain, SymmetricDifference, Map("A" -> "C", "X" -> "C"))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    // swap via a fresh name is still fine
+    Rename(abDomain, SymmetricDifference, Map("A" -> "X", "X" -> "A"))
+  }
+
   test("FlatMap stability multiplies by the row cap") {
     val rt = RowToRowsTransformation(
       abDomain,
