@@ -883,19 +883,27 @@ object SparkEntry {
         |           FROM customer)
         |SELECT o.k AS k, o_orderkey, c_nationkey
         |FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k""".stripMargin,
+    // truncation hashes mirror Truncation.colsHash: sha256 over Spark's
+    // to_json(struct(c0 := CAST(col AS STRING), ...)) — replicated here with
+    // DuckDB's to_json(struct_pack(...)) (same canonical {"c0":"v",...} text,
+    // parity established by q_add_unique)
     "q_private_join" ->
       """WITH l AS (
         |  SELECT custkey, o_orderkey FROM (
         |    SELECT o_custkey AS custkey, o_orderkey,
         |      row_number() OVER (PARTITION BY o_orderkey
-        |        ORDER BY sha256(CAST(o_custkey AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)),
+        |        ORDER BY sha256(to_json(struct_pack(
+        |                   c0 := CAST(o_custkey AS VARCHAR),
+        |                   c1 := CAST(o_orderkey AS VARCHAR)))::VARCHAR),
         |                 custkey, o_orderkey) AS rn
         |    FROM orders) WHERE rn <= 2),
         |r AS (
         |  SELECT o_orderkey, l_linenumber FROM (
         |    SELECT l_orderkey AS o_orderkey, l_linenumber,
         |      row_number() OVER (PARTITION BY l_orderkey
-        |        ORDER BY sha256(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)),
+        |        ORDER BY sha256(to_json(struct_pack(
+        |                   c0 := CAST(l_orderkey AS VARCHAR),
+        |                   c1 := CAST(l_linenumber AS VARCHAR)))::VARCHAR),
         |                 o_orderkey, l_linenumber) AS rn
         |    FROM lineitem) WHERE rn <= 3)
         |SELECT o_orderkey, custkey, l_linenumber FROM l JOIN r USING (o_orderkey)""".stripMargin,
@@ -903,7 +911,9 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY sha256(CAST(o_custkey AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)),
+        |      ORDER BY sha256(to_json(struct_pack(
+        |                 c0 := CAST(o_custkey AS VARCHAR),
+        |                 c1 := CAST(o_orderkey AS VARCHAR)))::VARCHAR),
         |               o_custkey, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 2""".stripMargin,
     "q_drop_large_groups" ->
@@ -915,7 +925,9 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey FROM (
         |  SELECT l_suppkey, l_orderkey,
         |    dense_rank() OVER (PARTITION BY l_suppkey
-        |      ORDER BY sha256(CAST(l_orderkey AS VARCHAR)), l_orderkey) AS dr
+        |      ORDER BY sha256(to_json(struct_pack(
+        |                 c0 := CAST(l_orderkey AS VARCHAR)))::VARCHAR),
+        |               l_orderkey) AS dr
         |  FROM lineitem) WHERE dr <= 5""".stripMargin,
     "q_noisy_count" ->
       s"""SELECT ks.l_returnflag, ks.l_linestatus, coalesce(c.count, 0) AS count

@@ -52,6 +52,14 @@ final case class Select(
 
 /** Rename columns; remaps an `IfGroupedBy` metric column too
   * (reference `rename.py:32-199`).
+  *
+  * Deliberate relaxation vs the reference: `rename.py:132-134` rejects
+  * renaming onto ANY existing input column name, which forbids swaps
+  * ({A→X, X→A}) and chained renames ({A→B, B→C}) outright. Here only the
+  * FINAL mapping must be collision-free — all renames apply simultaneously,
+  * so a swap is unambiguous and sound (domain, metric, and AddRemoveKeys
+  * key tracking all follow the mapping); two sources landing on one output
+  * name are still rejected below.
   */
 final case class Rename(
     inputDomain: DataFrameDomain,

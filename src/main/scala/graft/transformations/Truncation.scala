@@ -11,55 +11,83 @@ import org.apache.spark.sql.functions._
 /** Deterministic-random truncation kernels
   * (reference `utils/truncation.py:41-313`): order rows within a group by a
   * SHA-256 hash of the whole row so the kept subset is stable but
-  * data-independent, then keep by row_number / dense_rank. Single Window per
-  * kernel → one shuffle on the group columns; whole-stage codegen applies.
+  * data-independent, then keep the hash-smallest rows/keys. Hot groups are
+  * routed through a two-phase salted selection so a power-law group key
+  * cannot serialize the per-group sort into a single task.
   */
 object Truncation {
 
-  /** Stable per-row hash: sha2 over all columns, cast to string with a
-    * separator that cannot collide on the five primitive types.
+  /** Stable hash of `columns`: sha2 over a canonical JSON object whose
+    * values are the columns cast to string under positional field names.
+    * JSON escaping makes the encoding injective for a fixed schema — a
+    * separator join collides on embedded separator characters, and skips
+    * NULLs so ("a", NULL) and (NULL, "a") would merge; here a NULL field is
+    * omitted TOGETHER with its positional name, so distinct rows keep
+    * distinct encodings. Same scheme as AddUniqueColumn (RowOps.scala).
     */
-  def rowHash(df: DataFrame): Column =
-    sha2(concat_ws("|", df.columns.map(c => col(c).cast("string")): _*), 256)
+  def colsHash(columns: Seq[String]): Column =
+    sha2(
+      to_json(struct(columns.zipWithIndex.map { case (c, i) =>
+        col(c).cast("string").as(s"c$i")
+      }: _*)),
+      256)
 
-  /** Keep at most `threshold` rows per group (reference `truncation.py:91-162`). */
-  def truncateLargeGroups(
+  /** Stable per-row hash over all columns. */
+  def rowHash(df: DataFrame): Column = colsHash(df.columns.toSeq)
+
+  /** Single-window top-τ: rank rows within each group by `order`, keep the
+    * first `threshold`.
+    */
+  private def keepSmallest(
       df: DataFrame,
       groupColumns: Seq[String],
+      order: Seq[Column],
       threshold: Int
   ): DataFrame = {
-    val order = rowHash(df) +: df.columns.map(col).toSeq
     val w = Window.partitionBy(groupColumns.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= threshold)
       .drop("__rn")
   }
 
-  /** truncateLargeGroups with a two-phase top-τ selection for hot keys:
-    * stage 1 keeps each (group, salt) bucket's τ hash-smallest rows, stage 2
-    * re-selects the τ hash-smallest among the ≤ saltBuckets·τ survivors.
-    * Row-identical to the single-window version — each of the global top-τ
-    * rows is by definition within its own bucket's top-τ — but a key holding
-    * 10% of a 100 TB table sorts on `saltBuckets` tasks instead of one.
-    * The salt derives from the row hash, so selection stays deterministic
-    * under task retries (unlike partition-id-based salting).
-    * Stage 1 shuffles the same bytes the plain window would; stage 2 only
-    * moves ≤ saltBuckets·τ rows per group.
-    */
-  def truncateLargeGroupsSalted(
+  /** Keep at most `threshold` rows per group (reference `truncation.py:91-162`). */
+  def truncateLargeGroups(
       df: DataFrame,
       groupColumns: Seq[String],
+      threshold: Int
+  ): DataFrame =
+    keepSmallest(
+      df, groupColumns, rowHash(df) +: df.columns.map(col).toSeq, threshold)
+
+  /** Hot/cold-routed two-phase top-τ selection, generic over the ordering
+    * (`hash` first, then `tieBreak`): stage 1 keeps each (group, salt)
+    * bucket's τ smallest rows, stage 2 re-selects the τ smallest among the
+    * ≤ saltBuckets·τ survivors. Row-identical to the single-window version —
+    * each of the global top-τ rows is by definition within its own bucket's
+    * top-τ — but a group holding 10% of a 100 TB table sorts on
+    * `saltBuckets` tasks instead of one. The salt derives from the row's
+    * hash, so selection stays deterministic under task retries (unlike
+    * partition-id-based salting). Stage 1 shuffles the same bytes the plain
+    * window would; stage 2 only moves ≤ saltBuckets·τ rows per group.
+    */
+  private def saltedKeepSmallest(
+      df: DataFrame,
+      groupColumns: Seq[String],
+      hash: Column,
+      tieBreak: Seq[Column],
       threshold: Int,
-      saltBuckets: Int = 32,
-      hotGroupMinRows: Long = 100000L
+      saltBuckets: Int,
+      hotGroupMinRows: Long
   ): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    if (saltBuckets == 1) return truncateLargeGroups(df, groupColumns, threshold)
     val cols = df.columns.toSeq
     val gcols = groupColumns.map(col)
+    def plain(d: DataFrame): DataFrame =
+      keepSmallest(d, groupColumns, hash +: tieBreak, threshold)
+    if (saltBuckets == 1) return plain(df)
     // Hot/cold routing: salting every group would explode the number of
     // window partitions (groups × saltBuckets near-empty sorts dominated a
-    // 640k-uniform-group benchmark), so only keys whose row count would
+    // 640k-uniform-group benchmark), so only groups whose row count would
     // serialize a single task go through the two-phase path. The count
     // aggregation is map-side combined (skew-immune) and the hot-key table
     // is tiny, so both routing joins broadcast.
@@ -69,21 +97,16 @@ object Truncation {
       .filter(col("__cnt") > hotGroupMinRows)
       .select(gcols: _*)
     // Eager probe (same pattern as PublicJoin's multiplicity probe): in the
-    // common no-hot-key case the routed plan would still scan the input
+    // common no-hot-group case the routed plan would still scan the input
     // three more times (anti, semi, and the count above); one small driver
     // action collapses it back to the single-window plan.
-    if (hotKeys.count() == 0) return truncateLargeGroups(df, groupColumns, threshold)
+    if (hotKeys.count() == 0) return plain(df)
     val nullSafeOn = groupColumns.map(c => df(c) <=> hotKeys(c)).reduce(_ && _)
     val cold = df.join(broadcast(hotKeys), nullSafeOn, "left_anti")
-    val coldOut = truncateLargeGroups(cold, groupColumns, threshold)
+    val coldOut = plain(cold)
     val hot = df.join(broadcast(hotKeys), nullSafeOn, "left_semi")
-    // two-phase top-τ on the hot keys: stage 1 keeps each (group, salt)
-    // bucket's τ hash-smallest rows, stage 2 re-selects among the
-    // ≤ saltBuckets·τ survivors. Row-identical to the single window (the
-    // global top-τ is within each bucket's top-τ); the salt derives from
-    // the row hash so selection is deterministic under task retries.
-    val hashed = hot.withColumn("__h", rowHash(hot))
-    val order = col("__h") +: cols.map(col)
+    val hashed = hot.withColumn("__h", hash)
+    val order = col("__h") +: tieBreak
     val w1 = Window
       .partitionBy((gcols :+ pmod(xxhash64(col("__h")), lit(saltBuckets))): _*)
       .orderBy(order: _*)
@@ -98,6 +121,19 @@ object Truncation {
       .select(cols.map(col): _*)
     coldOut.unionByName(hotOut)
   }
+
+  /** truncateLargeGroups with the two-phase salted top-τ selection for hot
+    * groups (see [[saltedKeepSmallest]]).
+    */
+  def truncateLargeGroupsSalted(
+      df: DataFrame,
+      groupColumns: Seq[String],
+      threshold: Int,
+      saltBuckets: Int = 32,
+      hotGroupMinRows: Long = 100000L
+  ): DataFrame =
+    saltedKeepSmallest(df, groupColumns, rowHash(df),
+      df.columns.map(col).toSeq, threshold, saltBuckets, hotGroupMinRows)
 
   /** Drop groups with more than `threshold` rows (reference `truncation.py:165-225`).
     *
@@ -129,21 +165,31 @@ object Truncation {
 
   /** Keep at most `threshold` distinct keys per group
     * (reference `truncation.py:228-313`).
+    *
+    * Skew-proof restructuring of the obvious `dense_rank` window over the
+    * raw rows (which ships every row of a hot group to one task): first
+    * aggregate to the distinct (group, key) pairs — map-side combinable, so
+    * a key holding 10% of all rows contributes ONE pair past the shuffle —
+    * then rank each group's keys by hash over that much smaller set
+    * (groups with a huge number of DISTINCT keys additionally route through
+    * the salted two-phase selection), and finally null-safe semi-join the
+    * kept keys back against the input. The kept key set is identical to the
+    * single-window `dense_rank` selection.
     */
   def limitKeysPerGroup(
       df: DataFrame,
       groupColumns: Seq[String],
       keyColumns: Seq[String],
-      threshold: Int
+      threshold: Int,
+      saltBuckets: Int = 32,
+      hotGroupMinKeys: Long = 100000L
   ): DataFrame = {
-    val keyHash =
-      sha2(concat_ws("|", keyColumns.map(c => col(c).cast("string")): _*), 256)
-    val w = Window
-      .partitionBy(groupColumns.map(col): _*)
-      .orderBy(keyHash +: keyColumns.map(col): _*)
-    df.withColumn("__dr", dense_rank().over(w))
-      .filter(col("__dr") <= threshold)
-      .drop("__dr")
+    val pairCols = groupColumns ++ keyColumns
+    val pairs = df.select(pairCols.map(col): _*).dropDuplicates(pairCols)
+    val kept = saltedKeepSmallest(pairs, groupColumns, colsHash(keyColumns),
+      keyColumns.map(col), threshold, saltBuckets, hotGroupMinKeys)
+    val cond = pairCols.map(c => df(c) <=> kept(c)).reduce(_ && _)
+    df.join(kept, cond, "left_semi")
   }
 }
 
@@ -163,7 +209,7 @@ final case class LimitRowsPerGroup(
   def stabilityFunction(dIn: ExactNum): ExactNum =
     dIn * ExactNum(threshold.toLong)
   def apply(data: Any): Any =
-    Truncation.truncateLargeGroups(
+    Truncation.truncateLargeGroupsSalted(
       data.asInstanceOf[DataFrame],
       Seq(groupColumn),
       threshold
@@ -215,7 +261,7 @@ final case class LimitRowsPerKeyPerGroup(
   def stabilityFunction(dIn: ExactNum): ExactNum =
     dIn * ExactNum(threshold.toLong)
   def apply(data: Any): Any =
-    Truncation.truncateLargeGroups(
+    Truncation.truncateLargeGroupsSalted(
       data.asInstanceOf[DataFrame],
       Seq(keyColumn, groupColumn),
       threshold

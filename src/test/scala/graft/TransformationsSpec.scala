@@ -174,6 +174,35 @@ class TransformationsSpec extends SharedSpark {
     assert(out.count() == 4) // both duplicate rows of each kept key survive
   }
 
+  test("limitKeysPerGroup matches the single-window dense_rank selection") {
+    // row-identity vs the pre-restructure implementation (dense_rank over
+    // every raw row): the distinct-pairs + semi-join path must keep exactly
+    // the same keys, on the plain and the forced-salt routes alike
+    val data = df("G STRING, K BIGINT, V BIGINT",
+      (1 to 500).map(i => Row(s"g${i % 4}", (i % 23).toLong, (i % 7).toLong)) :+
+        Row(null, null, 0L) :+ Row(null, 3L, 1L))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("G"))
+      .orderBy(Truncation.colsHash(Seq("K")), col("K"))
+    val ref = data.withColumn("__dr", dense_rank().over(w))
+      .filter(col("__dr") <= 5).drop("__dr")
+    val out = Truncation.limitKeysPerGroup(data, Seq("G"), Seq("K"), 5)
+    assertSameRows(out, ref)
+    val salted = Truncation.limitKeysPerGroup(data, Seq("G"), Seq("K"), 5,
+      saltBuckets = 8, hotGroupMinKeys = 0L)
+    assertSameRows(salted, ref)
+  }
+
+  test("rowHash distinguishes null positions and embedded separators") {
+    // ("a", NULL) vs (NULL, "a") and ("a|b", "c") vs ("a", "b|c") collided
+    // under the old concat_ws encoding; the JSON encoding keeps them apart
+    val data = df("A STRING, B STRING",
+      Seq(Row("a", null), Row(null, "a"), Row("a|b", "c"), Row("a", "b|c")))
+    val hashes = data.select(Truncation.rowHash(data).as("h"))
+      .collect().map(_.getString(0))
+    assert(hashes.distinct.length == 4)
+  }
+
   test("PublicJoin stability is the public side's max key multiplicity") {
     val priv = df("K BIGINT, V STRING", Seq(Row(1L, "x"), Row(2L, "y")))
     val pub = df("K BIGINT, W STRING",
