@@ -720,18 +720,82 @@ object SparkEntry {
         e.unionByName(planted), "vec_id", "embedding", 0.95)
         .select("left_id", "right_id")
     },
+    // q_lsh_topk / q_ivf_topk oracle recipe (same idea as q_cosine_dup):
+    // plant 3 EXACT duplicates of each query vector (identical floats, ids
+    // 1000000 + 10·qid + j). Identical vectors share every LSH bucket and
+    // every centroid assignment, so recall is 1, and each engine computes
+    // the SAME cosine for all four identical candidates (self + 3 copies),
+    // so ties break purely on neighbor_id in Spark and DuckDB alike. The
+    // natural max cosine in the fixture is ~0.49, far below the tie group —
+    // the ANN output provably equals the brute-force top-k.
     "q_lsh_topk" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 5)
+      val planted = q
+        .select(explode(array(lit(0L), lit(1L), lit(2L))).as("__j"),
+          col("vec_id"), col("embedding"))
+        .select((col("vec_id") * 10 + col("__j") + 1000000L).as("vec_id"),
+          col("embedding"))
       graft.ops.Similarity.lshTopK(
-        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3)
+        q, e.unionByName(planted), "vec_id", "embedding", 3)
         .select("query_id", "neighbor_id")
     },
     "q_ivf_topk" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 5)
+      val planted = q
+        .select(explode(array(lit(0L), lit(1L), lit(2L))).as("__j"),
+          col("vec_id"), col("embedding"))
+        .select((col("vec_id") * 10 + col("__j") + 1000000L).as("vec_id"),
+          col("embedding"))
       graft.ops.Similarity.ivfTopK(
-        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 3,
+        q, e.unionByName(planted), "vec_id", "embedding", 3,
         nlist = 16, nprobe = 4, refineIterations = 2)
         .select("query_id", "neighbor_id")
+    },
+    "q_dedup_stream" -> { (s, dir) =>
+      // batch path of the streaming dedup: plant duplicates by unioning the
+      // events table with itself — dropDuplicates over (keys, ts) must
+      // return exactly the distinct (user, type, ts) set
+      val e = t(s, dir, "events").select("user_id", "event_type", "ts")
+      graft.streaming.Streams
+        .dedupStream(e.unionByName(e), "ts", Seq("user_id", "event_type"))
+        // dedup runs on full nanosecond timestamps; the comparison column is
+        // truncated to microseconds because DuckDB reads TIMESTAMP(NANOS)
+        // parquet at microsecond precision
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+    },
+    "q_interactive" -> { (s, dir) =>
+      // end-to-end PrivacyAccountant session on the ∞-budget deterministic
+      // path (reference test/system/measurements/test_interactive_measurements.py):
+      // launch → queue a Filter → measure a count → split over a partition →
+      // measure each child in order → retire children (parent reactivates
+      // with the budget meet) → measure the reactivated parent again.
+      import graft.interactive._
+      val o = t(s, dir, "orders").select("o_orderstatus", "o_orderkey")
+      val d = dom(o)
+      val acct = AdaptiveComposition.create(
+        d, SymmetricDifference, ExactNum(1), inf, PureDP, o)
+      acct.transformInPlace(Filter(d, SymmetricDifference, "o_orderkey % 2 = 0"))
+      val mCount = Aggregations.createCountMeasurement(
+        d, SymmetricDifference, NoiseKind.Geometric, ExactNum(1), inf)
+      val total = acct.measure(mCount).asInstanceOf[Long]
+      val part = PartitionByKeys(d, SymmetricDifference,
+        Seq("o_orderstatus"), Seq(Seq("F"), Seq("O"), Seq("P")))
+      val kids = acct.split(part)
+      val perStatus = Seq("F", "O", "P").zip(kids).map { case (k, a) =>
+        val c = a.measure(mCount).asInstanceOf[Long]
+        a.retire()
+        (k, c)
+      }
+      val afterSplit = acct.measure(mCount).asInstanceOf[Long]
+      val rows = ((("total", total) +: perStatus) :+ ("after_split", afterSplit))
+        .map { case (k, v) => Row(k, v) }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("part", StringType, nullable = false),
+        StructField("count", LongType, nullable = false))))
     },
     "q_multimodal" -> { (s, dir) =>
       // synthesize binary assets from document text bytes (testdata has no
@@ -1114,6 +1178,21 @@ object SparkEntry {
         |FROM ids GROUP BY user_id, sid""".stripMargin,
     "q_running_counts" ->
       """SELECT event_type, count(*) AS cnt FROM events GROUP BY 1""".stripMargin,
+    "q_dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM events""".stripMargin,
+    "q_interactive" ->
+      """SELECT 'total' AS part, count(*) AS count
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL SELECT 'F', count(*) FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+        |UNION ALL SELECT 'O', count(*) FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'O'
+        |UNION ALL SELECT 'P', count(*) FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'P'
+        |UNION ALL SELECT 'after_split', count(*) FROM orders
+        |  WHERE o_orderkey % 2 = 0""".stripMargin,
     "q_interval_join" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('second', ts) AS t, event_id, event_type
@@ -1163,6 +1242,38 @@ object SparkEntry {
         |           ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
         |                    c.vec_id) AS rk
         |  FROM q, embeddings c
+        |) WHERE rk <= 3""".stripMargin,
+    // brute-force top-k over the planted corpus: the ANN paths provably
+    // coincide with it (see the q_lsh_topk comment in `queries`)
+    "q_lsh_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |planted AS (
+        |  SELECT query_id * 10 + j + 1000000 AS vec_id, qv AS embedding
+        |  FROM q CROSS JOIN (VALUES (0),(1),(2)) t(j)),
+        |allv AS (SELECT vec_id, embedding FROM embeddings
+        |         UNION ALL SELECT vec_id, embedding FROM planted)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+        |                    c.vec_id) AS rk
+        |  FROM q, allv c
+        |) WHERE rk <= 3""".stripMargin,
+    "q_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |planted AS (
+        |  SELECT query_id * 10 + j + 1000000 AS vec_id, qv AS embedding
+        |  FROM q CROSS JOIN (VALUES (0),(1),(2)) t(j)),
+        |allv AS (SELECT vec_id, embedding FROM embeddings
+        |         UNION ALL SELECT vec_id, embedding FROM planted)
+        |SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+        |                    c.vec_id) AS rk
+        |  FROM q, allv c
         |) WHERE rk <= 3""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (

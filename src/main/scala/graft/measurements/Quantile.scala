@@ -339,7 +339,10 @@ final case class NoisyQuantileGrouped(
     upper: Double,
     epsilon: Option[Double],
     outputMeasure: Measure = PureDP,
-    outputColumn: String = "quantile"
+    outputColumn: String = "quantile",
+    // test hook: pin the session seed so the per-group draws (including
+    // empty-group fills) are reproducible; production callers leave None
+    seedOverride: Option[Long] = None
 ) extends Measurement {
   require(inputDomain.inner.contains(measureColumn))
 
@@ -357,7 +360,7 @@ final case class NoisyQuantileGrouped(
     )
     val enc = Encoders.row(outSchema)
     val (q, lo, hi, eps) = (quantile, lower, upper, epsilon)
-    val seed = RandomSource.secureSeed()
+    val seed = seedOverride.getOrElse(RandomSource.secureSeed())
     // layout after select: keys (0..k-1), __v (k), __n (k+1); NaN/null rows
     // are excluded before the window count so n matches the value stream
     val valCol = col(measureColumn).cast("double")
@@ -445,20 +448,46 @@ final case class NoisyQuantileGrouped(
       }
     }(enc)
     // Group-complete: empty groups get the mechanism's empty-input
-    // distribution — with noise that is an INDEPENDENT Uniform(lower, upper)
-    // draw per group (the exponential mechanism over a single gap interval);
-    // a shared constant would correlate empty groups and break the per-group
-    // guarantee. The noise-free path's midpoint is deterministic by design.
-    val fill: org.apache.spark.sql.Column = epsilon match {
-      case Some(_) => lit(lo) + rand() * lit(hi - lo)
-      case None    => lit((lo + hi) / 2)
-    }
+    // distribution — the SAME exponential mechanism run on the empty series
+    // (reference `utils/grouped_dataframe.py:133-186`): one gap interval
+    // (lower, upper), whose Gumbel draw and then EXACTLY-ROUNDED uniform
+    // (reference `random/uniform.py:10-31`) come from the group's own
+    // seeded stream. Empty groups thus stay mutually independent (a shared
+    // constant would correlate them) AND carry the same exactness and
+    // groupSeed reproducibility as every non-empty draw. The noise-free
+    // path's midpoint is deterministic by design.
     val cond = keyCols.map(c => g.groupKeys(c) <=> perGroup(c)).reduce(_ && _)
     val joined = g.groupKeys.join(perGroup, cond, "left")
-    val out = joined.select(
+    val withKeys = joined.select(
       keyCols.map(c => g.groupKeys(c).as(c)) :+
-        coalesce(joined(outputColumn), fill).as(outputColumn): _*
+        joined(outputColumn).as(outputColumn): _*
     )
+    val out = eps match {
+      case None =>
+        withKeys.select(
+          keyCols.map(col) :+
+            coalesce(col(outputColumn), lit((lo + hi) / 2)).as(outputColumn): _*)
+      case Some(_) =>
+        val qIdx = keyCols.size
+        withKeys.mapPartitions { it =>
+          it.map { r =>
+            if (!r.isNullAt(qIdx)) r
+            else {
+              val encKey = graft.transformations.GroupKeys.encode(r, keyIdxs)
+              val rng = new SplitMix(RandomSource.groupSeed(seed, encKey))
+              val v =
+                if (hi > lo) {
+                  // the single (lower, upper) interval's Gumbel draw, then
+                  // the exactly-rounded uniform inside it — mirroring the
+                  // non-empty path's consider() + Precise.uniform
+                  rng.nextDouble()
+                  graft.random.Precise.uniform(lo, hi, rng)
+                } else (lo + hi) / 2
+              Row.fromSeq(keyIdxs.map(r.get) :+ v)
+            }
+          }
+        }(enc)
+    }
     Sanitize(out)
   }
 }
