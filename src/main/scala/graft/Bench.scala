@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query plus the reference-envelope
+  * workload sweeps (BASELINE.md shapes) at SPARK_GRAFT_SF_DIR.
+  *
+  * Each query is timed `SPARK_GRAFT_BENCH_RUNS` times (default 3) after a
+  * full warmup pass, and the MEDIAN is reported — single-run timings carried
+  * a ±20% machine-variance band that made round-over-round comparison
+  * meaningless. The printed JSON line keeps the per-query medians sorted
+  * name-first and appends the sweep entries and totals LAST (downstream
+  * tooling stores only the tail of the line); the complete per-run data is
+  * also written to SPARK_GRAFT_BENCH_FULL (default bench_full.json).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,11 +25,29 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // median-of-N timing: every run clears the cache and prompts a GC so one
+    // run's persisted intermediates / localCheckpoint blocks cannot distort
+    // the next (the ContextCleaner works off weak references)
+    val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    def timeMedian(name: String)(body: => Unit): (String, Double) = {
+      val ts = (1 to runsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        try body catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        dt
+      }
+      allRuns(name) = ts
+      name -> ts.sorted.apply(ts.size / 2)
+    }
+
     // Warmup (untimed): force a full read of every table (xxhash64 over all
-    // columns defeats the parquet count-from-metadata shortcut) plus one
-    // representative query, so the timed loop measures steady-state execution
-    // instead of first-touch page-cache misses and JIT compilation.
-    import org.apache.spark.sql.functions.{expr, lit}
+    // columns defeats the parquet count-from-metadata shortcut), so the
+    // timed loop measures steady-state execution instead of first-touch
+    // page-cache misses.
+    import org.apache.spark.sql.functions.{col, expr, when}
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try
@@ -37,25 +68,17 @@ object Bench {
     if (warmFailures == SparkEntry.queries.size)
       System.err.println(s"WARNING: warmup found no data at $warmDir; timed queries will absorb JIT cost")
     System.gc()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries are independent; don't let one query's persisted
-      // intermediates distort the next one's timing. localCheckpoint
-      // blocks are only released when their RDDs are GC'd (the
-      // ContextCleaner works off weak references), so prompt a GC too.
-      spark.catalog.clearCache()
-      System.gc()
-      name -> dt
+      timeMedian(name) { fn(spark, sfDir).count(): Unit }
     }
+
     // Reference-envelope sweep (BASELINE.md / benchmark/count_sum.py
     // workload shapes): noisy grouped count+sum over 2 Long columns at the
     // reference's smallest/middle/largest CI domain sizes, on both the
     // empty-df and 1-row-per-group datasets. The reference's CI budget for
     // the full sweep is 25 minutes; each shape here is one timed entry.
-    val sweepResults: Map[String, Double] = {
-      import org.apache.spark.sql.functions.col
+    val sweepResults: Seq[(String, Double)] = {
       import graft.domains.{ColumnDescriptor, DataFrameDomain}
       import graft.exact.{ExactNum, Rational}
       import graft.measures.PureDPBudget
@@ -64,8 +87,7 @@ object Bench {
       Seq(100, 10000, 640000).flatMap { n =>
         Seq(false, true).map { empty =>
           val name = s"q_countsum_${n}g${if (empty) "_empty" else ""}"
-          val t0 = System.nanoTime()
-          try {
+          timeMedian(name) {
             val keys = spark.range(n.toLong).select(col("id").as("A"))
             val data = spark.range(if (empty) 0L else n.toLong)
               .select(col("id").as("A"), (col("id") % 97).as("X"))
@@ -79,29 +101,23 @@ object Bench {
               dom, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
               PureDPBudget(ExactNum(1)), "X", Rational(0), Rational(97),
               Some(keys))
-            mSum(data).asInstanceOf[org.apache.spark.sql.DataFrame].count()
-          } catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          System.gc()
-          name -> dt
+            mSum(data).asInstanceOf[org.apache.spark.sql.DataFrame].count(): Unit
+          }
         }
-      }.toMap
+      }
     }
     // Reference quantile benchmark shape (benchmark/quantile.py, CI budget
     // 84 min for its sweep): per-group noisy median over many small groups
     // and few huge groups.
-    val quantileSweep: Map[String, Double] = {
-      import org.apache.spark.sql.functions.col
+    val quantileSweep: Seq[(String, Double)] = {
       import graft.domains.{ColumnDescriptor, DataFrameDomain}
-      import graft.exact.{ExactNum, Rational}
+      import graft.exact.ExactNum
       import graft.measures.PureDPBudget
       import graft.measurements.Aggregations
       import graft.metrics.SymmetricDifference
       Seq(("q_quantile_10000g", 10000, 10), ("q_quantile_10g", 10, 100000))
         .map { case (name, groups, perGroup) =>
-          val t0 = System.nanoTime()
-          try {
+          timeMedian(name) {
             val keys = spark.range(groups.toLong).select(col("id").as("A"))
             val data = spark.range(groups.toLong * perGroup)
               .select((col("id") % groups).as("A"), (col("id") % 97).cast("double").as("X"))
@@ -110,56 +126,97 @@ object Bench {
             val m = Aggregations.createQuantileMeasurement(
               dom, SymmetricDifference, ExactNum(1), PureDPBudget(ExactNum(1)),
               "X", 0.5, 0.0, 97.0, keys, "median")
-            m(data).asInstanceOf[org.apache.spark.sql.DataFrame].count()
-          } catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          System.gc()
-          name -> dt
-        }.toMap
+            m(data).asInstanceOf[org.apache.spark.sql.DataFrame].count(): Unit
+          }
+        }
     }
-    // Private-join truncation under key skew (reference envelope
-    // benchmark/private_join.py): 6.4M rows over 640k join keys, uniform
-    // vs power-law (one key owning 10% of all rows). The two-phase salted
-    // truncation must keep the skewed run within ~2× of the uniform one.
-    val pjoinSweep: Map[String, Double] = {
-      import org.apache.spark.sql.functions.{col, when}
+    // Private-join truncation sweep (reference envelope
+    // benchmark/private_join.py, the largest CI budget at 35 min):
+    // τ ∈ {1, 10, 100} × both strategies on a uniform 1.6M-row dataset,
+    // plus the headline pair at 6.4M rows / 640k join keys: uniform vs
+    // power-law (one key owning 10% of all rows — 640k rows, well past
+    // hotGroupMinRows, so the salted two-phase truncation hot path is the
+    // code under test; it must keep the skewed run within ~2× of the
+    // uniform one).
+    val pjoinSweep: Seq[(String, Double)] = {
       import graft.domains.{ColumnDescriptor, DataFrameDomain}
       import graft.transformations.{PrivateJoin, TruncationStrategy}
-      Seq(("q_pjoin_uniform", false), ("q_pjoin_skew", true)).map {
+      def pjoin(name: String, skew: Boolean, tau: Int,
+                strategy: TruncationStrategy, groups: Long): (String, Double) =
+        timeMedian(name) {
+          val key =
+            if (skew) when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
+            else col("id") % groups
+          val left = spark.range(groups * 10)
+            .select(key.as("K"), (col("id") % 97).as("V"))
+          val right = spark.range(groups)
+            .select(col("id").as("K"), (col("id") % 7).as("W"))
+          val domL = DataFrameDomain(
+            Seq("K" -> ColumnDescriptor.long, "V" -> ColumnDescriptor.long))
+          val domR = DataFrameDomain(
+            Seq("K" -> ColumnDescriptor.long, "W" -> ColumnDescriptor.long))
+          val pj = PrivateJoin(
+            domL, domR, on = Seq("K"),
+            leftStrategy = strategy, leftThreshold = tau,
+            rightStrategy = strategy, rightThreshold = tau)
+          pj(Map("left" -> left, "right" -> right))
+            .asInstanceOf[org.apache.spark.sql.DataFrame].count(): Unit
+        }
+      Seq(1, 10, 100).flatMap { tau =>
+        Seq(
+          pjoin(s"q_pjoin_t${tau}_trunc", skew = false, tau,
+            TruncationStrategy.Truncate, groups = 160000L),
+          pjoin(s"q_pjoin_t${tau}_drop", skew = false, tau,
+            TruncationStrategy.Drop, groups = 160000L))
+      } ++ Seq(
+        pjoin("q_pjoin_uniform", skew = false, 5,
+          TruncationStrategy.Truncate, groups = 640000L),
+        pjoin("q_pjoin_skew", skew = true, 5,
+          TruncationStrategy.Truncate, groups = 640000L))
+    }
+    // Key-limiting under group skew: 6.4M rows, 64k groups; the skewed
+    // variant gives one group 10% of all rows. The distinct-pairs
+    // restructure of limitKeysPerGroup must keep the skewed run within ~2×
+    // of the uniform one (the old full-row window serialized it on one task).
+    val limitKeysSweep: Seq[(String, Double)] = {
+      import graft.transformations.Truncation
+      Seq(("q_limitkeys_uniform", false), ("q_limitkeys_skew", true)).map {
         case (name, skew) =>
-          val t0 = System.nanoTime()
-          try {
-            val groups = 640000L
-            val key =
+          timeMedian(name) {
+            val groups = 64000L
+            val g =
               if (skew) when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
               else col("id") % groups
-            val left = spark.range(groups * 10)
-              .select(key.as("K"), (col("id") % 97).as("V"))
-            val right = spark.range(groups)
-              .select(col("id").as("K"), (col("id") % 7).as("W"))
-            val domL = DataFrameDomain(
-              Seq("K" -> ColumnDescriptor.long, "V" -> ColumnDescriptor.long))
-            val domR = DataFrameDomain(
-              Seq("K" -> ColumnDescriptor.long, "W" -> ColumnDescriptor.long))
-            val pj = PrivateJoin(
-              domL, domR, on = Seq("K"),
-              leftStrategy = TruncationStrategy.Truncate, leftThreshold = 5,
-              rightStrategy = TruncationStrategy.Truncate, rightThreshold = 5)
-            pj(Map("left" -> left, "right" -> right))
-              .asInstanceOf[org.apache.spark.sql.DataFrame].count()
-          } catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          System.gc()
-          name -> dt
-      }.toMap
+            val data = spark.range(groups * 100)
+              .select(g.as("G"), (col("id") % 997).as("K"))
+            Truncation.limitKeysPerGroup(data, Seq("G"), Seq("K"), 5)
+              .count(): Unit
+          }
+      }
     }
-    val all = results.toMap ++ sweepResults ++ quantileSweep ++ pjoinSweep
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // per-query medians first (sorted), reference sweeps + total LAST so
+    // they survive tail-truncated captures of the (single-line) output
+    val ordered: Seq[(String, Double)] =
+      results ++ sweepResults ++ quantileSweep ++ pjoinSweep ++ limitKeysSweep
+    val total = results.map(_._2).sum
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = (ordered.map { case (k, v) => s"\"$k\":${fmt(v)}" } :+
+      s"\"total_entry_queries\":${fmt(total)}").mkString("{", ",", "}")
+    // complete per-run data for offline analysis (the printed line only
+    // carries medians)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/bench_full.json")
+    try {
+      val runsJson = allRuns.map { case (k, ts) =>
+        s"\"$k\":[${ts.map(fmt).mkString(",")}]"
+      }.mkString("{", ",", "}")
+      val fw = new java.io.FileWriter(fullPath)
+      fw.write(s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"total_entry_queries":${fmt(total)},"runs":$runsJson}""" + "\n")
+      fw.close()
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
