@@ -635,9 +635,10 @@ object SparkEntry {
         .select("doc_id", "redacted")
     },
     "q_sample_hash" -> { (s, dir) =>
-      // deterministic 3/10 split by doc id — same rows on every run
+      // deterministic 3/10 split by doc id — same rows on every run; the
+      // portable (SHA-256 prefix) variant so DuckDB replays the exact hash
       graft.ops.Dedup
-        .sampleByHash(t(s, dir, "documents"), "doc_id", 3, 10)
+        .sampleByHashPortable(t(s, dir, "documents"), "doc_id", 3, 10)
         .select("doc_id")
     },
     "q_sessionize" -> { (s, dir) =>
@@ -697,7 +698,21 @@ object SparkEntry {
         .select("doc_id")
     },
     "q_simhash_pairs" -> { (s, dir) =>
-      graft.ops.Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 10)
+      // plant token-REVERSED copies: a permutation leaves the token
+      // multiset (hence the SimHash signature) unchanged, so recall for
+      // the planted pairs is exactly 1 and the verified output equals the
+      // engine-independent equal-multiset pair set — the DuckDB oracle
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d
+        .filter(col("doc_id") % 40 === 0)
+        .select(
+          (col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat_ws(
+            " ",
+            reverse(filter(split(col("text"), "\\s+"), x => x =!= lit(""))))
+            .as("text"))
+      graft.ops.Dedup
+        .simHashVerifiedPairs(d.unionByName(planted), "doc_id", "text")
         .select("left_id", "right_id")
     },
     "q_ngram_jaccard" -> { (s, dir) =>
@@ -1156,6 +1171,31 @@ object SparkEntry {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
+    // q_sample_hash: the portable sampler is 60 bits of SHA-256 over
+    // "salt|key" — DuckDB computes the identical integer from the identical
+    // hex prefix, so membership matches bit-for-bit
+    "q_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x' || substr(sha256('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 10 < 3""".stripMargin,
+    // q_simhash_pairs: verified output = pairs with equal lowercased token
+    // multisets (SimHash is a pure function of the multiset, so recall for
+    // such pairs is 1 — see Dedup.simHashVerifiedPairs). The planted rows
+    // reuse the original text: reversing token order changes neither the
+    // multiset nor the signature.
+    "q_simhash_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_sort(list_filter(string_split_regex(lower(text), '\s+'),
+        |              x -> x <> '')) AS tk
+        |  FROM base
+        |)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id
+        |FROM tk a JOIN tk b ON a.tk = b.tk AND a.doc_id < b.doc_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('second', ts) AS t

@@ -47,6 +47,31 @@ object Dedup {
     df.filter(pmod(xxhash64(lit(salt), col(keyCol)), lit(den)) < num)
   }
 
+  /** Engine-portable variant of [[sampleByHash]]: the keep decision is
+    * `int(first 15 hex chars of sha256("salt|key")) % den < num` — 60 bits
+    * of SHA-256, computable bit-for-bit in any engine that has SHA-256
+    * (DuckDB: `('0x' || substr(sha256('salt|' || key), 1, 15))::BIGINT`).
+    * Use when a sample must be reproduced OUTSIDE Spark — handing a
+    * train/holdout split to a different engine, or auditing membership of
+    * a row without rerunning the pipeline. xxhash64 [[sampleByHash]] is
+    * the fast default when the sample never leaves Spark.
+    */
+  def sampleByHashPortable(
+      df: DataFrame,
+      keyCol: String,
+      num: Int,
+      den: Int,
+      salt: Long = 0L
+  ): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den, "need 0 <= num <= den, den > 0")
+    val h = conv(
+      substring(
+        sha2(concat_ws("|", lit(salt.toString), col(keyCol).cast("string")), 256),
+        1, 15),
+      16, 10).cast("long")
+    df.filter(pmod(h, lit(den.toLong)) < num)
+  }
+
   /** Cross-document boilerplate removal (C4/RefinedWeb-style): drop every
     * line that occurs — after whitespace-normalized lowercasing — in more
     * than `maxDocFreq` distinct documents (navigation chrome, cookie
@@ -522,6 +547,38 @@ object Dedup {
         bit_count(col("__l.simhash").bitwiseXOR(col("__r.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
+  }
+
+  /** Order-insensitive exact duplicate pairs: SimHash bucketing generates
+    * candidates, exact token-multiset equality verifies them. The SimHash
+    * signature is a pure function of the token multiset (each occurrence
+    * votes ±1 per bit, summed — order never enters), so two documents with
+    * equal lowercased token multisets ALWAYS share a signature, land in the
+    * same bucket, and survive verification: recall is exactly 1, and the
+    * output is the deterministic, engine-independent set of equal-multiset
+    * pairs. Catches reordered/re-wrapped/case-shifted copies that exact
+    * dedup misses, at one signature pass + one bounded bucket join —
+    * never an all-pairs comparison.
+    */
+  def simHashVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val cand = simHashPairs(df, idCol, textCol, maxDistance = 0, maxBucketSize)
+    // exact verification joins the (small) candidate set back to sorted
+    // token arrays; sort_array is the multiset's canonical form
+    val toks = df.select(
+      col(idCol),
+      sort_array(
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+      ).as("__tk"))
+    cand
+      .join(toks.select(col(idCol).as("left_id"), col("__tk").as("__lt")), "left_id")
+      .join(toks.select(col(idCol).as("right_id"), col("__tk").as("__rt")), "right_id")
+      .filter(col("__lt") === col("__rt"))
+      .select("left_id", "right_id")
   }
 
   /** The (block, value) buckets simHashPairs drops under its cap, with their

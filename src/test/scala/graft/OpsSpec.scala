@@ -306,6 +306,37 @@ class OpsSpec extends SharedSpark {
     assert(small.subsetOf(large) && large.size > small.size)
   }
 
+  test("sampleByHashPortable matches the published SHA-256 recipe") {
+    val d = df("doc_id BIGINT, v BIGINT",
+      (0 until 500).map(i => Row(i.toLong, i.toLong)))
+    val out = Dedup.sampleByHashPortable(d, "doc_id", 3, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent replication of the recipe: first 15 hex chars of
+    // sha256("0|id") as a 60-bit int, mod 10 < 3
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expected = (0 until 500).map(_.toLong).filter { id =>
+      val hex = md.digest(s"0|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 10 < 3
+    }.toSet
+    assert(out == expected)
+    assert(out.nonEmpty && out.size < 500)
+  }
+
+  test("simHashVerifiedPairs: recall 1 for token permutations, exact verify kills collisions") {
+    val d = df("doc_id BIGINT, text STRING",
+      Seq(
+        Row(1L, "alpha beta gamma delta epsilon zeta"),
+        Row(2L, "zeta epsilon delta gamma beta ALPHA"), // permutation + case
+        Row(3L, "alpha beta gamma delta epsilon zeta eta"), // superset: no pair
+        Row(4L, "totally different words here entirely"),
+        Row(5L, "alpha  beta\tgamma delta epsilon zeta") // whitespace variant
+      ))
+    val pairs = Dedup.simHashVerifiedPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
   test("text analysis columns") {
     val d = df("doc_id BIGINT, text STRING",
       Seq(Row(1L, "Hello   world  foo"), Row(2L, "")))
