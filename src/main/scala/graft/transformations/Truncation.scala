@@ -185,7 +185,15 @@ object Truncation {
       hotGroupMinKeys: Long = 100000L
   ): DataFrame = {
     val pairCols = groupColumns ++ keyColumns
+    // The distinct aggregation is the expensive stage (a full shuffle of
+    // the projected input); materialize its result once, because the salted
+    // selection's eager hot-group probe is a separate action from the rank
+    // window — without this the aggregation runs twice. localCheckpoint
+    // rather than persist: the function is already eager (the probe), the
+    // blocks are freed by the ContextCleaner when the plan is GC'd, and
+    // nothing lands in the CacheManager for callers to clear.
     val pairs = df.select(pairCols.map(col): _*).dropDuplicates(pairCols)
+      .localCheckpoint()
     val kept = saltedKeepSmallest(pairs, groupColumns, colsHash(keyColumns),
       keyColumns.map(col), threshold, saltBuckets, hotGroupMinKeys)
     val cond = pairCols.map(c => df(c) <=> kept(c)).reduce(_ && _)
