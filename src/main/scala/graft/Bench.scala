@@ -51,8 +51,10 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try
+        // bit_xor, not sum: ANSI mode makes a long-overflowing sum abort
+        // the scan mid-table, silently leaving the tail of the file cold
         spark.read.parquet(s"$sfDir/$t.parquet")
-          .select(expr("sum(xxhash64(struct(*)))")).collect()
+          .select(expr("bit_xor(xxhash64(struct(*)))")).collect()
       catch { case _: Throwable => () }
     }
     // JIT/codegen warmup: run EVERY query once at the smallest SF so each
@@ -195,10 +197,89 @@ object Bench {
       }
     }
 
+    // Noise-mechanism sampling throughput (reference envelope
+    // benchmark/noise_mechanism.py, CI budget 7 min): 10M draws through the
+    // codegen'd AddNoise expression per mechanism. The reference samples
+    // scalar-at-a-time through ctypes into vendored C; here the per-row cost
+    // is a JVM expression inside whole-stage codegen — this entry is the
+    // direct measurement of BASELINE.md's "expected structural advantage".
+    val noiseSweep: Seq[(String, Double)] = {
+      import graft.exact.Rational
+      import graft.measurements._
+      // Row counts are sized per mechanism so each entry lands in the
+      // seconds range: the integer mechanisms sample at ~6M rows/s, the
+      // exactly-rounded continuous ones at ~500k (Laplace) and ~90k
+      // (Gaussian — interval-refined erf⁻¹ per draw) rows/s.
+      val mechs: Seq[(String, NoiseMechanism, Long)] = Seq(
+        ("q_noise_geometric_10m", GeometricMechanism(Rational(1, 2)), 10000000L),
+        ("q_noise_dgauss_10m", DiscreteGaussianMechanism(Rational(4)), 10000000L),
+        ("q_noise_laplace_2m", LaplaceMechanism(Rational(2)), 2000000L),
+        ("q_noise_gauss_200k", GaussianMechanism(Rational(4)), 200000L))
+      mechs.map { case (name, m, rows) =>
+        timeMedian(name) {
+          // the aggregate CONSUMES y — count(1) would let column pruning
+          // delete the (unused) noise projection and time nothing; double
+          // sum saturates instead of raising ANSI overflow
+          spark.range(rows)
+            .select(AddNoise(col("id"), m).as("y"))
+            .agg(expr("sum(cast(y as double))")).collect(): Unit
+        }
+      }
+    }
+    // Map/FlatMap row throughput (reference envelope benchmark/sparkmap.py
+    // 28-min and sparkflatmap.py 12-min budgets): the §2 Map operator is a
+    // typed Dataset.map under Tungsten encoders where the reference pays
+    // rdd + pickle per row; FlatMap fans 1→2.
+    val mapSweep: Seq[(String, Double)] = {
+      import graft.domains.{ColumnDescriptor, DataFrameDomain}
+      import graft.metrics.SymmetricDifference
+      import graft.transformations._
+      import org.apache.spark.sql.Row
+      val domX = DataFrameDomain(Seq("X" -> ColumnDescriptor.long))
+      val domY = DataFrameDomain(Seq("Y" -> ColumnDescriptor.long))
+      Seq(
+        timeMedian("q_map_5m") {
+          val mt = MapTransformation(
+            SymmetricDifference,
+            RowToRowTransformation(domX, domY,
+              r => Row(r.getLong(0) * 2 + 1), augment = false))
+          mt(spark.range(5000000L).select(col("id").as("X")))
+            .asInstanceOf[org.apache.spark.sql.DataFrame].count(): Unit
+        },
+        timeMedian("q_flatmap_5m") {
+          val ft = FlatMapTransformation(
+            SymmetricDifference,
+            RowToRowsTransformation(domX, domY,
+              r => Seq(Row(r.getLong(0)), Row(-r.getLong(0))), augment = false),
+            maxNumRows = Some(2))
+          ft(spark.range(5000000L).select(col("id").as("X")))
+            .asInstanceOf[org.apache.spark.sql.DataFrame].count(): Unit
+        })
+    }
+    // PublicJoin envelope (benchmark/public_join.py, CI budget 14 min):
+    // 1.6M private rows joined to a 10k-key public table, eager
+    // multiplicity probe included in the timing.
+    val publicJoinSweep: Seq[(String, Double)] = {
+      import graft.domains.{ColumnDescriptor, DataFrameDomain}
+      import graft.metrics.SymmetricDifference
+      import graft.transformations.PublicJoin
+      Seq(timeMedian("q_pubjoin_1600k") {
+        val priv = spark.range(1600000L)
+          .select((col("id") % 10000).as("K"), (col("id") % 97).as("V"))
+        val pub = spark.range(20000L)
+          .select((col("id") % 10000).as("K"), (col("id") % 7).as("W"))
+        val dom = DataFrameDomain(
+          Seq("K" -> ColumnDescriptor.long, "V" -> ColumnDescriptor.long))
+        PublicJoin(dom, SymmetricDifference, pub, on = Seq("K"))(priv)
+          .asInstanceOf[org.apache.spark.sql.DataFrame].count(): Unit
+      })
+    }
+
     // per-query medians first (sorted), reference sweeps + total LAST so
     // they survive tail-truncated captures of the (single-line) output
     val ordered: Seq[(String, Double)] =
-      results ++ sweepResults ++ quantileSweep ++ pjoinSweep ++ limitKeysSweep
+      results ++ sweepResults ++ quantileSweep ++ pjoinSweep ++
+        limitKeysSweep ++ noiseSweep ++ mapSweep ++ publicJoinSweep
     val total = results.map(_._2).sum
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -720,6 +720,12 @@ object SparkEntry {
         shingleSize = 3, jaccardThreshold = 0.5, maxDocFreq = 20)
         .select("left_id", "right_id")
     },
+    "q_dup_spans" -> { (s, dir) =>
+      // exact substring-level dedup signal (Lee et al. 2022): merged token
+      // ranges of every 8-token span occurring more than once in the corpus
+      graft.ops.Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
+        .select("doc_id", "span_start", "span_end")
+    },
     "q_cosine_dup" -> { (s, dir) =>
       // plant exactly-collinear duplicates (×2-scaled vectors, cosine = 1,
       // same LSH bucket in every band by construction) so the DuckDB exact
@@ -1397,6 +1403,36 @@ object SparkEntry {
         |  SELECT reach.a, edges.r FROM reach JOIN edges ON edges.l = reach.b
         |)
         |SELECT a AS doc_id FROM reach GROUP BY a HAVING a = min(b)""".stripMargin,
+    // q_dup_spans: exact duplicated 8-token spans, merged per document —
+    // the dedup decision is on the shingle TEXT (no engine hash), so the
+    // replica is literal
+    "q_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(range(greatest(len(t) - 7, 0))) AS pos, t
+        |  FROM tk
+        |), g AS (
+        |  SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS s FROM sh
+        |), dup AS (
+        |  SELECT s FROM g GROUP BY s HAVING count(*) > 1
+        |), m AS (
+        |  SELECT doc_id, pos FROM g WHERE s IN (SELECT s FROM dup)
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 0 ELSE 1 END AS b
+        |  FROM m
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk
+        |)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id AS id,

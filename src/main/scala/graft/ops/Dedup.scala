@@ -696,4 +696,94 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
+
+  /** Exact duplicated-span detection (the substring-dedup pass of
+    * large-scale training pipelines, after Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every n-token span whose
+    * lowercased token sequence occurs more than once ANYWHERE in the corpus
+    * (another document or a repeat within the same one) is marked, and
+    * overlapping/adjacent marked spans are merged per document. Returns
+    * (idCol, span_start, span_end) in token indices, 0-based inclusive.
+    *
+    * Scale shape: shingles are column expressions (no per-token row
+    * explosion until posexplode of the n-gram array), the duplicate test is
+    * ONE map-side-combined count per distinct shingle text, and marking is
+    * a left-semi join (1:1, no fan-out — a boilerplate span occurring in a
+    * million documents inflates nothing). The merge window partitions by
+    * document and its input is only each doc's marked positions. Exact and
+    * engine-independent — no hashing in the dedup decision, so the output
+    * oracles bit-for-bit.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+    // sequence(a, b) DESCENDS when b < a — guard short documents to an
+    // empty position list instead
+    val positions = when(size(col("__t")) >= n,
+      sequence(lit(0), size(col("__t")) - n)
+    ).otherwise(array().cast("array<int>"))
+    val grams = df
+      .select(col(idCol).as("__id"), toks.as("__t"))
+      .select(
+        col("__id"),
+        explode(transform(positions,
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("__t"), i + 1, lit(n))).as("s")))).as("__g"))
+      .select(col("__id"), col("__g.pos").as("__pos"), col("__g.s").as("__s"))
+    val dup = grams
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__s"))
+    val marked = grams.join(dup, Seq("__s"), "left_semi")
+    // gaps-and-islands merge: spans are all length n, positions sorted, so
+    // two marks coalesce iff the later start is within n of the earlier
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    marked
+      .withColumn("__brk",
+        when(col("__pos") <= lag(col("__pos"), 1).over(w) + n, 0).otherwise(1))
+      .withColumn("__isl", sum(col("__brk")).over(
+        Window.partitionBy(col("__id")).orderBy(col("__pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + n - 1).as("span_end"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Remove every duplicated n-token span from each document: the
+    * complement of [[duplicatedSpans]] applied to the token stream, then
+    * reassembled (tokens outside any marked span, in order). Documents with
+    * no duplicated spans pass through with whitespace-normalized text.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      out: String = "clean_text"
+  ): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+    df.select(col(idCol), toks.as("__t"))
+      .join(spans, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        concat_ws(" ",
+          filter(
+            transform(col("__t"),
+              (t, i) => when(
+                col("__spans").isNull ||
+                  !exists(col("__spans"),
+                    s => i >= s("span_start") && i <= s("span_end")),
+                t).otherwise(lit(null))),
+            t => t.isNotNull)).as(out))
+  }
 }

@@ -337,6 +337,26 @@ class OpsSpec extends SharedSpark {
     assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
 
+  test("duplicatedSpans marks repeated 8-grams and merges overlaps") {
+    val d = df("doc_id BIGINT, text STRING",
+      Seq(
+        Row(1L, "a b c d e f g h i j"),
+        Row(2L, "x x A B c d e f g h q r"), // same 8-gram, case-shifted, at pos 2
+        Row(3L, "unique words only here nothing repeated at all"),
+        Row(4L, "p q r s t u v w p q r s t u v w") // self-repeat at pos 0 and 8
+      ))
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc4's two marks (0 and 8) coalesce into one span covering the doc
+    assert(spans == Set((1L, 0, 7), (2L, 2, 9), (4L, 0, 15)))
+    val cleaned = Dedup.removeDuplicatedSpans(d, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cleaned(1L) == "i j")
+    assert(cleaned(2L) == "x x q r")
+    assert(cleaned(3L) == "unique words only here nothing repeated at all")
+    assert(cleaned(4L) == "")
+  }
+
   test("text analysis columns") {
     val d = df("doc_id BIGINT, text STRING",
       Seq(Row(1L, "Hello   world  foo"), Row(2L, "")))
