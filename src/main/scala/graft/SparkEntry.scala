@@ -726,6 +726,11 @@ object SparkEntry {
       graft.ops.Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
         .select("doc_id", "span_start", "span_end")
     },
+    "q_remove_spans" -> { (s, dir) =>
+      graft.ops.Dedup
+        .removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
+        .select("doc_id", "clean_text")
+    },
     "q_cosine_dup" -> { (s, dir) =>
       // plant exactly-collinear duplicates (×2-scaled vectors, cosine = 1,
       // same LSH bucket in every band by construction) so the DuckDB exact
@@ -1433,6 +1438,34 @@ object SparkEntry {
         |)
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // q_remove_spans: a token survives iff no duplicated 8-gram span covers
+    // its index; docs whose every token is covered come back as ''
+    "q_remove_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(range(greatest(len(t) - 7, 0))) AS pos, t
+        |  FROM tk
+        |), g AS (
+        |  SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS s FROM sh
+        |), dup AS (
+        |  SELECT s FROM g GROUP BY s HAVING count(*) > 1
+        |), m AS (
+        |  SELECT doc_id, pos FROM g WHERE s IN (SELECT s FROM dup)
+        |), tok AS (
+        |  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM tk
+        |), keep AS (
+        |  SELECT tok.doc_id, tok.w, tok.i FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM m
+        |    WHERE m.doc_id = tok.doc_id AND tok.i BETWEEN m.pos AND m.pos + 7)
+        |), agg AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text
+        |  FROM keep GROUP BY doc_id
+        |)
+        |SELECT tk.doc_id, coalesce(agg.clean_text, '') AS clean_text
+        |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id AS id,
