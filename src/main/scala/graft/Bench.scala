@@ -64,15 +64,25 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     var warmFailures = 0
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => warmFailures += 1 }
+      // toRdd so warmup compiles the same generated code the timed run uses
+      try fn(spark, warmDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => warmFailures += 1 }
       spark.catalog.clearCache()
     }
     if (warmFailures == SparkEntry.queries.size)
       System.err.println(s"WARNING: warmup found no data at $warmDir; timed queries will absorb JIT cost")
     System.gc()
 
+    // toRdd, not count(): under count() the optimizer prunes every column
+    // of the final projection — and for row-preserving plans (a left join
+    // to a unique-keyed aggregate, a pure per-row rewrite) eliminates the
+    // whole computation, timing just the scan. toRdd materializes each
+    // output row, so the timed work is what a consumer of the query pays.
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(): Unit
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      timeMedian(name) { fn(spark, sfDir).count(): Unit }
+      timeMedian(name) { consume(fn(spark, sfDir)) }
     }
 
     // Reference-envelope sweep (BASELINE.md / benchmark/count_sum.py

@@ -14,7 +14,8 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     args.sliding(2, 2).foreach { case Array(q, dir) =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      // toRdd so the final projection is materialized, as in Bench
+      val n = graft.SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
       println(s"$q rows=$n time=${(System.nanoTime() - t0) / 1e9}")
       spark.catalog.clearCache()
     }
