@@ -456,6 +456,25 @@ object SparkEntry {
       graft.ops.TextAnalysis.languageId(t(s, dir, "documents"), "text")
         .select("doc_id", "lang_pred")
     },
+    "q_repetition" -> { (s, dir) =>
+      // documents are single-line, so plant a repeated line plus a
+      // 3-way-shared note to exercise the line-level signals; the token
+      // n-gram signals are nontrivial on the natural word-soup text
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          lit("repeat me"), lit("repeat me"),
+          concat(lit("note "), (col("doc_id") % 3).cast("string"))).as("text"))
+      graft.ops.TextAnalysis.repetitionSignals(d, "text")
+        .select(
+          col("doc_id"),
+          round(col("rep_dup_line_frac"), 6).as("rep_dup_line_frac"),
+          round(col("rep_dup_line_char_frac"), 6).as("rep_dup_line_char_frac"),
+          round(col("rep_top2_char_frac"), 6).as("rep_top2_char_frac"),
+          round(col("rep_top3_char_frac"), 6).as("rep_top3_char_frac"),
+          round(col("rep_dup5_char_frac"), 6).as("rep_dup5_char_frac"))
+    },
     "q_prdp_transform" -> { (s, dir) =>
       // per-record DP mechanisms on the σ=0 noise-free path: every
       // transformation round-trips to the input value exactly
@@ -1096,6 +1115,61 @@ object SparkEntry {
         |      least(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
         |        / length(text), 1.0) * 0.5 END, 6) AS quality
         |FROM documents""".stripMargin,
+    // q_repetition: DuckDB replays the same planted-line construction, then
+    // computes identical formulas — the Spark side ranks grams by a sorted
+    // run-length pass, the oracle by count-per-distinct-gram; both equal
+    // occurrences × gram length
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'repeat me' || chr(10) || 'repeat me' || chr(10)
+        |      || 'note ' || CAST(doc_id % 3 AS VARCHAR) AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS lines
+        |  FROM d
+        |), g AS (
+        |  SELECT doc_id, lines,
+        |    coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0)
+        |      + greatest(len(toks) - 1, 0) AS nchars,
+        |    CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS g2,
+        |    CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS g3,
+        |    CASE WHEN len(toks) >= 5 THEN list_transform(generate_series(1, len(toks)-4),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |                || toks[i+3] || ' ' || toks[i+4]) ELSE [] END AS g5
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, lines, nchars,
+        |    coalesce(list_aggregate(list_transform(list_distinct(g2),
+        |      x -> len(list_filter(g2, y -> y = x)) * length(x)), 'max'), 0) AS top2,
+        |    coalesce(list_aggregate(list_transform(list_distinct(g3),
+        |      x -> len(list_filter(g3, y -> y = x)) * length(x)), 'max'), 0) AS top3,
+        |    coalesce(list_aggregate(list_transform(
+        |      list_filter(list_distinct(g5), x -> len(list_filter(g5, y -> y = x)) >= 2),
+        |      x -> len(list_filter(g5, y -> y = x)) * length(x)), 'sum'), 0) AS dup5,
+        |    coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) AS lc_all,
+        |    coalesce(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0) AS lc_dist
+        |  FROM g
+        |)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(lines) = 0 THEN 0.0
+        |    ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |         / CAST(len(lines) AS DOUBLE) END, 6) AS rep_dup_line_frac,
+        |  round(CASE WHEN lc_all = 0 THEN 0.0
+        |    ELSE CAST(lc_all - lc_dist AS DOUBLE) / CAST(lc_all AS DOUBLE) END, 6)
+        |    AS rep_dup_line_char_frac,
+        |  round(CASE WHEN nchars = 0 THEN 0.0
+        |    ELSE CAST(top2 AS DOUBLE) / CAST(nchars AS DOUBLE) END, 6) AS rep_top2_char_frac,
+        |  round(CASE WHEN nchars = 0 THEN 0.0
+        |    ELSE CAST(top3 AS DOUBLE) / CAST(nchars AS DOUBLE) END, 6) AS rep_top3_char_frac,
+        |  round(CASE WHEN nchars = 0 THEN 0.0
+        |    ELSE CAST(dup5 AS DOUBLE) / CAST(nchars AS DOUBLE) END, 6) AS rep_dup5_char_frac
+        |FROM c""".stripMargin,
     "q_rows_per_key_per_group" ->
       """SELECT l_suppkey, l_returnflag FROM (
         |  SELECT l_suppkey, l_returnflag,

@@ -131,4 +131,126 @@ object TextAnalysis {
           regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           Ipv4Pattern, "<IP>"),
         PhonePattern, "<PHONE>"))
+
+  /** Non-empty whitespace-trimmed tokens (case preserved — repetition is
+    * case-sensitive, unlike the fingerprint/jaccard normalizations).
+    */
+  private def cleanTokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** Word n-grams joined by single spaces; empty array when the document has
+    * fewer than n tokens (guarded — `sequence(0, -1)` would count DOWN).
+    */
+  private def wordGrams(toks: Column, n: Int): Column =
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*))
+    ).otherwise(array().cast("array<string>"))
+
+  /** Max over all distinct grams of occurrences × gram length, computed as a
+    * single run-length pass over the sorted gram array — O(d log d) per
+    * document instead of the O(d²) count-each-distinct formulation.
+    */
+  private def topRunCover(grams: Column): Column = {
+    val init = struct(
+      lit(null).cast("string").as("prev"),
+      lit(0L).as("run"),
+      lit(0L).as("best"))
+    aggregate(
+      array_sort(grams),
+      init,
+      (acc, x) => {
+        val same = acc.getField("prev") <=> x
+        val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), run * length(x).cast("long")).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Sum over distinct grams occurring ≥ 2 times of occurrences × gram
+    * length (total characters inside repeated grams, occurrences counted
+    * with multiplicity). Same sorted-run pass as [[topRunCover]]: a run
+    * reaching length 2 contributes both its rows at once, each further
+    * repeat adds one gram length.
+    */
+  private def dupRunChars(grams: Column): Column = {
+    val init = struct(
+      lit(null).cast("string").as("prev"),
+      lit(0L).as("run"),
+      lit(0L).as("acc"))
+    aggregate(
+      array_sort(grams),
+      init,
+      (acc, x) => {
+        val same = acc.getField("prev") <=> x
+        val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+        val add = when(same && acc.getField("run") === 1, length(x).cast("long") * 2)
+          .when(same, length(x).cast("long"))
+          .otherwise(lit(0L))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          (acc.getField("acc") + add).as("acc"))
+      },
+      acc => acc.getField("acc"))
+  }
+
+  /** Intra-document repetition signals in the style of the Gopher quality
+    * filters (Rae et al. 2021, "Scaling Language Models", table A1):
+    * documents dominated by repeated lines or n-grams are low-quality
+    * training data. Adds five double columns:
+    *
+    *   - `rep_dup_line_frac`      fraction of non-empty lines that are
+    *     repeats of an earlier line
+    *   - `rep_dup_line_char_frac` fraction of line characters inside those
+    *     repeated lines
+    *   - `rep_top2_char_frac`     characters covered by the single most
+    *     repeated word 2-gram / total token characters
+    *   - `rep_top3_char_frac`     same for 3-grams
+    *   - `rep_dup5_char_frac`     characters inside ALL word 5-grams that
+    *     occur more than once (with multiplicity — overlapping occurrences
+    *     each count, so the score may exceed 1; it is a repetition score,
+    *     not a coverage measure)
+    *
+    * All five are pure per-row array computations (no shuffle, no UDF):
+    * grams are ranked by one run-length pass over the sorted gram array, so
+    * the per-document cost is O(d log d) in token count — safe for
+    * arbitrarily large corpora and bounded by the longest single document.
+    */
+  def repetitionSignals(
+      df: DataFrame,
+      textCol: String
+  ): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val toks = cleanTokens(text)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    def charLen(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, x) => a + length(x).cast("long"))
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    val out = df
+      .withColumn("__toks", toks)
+      .withColumn("__lines", lines)
+      // total token characters as laid out in grams: token lengths plus one
+      // joiner space between adjacent tokens
+      .withColumn("__nchars",
+        charLen(col("__toks")) + greatest(size(col("__toks")).cast("long") - 1, lit(0L)))
+    out
+      .withColumn("rep_dup_line_frac",
+        frac(size(col("__lines")) - size(array_distinct(col("__lines"))), size(col("__lines"))))
+      .withColumn("rep_dup_line_char_frac",
+        frac(charLen(col("__lines")) - charLen(array_distinct(col("__lines"))), charLen(col("__lines"))))
+      .withColumn("rep_top2_char_frac",
+        frac(topRunCover(wordGrams(col("__toks"), 2)), col("__nchars")))
+      .withColumn("rep_top3_char_frac",
+        frac(topRunCover(wordGrams(col("__toks"), 3)), col("__nchars")))
+      .withColumn("rep_dup5_char_frac",
+        frac(dupRunChars(wordGrams(col("__toks"), 5)), col("__nchars")))
+      .drop("__toks", "__lines", "__nchars")
+  }
 }

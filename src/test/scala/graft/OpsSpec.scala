@@ -375,4 +375,32 @@ class OpsSpec extends SharedSpark {
     assert(lang(2L) == "es")
     assert(lang(3L) == "und")
   }
+
+  test("repetition signals (Gopher-style)") {
+    // doc1: lines {a b, x y, x y, c c c c c c} (blank/space-only dropped);
+    // tokens a b x y x y c c c c c c → nchars = 12 + 11 joiners = 23;
+    // top 2-gram "c c" ×5 (15 chars), top 3-gram "c c c" ×4 (20), repeated
+    // 5-gram "c c c c c" ×2 (18)
+    val d = df("doc_id BIGINT, text STRING",
+      Seq(Row(1L, "a b\nx y\nx y\n\n  \nc c c c c c"),
+          Row(2L, ""),
+          Row(3L, "one two three")))
+    val rows = TextAnalysis.repetitionSignals(d, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def v(id: Long, c: String): Double = rows(id).getAs[Double](c)
+    assert(math.abs(v(1L, "rep_dup_line_frac") - 0.25) < 1e-12)
+    assert(math.abs(v(1L, "rep_dup_line_char_frac") - 3.0 / 20) < 1e-12)
+    assert(math.abs(v(1L, "rep_top2_char_frac") - 15.0 / 23) < 1e-12)
+    assert(math.abs(v(1L, "rep_top3_char_frac") - 20.0 / 23) < 1e-12)
+    assert(math.abs(v(1L, "rep_dup5_char_frac") - 18.0 / 23) < 1e-12)
+    Seq("rep_dup_line_frac", "rep_dup_line_char_frac", "rep_top2_char_frac",
+      "rep_top3_char_frac", "rep_dup5_char_frac").foreach { c =>
+      assert(v(2L, c) == 0.0, c)
+    }
+    // doc3: no repetition — top singleton 2-gram "two three" covers 9/13,
+    // the lone 3-gram covers everything, no 5-grams at 3 tokens
+    assert(math.abs(v(3L, "rep_top2_char_frac") - 9.0 / 13) < 1e-12)
+    assert(v(3L, "rep_top3_char_frac") == 1.0)
+    assert(v(3L, "rep_dup5_char_frac") == 0.0)
+  }
 }
