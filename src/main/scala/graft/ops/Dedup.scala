@@ -124,17 +124,33 @@ object Dedup {
       .withColumn(out, coalesce(col(out), lit("")))
   }
 
-  /** Exact dedup by content fingerprint (whitespace/case-insensitive). */
+  /** Exact dedup by content fingerprint (whitespace/case-insensitive): keeps
+    * the min-`idCol` row of each fingerprint class. `idCol` must be unique
+    * and non-null.
+    *
+    * Skew shape: a duplicate-heavy corpus is this operator's expected input,
+    * so a window over the fingerprint would ship a viral document's entire
+    * class to one task. Instead the representative ids come from a map-side
+    * combinable min-aggregation (a class of any size reduces to one (fp, id)
+    * pair per input partition before the shuffle), and the semi-join back
+    * distributes by each row's OWN (fp, id) — unique ids, no hot key.
+    */
   def exactByFingerprint(
       df: DataFrame,
       textCol: String,
       idCol: String
   ): DataFrame = {
     val fp = TextAnalysis.fingerprint(df, textCol, "__fp")
-    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
-    fp.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__fp", "__rn")
+    val reps = fp
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__rid"))
+    // null-safe on the fingerprint (null text → null md5) so the null class
+    // keeps a representative too
+    fp.join(
+        reps,
+        fp("__fp") <=> reps("__fp") && fp(idCol) === reps("__rid"),
+        "left_semi")
+      .drop("__fp")
   }
 
   /** Word-level shingles of size k, distinct per document (column-expression

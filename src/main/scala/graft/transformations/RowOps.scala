@@ -4,7 +4,7 @@ import graft.core.Transformation
 import graft.domains._
 import graft.exact.ExactNum
 import graft.metrics._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -217,34 +217,88 @@ final case class ReplaceNulls(
   *
   * Uses sha2 over a canonical JSON of all columns plus a duplicate index from
   * a window over identical rows. One shuffle on all columns — unavoidable for
-  * exact duplicate indexing.
+  * exact duplicate indexing. The id SET is deterministic: a class of G
+  * identical rows always gets indices {1..G}, whichever physical row draws
+  * which index.
+  *
+  * Skew: a class of identical rows cannot be split by any content-derived
+  * key, so the plain window serializes a table holding millions of copies of
+  * one row onto a single task. Classes above `hotClassMinRows` are therefore
+  * routed through a two-phase salted indexing (same eager-probe pattern as
+  * `Truncation.saltedKeepSmallest`): rows are ranked within (class, salt)
+  * buckets — `saltBuckets`-way parallel — and each bucket's rank is shifted
+  * by the total count of lower salts, computed from a map-side-combinable
+  * (class, salt) count and a window over the ≤ `saltBuckets` bucket rows per
+  * class. The index set per class is still exactly {1..G}.
   */
 final case class AddUniqueColumn(
     inputDomain: DataFrameDomain,
-    column: String
+    column: String,
+    saltBuckets: Int = 32,
+    hotClassMinRows: Long = 100000L
 ) extends StableDfTransformation {
   require(!inputDomain.contains(column), s"column $column already exists")
+  require(saltBuckets > 0, "saltBuckets must be positive")
   def outputDomain: Domain =
     inputDomain.withColumn(column, ColumnDescriptor.string())
   def inputMetric: Metric = SymmetricDifference
   def outputMetric: Metric = IfGroupedBy(column, SymmetricDifference)
   def applyDf(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
-    val w = Window.partitionBy(cols.map(col): _*).orderBy(lit(1))
     // to_json over a struct is injective for a fixed schema (JSON escaping),
     // unlike concat_ws whose separator can be forged by field contents
-    df.withColumn(
-      column,
-      sha2(
-        to_json(
-          struct(
-            (cols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"c$i") } :+
-              row_number().over(w).cast("string").as("rn")): _*
-          )
-        ),
-        256
+    def idFromIndex(d: DataFrame, rn: Column): DataFrame =
+      d.withColumn(
+        column,
+        sha2(
+          to_json(
+            struct(
+              (cols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"c$i") } :+
+                rn.cast("string").as("rn")): _*
+            )
+          ),
+          256
+        )
       )
-    )
+    def plain(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(cols.map(col): _*).orderBy(lit(1))
+      idFromIndex(d, row_number().over(w))
+    }
+    // Eager probe: in the common no-hot-class case, collapse back to the
+    // single-window plan instead of paying the routed plan's extra scans.
+    val hotClasses = df
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > hotClassMinRows)
+      .select(cols.map(col): _*)
+    if (hotClasses.isEmpty) return plain(df)
+    val nullSafeOn = cols.map(c => df(c) <=> hotClasses(c)).reduce(_ && _)
+    val coldOut = plain(df.join(broadcast(hotClasses), nullSafeOn, "left_anti"))
+    // The salt is physical (partition id), the only thing that can split
+    // identical rows; localCheckpoint freezes it so the two readers below
+    // (rank window, bucket counts) see the SAME salt per row.
+    val hot = df
+      .join(broadcast(hotClasses), nullSafeOn, "left_semi")
+      .withColumn("__h", Truncation.colsHash(cols))
+      .withColumn("__salt", pmod(spark_partition_id(), lit(saltBuckets)))
+      .localCheckpoint()
+    val w1 = Window.partitionBy(col("__h"), col("__salt")).orderBy(lit(1))
+    val ranked = hot.withColumn("__rn", row_number().over(w1))
+    // offset(class, salt) = rows of the class in lower salt buckets
+    val wOff = Window
+      .partitionBy(col("__h"))
+      .orderBy(col("__salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hot
+      .groupBy(col("__h"), col("__salt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__h"), col("__salt"), col("__off"))
+    val hotOut = idFromIndex(
+      ranked.join(offsets, Seq("__h", "__salt")),
+      col("__off") + col("__rn")
+    ).select((cols :+ column).map(col): _*)
+    coldOut.unionByName(hotOut)
   }
 }
 

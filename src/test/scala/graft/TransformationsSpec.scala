@@ -261,4 +261,24 @@ class TransformationsSpec extends SharedSpark {
     assert(out.select("id").distinct().count() == 3)
     assert(op.outputMetric == IfGroupedBy("id", SymmetricDifference))
   }
+
+  test("AddUniqueColumn salted hot-class path emits the same id set as the plain window") {
+    // 40 copies of one row (hot), 3 of another (cold), 1 unique; the id of
+    // row (content, duplicate-index) is a pure content hash, so plain and
+    // salted selection must produce the IDENTICAL id set — indices {1..G}
+    // per class regardless of bucketing
+    val rows = Seq.fill(40)(Row("hot", 1L)) ++
+      Seq.fill(3)(Row("cold", 2L)) :+ Row("one", 3L)
+    val data = df("A STRING, B BIGINT", rows)
+    val dom = DataFrameDomain(
+      Seq("A" -> ColumnDescriptor.string(true), "B" -> ColumnDescriptor.long))
+    val plainOp = AddUniqueColumn(dom, "id", saltBuckets = 1)
+    val saltedOp = AddUniqueColumn(dom, "id", saltBuckets = 4, hotClassMinRows = 10)
+    val plainIds = plainOp(data).asInstanceOf[DataFrame]
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    val saltedIds = saltedOp(data).asInstanceOf[DataFrame]
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(plainIds.distinct.size == 44)
+    assert(saltedIds == plainIds)
+  }
 }
