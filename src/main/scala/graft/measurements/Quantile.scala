@@ -7,7 +7,6 @@ import graft.measures._
 import graft.metrics._
 import graft.random.{RandomSource, SplitMix}
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exponential-mechanism quantile (Smith 2011; reference
@@ -362,16 +361,36 @@ final case class NoisyQuantileGrouped(
     val (q, lo, hi, eps) = (quantile, lower, upper, epsilon)
     val seed = seedOverride.getOrElse(RandomSource.secureSeed())
     // layout after select: keys (0..k-1), __v (k), __n (k+1); NaN/null rows
-    // are excluded before the window count so n matches the value stream
+    // are excluded before the count so n matches the value stream. The
+    // per-group count is attached via a map-side-combinable aggregation and
+    // a null-safe co-partitioned join, NOT a count window: WindowExec
+    // buffers each partition-key group before emitting (spilling a hot
+    // group to disk on one task), while the join streams — the group rows
+    // stay unbuffered all the way into the sorted-run consumer below, which
+    // reads n from the run's first row.
     val valCol = col(measureColumn).cast("double")
-    val prepared = df
+    val base = df
       .filter(valCol.isNotNull && !isnan(valCol))
       .select(
         (keyCols.map(col) :+
           least(greatest(valCol, lit(lo)), lit(hi)).as("__v")): _*)
-      .withColumn(
-        "__n",
-        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+    val counts = base
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    // explicit dataset aliases: counts derives from base, so unqualified
+    // key references would trip the ambiguous-self-join check
+    val joinCond = keyCols
+      .map(c => col(s"__qb.`$c`") <=> col(s"__qc.`$c`"))
+      .reduce(_ && _)
+    // merge-join hint: the sorted-run consumer needs every group's rows in
+    // ONE partition, which SMJ's clustered-distribution requirement
+    // guarantees; a broadcast of the (small) counts side would leave `base`
+    // in scan partitioning and split groups across partitions
+    val prepared = base.as("__qb")
+      .join(counts.as("__qc").hint("merge"), joinCond)
+      .select(
+        (keyCols.map(c => col(s"__qb.`$c`")) :+
+          col("__qb.__v") :+ col("__qc.__n")): _*)
       .sortWithinPartitions((keyCols.map(col) :+ col("__v")): _*)
     val keyIdxs = keyCols.indices.toSeq
     val vIdx = keyCols.size
