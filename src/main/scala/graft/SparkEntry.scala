@@ -513,6 +513,19 @@ object SparkEntry {
         shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
         .select("doc_id")
     },
+    "q_keep_best" -> { (s, dir) =>
+      // quality-aware representative per near-dup cluster: same verified
+      // LSH pairs + connected components as q_dedup_cluster, but the kept
+      // doc maximizes the quality score (ties -> min doc_id)
+      val d = t(s, dir, "documents")
+      val scored = graft.ops.TextAnalysis.qualityScore(d, "text", "__q")
+      val pairs = graft.ops.Dedup.minHashPairs(d, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+      val clusters = graft.ops.Dedup
+        .duplicateClusters(d.select("doc_id"), pairs, "doc_id")
+      graft.ops.Dedup.keepBestPerCluster(scored, clusters, "doc_id", "__q")
+        .select("doc_id")
+    },
 
     // ---------- §2.4 remaining: two-level truncation, partition, dict ----------
     "q_rows_per_key_per_group" -> { (s, dir) =>
@@ -1482,6 +1495,55 @@ object SparkEntry {
         |  SELECT reach.a, edges.r FROM reach JOIN edges ON edges.l = reach.b
         |)
         |SELECT a AS doc_id FROM reach GROUP BY a HAVING a = min(b)""".stripMargin,
+    // q_keep_best: q_dedup_cluster's recursive-CTE components + the
+    // q_quality score formula; representative = max quality, ties min id
+    "q_keep_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS sh
+        |  FROM t
+        |), sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.id AS l, b.id AS r FROM sh a JOIN sh b USING (sh)
+        |  WHERE a.id < b.id GROUP BY 1, 2
+        |), inter AS (
+        |  SELECT c.l, c.r, count(*) AS i FROM cand c
+        |  JOIN sh x ON x.id = c.l JOIN sh y ON y.id = c.r AND y.sh = x.sh
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT l, r
+        |  FROM inter JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
+        |  WHERE CAST(i AS DOUBLE)/(sl.n + sr.n - i) >= 0.5
+        |), edges AS (
+        |  SELECT l, r FROM pairs UNION ALL SELECT r AS l, l AS r FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.a, edges.r FROM reach JOIN edges ON edges.l = reach.b
+        |), cl AS (
+        |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        |), q AS (
+        |  SELECT doc_id,
+        |    least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |        least(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+        |          / length(text), 1.0) * 0.5 END AS q
+        |  FROM documents
+        |), best AS (
+        |  SELECT cl.cluster_id, max(q.q) AS bq
+        |  FROM cl JOIN q USING (doc_id) GROUP BY 1
+        |)
+        |SELECT min(cl.doc_id) AS doc_id
+        |FROM cl JOIN q USING (doc_id)
+        |JOIN best ON best.cluster_id = cl.cluster_id AND q.q = best.bq
+        |GROUP BY cl.cluster_id""".stripMargin,
     // q_dup_spans: exact duplicated 8-token spans, merged per document —
     // the dedup decision is on the shingle TEXT (no engine hash), so the
     // replica is literal

@@ -483,6 +483,39 @@ object Dedup {
     )
   }
 
+  /** Quality-aware near-dup representative selection: keep, per cluster of
+    * `clusters` (columns `idCol`, `cluster_id` as produced by
+    * [[duplicateClusters]]), the row of `df` with the highest `scoreCol`
+    * (ties → smallest id). This is the selection real training-data
+    * pipelines want — dropping near-duplicates should keep the BEST copy
+    * (longest, cleanest, highest quality score), not the min-id one.
+    *
+    * Skew shape: two map-side-combinable aggregations (max score per
+    * cluster; min id over the tied rows) and semi-joins — no windows, so a
+    * viral million-member cluster never lands on one task. The tie filter
+    * is null-safe: a cluster whose scores are all NULL still keeps its
+    * min-id row.
+    */
+  def keepBestPerCluster(
+      df: DataFrame,
+      clusters: DataFrame,
+      idCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    val withC = df
+      .select(col(idCol), col(scoreCol))
+      .join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol))
+    val best = withC
+      .groupBy(col("cluster_id"))
+      .agg(max(col(scoreCol)).as("__best"))
+    val reps = withC
+      .join(best, Seq("cluster_id"))
+      .filter(col(scoreCol) <=> col("__best"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col(idCol)).as(idCol))
+    df.join(reps.select(idCol), Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash per document over whitespace tokens — computed in a
     * single narrow map (no shuffle): per token a 64-bit hash votes ±1 on
     * each bit, the sign of each bit's tally forms the fingerprint.
