@@ -91,16 +91,43 @@ object Truncation {
     // serialize a single task go through the two-phase path. The count
     // aggregation is map-side combined (skew-immune) and the hot-key table
     // is tiny, so both routing joins broadcast.
-    val hotKeys = df
+    //
+    // Eager probe (same pattern as PublicJoin's multiplicity probe): in the
+    // common no-hot-group case the routed plan would still scan the input
+    // three more times (anti, semi, and the count); one small driver action
+    // collapses it back to the single-window plan. The probe itself runs on
+    // a seeded ~0.2% SAMPLE when the hot threshold is large enough for
+    // sampling to be reliable: a threshold-sized group expects ~2000 sampled
+    // rows and is flagged at ≥ 500, so a group large enough to matter
+    // (serialization starts at millions of rows, 10× the flag bar's safety
+    // margin) is missed with probability ~e^-1000 — and a miss only means
+    // that group takes the plain window, which is still row-identical, just
+    // slower. Flagged candidates are re-counted EXACTLY, so which groups
+    // actually route through the salted path never depends on the sample.
+    val sampleFraction = 2000.0 / hotGroupMinRows.toDouble
+    def exactHotKeys(d: DataFrame): DataFrame = d
       .groupBy(gcols: _*)
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > hotGroupMinRows)
       .select(gcols: _*)
-    // Eager probe (same pattern as PublicJoin's multiplicity probe): in the
-    // common no-hot-group case the routed plan would still scan the input
-    // three more times (anti, semi, and the count above); one small driver
-    // action collapses it back to the single-window plan.
-    if (hotKeys.count() == 0) return plain(df)
+    val hotKeys =
+      if (sampleFraction >= 1.0) {
+        val hk = exactHotKeys(df)
+        if (hk.count() == 0) return plain(df)
+        hk
+      } else {
+        val candidates = df
+          .sample(withReplacement = false, sampleFraction, seed = 42L)
+          .groupBy(gcols: _*)
+          .agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") >= (hotGroupMinRows * sampleFraction / 4.0).toLong)
+          .select(gcols: _*)
+        if (candidates.count() == 0) return plain(df)
+        val candCond = groupColumns.map(c => df(c) <=> candidates(c)).reduce(_ && _)
+        val hk = exactHotKeys(df.join(broadcast(candidates), candCond, "left_semi"))
+        if (hk.count() == 0) return plain(df)
+        hk
+      }
     val nullSafeOn = groupColumns.map(c => df(c) <=> hotKeys(c)).reduce(_ && _)
     val cold = df.join(broadcast(hotKeys), nullSafeOn, "left_anti")
     val coldOut = plain(cold)

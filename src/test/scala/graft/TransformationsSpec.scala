@@ -166,6 +166,19 @@ class TransformationsSpec extends SharedSpark {
     }
   }
 
+  test("sampled hot-group probe routes a hot group and stays row-identical") {
+    // hotGroupMinRows = 4000 → the probe samples 50% (2000/4000); the
+    // 10k-row hot group is flagged by the sample and re-counted exactly,
+    // the 200-row group stays cold — selection matches the plain window
+    val rows = (1 to 10000).map(i => Row("hot", (i % 97).toLong)) ++
+      (1 to 200).map(i => Row("cold", (i % 23).toLong))
+    val data = df("A STRING, X BIGINT", rows)
+    val plain = Truncation.truncateLargeGroups(data, Seq("A"), 5)
+    val salted = Truncation.truncateLargeGroupsSalted(data, Seq("A"), 5,
+      saltBuckets = 8, hotGroupMinRows = 4000L)
+    assertSameRows(plain, salted)
+  }
+
   test("limitKeysPerGroup keeps at most k distinct keys") {
     val data = df("G STRING, K BIGINT",
       (1 to 6).flatMap(k => Seq(Row("g", k.toLong), Row("g", k.toLong))))
