@@ -18,14 +18,20 @@ object PjoinProbe {
       val t0 = System.nanoTime(); val n = f
       println(s"$name rows=$n time=${(System.nanoTime() - t0) / 1e9}")
     }
-    time("warm")(left.count() + right.count())
+    val skewKey = when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
+    val leftSkew = spark.range(groups * 10).select(skewKey.as("K"), (col("id") % 97).as("V"))
+    time("warm")(left.count() + right.count() + leftSkew.count())
     time("truncL")(graft.transformations.Truncation.truncateLargeGroupsSalted(left, Seq("K"), 5).count())
     time("truncL2")(graft.transformations.Truncation.truncateLargeGroupsSalted(left, Seq("K"), 5).count())
     time("truncPlainL")(graft.transformations.Truncation.truncateLargeGroups(left, Seq("K"), 5).count())
     time("truncR")(graft.transformations.Truncation.truncateLargeGroupsSalted(right, Seq("K"), 5).count())
+    time("truncSkew")(graft.transformations.Truncation.truncateLargeGroupsSalted(leftSkew, Seq("K"), 5).count())
+    time("truncSkew2")(graft.transformations.Truncation.truncateLargeGroupsSalted(leftSkew, Seq("K"), 5).count())
     val tl = graft.transformations.Truncation.truncateLargeGroupsSalted(left, Seq("K"), 5)
     val tr = graft.transformations.Truncation.truncateLargeGroupsSalted(right, Seq("K"), 5)
     time("join")(graft.transformations.JoinKernel.join(tl, tr, Seq("K"), "inner", true).count())
+    val tls = graft.transformations.Truncation.truncateLargeGroupsSalted(leftSkew, Seq("K"), 5)
+    time("joinSkew")(graft.transformations.JoinKernel.join(tls, tr, Seq("K"), "inner", true).count())
     spark.stop()
   }
 }

@@ -110,10 +110,13 @@ object Truncation {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > hotGroupMinRows)
       .select(gcols: _*)
+    // The non-empty hot-key table is localCheckpointed (it is tiny): the
+    // routing anti/semi joins each broadcast it, and without
+    // materialization every broadcast would re-run the probe's scan.
     val hotKeys =
       if (sampleFraction >= 1.0) {
-        val hk = exactHotKeys(df)
-        if (hk.count() == 0) return plain(df)
+        val hk = exactHotKeys(df).localCheckpoint()
+        if (hk.isEmpty) return plain(df)
         hk
       } else {
         val candidates = df
@@ -122,10 +125,12 @@ object Truncation {
           .agg(count(lit(1)).as("__cnt"))
           .filter(col("__cnt") >= (hotGroupMinRows * sampleFraction / 4.0).toLong)
           .select(gcols: _*)
-        if (candidates.count() == 0) return plain(df)
+          .localCheckpoint()
+        if (candidates.isEmpty) return plain(df)
         val candCond = groupColumns.map(c => df(c) <=> candidates(c)).reduce(_ && _)
         val hk = exactHotKeys(df.join(broadcast(candidates), candCond, "left_semi"))
-        if (hk.count() == 0) return plain(df)
+          .localCheckpoint()
+        if (hk.isEmpty) return plain(df)
         hk
       }
     val nullSafeOn = groupColumns.map(c => df(c) <=> hotKeys(c)).reduce(_ && _)
