@@ -382,15 +382,21 @@ final case class NoisyQuantileGrouped(
     val joinCond = keyCols
       .map(c => col(s"__qb.`$c`") <=> col(s"__qc.`$c`"))
       .reduce(_ && _)
-    // merge-join hint: the sorted-run consumer needs every group's rows in
-    // ONE partition, which SMJ's clustered-distribution requirement
-    // guarantees; a broadcast of the (small) counts side would leave `base`
-    // in scan partitioning and split groups across partitions
+    // The sorted-run consumer needs every group's rows in ONE partition.
+    // That guarantee comes from the EXPLICIT repartition below, not from the
+    // join: a join's own clustering is not safe to rely on — AQE's skew-join
+    // optimization (on by default) may SPLIT a sort-merge join's oversized
+    // partition into reader chunks, which would hand the consumer a hot
+    // group in pieces. AQE never splits a user repartition (coalescing only
+    // merges whole hash partitions, which preserves group contiguity), and
+    // leaving the join unhinted lets Catalyst broadcast the (usually small)
+    // counts side.
     val prepared = base.as("__qb")
-      .join(counts.as("__qc").hint("merge"), joinCond)
+      .join(counts.as("__qc"), joinCond)
       .select(
         (keyCols.map(c => col(s"__qb.`$c`")) :+
           col("__qb.__v") :+ col("__qc.__n")): _*)
+      .repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols.map(col) :+ col("__v")): _*)
     val keyIdxs = keyCols.indices.toSeq
     val vIdx = keyCols.size

@@ -490,11 +490,17 @@ object Dedup {
     * pipelines want — dropping near-duplicates should keep the BEST copy
     * (longest, cleanest, highest quality score), not the min-id one.
     *
+    * Rows of `df` absent from `clusters` are treated as their own singleton
+    * cluster (kept) rather than silently dropped — a clusters table built
+    * from pair output alone, without singletons, would otherwise discard
+    * every unique document.
+    *
     * Skew shape: two map-side-combinable aggregations (max score per
     * cluster; min id over the tied rows) and semi-joins — no windows, so a
     * viral million-member cluster never lands on one task. The tie filter
     * is null-safe: a cluster whose scores are all NULL still keeps its
-    * min-id row.
+    * min-id row. The (narrow) id/score/cluster projection is materialized
+    * once — it feeds both the max-score aggregation and the tie filter.
     */
   def keepBestPerCluster(
       df: DataFrame,
@@ -504,7 +510,9 @@ object Dedup {
   ): DataFrame = {
     val withC = df
       .select(col(idCol), col(scoreCol))
-      .join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol))
+      .join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .localCheckpoint()
     val best = withC
       .groupBy(col("cluster_id"))
       .agg(max(col(scoreCol)).as("__best"))

@@ -213,9 +213,13 @@ object TextAnalysis {
     *     repeated word 2-gram / total token characters
     *   - `rep_top3_char_frac`     same for 3-grams
     *   - `rep_dup5_char_frac`     characters inside ALL word 5-grams that
-    *     occur more than once (with multiplicity — overlapping occurrences
-    *     each count, so the score may exceed 1; it is a repetition score,
-    *     not a coverage measure)
+    *     occur more than once
+    *
+    * Gram occurrences are counted with multiplicity and overlap (the doc
+    * "a a a a" has three occurrences of "a a"), so every gram score —
+    * including top2/top3 — can exceed 1 on degenerate repetition: they are
+    * repetition scores, not coverage measures. The line fractions are
+    * always in [0, 1].
     *
     * All five are pure per-row array computations (no shuffle, no UDF):
     * grams are ranked by one run-length pass over the sorted gram array, so

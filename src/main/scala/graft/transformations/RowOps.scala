@@ -266,11 +266,33 @@ final case class AddUniqueColumn(
     }
     // Eager probe: in the common no-hot-class case, collapse back to the
     // single-window plan instead of paying the routed plan's extra scans.
-    val hotClasses = df
+    // Same shape as Truncation.saltedKeepSmallest's probe: a seeded
+    // ~2000/hotClassMinRows sample flags candidate classes (missing a
+    // class big enough to matter is vanishingly unlikely, and a miss only
+    // demotes it to the row-identical plain window), flagged candidates are
+    // re-counted exactly, and the non-empty result is localCheckpointed so
+    // the routing joins' broadcasts do not re-run the probe's scans.
+    val sampleFraction = 2000.0 / hotClassMinRows.toDouble
+    def exactHot(d: DataFrame): DataFrame = d
       .groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > hotClassMinRows)
       .select(cols.map(col): _*)
+    val hotClasses =
+      if (sampleFraction >= 1.0) exactHot(df).localCheckpoint()
+      else {
+        val candidates = df
+          .sample(withReplacement = false, sampleFraction, seed = 42L)
+          .groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") >= (hotClassMinRows * sampleFraction / 4.0).toLong)
+          .select(cols.map(col): _*)
+          .localCheckpoint()
+        if (candidates.isEmpty) return plain(df)
+        val candCond = cols.map(c => df(c) <=> candidates(c)).reduce(_ && _)
+        exactHot(df.join(broadcast(candidates), candCond, "left_semi"))
+          .localCheckpoint()
+      }
     if (hotClasses.isEmpty) return plain(df)
     val nullSafeOn = cols.map(c => df(c) <=> hotClasses(c)).reduce(_ && _)
     val coldOut = plain(df.join(broadcast(hotClasses), nullSafeOn, "left_anti"))

@@ -381,9 +381,11 @@ class OpsSpec extends SharedSpark {
       Seq(Row(1L, 0.2), Row(2L, 0.9), Row(3L, 0.9), // cluster 1: tie at 0.9 → id 2
           Row(4L, null), Row(5L, null),             // cluster 4: all null → id 4
           Row(6L, 0.5)))                            // singleton
+    // doc 6 is deliberately ABSENT from the clusters table: unclustered
+    // rows must be kept as their own singleton cluster, not dropped
     val clusters = df("doc_id BIGINT, cluster_id BIGINT",
       Seq(Row(1L, 1L), Row(2L, 1L), Row(3L, 1L),
-          Row(4L, 4L), Row(5L, 4L), Row(6L, 6L)))
+          Row(4L, 4L), Row(5L, 4L)))
     val kept = Dedup.keepBestPerCluster(d, clusters, "doc_id", "score")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 4L, 6L))
