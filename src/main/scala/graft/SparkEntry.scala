@@ -513,6 +513,17 @@ object SparkEntry {
         shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
         .select("doc_id")
     },
+    "q_decontaminate" -> { (s, dir) =>
+      // benchmark decontamination: every 50th doc plays the benchmark set;
+      // docs sharing an 8-gram with it (including the benchmark docs
+      // themselves) are dropped from the training corpus
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+        .select(col("text").as("bench_text"))
+      graft.ops.Dedup
+        .dropContaminated(d, "doc_id", "text", bench, "bench_text", n = 8)
+        .select("doc_id")
+    },
     "q_keep_best" -> { (s, dir) =>
       // quality-aware representative per near-dup cluster: same verified
       // LSH pairs + connected components as q_dedup_cluster, but the kept
@@ -1495,6 +1506,29 @@ object SparkEntry {
         |  SELECT reach.a, edges.r FROM reach JOIN edges ON edges.l = reach.b
         |)
         |SELECT a AS doc_id FROM reach GROUP BY a HAVING a = min(b)""".stripMargin,
+    // q_decontaminate: literal replica — the decision is on the gram TEXT
+    // (no engine hash), same tokenization as the minhash oracle
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), gr AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+        |    THEN list_transform(generate_series(1, len(toks)-7),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |                || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+        |                || ' ' || toks[i+6] || ' ' || toks[i+7])
+        |    ELSE [] END)) AS sh
+        |  FROM t
+        |), bench AS (
+        |  SELECT DISTINCT sh FROM gr WHERE doc_id % 50 = 0
+        |), flagged AS (
+        |  SELECT DISTINCT gr.doc_id FROM gr JOIN bench USING (sh)
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
     // q_keep_best: q_dedup_cluster's recursive-CTE components + the
     // q_quality score formula; representative = max quality, ties min id
     "q_keep_best" ->

@@ -813,6 +813,53 @@ object Dedup {
       .select(col("__id").as(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Benchmark decontamination (the GPT-3 appendix-C discipline): corpus
+    * documents sharing at least one word n-gram — lowercased, whitespace
+    * tokenization, the same normalization as [[minHashPairs]] — with any
+    * text in `benchmark` are contaminated and must be dropped from training
+    * data, or eval scores on that benchmark are inflated.
+    *
+    * Returns the contaminated ids (one column, `idCol`). Scale shape: the
+    * benchmark gram set is one distinct-aggregation of the (small) benchmark
+    * corpus; corpus grams are a narrow flatMap feeding a semi-join on the
+    * gram string (broadcast when the benchmark side is small, shuffled
+    * otherwise — either way no skew: gram keys are near-unique) and a
+    * distinct over the flagged ids. Documents shorter than n tokens can
+    * never be flagged.
+    */
+  def contaminatedIds(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13
+  ): DataFrame = {
+    val benchGrams = shingleRows(
+      benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
+      "__bid", benchTextCol, n
+    ).select(col("__sh")).distinct()
+    shingleRows(corpus, idCol, textCol, n)
+      .join(benchGrams, Seq("__sh"), "left_semi")
+      .select(col("__id").as(idCol))
+      .distinct()
+  }
+
+  /** [[contaminatedIds]]' complement: the corpus with every contaminated
+    * document removed (null-safe anti-join on the id).
+    */
+  def dropContaminated(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13
+  ): DataFrame = {
+    val flagged = contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n)
+    corpus.join(flagged, corpus(idCol) <=> flagged(idCol), "left_anti")
+  }
+
   /** Remove every duplicated n-token span from each document: the
     * complement of [[duplicatedSpans]] applied to the token stream, then
     * reassembled (tokens outside any marked span, in order). Documents with

@@ -391,6 +391,22 @@ class OpsSpec extends SharedSpark {
     assert(kept == Set(2L, 4L, 6L))
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "alpha beta gamma delta epsilon zeta"), // shares a 4-gram
+      Row(2L, "one two three four five six"),         // clean
+      Row(3L, "alpha beta gamma")))                   // < n tokens: can never flag
+    val bench = df("btext STRING", Seq(Row("xx ALPHA beta gamma delta yy")))
+    val flagged = Dedup
+      .contaminatedIds(corpus, "doc_id", "text", bench, "btext", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L)) // case-insensitive: ALPHA matches alpha
+    val clean = Dedup
+      .dropContaminated(corpus, "doc_id", "text", bench, "btext", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+  }
+
   test("repetition signals (Gopher-style)") {
     // doc1: lines {a b, x y, x y, c c c c c c} (blank/space-only dropped);
     // tokens a b x y x y c c c c c c → nchars = 12 + 11 joiners = 23;
