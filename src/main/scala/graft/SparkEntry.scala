@@ -404,6 +404,29 @@ object SparkEntry {
       m(li).asInstanceOf[DataFrame]
         .withColumn("stddev", round(col("stddev"), 6))
     },
+    // ---------- SQL surface (GraftExtensions; deterministic scale-0 path) ----------
+    "q_sql_dp" -> { (s, dir) =>
+      // The one user-facing entry point not reachable through the factory
+      // layer: SQL text → injected function builders → the codegen'd
+      // AddNoise expression. Scale 0 adds no noise, so DuckDB can replay
+      // the clip/aggregate/recombine arithmetic literally.
+      graft.plans.GraftFunctions.register(s)
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .createOrReplaceTempView("lineitem_sql_dp")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               dp_count('geometric', 0.0) AS noisy_count,
+               dp_noise(count(*), 'geometric', 0.0) AS noise_passthrough,
+               round(dp_sum(l_quantity, 0.0, 50.0, 'laplace', 0.0), 4)
+                 AS noisy_sum,
+               round(dp_avg(l_quantity, 1.0, 50.0,
+                            'laplace', 0.0, 'geometric', 0.0), 6) AS noisy_avg
+        FROM lineitem_sql_dp
+        GROUP BY l_returnflag, l_linestatus
+      """)
+    },
+
     "q_quantile" -> { (s, dir) =>
       val li = t(s, dir, "lineitem").select("l_returnflag", "l_quantity")
       val keys = keysDf(s, Seq("l_returnflag"), Seq(Seq("A"), Seq("N"), Seq("R")))
@@ -1111,6 +1134,14 @@ object SparkEntry {
         |             count(*) AS count
         |           FROM lineitem GROUP BY 1, 2) c
         |USING (l_returnflag, l_linestatus)""".stripMargin,
+    "q_sql_dp" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS noisy_count,
+        |  count(*) AS noise_passthrough,
+        |  round(sum(least(greatest(l_quantity, 0.0), 50.0)), 4) AS noisy_sum,
+        |  round(sum(least(greatest(l_quantity - 25.5, -24.5), 24.5))
+        |          / greatest(count(*), 1) + 25.5, 6) AS noisy_avg
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q_quantile" ->
       """SELECT ks.l_returnflag,
         |  round(coalesce(c.median, 25.5), 6) AS median

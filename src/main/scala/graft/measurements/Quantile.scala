@@ -122,11 +122,18 @@ object NoisyQuantileCore {
       epsilon: Option[Double],
       rng: RandomSource
   ): Double = {
+    // Empty input (no bins, degenerate range, or zero total count): the
+    // noisy path draws the EXACTLY-ROUNDED uniform on (lower, upper) from
+    // the group's own seeded stream — the same draw the join-side fill in
+    // [[NoisyQuantileSketch]] makes for groups absent from the data, so
+    // "empty" means one distribution regardless of which path detected it.
     val k = if (counts == null) 0 else counts.length
     if (k == 0 || upper <= lower)
       return epsilon match {
         case None    => (lower + upper) / 2
-        case Some(_) => lower + rng.nextDouble() * (upper - lower)
+        case Some(_) =>
+          if (upper > lower) graft.random.Precise.uniform(lower, upper, rng)
+          else (lower + upper) / 2
       }
     val w = (upper - lower) / k
     var n = 0L
@@ -135,7 +142,7 @@ object NoisyQuantileCore {
     if (n <= 0)
       return epsilon match {
         case None    => (lower + upper) / 2
-        case Some(_) => lower + rng.nextDouble() * (upper - lower)
+        case Some(_) => graft.random.Precise.uniform(lower, upper, rng)
       }
     epsilon match {
       case None =>
@@ -240,7 +247,8 @@ final case class NoisyQuantileSketch(
     epsilon: Option[Double],
     outputMeasure: Measure = PureDP,
     numBins: Int = 128,
-    outputColumn: String = "quantile"
+    outputColumn: String = "quantile",
+    seedOverride: Option[Long] = None
 ) extends Measurement {
   require(inputDomain.inner.contains(measureColumn))
   require(numBins >= 2)
@@ -273,7 +281,7 @@ final case class NoisyQuantileSketch(
       .groupBy(keyCols.map(col): _*)
       .agg(countCols.head, countCols.tail: _*)
     val (q, lo, hi, eps, bins) = (quantile, lower, upper, epsilon, numBins)
-    val seed = RandomSource.secureSeed()
+    val seed = seedOverride.getOrElse(RandomSource.secureSeed())
     val outSchema = org.apache.spark.sql.types.StructType(
       keyCols.map(c => g.df.schema(c)) :+
         org.apache.spark.sql.types
@@ -292,16 +300,39 @@ final case class NoisyQuantileSketch(
         counts, q, lo, hi, eps, rng)
       Row.fromSeq(keyVals :+ result)
     }(enc)
-    val fill: org.apache.spark.sql.Column = epsilon match {
-      case Some(_) => lit(lo) + rand() * lit(hi - lo)
-      case None    => lit((lo + hi) / 2)
-    }
+    // Group-complete: groups absent from the data get the mechanism's
+    // empty-input distribution from their OWN seeded stream — the same
+    // groupSeed scheme and exactly-rounded uniform as every in-histogram
+    // draw (mirrors NoisyQuantileGrouped's refill; reference
+    // `utils/grouped_dataframe.py:133-186`, `random/uniform.py:10-31`).
     val cond = keyCols.map(c => g.groupKeys(c) <=> perGroup(c)).reduce(_ && _)
     val joined = g.groupKeys.join(perGroup, cond, "left")
-    val out = joined.select(
+    val withKeys = joined.select(
       keyCols.map(c => g.groupKeys(c).as(c)) :+
-        coalesce(joined(outputColumn), fill).as(outputColumn): _*
+        joined(outputColumn).as(outputColumn): _*
     )
+    val out = epsilon match {
+      case None =>
+        withKeys.select(
+          keyCols.map(col) :+
+            coalesce(col(outputColumn), lit((lo + hi) / 2))
+              .as(outputColumn): _*)
+      case Some(_) =>
+        val qIdx = keyCols.size
+        withKeys.mapPartitions { it =>
+          it.map { r =>
+            if (!r.isNullAt(qIdx)) r
+            else {
+              val encKey = graft.transformations.GroupKeys.encode(r, keyIdxs)
+              val rng = new SplitMix(RandomSource.groupSeed(seed, encKey))
+              val v =
+                if (hi > lo) graft.random.Precise.uniform(lo, hi, rng)
+                else (lo + hi) / 2
+              Row.fromSeq(keyIdxs.map(r.get) :+ v)
+            }
+          }
+        }(enc)
+    }
     Sanitize(out)
   }
 }

@@ -63,6 +63,36 @@ class DpSoundnessSpec extends SharedSpark {
     assert(out("a") != out("b"))
   }
 
+  test("sketch empty-group fill follows the groupSeed scheme, exactly rounded") {
+    import spark.implicits._
+    val data = Seq(("x", 5.0)).toDF("G", "V")
+    val keys = Seq("a", "b", "x").toDF("G")
+    val gdom = GroupedDataFrameDomain(
+      Seq("G" -> ColumnDescriptor.string(true), "V" -> ColumnDescriptor.double()),
+      Seq("G"))
+    val (lo, hi) = (0.0, 100.0)
+    def run(seed: Long): Map[String, Double] =
+      NoisyQuantileSketch(gdom, SumOf(SymmetricDifference),
+        "V", 0.5, lo, hi, Some(1.0), PureDP, numBins = 16, "quantile",
+        seedOverride = Some(seed))(GroupedDataFrame(data, keys))
+        .asInstanceOf[DataFrame]
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val out = run(42L)
+    // the empty-input branch consumes exactly one Precise.uniform from the
+    // group's seeded stream (no Gumbel pre-draw — the histogram EM's empty
+    // branch has no interval competition), so the fill is pinnable:
+    for (g <- Seq("a", "b")) {
+      val rng = new graft.random.SplitMix(
+        graft.random.RandomSource.groupSeed(
+          42L, graft.transformations.GroupKeys.encode(Row(g), Seq(0))))
+      val expected = graft.random.Precise.uniform(lo, hi, rng)
+      assert(out(g) == expected, s"group $g: ${out(g)} != $expected")
+    }
+    // reproducible under the pinned seed, distinct across groups
+    assert(run(42L) == out)
+    assert(out("a") != out("b"))
+  }
+
   test("parallel queryable meters repeated queries to the same index") {
     val domain = DataFrameDomain(Seq("A" -> ColumnDescriptor.string(true)))
     val part = df("A STRING", Seq(Row("a")))
