@@ -1640,11 +1640,18 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
         |FROM isl GROUP BY doc_id, island""".stripMargin,
     // q_remove_spans: a token survives iff no duplicated 8-gram span covers
-    // its index; docs whose every token is covered come back as ''
+    // its index; docs whose every token is covered come back as ''. The
+    // dedup decision is case-folded but reassembly keeps ORIGINAL-case
+    // tokens (whitespace tokenization is case-independent, so indices
+    // align between the lowercased and original token streams).
     "q_remove_spans" ->
       """WITH tk AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), tko AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
         |  FROM documents
         |), sh AS (
         |  SELECT doc_id, unnest(range(greatest(len(t) - 7, 0))) AS pos, t
@@ -1656,7 +1663,7 @@ object SparkEntry {
         |), m AS (
         |  SELECT doc_id, pos FROM g WHERE s IN (SELECT s FROM dup)
         |), tok AS (
-        |  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM tk
+        |  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM tko
         |), keep AS (
         |  SELECT tok.doc_id, tok.w, tok.i FROM tok
         |  WHERE NOT EXISTS (SELECT 1 FROM m

@@ -493,7 +493,11 @@ object Dedup {
     * Rows of `df` absent from `clusters` are treated as their own singleton
     * cluster (kept) rather than silently dropped — a clusters table built
     * from pair output alone, without singletons, would otherwise discard
-    * every unique document.
+    * every unique document. Singletons are grouped under a TAGGED key
+    * (struct of a marker + the id), never the raw id, so a caller whose
+    * `cluster_id` values are not drawn from member doc ids (the
+    * [[duplicateClusters]] min-id convention) cannot have an unclustered
+    * doc absorbed into — and dropped from — a same-valued cluster.
     *
     * Skew shape: two map-side-combinable aggregations (max score per
     * cluster; min id over the tied rows) and semi-joins — no windows, so a
@@ -511,15 +515,18 @@ object Dedup {
     val withC = df
       .select(col(idCol), col(scoreCol))
       .join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("__ck",
+        when(col("cluster_id").isNotNull,
+          struct(lit(0).as("t"), col("cluster_id").as("v")))
+          .otherwise(struct(lit(1).as("t"), col(idCol).as("v"))))
       .localCheckpoint()
     val best = withC
-      .groupBy(col("cluster_id"))
+      .groupBy(col("__ck"))
       .agg(max(col(scoreCol)).as("__best"))
     val reps = withC
-      .join(best, Seq("cluster_id"))
+      .join(best, Seq("__ck"))
       .filter(col(scoreCol) <=> col("__best"))
-      .groupBy(col("cluster_id"))
+      .groupBy(col("__ck"))
       .agg(min(col(idCol)).as(idCol))
     df.join(reps.select(idCol), Seq(idCol), "left_semi")
   }
@@ -610,12 +617,19 @@ object Dedup {
     * candidates, exact token-multiset equality verifies them. The SimHash
     * signature is a pure function of the token multiset (each occurrence
     * votes ±1 per bit, summed — order never enters), so two documents with
-    * equal lowercased token multisets ALWAYS share a signature, land in the
-    * same bucket, and survive verification: recall is exactly 1, and the
-    * output is the deterministic, engine-independent set of equal-multiset
-    * pairs. Catches reordered/re-wrapped/case-shifted copies that exact
-    * dedup misses, at one signature pass + one bounded bucket join —
-    * never an all-pairs comparison.
+    * equal lowercased token multisets ALWAYS share a signature and land in
+    * the same bucket. Recall is exactly 1 — unconditionally: signature
+    * buckets under `maxBucketSize` go through the cheap id+signature
+    * pair-explosion path, and rows from OVERSIZED buckets (e.g. >cap
+    * empty/whitespace docs all at simhash 0, or >cap copies of viral
+    * boilerplate) are routed to an exact self-join keyed on the sorted
+    * token array itself — never dropped, unlike the distance>0
+    * [[simHashPairs]] whose cap loss is observable via
+    * [[simHashDroppedBuckets]]. With maxDistance=0 every doc is in exactly
+    * one signature bucket, so the two paths are disjoint and the union is
+    * duplicate-free. Output size is inherently C(m,2) per m-duplicate set
+    * — callers collapsing duplicates (rather than listing pairs) should
+    * use exactDedup/keepBestPerCluster instead.
     */
   def simHashVerifiedPairs(
       df: DataFrame,
@@ -623,20 +637,56 @@ object Dedup {
       textCol: String,
       maxBucketSize: Int = 1000
   ): DataFrame = {
-    val cand = simHashPairs(df, idCol, textCol, maxDistance = 0, maxBucketSize)
-    // exact verification joins the (small) candidate set back to sorted
-    // token arrays; sort_array is the multiset's canonical form
+    val banded =
+      simHashBanded(df.select(col(idCol), col(textCol)), idCol, textCol, 0)
+        .persist()
+    // sort_array is the multiset's canonical form
     val toks = df.select(
       col(idCol),
       sort_array(
         filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
       ).as("__tk"))
-    cand
+    // under-cap buckets: in-place pair explosion over (id, signature) only
+    // — the token arrays join in just for the final verification of the
+    // small candidate set (a 64-bit collision of unequal multisets)
+    val cand = pairsFromStructBuckets(
+      boundedBuckets(banded, Seq("__blk", "__bv"),
+        struct(col("__id"), col("simhash")), maxBucketSize))
+    val verified = cand
       .join(toks.select(col(idCol).as("left_id"), col("__tk").as("__lt")), "left_id")
       .join(toks.select(col(idCol).as("right_id"), col("__tk").as("__rt")), "right_id")
       .filter(col("__lt") === col("__rt"))
       .select("left_id", "right_id")
+    // oversized buckets: exact sort-merge self-join on the canonical token
+    // array, restricted to the rows of those buckets. Equal multisets
+    // co-locate by necessity; the join streams the C(m,2) output without
+    // materializing any per-group array (no collect_list on a hot bucket).
+    val hotIds = banded
+      .join(
+        broadcast(oversizedBucketKeys(banded, Seq("__blk", "__bv"), maxBucketSize)
+          .select(col("__blk"), col("__bv"))),
+        Seq("__blk", "__bv"), "left_semi")
+      .select(col("__id").as(idCol))
+    val hotToks = toks.join(hotIds, Seq(idCol), "left_semi")
+    val hotPairs = hotToks.select(col(idCol).as("left_id"), col("__tk"))
+      .join(hotToks.select(col(idCol).as("right_id"), col("__tk")), Seq("__tk"))
+      .filter(col("left_id") < col("right_id"))
+      .select("left_id", "right_id")
+    verified.union(hotPairs)
   }
+
+  /** [[pairsFromBuckets]] for buckets of (__id, simhash) structs: all
+    * ordered struct pairs projected to their id fields.
+    */
+  private def pairsFromStructBuckets(buckets: DataFrame): DataFrame =
+    buckets
+      .select(posexplode(col("__ids")).as(Seq("__i", "__l")), col("__ids"))
+      .select(
+        col("__l"),
+        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
+          .as("__r"))
+      .select(col("__l.__id").as("left_id"), col("__r.__id").as("right_id"))
+      .distinct()
 
   /** The (block, value) buckets simHashPairs drops under its cap, with their
     * sizes — count/inspect to see what the cap costs on a given corpus.
@@ -862,8 +912,12 @@ object Dedup {
 
   /** Remove every duplicated n-token span from each document: the
     * complement of [[duplicatedSpans]] applied to the token stream, then
-    * reassembled (tokens outside any marked span, in order). Documents with
-    * no duplicated spans pass through with whitespace-normalized text.
+    * reassembled (tokens outside any marked span, in order). The dedup
+    * DECISION is case-folded (duplicatedSpans lowercases), but reassembly
+    * keeps the ORIGINAL-case tokens — whitespace tokenization is
+    * case-independent, so span indices over the lowercased stream align
+    * 1:1 with the original tokens. Documents with no duplicated spans pass
+    * through with whitespace-normalized, case-preserved text.
     */
   def removeDuplicatedSpans(
       df: DataFrame,
@@ -875,7 +929,7 @@ object Dedup {
     val spans = duplicatedSpans(df, idCol, textCol, n)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
     df.select(col(idCol), toks.as("__t"))
       .join(spans, Seq(idCol), "left")
       .select(

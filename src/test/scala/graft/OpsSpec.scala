@@ -337,23 +337,44 @@ class OpsSpec extends SharedSpark {
     assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
 
+  test("simHashVerifiedPairs keeps recall 1 through OVERSIZED signature buckets") {
+    // 150 identical docs blow past maxBucketSize=100: simHashPairs would
+    // drop the whole bucket, but the verified mode routes its rows to the
+    // exact token-array self-join — all C(150,2) pairs survive, alongside
+    // the under-cap permutation pair.
+    val hot = (0 until 150).map(i => Row(i.toLong, "same viral boilerplate text"))
+    val cold = Seq(
+      Row(1000L, "one two three four"),
+      Row(1001L, "four three two one"), // permutation: under-cap pair
+      Row(1002L, "something else entirely distinct"))
+    val d = df("doc_id BIGINT, text STRING", hot ++ cold)
+    val pairs = Dedup.simHashVerifiedPairs(d, "doc_id", "text", maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000L, 1001L)))
+    val hotPairs = pairs.filter(_._1 < 1000L)
+    assert(hotPairs.size == 150 * 149 / 2, s"got ${hotPairs.size}")
+    // every pair ordered, no self-pairs
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
   test("duplicatedSpans marks repeated 8-grams and merges overlaps") {
     val d = df("doc_id BIGINT, text STRING",
       Seq(
         Row(1L, "a b c d e f g h i j"),
-        Row(2L, "x x A B c d e f g h q r"), // same 8-gram, case-shifted, at pos 2
-        Row(3L, "unique words only here nothing repeated at all"),
+        Row(2L, "x X A B c d e f g h q R"), // same 8-gram, case-shifted, at pos 2
+        Row(3L, "Unique WORDS only here Nothing repeated at all"),
         Row(4L, "p q r s t u v w p q r s t u v w") // self-repeat at pos 0 and 8
       ))
     val spans = Dedup.duplicatedSpans(d, "doc_id", "text", n = 8)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     // doc4's two marks (0 and 8) coalesce into one span covering the doc
     assert(spans == Set((1L, 0, 7), (2L, 2, 9), (4L, 0, 15)))
+    // reassembly preserves ORIGINAL case; only the decision is folded
     val cleaned = Dedup.removeDuplicatedSpans(d, "doc_id", "text", n = 8)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(cleaned(1L) == "i j")
-    assert(cleaned(2L) == "x x q r")
-    assert(cleaned(3L) == "unique words only here nothing repeated at all")
+    assert(cleaned(2L) == "x X q R")
+    assert(cleaned(3L) == "Unique WORDS only here Nothing repeated at all")
     assert(cleaned(4L) == "")
   }
 
@@ -389,6 +410,19 @@ class OpsSpec extends SharedSpark {
     val kept = Dedup.keepBestPerCluster(d, clusters, "doc_id", "score")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 4L, 6L))
+  }
+
+  test("keepBestPerCluster singleton whose id collides with a foreign cluster_id survives") {
+    // cluster ids NOT drawn from member doc ids (synthetic 100): doc 100 is
+    // unclustered, shares its value with that cluster_id, and scores lower
+    // than the cluster's best — the tagged singleton key keeps it anyway
+    val d = df("doc_id BIGINT, score DOUBLE",
+      Seq(Row(1L, 0.9), Row(2L, 0.5), Row(100L, 0.1)))
+    val clusters = df("doc_id BIGINT, cluster_id BIGINT",
+      Seq(Row(1L, 100L), Row(2L, 100L)))
+    val kept = Dedup.keepBestPerCluster(d, clusters, "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 100L))
   }
 
   test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {

@@ -294,4 +294,26 @@ class TransformationsSpec extends SharedSpark {
     assert(plainIds.distinct.size == 44)
     assert(saltedIds == plainIds)
   }
+
+  test("AddUniqueColumn SAMPLED probe branch (sampleFraction < 1) routes the hot class") {
+    // hotClassMinRows = 2500 → sampleFraction = 0.8 < 1, exercising the
+    // sampled candidate scan + exact recount (the default-config branch,
+    // which the test above skips by forcing hotClassMinRows = 10). The
+    // 3000-copy class must be flagged by the sample, survive the exact
+    // recount, and still produce the identical id set as the plain window.
+    val rows = Seq.fill(3000)(Row("hot", 1L)) ++
+      Seq.fill(3)(Row("cold", 2L)) :+ Row("one", 3L)
+    val data = df("A STRING, B BIGINT", rows)
+    val dom = DataFrameDomain(
+      Seq("A" -> ColumnDescriptor.string(true), "B" -> ColumnDescriptor.long))
+    val plainOp = AddUniqueColumn(dom, "id", saltBuckets = 1)
+    val sampledOp = AddUniqueColumn(dom, "id", saltBuckets = 4,
+      hotClassMinRows = 2500L)
+    val plainIds = plainOp(data).asInstanceOf[DataFrame]
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    val sampledIds = sampledOp(data).asInstanceOf[DataFrame]
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(plainIds.distinct.size == 3004)
+    assert(sampledIds == plainIds)
+  }
 }
