@@ -751,6 +751,50 @@ object SparkEntry {
           col("window_start").cast(LongType).as("ws"),
           col("event_type"), col("count"))
     },
+    "q_noisy_window_stream" -> { (s, dir) =>
+      // TRUE micro-batch execution of the same DP streaming release: the
+      // events table is staged as an 8-file directory, streamed 2 files
+      // per trigger (4 micro-batches accumulating windowed state), through
+      // noisyWindowedCounts (alpha = 0) into a memory sink in complete
+      // mode. Trigger.AvailableNow drains the source and terminates, so
+      // the sink's final content is the full aggregation — identical to
+      // the batch path and to the DuckDB oracle.
+      import org.apache.spark.sql.streaming.Trigger
+      val stamp = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$stamp"
+      // fresh staging + checkpoint per run: a stale checkpoint would make
+      // a restarted query skip the (already-committed) input files
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rmrf)
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(base))
+      t(s, dir, "events").repartition(8).write.parquet(s"$base/src")
+      val src = s.readStream
+        .schema(t(s, dir, "events").schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$base/src")
+      val withTs = src.withColumn(
+        "event_time",
+        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+      val sinkName = s"graft_noisy_window_stream_$stamp"
+      val q = graft.streaming.Streams
+        .noisyWindowedCounts(withTs, "event_time", Seq("event_type"), "1 hour",
+          graft.exact.Rational(0))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkName)
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .select(
+          col("window_start").cast(LongType).as("ws"),
+          col("event_type"), col("count"))
+    },
 
     // ---------- scale extensions: remaining ----------
     "q_subword_count" -> { (s, dir) =>
@@ -1384,6 +1428,12 @@ object SparkEntry {
         | AND r.t >= l.t - INTERVAL '15 minutes'
         | AND r.t <= l.t + INTERVAL '15 minutes'""".stripMargin,
     "q_noisy_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
+        |  event_type, count(*) AS count
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // q_noisy_window_stream: the micro-batch execution must converge to
+    // exactly the batch aggregation (complete mode, source drained)
+    "q_noisy_window_stream" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
         |  event_type, count(*) AS count
         |FROM events GROUP BY 1, 2""".stripMargin,
