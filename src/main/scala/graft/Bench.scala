@@ -7,10 +7,15 @@ import org.apache.spark.sql.SparkSession
   * Each query is timed `SPARK_GRAFT_BENCH_RUNS` times (default 3) after a
   * full warmup pass, and the MEDIAN is reported — single-run timings carried
   * a ±20% machine-variance band that made round-over-round comparison
-  * meaningless. The printed JSON line keeps the per-query medians sorted
-  * name-first and appends the sweep entries and totals LAST (downstream
-  * tooling stores only the tail of the line); the complete per-run data is
-  * also written to SPARK_GRAFT_BENCH_FULL (default bench_full.json).
+  * meaningless. The two skew-vs-uniform sweep pairs are additionally
+  * INTERLEAVED (u,s,u,s,...) at >= 5 runs and report a `_ratio_max` entry:
+  * the max per-pairing skew/uniform ratio, computed within one machine-load
+  * regime — the statistic the ~2x skew acceptance bar is judged on. The
+  * printed JSON line keeps the per-query medians sorted name-first and
+  * appends the sweep entries and totals LAST (downstream tooling stores
+  * only the tail of the line); the complete per-run data (including the
+  * per-pairing ratio series) is also written to SPARK_GRAFT_BENCH_FULL
+  * (default bench_full.json).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,21 +31,58 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Dev convenience: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times only those
+    // entries (others report 0.0 without running). The driver never sets
+    // it, so its runs always time everything.
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def enabled(name: String): Boolean = benchOnly.forall(_.contains(name))
+
     // median-of-N timing: every run clears the cache and prompts a GC so one
     // run's persisted intermediates / localCheckpoint blocks cannot distort
     // the next (the ContextCleaner works off weak references)
     val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    def timeMedian(name: String)(body: => Unit): (String, Double) = {
-      val ts = (1 to runsPerQuery).map { _ =>
-        val t0 = System.nanoTime()
-        try body catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        System.gc()
-        dt
-      }
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    def timeOnce(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try body catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      dt
+    }
+    def timeMedian(name: String, runs: Int = runsPerQuery)(
+        body: => Unit): (String, Double) = {
+      if (!enabled(name)) return name -> 0.0
+      val ts = (1 to runs).map(_ => timeOnce(body))
       allRuns(name) = ts
-      name -> ts.sorted.apply(ts.size / 2)
+      name -> median(ts)
+    }
+    // Interleaved pair timing (a,b,a,b,...): both bodies alternate within
+    // ONE timing block so each pairing shares a machine-load regime. The
+    // big-sweep runs spread 3-5x across separately-timed blocks, which made
+    // a skew/uniform ratio of medians a single-regime sample; the honest
+    // statistic is the per-pairing ratio, reported as its MAX alongside the
+    // two medians (as `<nameB>_ratio_max`).
+    def timeMedianPair(nameA: String, nameB: String, runs: Int)(
+        bodyA: => Unit)(bodyB: => Unit): Seq[(String, Double)] = {
+      if (!enabled(nameA) || !enabled(nameB))
+        return Seq(timeMedian(nameA)(bodyA), timeMedian(nameB)(bodyB))
+      // one untimed warmup pairing: these synthetic plans are built fresh
+      // per run, so their first execution carries the plan's whole-stage
+      // codegen compile — measured ~3x on the 6.4M-row pair — which would
+      // land entirely on the first pairing's A side and corrupt its ratio
+      timeOnce(bodyA)
+      timeOnce(bodyB)
+      val pairs = (1 to runs).map(_ => (timeOnce(bodyA), timeOnce(bodyB)))
+      val as = pairs.map(_._1)
+      val bs = pairs.map(_._2)
+      allRuns(nameA) = as
+      allRuns(nameB) = bs
+      val ratios = pairs.map { case (a, b) => b / a }
+      allRuns(s"${nameB}_ratio") = ratios
+      Seq(nameA -> median(as), nameB -> median(bs),
+        s"${nameB}_ratio_max" -> ratios.max)
     }
 
     // Warmup (untimed): force a full read of every table (xxhash64 over all
@@ -63,7 +105,7 @@ object Bench {
     // per-query numbers shift across rounds as the query set grows.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     var warmFailures = 0
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.filter(kv => enabled(kv._1)).foreach { case (_, fn) =>
       // toRdd so warmup compiles the same generated code the timed run uses
       try fn(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => warmFailures += 1 }
@@ -99,7 +141,13 @@ object Bench {
       Seq(100, 10000, 640000).flatMap { n =>
         Seq(false, true).map { empty =>
           val name = s"q_countsum_${n}g${if (empty) "_empty" else ""}"
-          timeMedian(name) {
+          // the 640k-group entry runs >= 5 times: its first timed run
+          // compiles the largest countsum plan's codegen (~2x the
+          // steady-state 3.3 s), and at 3 runs the median sat adjacent to
+          // that warmup — the r5 "drift" [5.60, 4.49, 3.12] was warmup
+          // order, not a plan regression (steady state matches r4's 3.31 s)
+          val runs = if (n == 640000) runsPerQuery.max(5) else runsPerQuery
+          timeMedian(name, runs) {
             val keys = spark.range(n.toLong).select(col("id").as("A"))
             val data = spark.range(if (empty) 0L else n.toLong)
               .select(col("id").as("A"), (col("id") % 97).as("X"))
@@ -153,38 +201,40 @@ object Bench {
     val pjoinSweep: Seq[(String, Double)] = {
       import graft.domains.{ColumnDescriptor, DataFrameDomain}
       import graft.transformations.{PrivateJoin, TruncationStrategy}
-      def pjoin(name: String, skew: Boolean, tau: Int,
-                strategy: TruncationStrategy, groups: Long): (String, Double) =
-        timeMedian(name) {
-          val key =
-            if (skew) when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
-            else col("id") % groups
-          val left = spark.range(groups * 10)
-            .select(key.as("K"), (col("id") % 97).as("V"))
-          val right = spark.range(groups)
-            .select(col("id").as("K"), (col("id") % 7).as("W"))
-          val domL = DataFrameDomain(
-            Seq("K" -> ColumnDescriptor.long, "V" -> ColumnDescriptor.long))
-          val domR = DataFrameDomain(
-            Seq("K" -> ColumnDescriptor.long, "W" -> ColumnDescriptor.long))
-          val pj = PrivateJoin(
-            domL, domR, on = Seq("K"),
-            leftStrategy = strategy, leftThreshold = tau,
-            rightStrategy = strategy, rightThreshold = tau)
-          pj(Map("left" -> left, "right" -> right))
-            .asInstanceOf[org.apache.spark.sql.DataFrame].count(): Unit
-        }
+      def pjoinBody(skew: Boolean, tau: Int,
+                    strategy: TruncationStrategy, groups: Long): Unit = {
+        val key =
+          if (skew) when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
+          else col("id") % groups
+        val left = spark.range(groups * 10)
+          .select(key.as("K"), (col("id") % 97).as("V"))
+        val right = spark.range(groups)
+          .select(col("id").as("K"), (col("id") % 7).as("W"))
+        val domL = DataFrameDomain(
+          Seq("K" -> ColumnDescriptor.long, "V" -> ColumnDescriptor.long))
+        val domR = DataFrameDomain(
+          Seq("K" -> ColumnDescriptor.long, "W" -> ColumnDescriptor.long))
+        val pj = PrivateJoin(
+          domL, domR, on = Seq("K"),
+          leftStrategy = strategy, leftThreshold = tau,
+          rightStrategy = strategy, rightThreshold = tau)
+        pj(Map("left" -> left, "right" -> right))
+          .asInstanceOf[org.apache.spark.sql.DataFrame].count(): Unit
+      }
       Seq(1, 10, 100).flatMap { tau =>
         Seq(
-          pjoin(s"q_pjoin_t${tau}_trunc", skew = false, tau,
-            TruncationStrategy.Truncate, groups = 160000L),
-          pjoin(s"q_pjoin_t${tau}_drop", skew = false, tau,
-            TruncationStrategy.Drop, groups = 160000L))
-      } ++ Seq(
-        pjoin("q_pjoin_uniform", skew = false, 5,
-          TruncationStrategy.Truncate, groups = 640000L),
-        pjoin("q_pjoin_skew", skew = true, 5,
-          TruncationStrategy.Truncate, groups = 640000L))
+          timeMedian(s"q_pjoin_t${tau}_trunc")(pjoinBody(
+            skew = false, tau, TruncationStrategy.Truncate, groups = 160000L)),
+          timeMedian(s"q_pjoin_t${tau}_drop")(pjoinBody(
+            skew = false, tau, TruncationStrategy.Drop, groups = 160000L)))
+      } ++
+        // the headline 6.4M-row pair is interleaved (u,s,u,s,...) at >= 5
+        // runs: its single runs spread 3-5x with machine load, so only
+        // per-pairing ratios say anything about the salted hot path's cost
+        timeMedianPair("q_pjoin_uniform", "q_pjoin_skew",
+          runs = runsPerQuery.max(5))(
+          pjoinBody(skew = false, 5, TruncationStrategy.Truncate, 640000L))(
+          pjoinBody(skew = true, 5, TruncationStrategy.Truncate, 640000L))
     }
     // Key-limiting under group skew: 6.4M rows, 64k groups; the skewed
     // variant gives one group 10% of all rows. The distinct-pairs
@@ -192,19 +242,18 @@ object Bench {
     // of the uniform one (the old full-row window serialized it on one task).
     val limitKeysSweep: Seq[(String, Double)] = {
       import graft.transformations.Truncation
-      Seq(("q_limitkeys_uniform", false), ("q_limitkeys_skew", true)).map {
-        case (name, skew) =>
-          timeMedian(name) {
-            val groups = 64000L
-            val g =
-              if (skew) when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
-              else col("id") % groups
-            val data = spark.range(groups * 100)
-              .select(g.as("G"), (col("id") % 997).as("K"))
-            Truncation.limitKeysPerGroup(data, Seq("G"), Seq("K"), 5)
-              .count(): Unit
-          }
+      def body(skew: Boolean): Unit = {
+        val groups = 64000L
+        val g =
+          if (skew) when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
+          else col("id") % groups
+        val data = spark.range(groups * 100)
+          .select(g.as("G"), (col("id") % 997).as("K"))
+        Truncation.limitKeysPerGroup(data, Seq("G"), Seq("K"), 5)
+          .count(): Unit
       }
+      timeMedianPair("q_limitkeys_uniform", "q_limitkeys_skew",
+        runs = runsPerQuery.max(5))(body(skew = false))(body(skew = true))
     }
 
     // Noise-mechanism sampling throughput (reference envelope

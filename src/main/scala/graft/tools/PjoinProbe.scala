@@ -32,6 +32,28 @@ object PjoinProbe {
     time("join")(graft.transformations.JoinKernel.join(tl, tr, Seq("K"), "inner", true).count())
     val tls = graft.transformations.Truncation.truncateLargeGroupsSalted(leftSkew, Seq("K"), 5)
     time("joinSkew")(graft.transformations.JoinKernel.join(tls, tr, Seq("K"), "inner", true).count())
+    // probe-cost A/B: saltBuckets=1 skips the eager hot-key probe entirely
+    // and both variants take the identical plain-window path on this
+    // uniform corpus, so the interleaved difference IS the two probes' cost
+    locally {
+      import graft.domains.{ColumnDescriptor, DataFrameDomain}
+      import graft.transformations.{PrivateJoin, TruncationStrategy}
+      val domL = DataFrameDomain(
+        Seq("K" -> ColumnDescriptor.long, "V" -> ColumnDescriptor.long))
+      val domR = DataFrameDomain(
+        Seq("K" -> ColumnDescriptor.long, "W" -> ColumnDescriptor.long))
+      def pj(salt: Int): Long = PrivateJoin(
+        domL, domR, on = Seq("K"),
+        leftStrategy = TruncationStrategy.Truncate, leftThreshold = 5,
+        rightStrategy = TruncationStrategy.Truncate, rightThreshold = 5,
+        saltBuckets = salt)(Map("left" -> left, "right" -> right))
+        .asInstanceOf[org.apache.spark.sql.DataFrame].count()
+      pj(32); pj(1) // codegen warmup for both variants
+      (1 to 5).foreach { i =>
+        time(s"pjProbed$i")(pj(32))
+        time(s"pjNoProbe$i")(pj(1))
+      }
+    }
     spark.stop()
   }
 }

@@ -25,6 +25,16 @@ object TruncProbe {
       .select(col("K"))
     time("probe1")(hotKeys.count())
     time("probe2")(hotKeys.count())
+    // the SAMPLED probe actually used by saltedKeepSmallest (default
+    // hotGroupMinRows=100k -> 2% sample): its cost per truncated side is
+    // what a PrivateJoin pays on top of the windows
+    val sampled = left.sample(withReplacement = false, 0.02, seed = 42L)
+      .groupBy(col("K"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 500L)
+      .select(col("K"))
+    time("sampledProbe1")(sampled.count())
+    time("sampledProbe2")(sampled.count())
     time("plainWindow")(
       graft.transformations.Truncation.truncateLargeGroups(left, Seq("K"), 5).count())
     time("salted")(
