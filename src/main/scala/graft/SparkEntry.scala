@@ -421,7 +421,11 @@ object SparkEntry {
                round(dp_sum(l_quantity, 0.0, 50.0, 'laplace', 0.0), 4)
                  AS noisy_sum,
                round(dp_avg(l_quantity, 1.0, 50.0,
-                            'laplace', 0.0, 'geometric', 0.0), 6) AS noisy_avg
+                            'laplace', 0.0, 'geometric', 0.0), 6) AS noisy_avg,
+               round(dp_var(l_quantity, 1.0, 50.0, 'laplace', 0.0,
+                            'laplace', 0.0, 'geometric', 0.0), 6) AS noisy_var,
+               round(dp_stddev(l_quantity, 1.0, 50.0, 'laplace', 0.0,
+                            'laplace', 0.0, 'geometric', 0.0), 6) AS noisy_stddev
         FROM lineitem_sql_dp
         GROUP BY l_returnflag, l_linestatus
       """)
@@ -1184,7 +1188,19 @@ object SparkEntry {
         |  count(*) AS noise_passthrough,
         |  round(sum(least(greatest(l_quantity, 0.0), 50.0)), 4) AS noisy_sum,
         |  round(sum(least(greatest(l_quantity - 25.5, -24.5), 24.5))
-        |          / greatest(count(*), 1) + 25.5, 6) AS noisy_avg
+        |          / greatest(count(*), 1) + 25.5, 6) AS noisy_avg,
+        |  CASE WHEN count(*) <= 1 THEN 'NaN'::DOUBLE ELSE
+        |    round(least(greatest(
+        |      (sum(least(greatest(pow(l_quantity - 25.5, 2), 0), 600.25))
+        |         - pow(sum(least(greatest(l_quantity - 25.5, -24.5), 24.5)), 2)
+        |             / count(*))
+        |        / (count(*) - 1), 0), 600.25), 6) END AS noisy_var,
+        |  CASE WHEN count(*) <= 1 THEN 'NaN'::DOUBLE ELSE
+        |    round(sqrt(least(greatest(
+        |      (sum(least(greatest(pow(l_quantity - 25.5, 2), 0), 600.25))
+        |         - pow(sum(least(greatest(l_quantity - 25.5, -24.5), 24.5)), 2)
+        |             / count(*))
+        |        / (count(*) - 1), 0), 600.25)), 6) END AS noisy_stddev
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q_quantile" ->
       """SELECT ks.l_returnflag,

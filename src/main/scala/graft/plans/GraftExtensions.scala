@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * `dp_noise(value, mechanism, scale)` — mechanism ∈ geometric | laplace |
   * gaussian | discrete_gaussian; scale is α / b / σ² per mechanism; scale 0
   * adds no noise. The function lowers to the native [[AddNoise]] expression,
-  * so it participates in whole-stage codegen like any built-in.
+  * so it participates in whole-stage codegen like any built-in. The
+  * aggregate forms — dp_count, dp_sum, dp_avg, dp_var, dp_stddev — lower
+  * to the same factory decompositions the programmatic API builds
+  * (Aggregations.create*Measurement), one Aggregate node each.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -29,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dpCount)
     ext.injectFunction(GraftFunctions.dpSum)
     ext.injectFunction(GraftFunctions.dpAvg)
+    ext.injectFunction(GraftFunctions.dpVar)
+    ext.injectFunction(GraftFunctions.dpStddev)
   }
 }
 
@@ -213,12 +218,109 @@ object GraftFunctions {
     }
   )
 
+  /** Shared builder for `dp_var` / `dp_stddev`: the factory decomposition
+    * of createVarianceMeasurement (reference `aggregations.py:355-`) as one
+    * Aggregate node — noisy Σ clip(x−mid, ±dev), noisy Σ clip((x−mid)²,
+    * [0, dev²]) and noisy count recombine to the sample variance, clamped
+    * to [0, dev²] (NaN under 2 points), optionally √.
+    */
+  private def varianceBuilder(
+      fname: String,
+      sqrt: Boolean
+  ): Seq[Expression] => Expression = { (children: Seq[Expression]) =>
+    require(children.size == 9,
+      s"$fname(value, lower, upper, sod_mech, sod_scale, sos_mech, sos_scale, " +
+        "count_mech, count_scale) takes 9 arguments")
+    val Seq(value, loE, hiE, sodMechE, sodScaleE, sosMechE, sosScaleE,
+      cntMechE, cntScaleE) = children
+    require(loE.foldable && hiE.foldable, s"$fname bounds must be literals")
+    val sodMech = parseMechanism(fname, sodMechE, sodScaleE)
+    val sosMech = parseMechanism(fname, sosMechE, sosScaleE)
+    val cntMech = parseMechanism(fname, cntMechE, cntScaleE)
+    require(cntMech.isDiscrete, s"$fname count mechanism must be discrete")
+    def boundToDouble(v: Any): Double = v match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case d: java.math.BigDecimal               => d.doubleValue()
+      case n: java.lang.Number                   => n.doubleValue()
+      case other => throw new IllegalArgumentException(s"bad bound: $other")
+    }
+    val lo = boundToDouble(loE.eval())
+    val hi = boundToDouble(hiE.eval())
+    require(lo <= hi, s"$fname needs lower <= upper, got [$lo, $hi]")
+    val mid = (lo + hi) / 2
+    val dev = (hi - lo) / 2
+    val dev2 = dev * dev
+    val x = Cast(value, DoubleType)
+    val centered = expressions.Subtract(x, expressions.Literal(mid))
+    val clippedDev = expressions.Least(Seq(
+      expressions.Greatest(Seq(centered, expressions.Literal(-dev))),
+      expressions.Literal(dev)))
+    val clippedSq = expressions.Least(Seq(
+      expressions.Greatest(Seq(
+        expressions.Multiply(centered, centered),
+        expressions.Literal(0d))),
+      expressions.Literal(dev2)))
+    val noisySod = AddNoise(
+      Cast(aggregate.Sum(clippedDev).toAggregateExpression(), DoubleType),
+      sodMech, graft.random.RandomSource.secureSeed())
+    val noisySos = AddNoise(
+      Cast(aggregate.Sum(clippedSq).toAggregateExpression(), DoubleType),
+      sosMech, graft.random.RandomSource.secureSeed())
+    val noisyCnt = AddNoise(
+      Cast(aggregate.Count(Seq(expressions.Literal(1))).toAggregateExpression(),
+        LongType),
+      cntMech, graft.random.RandomSource.secureSeed())
+    val n = Cast(noisyCnt, DoubleType)
+    val rawVar = expressions.Divide(
+      expressions.Subtract(
+        noisySos,
+        expressions.Divide(expressions.Multiply(noisySod, noisySod), n)),
+      expressions.Subtract(n, expressions.Literal(1d)))
+    val clamped = expressions.Least(Seq(
+      expressions.Greatest(Seq(rawVar, expressions.Literal(0d))),
+      expressions.Literal(dev2)))
+    val guarded = expressions.If(
+      expressions.LessThanOrEqual(noisyCnt, expressions.Literal(1L)),
+      expressions.Literal(Double.NaN),
+      clamped)
+    if (sqrt) expressions.Sqrt(guarded) else guarded
+  }
+
+  /** `dp_var(value, lower, upper, sod_mech, sod_scale, sos_mech, sos_scale,
+    * count_mech, count_scale)` — noisy clamped sample variance.
+    */
+  val dpVar: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("dp_var"),
+    new ExpressionInfo(
+      classOf[AddNoise].getName,
+      null,
+      "dp_var",
+      "dp_var(value, lower, upper, sod_mech, sod_scale, sos_mech, sos_scale, count_mech, count_scale) - noisy sample variance",
+      "dp_var(x, 0.0, 50.0, 'laplace', 25.0, 'laplace', 625.0, 'geometric', 2.0)"
+    ),
+    varianceBuilder("dp_var", sqrt = false)
+  )
+
+  /** `dp_stddev(...)` — √ of [[dpVar]]'s clamped variance (same 9 args). */
+  val dpStddev: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("dp_stddev"),
+    new ExpressionInfo(
+      classOf[AddNoise].getName,
+      null,
+      "dp_stddev",
+      "dp_stddev(value, lower, upper, sod_mech, sod_scale, sos_mech, sos_scale, count_mech, count_scale) - noisy standard deviation",
+      "dp_stddev(x, 0.0, 50.0, 'laplace', 25.0, 'laplace', 625.0, 'geometric', 2.0)"
+    ),
+    varianceBuilder("dp_stddev", sqrt = true)
+  )
+
   /** Register into an existing session (the extensions class does this for
     * sessions built with `spark.sql.extensions`).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dpNoise, dpCount, dpSum, dpAvg).foreach { case (ident, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Seq(dpNoise, dpCount, dpSum, dpAvg, dpVar, dpStddev).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
   }
 }

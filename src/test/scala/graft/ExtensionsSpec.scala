@@ -61,6 +61,33 @@ class ExtensionsSpec extends SharedSpark {
     assert(s == 50.0)
   }
 
+  test("dp_var and dp_stddev match the factory decomposition at scale 0") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 7.0)).toDF("K", "n")
+      .createOrReplaceTempView("ext_var")
+    val out = spark
+      .sql("""SELECT K,
+              dp_var(n, 0.0, 40.0, 'laplace', 0.0, 'laplace', 0.0,
+                     'geometric', 0.0) AS v,
+              dp_stddev(n, 0.0, 40.0, 'laplace', 0.0, 'laplace', 0.0,
+                     'geometric', 0.0) AS s
+              FROM ext_var GROUP BY K ORDER BY K""")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // sample variance of {10,20,30} = 100; "b" has 1 point -> NaN
+    assert(math.abs(out(0)._2 - 100.0) < 1e-9)
+    assert(math.abs(out(0)._3 - 10.0) < 1e-9)
+    assert(out(1)._2.isNaN && out(1)._3.isNaN)
+    // clamp: two points at the bounds exceed range^2/4 and are clamped
+    Seq(("a", 0.0), ("a", 40.0)).toDF("K", "n")
+      .createOrReplaceTempView("ext_var2")
+    val v = spark
+      .sql("""SELECT dp_var(n, 0.0, 40.0, 'laplace', 0.0, 'laplace', 0.0,
+              'geometric', 0.0) AS v FROM ext_var2""")
+      .head().getDouble(0)
+    assert(v == 400.0) // (u-l)^2/4
+  }
+
   test("dp_noise rejects non-literal mechanism and bad arity") {
     GraftFunctions.register(spark)
     val d = df("K STRING, n BIGINT", Seq(Row("a", 10L)))
