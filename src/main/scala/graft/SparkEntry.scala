@@ -711,6 +711,22 @@ object SparkEntry {
         .sampleByHashPortable(t(s, dir, "documents"), "doc_id", 3, 10)
         .select("doc_id")
     },
+    "q_sample_stratified" -> { (s, dir) =>
+      // training-mix curation: per-language keep rates over the same
+      // portable hash (en 7/10, de 5/10, zh 2/10, others 1/10)
+      graft.ops.Dedup.sampleByHashStratifiedPortable(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 7, "de" -> 5, "zh" -> 2), den = 10, defaultNum = 1)
+        .select("doc_id", "lang")
+    },
+    "q_top_per_source" -> { (s, dir) =>
+      // per-source quality quota: keep the 5 longest docs per source,
+      // ties -> smallest doc_id; deterministic, so DuckDB replays it as a
+      // row_number window
+      graft.transformations.Truncation.topKPerGroupByScore(
+        t(s, dir, "documents"), Seq("source"), "n_chars", Seq("doc_id"), 5)
+        .select("doc_id", "source", "n_chars")
+    },
     "q_sessionize" -> { (s, dir) =>
       // unified batch path of the session-window aggregation
       val e = t(s, dir, "events").withColumn(
@@ -1378,6 +1394,17 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE ('0x' || substr(sha256('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
         |      % 10 < 3""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(sha256('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 10 < CASE lang WHEN 'en' THEN 7 WHEN 'de' THEN 5
+        |                       WHEN 'zh' THEN 2 ELSE 1 END""".stripMargin,
+    "q_top_per_source" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 5""".stripMargin,
     // q_simhash_pairs: verified output = pairs with equal lowercased token
     // multisets (SimHash is a pure function of the multiset, so recall for
     // such pairs is 1 — see Dedup.simHashVerifiedPairs). The planted rows

@@ -72,6 +72,42 @@ object Dedup {
     df.filter(pmod(h, lit(den.toLong)) < num)
   }
 
+  /** Stratified deterministic sampling — the training-mix curation step:
+    * each stratum (language, source, domain bucket) keeps its own
+    * `rates(stratum)/den` fraction of rows, decided by the SAME portable
+    * SHA-256-prefix recipe as [[sampleByHashPortable]], so the split is
+    * reproducible in any engine, entity-stable (a key keeps or loses ALL
+    * its rows), and nested across rates (raising a stratum's rate only
+    * ADDS rows). Strata absent from `rates` keep `defaultNum/den`.
+    *
+    * Scale shape: one narrow map — the rate lookup folds to a literal
+    * when-chain, no join, no shuffle.
+    */
+  def sampleByHashStratifiedPortable(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Int],
+      den: Int,
+      defaultNum: Int = 0,
+      salt: Long = 0L
+  ): DataFrame = {
+    require(den > 0, "den must be positive")
+    (rates.values ++ Seq(defaultNum)).foreach(n =>
+      require(n >= 0 && n <= den, s"need 0 <= num <= $den, got $n"))
+    val h = conv(
+      substring(
+        sha2(concat_ws("|", lit(salt.toString), col(keyCol).cast("string")), 256),
+        1, 15),
+      16, 10).cast("long")
+    // sorted fold for a deterministic plan; keys are distinct so the
+    // chain order cannot change semantics
+    val num = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultNum)) {
+      case (acc, (k, n)) => when(col(strataCol) === k, lit(n)).otherwise(acc)
+    }
+    df.filter(pmod(h, lit(den.toLong)) < num)
+  }
+
   /** Cross-document boilerplate removal (C4/RefinedWeb-style): drop every
     * line that occurs — after whitespace-normalized lowercasing — in more
     * than `maxDocFreq` distinct documents (navigation chrome, cookie

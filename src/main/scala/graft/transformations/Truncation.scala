@@ -77,7 +77,12 @@ object Truncation {
       tieBreak: Seq[Column],
       threshold: Int,
       saltBuckets: Int,
-      hotGroupMinRows: Long
+      hotGroupMinRows: Long,
+      // stage-1 bucketing hash; defaults to xxhash64 of the primary order
+      // column, which spreads only when that column is near-unique per row
+      // (true for rowHash ordering; a LOW-cardinality order column — e.g. a
+      // quality score — must pass its own row-spreading expression here)
+      saltExpr: Option[Column] = None
   ): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
     val cols = df.columns.toSeq
@@ -139,8 +144,9 @@ object Truncation {
     val hot = df.join(broadcast(hotKeys), nullSafeOn, "left_semi")
     val hashed = hot.withColumn("__h", hash)
     val order = col("__h") +: tieBreak
+    val saltCol = saltExpr.getOrElse(xxhash64(col("__h")))
     val w1 = Window
-      .partitionBy((gcols :+ pmod(xxhash64(col("__h")), lit(saltBuckets))): _*)
+      .partitionBy((gcols :+ pmod(saltCol, lit(saltBuckets))): _*)
       .orderBy(order: _*)
     val stage1 = hashed
       .withColumn("__rn", row_number().over(w1))
@@ -166,6 +172,42 @@ object Truncation {
   ): DataFrame =
     saltedKeepSmallest(df, groupColumns, rowHash(df),
       df.columns.map(col).toSeq, threshold, saltBuckets, hotGroupMinRows)
+
+  /** Keep the `k` HIGHEST-`scoreCol` rows per group, ties broken by the
+    * ascending `tieBreak` columns (pass a unique id for a deterministic
+    * result). NULL scores rank below every real score (and NaN below
+    * those). This is the per-source/per-domain quota of training-data
+    * curation — cap documents per registrable domain, keeping the
+    * highest-quality copies — so the hot path matters: a domain owning
+    * 10% of a crawl routes through the same two-phase salted selection as
+    * [[truncateLargeGroupsSalted]], with the stage-1 salt drawn from the
+    * full row content (a low-cardinality score would otherwise collapse
+    * the salt spread).
+    */
+  def topKPerGroupByScore(
+      df: DataFrame,
+      groupColumns: Seq[String],
+      scoreCol: String,
+      tieBreak: Seq[String],
+      k: Int,
+      saltBuckets: Int = 32,
+      hotGroupMinRows: Long = 100000L
+  ): DataFrame = {
+    require(tieBreak.nonEmpty, "pass at least one tie-break column")
+    saltedKeepSmallest(
+      df,
+      groupColumns,
+      // ascending sort on -score == descending on score; NULL -> -inf so
+      // null scores lose to every real one, and -NaN = NaN sorts last
+      negate(coalesce(col(scoreCol).cast("double"),
+        lit(Double.NegativeInfinity))),
+      tieBreak.map(col),
+      k,
+      saltBuckets,
+      hotGroupMinRows,
+      saltExpr = Some(xxhash64(colsHash(df.columns.toSeq)))
+    )
+  }
 
   /** Drop groups with more than `threshold` rows (reference `truncation.py:165-225`).
     *

@@ -306,6 +306,32 @@ class OpsSpec extends SharedSpark {
     assert(small.subsetOf(large) && large.size > small.size)
   }
 
+  test("sampleByHashStratifiedPortable: per-stratum rates, nested, recipe-exact") {
+    val d = df("doc_id BIGINT, lang STRING",
+      (0 until 600).map(i => Row(i.toLong, Seq("en", "de", "zh")(i % 3))))
+    val out = Dedup.sampleByHashStratifiedPortable(
+      d, "doc_id", "lang", Map("en" -> 8, "de" -> 4), den = 10, defaultNum = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // independent replication: 60-bit SHA-256 prefix of "0|id" mod 10
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(s"0|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val expected = (0 until 600).map(_.toLong).flatMap { id =>
+      val lang = Seq("en", "de", "zh")(id.toInt % 3)
+      val num = lang match { case "en" => 8; case "de" => 4; case _ => 1 }
+      if (bucket(id) < num) Some((id, lang)) else None
+    }.toSet
+    assert(out == expected)
+    // nesting: raising every rate only ADDS rows
+    val bigger = Dedup.sampleByHashStratifiedPortable(
+      d, "doc_id", "lang", Map("en" -> 10, "de" -> 7), den = 10, defaultNum = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.subsetOf(bigger) && bigger.size > out.size)
+  }
+
   test("sampleByHashPortable matches the published SHA-256 recipe") {
     val d = df("doc_id BIGINT, v BIGINT",
       (0 until 500).map(i => Row(i.toLong, i.toLong)))

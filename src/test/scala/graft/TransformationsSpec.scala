@@ -316,4 +316,36 @@ class TransformationsSpec extends SharedSpark {
     assert(plainIds.distinct.size == 3004)
     assert(sampledIds == plainIds)
   }
+
+  test("topKPerGroupByScore keeps the k best, null scores lose, hot path row-identical") {
+    // group "a": scores 5,5,3,null,1 with ids 1..5 — top-3 = {1,2,3}
+    // (tie at 5 -> smaller ids first, null ranks worst)
+    val rows = Seq(
+      Row("a", 1L, java.lang.Double.valueOf(5.0)),
+      Row("a", 2L, java.lang.Double.valueOf(5.0)),
+      Row("a", 3L, java.lang.Double.valueOf(3.0)),
+      Row("a", 4L, null),
+      Row("a", 5L, java.lang.Double.valueOf(1.0)),
+      Row("b", 6L, java.lang.Double.valueOf(0.0)))
+    val d = df("G STRING, id BIGINT, s DOUBLE", rows)
+    val kept = graft.transformations.Truncation
+      .topKPerGroupByScore(d, Seq("G"), "s", Seq("id"), 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 6L))
+    // hot-group routing (hotGroupMinRows=10 forces the salted path) must
+    // select the IDENTICAL rows as the plain window — low-cardinality
+    // scores included (all ties -> id order decides)
+    val hot = (0 until 200).map(i => Row("h", i.toLong,
+      java.lang.Double.valueOf((i % 3).toDouble)))
+    val dh = df("G STRING, id BIGINT, s DOUBLE", hot)
+    val plain = graft.transformations.Truncation
+      .topKPerGroupByScore(dh, Seq("G"), "s", Seq("id"), 7, saltBuckets = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val salted = graft.transformations.Truncation
+      .topKPerGroupByScore(dh, Seq("G"), "s", Seq("id"), 7,
+        saltBuckets = 4, hotGroupMinRows = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(salted == plain)
+    assert(plain == Set(2L, 5L, 8L, 11L, 14L, 17L, 20L)) // score 2 ties, min ids
+  }
 }
