@@ -270,29 +270,13 @@ object Dedup {
       maxBucketSize: Int = 1000
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val spark = df.sparkSession
 
     val shingleSets = shingleRows(df, idCol, textCol, shingleSize).persist()
 
-    // 2. minhash signature: numHashes min-aggregates in one pass
-    val sigAggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("__sh"))).as(s"__h$i")
-    }
-    val sigs = shingleSets.groupBy(col("__id")).agg(sigAggs.head, sigAggs.tail: _*)
-
-    // 3. bands → (band index, band hash)
-    val bandCols = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
-    }
     // persisted: boundedBuckets reads this twice (once counting bucket
     // sizes, once collecting members) and the minhash signature aggregation
     // upstream is the expensive part of the pipeline
-    val banded = sigs
-      .select(col("__id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("__id"), col("b.band").as("__band"), col("b.bh").as("__bh"))
-      .persist()
+    val banded = bandedSignatures(shingleSets, numHashes, bands).persist()
 
     // 4. candidates within buckets: ONE aggregation collects each bucket's
     // members, then pairs are exploded in place — replaces a window count
@@ -326,6 +310,110 @@ object Dedup {
       )
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
+  /** MinHash signature → LSH bands for a shingle table: per doc, numHashes
+    * min-aggregates in ONE map-side-combined pass, banded into
+    * (band index, band hash) rows. Shared by [[minHashPairs]] (self-dedup)
+    * and [[contaminatedIdsFuzzy]] (cross-table overlap).
+    */
+  private def bandedSignatures(
+      shingleSets: DataFrame,
+      numHashes: Int,
+      bands: Int
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigAggs = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("__sh"))).as(s"__h$i")
+    }
+    val sigs =
+      shingleSets.groupBy(col("__id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
+    }
+    sigs
+      .select(col("__id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("__id"), col("b.band").as("__band"), col("b.bh").as("__bh"))
+  }
+
+  /** Fuzzy benchmark decontamination — the near-duplicate strengthening of
+    * [[contaminatedIds]]' exact n-gram rule: a corpus document is flagged
+    * when its word-shingle set reaches Jaccard `jaccardThreshold` against
+    * ANY benchmark text. Candidates come from a cross-table MinHash-LSH
+    * band equi-join (both sides signed with the same hash family), then
+    * exact shingle-set verification — so at threshold 1.0 (equal sets:
+    * case/whitespace/duplication-invariant copies) recall is exactly 1,
+    * equal sets forcing equal signatures in every band.
+    *
+    * Scale shape: the benchmark side (an eval set) is small, so its banded
+    * signatures and sizes BROADCAST; the corpus pays one shingle pass, one
+    * signature aggregation and a broadcast band join — never a corpus
+    * self-join. Candidate fan-out is linear in matching corpus docs
+    * (corpus × small-bench, not corpus × corpus), so no bucket cap is
+    * needed. Documents shorter than `shingleSize` tokens have no shingles
+    * and can never be flagged.
+    */
+  def contaminatedIdsFuzzy(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      shingleSize: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      jaccardThreshold: Double = 0.8
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val corpusSh =
+      shingleRows(corpus.select(col(idCol), col(textCol)), idCol, textCol,
+        shingleSize).persist()
+    val bench = benchmark
+      .select(monotonically_increasing_id().as("__bid"), col(benchTextCol))
+    val benchSh = shingleRows(bench, "__bid", benchTextCol, shingleSize).persist()
+    val candidates = bandedSignatures(corpusSh, numHashes, bands)
+      .join(
+        broadcast(bandedSignatures(benchSh, numHashes, bands)
+          .select(col("__id").as("__bid"), col("__band"), col("__bh"))),
+        Seq("__band", "__bh"))
+      .select(col("__id"), col("__bid"))
+      .distinct()
+    val corpusSizes = corpusSh.groupBy(col("__id")).agg(count(lit(1)).as("__nc"))
+    val benchSizes = benchSh.groupBy(col("__id")).agg(count(lit(1)).as("__nb"))
+      .select(col("__id").as("__bid"), col("__nb"))
+    candidates
+      .join(corpusSh, Seq("__id"))
+      .join(benchSh.select(col("__id").as("__bid"), col("__sh")),
+        Seq("__bid", "__sh"))
+      .groupBy(col("__id"), col("__bid"))
+      .agg(count(lit(1)).as("__i"))
+      .join(corpusSizes, Seq("__id"))
+      .join(broadcast(benchSizes), Seq("__bid"))
+      .filter(
+        col("__i").cast("double") / (col("__nc") + col("__nb") - col("__i"))
+          >= jaccardThreshold)
+      .select(col("__id").as(idCol))
+      .distinct()
+  }
+
+  /** [[contaminatedIdsFuzzy]]' complement: the corpus minus every fuzzily
+    * contaminated document (null-safe anti-join on the id).
+    */
+  def dropContaminatedFuzzy(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      shingleSize: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      jaccardThreshold: Double = 0.8
+  ): DataFrame = {
+    val flagged = contaminatedIdsFuzzy(corpus, idCol, textCol, benchmark,
+      benchTextCol, shingleSize, numHashes, bands, jaccardThreshold)
+    corpus.join(flagged, corpus(idCol) <=> flagged(idCol), "left_anti")
   }
 
   /** Bucket membership arrays, computed skew-proof: bucket cardinalities are

@@ -467,6 +467,35 @@ class OpsSpec extends SharedSpark {
     assert(clean == Set(2L, 3L))
   }
 
+  test("fuzzy decontamination flags near-dup eval overlap, exact at threshold 1") {
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog tonight"),
+      Row(2L, "THE  QUICK brown fox jumps over the lazy dog tonight"), // case/ws copy
+      Row(3L, "the quick brown fox jumps over the lazy cat tonight"), // near miss
+      Row(4L, "completely unrelated words forming another document here"),
+      Row(5L, "too short")))
+    val bench = df("btext STRING",
+      Seq(Row("the quick brown fox jumps over the lazy dog tonight")))
+    // threshold 1.0: only the exact (case/whitespace-invariant) copies
+    val exact = Dedup.contaminatedIdsFuzzy(
+      corpus, "doc_id", "text", bench, "btext",
+      shingleSize = 5, numHashes = 64, bands = 16, jaccardThreshold = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 2L))
+    // a lower threshold additionally catches the one-token edit (its
+    // shingle sets overlap heavily with the benchmark's)
+    val fuzzy = Dedup.contaminatedIdsFuzzy(
+      corpus, "doc_id", "text", bench, "btext",
+      shingleSize = 5, numHashes = 64, bands = 64, jaccardThreshold = 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(fuzzy == Set(1L, 2L, 3L))
+    val clean = Dedup.dropContaminatedFuzzy(
+      corpus, "doc_id", "text", bench, "btext",
+      shingleSize = 5, numHashes = 64, bands = 16, jaccardThreshold = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L, 4L, 5L))
+  }
+
   test("repetition signals (Gopher-style)") {
     // doc1: lines {a b, x y, x y, c c c c c c} (blank/space-only dropped);
     // tokens a b x y x y c c c c c c → nchars = 12 + 11 joiners = 23;
