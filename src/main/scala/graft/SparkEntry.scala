@@ -483,6 +483,41 @@ object SparkEntry {
       graft.ops.TextAnalysis.languageId(t(s, dir, "documents"), "text")
         .select("doc_id", "lang_pred")
     },
+    "q_bigram_lm" -> { (s, dir) =>
+      // corpus-trained add-one bigram LM, per-doc mean log-prob; the
+      // per-doc sum folds terms in token order on BOTH engines, so
+      // round(4) absorbs only the per-term ln() ulp differences
+      graft.ops.TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("lm_score"), 4).as("lm_score"))
+    },
+    "q_paragraph_dedup" -> { (s, dir) =>
+      // plant a 7-way-shared paragraph plus a per-doc unique one: the
+      // shared paragraph must survive only in the min doc_id of its class,
+      // the unique one everywhere — DuckDB replays the construction
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("\n\n",
+          col("text"),
+          concat(lit("shared passage "), pmod(col("doc_id"), lit(7))),
+          concat(lit("unique note "), col("doc_id"))).as("text"))
+      graft.ops.Dedup.paragraphDedup(d, "doc_id", "text")
+        .select("doc_id", "clean_text")
+    },
+    "q_pack_chunked" -> { (s, dir) =>
+      // concat-and-split packing of the whole corpus into 4096-char bins,
+      // in doc_id order — hierarchical prefix sums inside, a single window
+      // cumsum in the oracle
+      graft.ops.Pack.packChunked(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", budget = 4096L)
+    },
+    "q_pack_greedy" -> { (s, dir) =>
+      // next-fit packing, 8 shards by doc_id % 8 — the oracle replays the
+      // sequential scan as a recursive CTE per shard
+      graft.ops.Pack.packGreedyNextFit(
+        t(s, dir, "documents"), "doc_id", "n_chars",
+        budget = 4096L, numShards = 8)
+    },
     "q_repetition" -> { (s, dir) =>
       // documents are single-line, so plant a repeated line plus a
       // 3-way-shared note to exercise the line-level signals; the token
@@ -1591,6 +1626,104 @@ object SparkEntry {
         |    WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
         |    ELSE 'zh' END AS lang_pred
         |FROM s""".stripMargin,
+    // q_bigram_lm: identical model (add-one bigram counts over the corpus,
+    // context counts, vocab size) and an IDENTICAL summation order — both
+    // engines fold the per-bigram terms in token order, so only ln() ulp
+    // noise separates them, absorbed by round(4)
+    "q_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(range(len(t) - 1)) AS pos, t
+        |  FROM tk WHERE len(t) >= 2
+        |), b AS (
+        |  SELECT doc_id, pos, t[pos+1] AS w1, t[pos+2] AS w2 FROM bg
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM b GROUP BY w1
+        |), v AS (
+        |  SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(t) AS w FROM tk)
+        |), term AS (
+        |  SELECT b.doc_id, b.pos,
+        |    ln(CAST(c2.c2 + 1 AS DOUBLE)) - ln(CAST(c1.c1 + v.v AS DOUBLE)) AS term
+        |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |), s AS (
+        |  SELECT doc_id,
+        |    round(list_aggregate(list(term ORDER BY pos), 'sum') / count(*), 4)
+        |      AS lm_score
+        |  FROM term GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, s.lm_score FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    // q_paragraph_dedup: DuckDB replays the planted construction, then
+    // keeps each normalized paragraph only at its first (doc_id, pos)
+    // occurrence and reassembles survivors with blank lines
+    "q_paragraph_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || chr(10)
+        |      || 'shared passage ' || CAST(doc_id % 7 AS VARCHAR)
+        |      || chr(10) || chr(10)
+        |      || 'unique note ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |), p0 AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS arr FROM d
+        |), p AS (
+        |  SELECT doc_id, unnest(range(len(arr))) AS pos, arr FROM p0
+        |), q AS (
+        |  SELECT doc_id, pos, arr[pos+1] AS par,
+        |    regexp_replace(lower(trim(arr[pos+1])), '\s+', ' ', 'g') AS norm
+        |  FROM p
+        |), nb AS (
+        |  SELECT doc_id, pos, par,
+        |    row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+        |  FROM q WHERE norm <> ''
+        |), rb AS (
+        |  SELECT doc_id, string_agg(par, chr(10) || chr(10) ORDER BY pos) AS clean_text
+        |  FROM nb WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(rb.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN rb USING (doc_id)""".stripMargin,
+    // q_pack_chunked: the hierarchical prefix scan collapses to one window
+    // cumsum at oracle scale; `//` keeps the bin arithmetic integral
+    "q_pack_chunked" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+        |    CAST(coalesce(sum(n_chars) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS off
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  off AS offset_global,
+        |  off // 4096 AS bin_start,
+        |  off % 4096 AS bin_offset,
+        |  CASE WHEN len > 0 THEN (off + len - 1) // 4096
+        |       ELSE off // 4096 END AS bin_end
+        |FROM s""".stripMargin,
+    // q_pack_greedy: the per-shard sequential next-fit scan, replayed as a
+    // recursive CTE advancing one row per shard per iteration
+    "q_pack_greedy" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+        |    CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), rec AS (
+        |  SELECT doc_id, shard, rn, CAST(0 AS BIGINT) AS bin, len AS fill
+        |  FROM p WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.doc_id, p.shard, p.rn,
+        |    CASE WHEN rec.fill > 0 AND rec.fill + p.len <= 4096
+        |         THEN rec.bin ELSE rec.bin + 1 END,
+        |    CASE WHEN rec.fill > 0 AND rec.fill + p.len <= 4096
+        |         THEN rec.fill + p.len ELSE p.len END
+        |  FROM rec JOIN p ON p.shard = rec.shard AND p.rn = rec.rn + 1
+        |)
+        |SELECT doc_id, shard, bin FROM rec""".stripMargin,
     // q_minhash_dedup / q_dedup_cluster: the LSH output is exact-Jaccard
     // VERIFIED, so it is always a subset of the exact all-pairs set; on the
     // fixtures every qualifying pair has jaccard ≥ 0.8, where 16-band×4-row

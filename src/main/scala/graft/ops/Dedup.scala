@@ -1068,4 +1068,64 @@ object Dedup {
                 t).otherwise(lit(null))),
             t => t.isNotNull)).as(out))
   }
+
+  /** Corpus-wide paragraph-level dedup (the discipline CCNet applies to
+    * CommonCrawl — Wenzek et al. 2020 — and the reference has no analog
+    * for): every paragraph whose normalized form (lowercased, whitespace
+    * collapsed) occurs elsewhere in the corpus is kept ONLY at its first
+    * occurrence — the lexicographically smallest `(idCol, position)` —
+    * and removed everywhere else, including repeats inside one document.
+    * Documents are then reassembled from their surviving paragraphs in
+    * order, joined by blank lines; a document whose every paragraph was
+    * deduplicated away comes back with empty `out` (the row is kept, so a
+    * caller can drop or count the fully-gutted documents).
+    *
+    * Paragraph = a `\n\n+`-separated block; whitespace-only blocks are
+    * structure, not content, and are dropped from the reassembly (they
+    * can only arise from leading/trailing separators).
+    *
+    * Scale shape: first-occurrence selection is a map-side-combinable
+    * `min(struct(id, pos))` per normalized paragraph — a viral paragraph's
+    * class collapses to one candidate per input partition before the
+    * shuffle — and the keep decision is a semi-join of paragraphs against
+    * that (near-unique) first-occurrence set on `(norm, id, pos)`, so no
+    * reducer ever materializes a hot paragraph's full class. The only
+    * window-free reassembly is a per-document `collect_list` bounded by
+    * document length.
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      out: String = "clean_text"
+  ): DataFrame = {
+    val paras = df
+      .select(
+        col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n{2,}")).as(Seq("__pos", "__par")))
+      .withColumn(
+        "__norm",
+        regexp_replace(lower(trim(col("__par"))), "\\s+", " "))
+      .filter(col("__norm") =!= "")
+    val firsts = paras
+      .groupBy(col("__norm"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+      .select(
+        col("__norm"),
+        col("__first.__id").as("__id"),
+        col("__first.__pos").as("__pos"))
+    val kept = paras.join(firsts, Seq("__norm", "__id", "__pos"), "left_semi")
+    val rebuilt = kept
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws(
+          "\n\n",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__par")))),
+            s => s.getField("__par"))).as(out))
+    df.join(
+        rebuilt.select(col("__id").as(idCol), col(out)),
+        Seq(idCol), "left")
+      .withColumn(out, coalesce(col(out), lit("")))
+  }
 }

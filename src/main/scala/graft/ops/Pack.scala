@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing for training-data preparation: assign documents to
+  * fixed-size token/character-budget bins so a training job can read one
+  * bin per sample. Both packers are deterministic functions of the data
+  * (no RNG, no partition-count dependence in the OUTPUT), so an external
+  * replica can reproduce the exact assignment.
+  *
+  * The reference engine has no packing analog; the semantics follow the
+  * two shapes used by LLM data pipelines: concat-and-split (every training
+  * sequence full, documents may straddle boundaries) and greedy next-fit
+  * (no document split, some slack per bin).
+  */
+object Pack {
+
+  /** Concat-and-split packing (the GPT-style layout): documents are laid
+    * end-to-end in ascending `idCol` order and the stream is cut every
+    * `budget` length units. Emits, per document:
+    *
+    *   - `offset_global` — the document's start offset in the concatenated
+    *     stream
+    *   - `bin_start` / `bin_offset` — the bin containing that start and the
+    *     offset within it
+    *   - `bin_end` — the bin containing the document's LAST unit (equal to
+    *     `bin_start` when the document fits; a document longer than
+    *     `budget` spans several bins)
+    *
+    * Scale shape: a global running sum is inherently sequential, so it is
+    * computed hierarchically — range-partition by id, one local cumulative
+    * sum per partition (a window PARTITIONED BY the physical partition id,
+    * bounded by partition size, never a single global-ordering task), plus
+    * a driver-side prefix over the per-partition totals (one row per
+    * partition, broadcast back). The input is locally checkpointed once so
+    * the per-partition totals and the final pass see the identical
+    * partitioning.
+    */
+  def packChunked(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      budget: Long,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .select(col(idCol).cast("long").as("__id"), col(lenCol).cast("long").as("__len"))
+      .repartitionByRange(p, col("__id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val partTotals = ranged
+      .groupBy(col("__pid"))
+      .agg(sum(col("__len")).as("__total"), min(col("__id")).as("__minId"))
+      .collect()
+      // physical partition ids follow the range order, but sort by the
+      // range's min id anyway so the prefix never depends on that detail
+      .sortBy(r => (r.getAs[Long]("__minId"), r.getAs[Int]("__pid")))
+    val offsets = partTotals
+      .scanLeft((0, 0L)) { case ((_, acc), row) =>
+        (row.getAs[Int]("__pid"), acc + row.getAs[Long]("__total"))
+      }
+      .sliding(2)
+      .collect { case Array((_, before), (pid, _)) => (pid, before) }
+      .toMap
+    val offsetTable = spark.createDataFrame(
+      offsets.toSeq.map { case (pid, off) => PackOffset(pid, off) })
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__local", coalesce(sum(col("__len")).over(w), lit(0L)))
+      .join(broadcast(offsetTable), Seq("__pid"))
+      .withColumn("__global", col("__local") + col("__off"))
+      // `div` (integer division), not `/` (double division): offsets in a
+      // 100-TB stream exceed 2^53 and must not round through a double
+      .select(
+        col("__id").as(idCol),
+        col("__global").as("offset_global"),
+        expr(s"__global div ${budget}L").as("bin_start"),
+        pmod(col("__global"), lit(budget)).as("bin_offset"),
+        when(col("__len") > 0,
+          expr(s"(__global + __len - 1) div ${budget}L"))
+          .otherwise(expr(s"__global div ${budget}L"))
+          .as("bin_end"))
+  }
+
+  /** Greedy next-fit packing: within each shard (`idCol % numShards`),
+    * documents are visited in ascending id order and appended to the
+    * current bin while they fit; a document that would overflow — or any
+    * document arriving at an empty fill, including one longer than the
+    * whole budget — opens a new bin. No document is split; bins carry
+    * slack. Emits `(idCol, shard, bin)` with bins numbered from 0 per
+    * shard.
+    *
+    * Scale shape: next-fit is sequential BY DEFINITION, so the
+    * sequentiality is confined to a shard: `numShards` independent scans,
+    * each a single pass over its shard's sorted rows inside one task
+    * (`repartition(numShards, shard)` + partition-local sort + a stateful
+    * `mapPartitions` that resets at shard changes). Choose `numShards`
+    * proportional to cluster parallelism; the id-modulo shape keeps shard
+    * sizes balanced for dense ids.
+    */
+  def packGreedyNextFit(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      budget: Long,
+      numShards: Int
+  ): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(numShards >= 1, "numShards must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("id"),
+        col(lenCol).cast("long").as("len"),
+        pmod(col(idCol), lit(numShards)).cast("long").as("shard"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var fill = 0L
+        var bin = -1L
+        it.map { case (id, len, shard) =>
+          if (shard != curShard) { curShard = shard; fill = 0L; bin = -1L }
+          if (fill > 0 && fill + len <= budget) fill += len
+          else { bin += 1; fill = len }
+          (id, shard, bin)
+        }
+      }
+      .toDF(idCol, "shard", "bin")
+  }
+}
+
+/** Row shape for [[Pack.packChunked]]'s broadcast prefix-offset table. */
+private[ops] case class PackOffset(__pid: Int, __off: Long)

@@ -257,4 +257,78 @@ object TextAnalysis {
         frac(dupRunChars(wordGrams(col("__toks"), 5)), col("__nchars")))
       .drop("__toks", "__lines", "__nchars")
   }
+
+  /** Corpus-trained bigram language-model quality score — the cheap,
+    * self-contained analog of CCNet's perplexity filter (Wenzek et al.
+    * 2020): train add-one-smoothed bigram counts on the corpus itself, then
+    * score each document by its mean per-bigram log-probability
+    *
+    *   score(d) = (1/|d|) · Σ_i ln( (c(wᵢ₋₁wᵢ) + 1) / (c(wᵢ₋₁·) + V) )
+    *
+    * over lowercased whitespace tokens, where c(wᵢ₋₁·) counts wᵢ₋₁'s
+    * occurrences as a bigram context and V is corpus vocabulary size.
+    * Documents far below the corpus mean are gibberish/boilerplate
+    * candidates; documents with fewer than two tokens get a null score.
+    *
+    * Determinism: the per-document sum folds the per-bigram terms in token
+    * order (an `aggregate` over the position-sorted collected array), not
+    * in whatever order the aggregation delivers rows — so an external
+    * replica that sums in the same order reproduces the double bit-for-bit
+    * up to its own ln() rounding (≤1 ulp per term).
+    *
+    * Scale shape: the two count tables are map-side-combinable
+    * aggregations; the vocabulary size is a 1-row broadcast; the model
+    * (term per distinct bigram) is assembled counts-to-counts BEFORE
+    * touching per-occurrence rows, so the only big join is occurrences →
+    * model on the bigram key — near-unique build side, probe-side key skew
+    * (stopword pairs) handled by AQE skew-join, no group ever materializes
+    * a hot bigram's occurrence list. The final per-document collect is
+    * bounded by document length.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      out: String = "lm_score"
+  ): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val base = df.select(col(idCol).as("__id"), toks.as("__t"))
+    val bigrams = base
+      .filter(size(col("__t")) >= 2)
+      .select(
+        col("__id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("__t")) - 2),
+          i => struct(
+            element_at(col("__t"), i + 1).as("w1"),
+            element_at(col("__t"), i + 2).as("w2")))).as(Seq("__pos", "__bg")))
+      .select(
+        col("__id"), col("__pos"),
+        col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val c2 = bigrams.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c2"))
+    val c1 = bigrams.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = base
+      .select(explode(col("__t")).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    // counts-to-counts first: the per-bigram term is a function of the
+    // bigram alone, so compute it once per DISTINCT bigram…
+    val model = c2
+      .join(c1, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("__w1"), col("__w2"),
+        (log((col("__c2") + 1).cast("double")) -
+          log((col("__c1") + col("__v")).cast("double"))).as("__term"))
+    // …and only then join the per-occurrence rows against it
+    val scores = bigrams
+      .join(model, Seq("__w1", "__w2"))
+      .groupBy(col("__id"))
+      .agg(
+        (aggregate(
+          array_sort(collect_list(struct(col("__pos"), col("__term")))),
+          lit(0.0),
+          (a, x) => a + x.getField("__term")) / count(lit(1))).as(out))
+    df.join(scores.select(col("__id").as(idCol), col(out)), Seq(idCol), "left")
+  }
 }

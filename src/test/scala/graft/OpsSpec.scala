@@ -523,4 +523,71 @@ class OpsSpec extends SharedSpark {
     assert(v(3L, "rep_top3_char_frac") == 1.0)
     assert(v(3L, "rep_dup5_char_frac") == 0.0)
   }
+
+  test("paragraphDedup keeps only the first occurrence corpus-wide") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "alpha one\n\nSHARED para\n\ntail one"),
+      Row(2L, "shared   PARA\n\nbeta two"), // normalized dup of doc 1's
+      Row(3L, "gamma\n\ngamma"), // intra-document repeat
+      Row(4L, "shared para") // fully gutted document
+    ))
+    val out = Dedup.paragraphDedup(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("clean_text"))).toMap
+    assert(out(1L) == "alpha one\n\nSHARED para\n\ntail one")
+    assert(out(2L) == "beta two")
+    assert(out(3L) == "gamma")
+    assert(out(4L) == "")
+  }
+
+  test("bigramLogProb: add-one bigram LM scores, short docs null") {
+    // corpus: c2(a,b)=2 (docs 1,2), c2(b,a)=1; contexts c1(a)=2, c1(b)=1;
+    // vocab {a,b,x} so V=3 → term(a,b)=ln(3/5), term(b,a)=ln(2/4)
+    val d = df("doc_id BIGINT, text STRING",
+      Seq(Row(1L, "a b a"), Row(2L, "A  b"), Row(3L, "x")))
+    val out = TextAnalysis.bigramLogProb(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("lm_score"))).toMap
+    val tAB = math.log(3.0 / 5.0)
+    val tBA = math.log(2.0 / 4.0)
+    assert(math.abs(out(1L).get - (tAB + tBA) / 2) < 1e-12)
+    assert(math.abs(out(2L).get - tAB) < 1e-12)
+    assert(out(3L).isEmpty)
+  }
+
+  test("packChunked equals a sequential prefix scan across range partitions") {
+    val lens = (1L to 100L).map(i => i -> (if (i == 50L) 1000L else (i * 37 % 190) + 1))
+    val d = df("id BIGINT, len BIGINT", lens.map { case (i, l) => Row(i, l) })
+    // partitions = 7 forces the hierarchical path (several range partitions)
+    val out = Pack.packChunked(d, "id", "len", budget = 256, partitions = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.length == 100)
+    var cum = 0L
+    lens.zip(out).foreach { case ((id, len), (oid, off, bs, bo, be)) =>
+      assert(oid == id && off == cum, s"doc $id offset")
+      assert(bs == cum / 256 && bo == cum % 256, s"doc $id bin start")
+      assert(be == (cum + len - 1) / 256, s"doc $id bin end")
+      cum += len
+    }
+    // the planted 1000-char doc must straddle several bins
+    val big = out.find(_._1 == 50L).get
+    assert(big._5 > big._3 + 1)
+  }
+
+  test("packGreedyNextFit: per-shard next-fit, oversize docs take their own bin") {
+    val lens = (1L to 60L).map(i => i -> (if (i == 7L) 500L else (i % 10) * 13 + 1))
+    val d = df("id BIGINT, len BIGINT", lens.map { case (i, l) => Row(i, l) })
+    val out = Pack.packGreedyNextFit(d, "id", "len", budget = 100, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val state = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val exp = lens.map { case (i, len) =>
+      val shard = i % 4
+      val (fill, bin) = state.getOrElse(shard, (0L, -1L))
+      val (nf, nb) =
+        if (fill > 0 && fill + len <= 100) (fill + len, bin) else (len, bin + 1)
+      state(shard) = (nf, nb)
+      (i, shard, nb)
+    }
+    assert(out.toSeq == exp)
+  }
 }
