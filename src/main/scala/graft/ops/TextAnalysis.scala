@@ -276,8 +276,10 @@ object TextAnalysis {
     * replica that sums in the same order reproduces the double bit-for-bit
     * up to its own ln() rounding (≤1 ulp per term).
     *
-    * Scale shape: the two count tables are map-side-combinable
-    * aggregations; the vocabulary size is a 1-row broadcast; the model
+    * Scale shape: the bigram count table is one map-side-combinable
+    * aggregation and the context counts roll up from IT (not from another
+    * pass over the exploded corpus); the vocabulary size is a 1-row
+    * broadcast; the model
     * (term per distinct bigram) is assembled counts-to-counts BEFORE
     * touching per-occurrence rows, so the only big join is occurrences →
     * model on the bigram key — near-unique build side, probe-side key skew
@@ -307,7 +309,9 @@ object TextAnalysis {
         col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
     val c2 = bigrams.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__c2"))
-    val c1 = bigrams.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    // context counts roll up from the aggregated bigram table — NOT from a
+    // second pass over the exploded corpus: c(w·) = Σ_w2 c(w,w2)
+    val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
     val vocab = base
       .select(explode(col("__t")).as("__w"))
       .agg(countDistinct(col("__w")).as("__v"))
