@@ -518,6 +518,13 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "n_chars",
         budget = 4096L, numShards = 8)
     },
+    "q_pack_shuffled" -> { (s, dir) =>
+      // epoch layout: portable SHA-256 shuffle rank, then concat-and-split
+      // packing in shuffled order — DuckDB replays rank, order, and bins
+      graft.ops.Pack.packChunkedShuffled(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", budget = 4096L, salt = 1L)
+    },
     "q_repetition" -> { (s, dir) =>
       // documents are single-line, so plant a repeated line plus a
       // 3-way-shared note to exercise the line-level signals; the token
@@ -1724,6 +1731,29 @@ object SparkEntry {
         |  FROM rec JOIN p ON p.shard = rec.shard AND p.rn = rec.rn + 1
         |)
         |SELECT doc_id, shard, bin FROM rec""".stripMargin,
+    // q_pack_shuffled: the portable 60-bit SHA-256 rank (the q_sample_hash
+    // recipe, salt 1) orders the stream; bins replay as in q_pack_chunked
+    "q_pack_shuffled" ->
+      """WITH r AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+        |    ('0x' || substr(sha256('1|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      AS shuffle_rank
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, shuffle_rank, len,
+        |    CAST(coalesce(sum(len) OVER (
+        |      ORDER BY shuffle_rank, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS off
+        |  FROM r
+        |)
+        |SELECT doc_id, shuffle_rank,
+        |  off AS offset_global,
+        |  off // 4096 AS bin_start,
+        |  off % 4096 AS bin_offset,
+        |  CASE WHEN len > 0 THEN (off + len - 1) // 4096
+        |       ELSE off // 4096 END AS bin_end
+        |FROM s""".stripMargin,
     // q_minhash_dedup / q_dedup_cluster: the LSH output is exact-Jaccard
     // VERIFIED, so it is always a subset of the exact all-pairs set; on the
     // fixtures every qualifying pair has jaccard ≥ 0.8, where 16-band×4-row

@@ -44,50 +44,110 @@ object Pack {
       lenCol: String,
       budget: Long,
       partitions: Int = 0
+  ): DataFrame =
+    binColumns(
+      globalCumBefore(
+        df.select(col(idCol).cast("long").as("__id"),
+          col(lenCol).cast("long").as("__len")),
+        Seq(col("__id")), partitions),
+      budget)
+      .select(col("__id").as(idCol), col("offset_global"),
+        col("bin_start"), col("bin_offset"), col("bin_end"))
+
+  /** [[packChunked]] over a deterministically SHUFFLED document order — the
+    * epoch layout an LLM training job actually consumes: documents are
+    * permuted by the engine-portable 60-bit SHA-256 rank
+    * `int(hex[0:15](sha256("salt|id")))` (the [[Dedup.sampleByHashPortable]]
+    * recipe, ties broken by id), then laid end-to-end and cut every
+    * `budget` units. Different `salt` = a fresh, reproducible epoch
+    * permutation; any engine with SHA-256 can replay both the order and
+    * the resulting bin boundaries. Emits `shuffle_rank` alongside the
+    * [[packChunked]] columns.
+    */
+  def packChunkedShuffled(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      budget: Long,
+      salt: Long = 0L,
+      partitions: Int = 0
   ): DataFrame = {
-    require(budget >= 1, "budget must be >= 1")
+    val rank = conv(
+      substring(
+        sha2(concat_ws("|", lit(salt.toString), col("__id").cast("string")), 256),
+        1, 15),
+      16, 10).cast("long")
+    binColumns(
+      globalCumBefore(
+        df.select(col(idCol).cast("long").as("__id"),
+            col(lenCol).cast("long").as("__len"))
+          .withColumn("__rank", rank),
+        Seq(col("__rank"), col("__id")), partitions),
+      budget)
+      .select(col("__id").as(idCol), col("__rank").as("shuffle_rank"),
+        col("offset_global"), col("bin_start"), col("bin_offset"),
+        col("bin_end"))
+  }
+
+  /** The hierarchical global prefix scan shared by the chunked packers:
+    * range-partition by `orderCols` (a total order), one local EXCLUSIVE
+    * cumulative sum of `__len` per partition (a window PARTITIONED BY the
+    * physical partition id — bounded by partition size, never a single
+    * global-ordering task), plus a driver-side prefix over the
+    * per-partition totals (one row per partition, broadcast back). The
+    * input is locally checkpointed once so the totals pass and the final
+    * pass see the identical partitioning. Adds `offset_global`.
+    */
+  private def globalCumBefore(
+      df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      partitions: Int
+  ): DataFrame = {
     val spark = df.sparkSession
     val p =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val ranged = df
-      .select(col(idCol).cast("long").as("__id"), col(lenCol).cast("long").as("__len"))
-      .repartitionByRange(p, col("__id"))
+      .repartitionByRange(p, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    // physical partition ids follow the range order (range bucket i lands
+    // in partition i), so the driver prefix runs over ascending __pid
     val partTotals = ranged
       .groupBy(col("__pid"))
-      .agg(sum(col("__len")).as("__total"), min(col("__id")).as("__minId"))
+      .agg(sum(col("__len")).as("__total"))
       .collect()
-      // physical partition ids follow the range order, but sort by the
-      // range's min id anyway so the prefix never depends on that detail
-      .sortBy(r => (r.getAs[Long]("__minId"), r.getAs[Int]("__pid")))
+      .map(r => (r.getAs[Int]("__pid"), r.getAs[Long]("__total")))
+      .sortBy(_._1)
     val offsets = partTotals
-      .scanLeft((0, 0L)) { case ((_, acc), row) =>
-        (row.getAs[Int]("__pid"), acc + row.getAs[Long]("__total"))
-      }
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, total)) => (pid, acc + total) }
       .sliding(2)
       .collect { case Array((_, before), (pid, _)) => (pid, before) }
       .toMap
     val offsetTable = spark.createDataFrame(
       offsets.toSeq.map { case (pid, off) => PackOffset(pid, off) })
-    val w = Window.partitionBy(col("__pid")).orderBy(col("__id"))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged
       .withColumn("__local", coalesce(sum(col("__len")).over(w), lit(0L)))
       .join(broadcast(offsetTable), Seq("__pid"))
-      .withColumn("__global", col("__local") + col("__off"))
-      // `div` (integer division), not `/` (double division): offsets in a
-      // 100-TB stream exceed 2^53 and must not round through a double
-      .select(
-        col("__id").as(idCol),
-        col("__global").as("offset_global"),
-        expr(s"__global div ${budget}L").as("bin_start"),
-        pmod(col("__global"), lit(budget)).as("bin_offset"),
+      .withColumn("offset_global", col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+
+  /** Bin columns from `offset_global`/`__len`. `div` (integer division),
+    * not `/` (double division): offsets in a 100-TB stream exceed 2^53 and
+    * must not round through a double.
+    */
+  private def binColumns(df: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    df
+      .withColumn("bin_start", expr(s"offset_global div ${budget}L"))
+      .withColumn("bin_offset", pmod(col("offset_global"), lit(budget)))
+      .withColumn("bin_end",
         when(col("__len") > 0,
-          expr(s"(__global + __len - 1) div ${budget}L"))
-          .otherwise(expr(s"__global div ${budget}L"))
-          .as("bin_end"))
+          expr(s"(offset_global + __len - 1) div ${budget}L"))
+          .otherwise(col("bin_start")))
   }
 
   /** Greedy next-fit packing: within each shard (`idCol % numShards`),

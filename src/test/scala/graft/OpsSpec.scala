@@ -574,6 +574,35 @@ class OpsSpec extends SharedSpark {
     assert(big._5 > big._3 + 1)
   }
 
+  test("packChunkedShuffled: portable rank order, exact offsets, fresh epoch per salt") {
+    val lens = (1L to 80L).map(i => i -> ((i * 53 % 300) + 1))
+    val d = df("id BIGINT, len BIGINT", lens.map { case (i, l) => Row(i, l) })
+    def localRank(salt: Long, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"$salt|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val out = Pack.packChunkedShuffled(d, "id", "len", budget = 256, salt = 9L,
+        partitions = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // replay: sort by (rank, id), exclusive cumsum
+    var cum = 0L
+    val expected = lens
+      .map { case (i, l) => (i, localRank(9L, i), l) }
+      .sortBy(t => (t._2, t._1))
+      .map { case (i, rk, l) => val off = cum; cum += l; (i, rk, off) }
+      .sortBy(_._1)
+    assert(out.toSeq == expected)
+    // a different salt yields a different permutation
+    val out2 = Pack.packChunkedShuffled(d, "id", "len", budget = 256, salt = 10L,
+        partitions = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(out2.toSeq != out.map(t => (t._1, t._3)).toSeq)
+  }
+
   test("packGreedyNextFit: per-shard next-fit, oversize docs take their own bin") {
     val lens = (1L to 60L).map(i => i -> (if (i == 7L) 500L else (i % 10) * 13 + 1))
     val d = df("id BIGINT, len BIGINT", lens.map { case (i, l) => Row(i, l) })
