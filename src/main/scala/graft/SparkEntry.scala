@@ -525,6 +525,30 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "n_chars"),
         "doc_id", "n_chars", budget = 4096L, salt = 1L)
     },
+    "q_dedup_batch" -> { (s, dir) =>
+      // incremental ingestion: docs split 7/3 into corpus/batch by id; every
+      // third batch doc is replaced by a CASE-SHIFTED copy of its corpus
+      // partner (id rounded down to a multiple of 10), so its lowercased
+      // shingle set equals the original's. At threshold 1.0 the admitted
+      // set is the engine-independent equal-shingle-set relation, which
+      // DuckDB replays literally (recall through the set-hash path is 1)
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
+        .select("doc_id", "text")
+      val partner = corpus
+        .select(col("doc_id").as("__pid"), col("text").as("__ptext"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+        .join(partner,
+          col("doc_id") - pmod(col("doc_id"), lit(10)) === col("__pid"), "left")
+        .select(
+          col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0 && col("__ptext").isNotNull,
+            upper(col("__ptext"))).otherwise(col("text")).as("text"))
+      graft.ops.Dedup.dedupNewBatch(
+        batch, "doc_id", "text", corpus,
+        shingleSize = 5, numHashes = 64, bands = 16, jaccardThreshold = 1.0)
+        .select("doc_id")
+    },
     "q_repetition" -> { (s, dir) =>
       // documents are single-line, so plant a repeated line plus a
       // 3-way-shared note to exercise the line-level signals; the token
@@ -1754,6 +1778,52 @@ object SparkEntry {
         |  CASE WHEN len > 0 THEN (off + len - 1) // 4096
         |       ELSE off // 4096 END AS bin_end
         |FROM s""".stripMargin,
+    // q_dedup_batch: DuckDB replays the corpus/batch split + planted
+    // case-shifted copies, then admits batch docs with NO equal-shingle-set
+    // partner in the corpus (i = nb = nc ⟺ equal sets)
+    "q_dedup_batch" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7
+        |), batch AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 3 = 0 AND c.text IS NOT NULL
+        |         THEN upper(c.text) ELSE b.text END AS text
+        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7) b
+        |  LEFT JOIN corpus c ON c.doc_id = b.doc_id - (b.doc_id % 10)
+        |), shb AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        |    THEN list_transform(generate_series(1, len(toks)-4),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                || ' ' || toks[i+3] || ' ' || toks[i+4])
+        |    ELSE [] END)) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                      x -> x <> '') AS toks
+        |        FROM batch)
+        |), shc AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        |    THEN list_transform(generate_series(1, len(toks)-4),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                || ' ' || toks[i+3] || ' ' || toks[i+4])
+        |    ELSE [] END)) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                      x -> x <> '') AS toks
+        |        FROM corpus)
+        |), bsizes AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY 1),
+        |csizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+        |inter AS (
+        |  SELECT shb.doc_id, shc.doc_id AS cid, count(*) AS i
+        |  FROM shb JOIN shc ON shb.sh = shc.sh GROUP BY 1, 2
+        |), flagged AS (
+        |  SELECT DISTINCT inter.doc_id
+        |  FROM inter
+        |  JOIN bsizes ON bsizes.doc_id = inter.doc_id
+        |  JOIN csizes ON csizes.doc_id = inter.cid
+        |  WHERE inter.i = bsizes.n AND inter.i = csizes.n
+        |)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
     // q_minhash_dedup / q_dedup_cluster: the LSH output is exact-Jaccard
     // VERIFIED, so it is always a subset of the exact all-pairs set; on the
     // fixtures every qualifying pair has jaccard ≥ 0.8, where 16-band×4-row

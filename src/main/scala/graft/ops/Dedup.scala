@@ -1069,6 +1069,100 @@ object Dedup {
             t => t.isNotNull)).as(out))
   }
 
+  /** Incremental ingestion dedup: the batch ids whose shingle set
+    * duplicates SOME document already in `corpus` — exactly (equal
+    * lowercased word-shingle sets: case/whitespace/duplication-invariant
+    * copies) or fuzzily (exact Jaccard ≥ `jaccardThreshold`, candidates
+    * from a cross-table MinHash-LSH band join). Unlike
+    * [[contaminatedIdsFuzzy]] (whose benchmark side broadcasts), BOTH
+    * sides here can be arbitrarily large: the band join shuffles on the
+    * (band, bandHash) key with oversized buckets counted first and
+    * dropped per side (the [[boundedBuckets]] discipline, drops
+    * observable), and equal-set copies can NEVER be lost to that cap —
+    * they are caught by a separate equi-join on a sorted-shingle-set hash
+    * (one near-unique-key join), so recall for set-identical copies is
+    * exactly 1 at any threshold. Documents with fewer than `shingleSize`
+    * tokens have no shingles and are never flagged.
+    *
+    * Scale shape: one shingle pass + one signature aggregation + one
+    * set-hash aggregation per side; the corpus-side artifacts depend only
+    * on the corpus, so a standing ingestion pipeline can persist them as
+    * an index and pay only the batch side per increment.
+    */
+  def duplicateOfCorpusIds(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      shingleSize: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val bSh = shingleRows(batch.select(col(idCol), col(textCol)), idCol,
+      textCol, shingleSize).persist()
+    val cSh = shingleRows(corpus.select(col(idCol), col(textCol)), idCol,
+      textCol, shingleSize).persist()
+    // "\n" separator: tokens are \s+-split so neither tokens nor the
+    // space-joined shingles can contain a newline — no separator collision
+    def setHash(sh: DataFrame): DataFrame = sh
+      .groupBy(col("__id"))
+      .agg(md5(concat_ws("\n", sort_array(collect_list(col("__sh"))))).as("__seth"))
+    val exactHits = setHash(bSh)
+      .join(setHash(cSh).select(col("__seth")).distinct(), Seq("__seth"), "left_semi")
+      .select(col("__id"))
+    def bounded(b: DataFrame): DataFrame = b.join(
+      broadcast(oversizedBucketKeys(b, Seq("__band", "__bh"), maxBucketSize)
+        .select(col("__band"), col("__bh"))),
+      Seq("__band", "__bh"), "left_anti")
+    val candidates = bounded(bandedSignatures(bSh, numHashes, bands))
+      .join(
+        bounded(bandedSignatures(cSh, numHashes, bands))
+          .select(col("__id").as("__cid"), col("__band"), col("__bh")),
+        Seq("__band", "__bh"))
+      .select(col("__id"), col("__cid"))
+      .distinct()
+    val bSizes = bSh.groupBy(col("__id")).agg(count(lit(1)).as("__nb"))
+    val cSizes = cSh.groupBy(col("__id")).agg(count(lit(1)).as("__ncs"))
+      .select(col("__id").as("__cid"), col("__ncs"))
+    val lshHits = candidates
+      .join(bSh, Seq("__id"))
+      .join(cSh.select(col("__id").as("__cid"), col("__sh")), Seq("__cid", "__sh"))
+      .groupBy(col("__id"), col("__cid"))
+      .agg(count(lit(1)).as("__i"))
+      .join(bSizes, Seq("__id"))
+      .join(cSizes, Seq("__cid"))
+      .filter(
+        col("__i").cast("double") / (col("__nb") + col("__ncs") - col("__i"))
+          >= jaccardThreshold)
+      .select(col("__id"))
+    exactHits.union(lshHits).distinct().select(col("__id").as(idCol))
+  }
+
+  /** [[duplicateOfCorpusIds]]' complement — the ingestion admit step: the
+    * batch minus every document already present in the corpus (null-safe
+    * anti-join on the id). Intra-batch duplicates are NOT collapsed here;
+    * compose with [[exactByFingerprint]] / [[dropNearDuplicates]] on the
+    * admitted batch for that.
+    */
+  def dedupNewBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      shingleSize: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val flagged = duplicateOfCorpusIds(batch, idCol, textCol, corpus,
+      shingleSize, numHashes, bands, jaccardThreshold, maxBucketSize)
+    batch.join(flagged, batch(idCol) <=> flagged(idCol), "left_anti")
+  }
+
   /** Corpus-wide paragraph-level dedup (the discipline CCNet applies to
     * CommonCrawl — Wenzek et al. 2020 — and the reference has no analog
     * for): every paragraph whose normalized form (lowercased, whitespace

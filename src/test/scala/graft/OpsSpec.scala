@@ -524,6 +524,31 @@ class OpsSpec extends SharedSpark {
     assert(v(3L, "rep_dup5_char_frac") == 0.0)
   }
 
+  test("dedupNewBatch admits only batch docs absent from the corpus") {
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog near the river"),
+      Row(2L, "completely different content about spark query engines today"),
+      Row(3L, "short doc")
+    ))
+    val batch = df("doc_id BIGINT, text STRING", Seq(
+      Row(101L, "THE QUICK  brown fox jumps over the lazy dog near the river"), // case/ws copy of 1
+      Row(102L, "the quick brown fox jumps over the lazy dog near the creek"), // near-dup of 1
+      Row(103L, "entirely novel text with no counterpart in the corpus here"), // new
+      Row(104L, "short doc"), // < 5 tokens: never flagged
+      Row(105L, "completely different content about spark query engines today") // exact copy of 2
+    ))
+    // threshold 1.0: only set-identical copies flagged
+    val strict = Dedup.dedupNewBatch(batch, "doc_id", "text", corpus,
+        shingleSize = 5, numHashes = 64, bands = 16, jaccardThreshold = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(102L, 103L, 104L))
+    // threshold 0.5: the near-dup is flagged too (shares 9-of-11ish shingles)
+    val fuzzy = Dedup.dedupNewBatch(batch, "doc_id", "text", corpus,
+        shingleSize = 3, numHashes = 64, bands = 32, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fuzzy == Set(103L, 104L))
+  }
+
   test("paragraphDedup keeps only the first occurrence corpus-wide") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "alpha one\n\nSHARED para\n\ntail one"),
