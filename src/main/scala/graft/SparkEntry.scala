@@ -549,6 +549,37 @@ object SparkEntry {
         shingleSize = 5, numHashes = 64, bands = 16, jaccardThreshold = 1.0)
         .select("doc_id")
     },
+    "q_dedup_stream_corpus" -> { (s, dir) =>
+      // batch path of the stream-vs-static-corpus ingestion dedup: same
+      // 7/3 split; planted copies are whitespace+case shifted so their
+      // normalized md5 fingerprints equal the corpus partner's
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 7)
+        .select("doc_id", "text")
+      val partner = corpus
+        .select(col("doc_id").as("__pid"), col("text").as("__ptext"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+        .join(partner,
+          col("doc_id") - pmod(col("doc_id"), lit(10)) === col("__pid"), "left")
+        .select(
+          col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0 && col("__ptext").isNotNull,
+            concat(lit("  "), upper(col("__ptext")))).otherwise(col("text"))
+            .as("text"))
+      graft.streaming.Streams
+        .dedupStreamAgainstCorpus(batch, "text", corpus, "text")
+        .select("doc_id")
+    },
+    "q_mix_epochs" -> { (s, dir) =>
+      // training-mix weighting: en 2.5 epochs, de 1.0, zh 1.2, others 0.5 —
+      // integer part repeats every doc, the fractional remainder repeats
+      // the portable-hash sub-sample once more; DuckDB replays the recipe
+      graft.ops.Dedup.repeatByWeightPortable(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        Map("en" -> 25, "de" -> 10, "zh" -> 12), den = 10, defaultNum = 5)
+        .select("doc_id", "lang", "epoch")
+    },
     "q_repetition" -> { (s, dir) =>
       // documents are single-line, so plant a repeated line plus a
       // 3-way-shared note to exercise the line-level signals; the token
@@ -1824,6 +1855,42 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM batch
         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+    // q_dedup_stream_corpus: the stateless fingerprint anti-join replayed
+    // on the same planted construction (md5 of the normalized text)
+    "q_dedup_stream_corpus" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7
+        |), batch AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 3 = 0 AND c.text IS NOT NULL
+        |         THEN '  ' || upper(c.text) ELSE b.text END AS text
+        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7) b
+        |  LEFT JOIN corpus c ON c.doc_id = b.doc_id - (b.doc_id % 10)
+        |), cf AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fp
+        |  FROM corpus
+        |)
+        |SELECT doc_id FROM batch
+        |WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      NOT IN (SELECT fp FROM cf)""".stripMargin,
+    // q_mix_epochs: copies = num//10 + (sha-prefix % 10 < num % 10), epochs
+    // unnested 0..copies-1 — the exact published recipe
+    "q_mix_epochs" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 10 WHEN 'zh' THEN 12
+        |         ELSE 5 END AS num
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang,
+        |    num // 10 + CASE WHEN
+        |      ('0x' || substr(sha256('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |        % 10 < num % 10 THEN 1 ELSE 0 END AS copies
+        |  FROM w
+        |)
+        |SELECT doc_id, lang, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+        |FROM c WHERE copies >= 1""".stripMargin,
     // q_minhash_dedup / q_dedup_cluster: the LSH output is exact-Jaccard
     // VERIFIED, so it is always a subset of the exact all-pairs set; on the
     // fixtures every qualifying pair has jaccard ≥ 0.8, where 16-band×4-row

@@ -108,6 +108,55 @@ object Dedup {
     df.filter(pmod(h, lit(den.toLong)) < num)
   }
 
+  /** Training-mix epoch weighting (the Pile/LLaMA-style source reweighting,
+    * upsampling included): every document in stratum `s` appears
+    * `weights(s)/den` times in expectation — the integer part repeats EVERY
+    * document, and the fractional remainder repeats one extra time exactly
+    * the deterministic [[sampleByHashPortable]] sub-sample (SHA-256-prefix
+    * recipe), so the realized mix is reproducible in any engine,
+    * entity-stable, and monotone in the weight (raising a weight only adds
+    * copies). Emits `out` (0-based copy index, long); documents whose
+    * stratum resolves to weight 0 — or that fall outside a sub-1.0
+    * weight's keep set — are dropped, making this a superset of stratified
+    * downsampling. Strata absent from `weights` get `defaultNum/den`
+    * (default: exactly one copy).
+    *
+    * Scale shape: one narrow map (the weight lookup folds to a literal
+    * when-chain) followed by an in-place generate — no shuffle, output
+    * size = Σ weights; downstream training layout typically feeds this
+    * into [[Pack.packChunkedShuffled]] keyed on (id, epoch).
+    */
+  def repeatByWeightPortable(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      weights: Map[String, Int],
+      den: Int,
+      defaultNum: Int = -1,
+      salt: Long = 0L,
+      out: String = "epoch"
+  ): DataFrame = {
+    require(den > 0, "den must be positive")
+    val dflt = if (defaultNum < 0) den else defaultNum
+    (weights.values ++ Seq(dflt)).foreach(n =>
+      require(n >= 0, s"weights must be non-negative, got $n"))
+    val h = conv(
+      substring(
+        sha2(concat_ws("|", lit(salt.toString), col(keyCol).cast("string")), 256),
+        1, 15),
+      16, 10).cast("long")
+    val num = weights.toSeq.sortBy(_._1).foldLeft(lit(dflt)) {
+      case (acc, (k, n)) => when(col(strataCol) === k, lit(n)).otherwise(acc)
+    }
+    val copies = (num.cast("long") / den).cast("long") +
+      when(pmod(h, lit(den.toLong)) < pmod(num.cast("long"), lit(den.toLong)), 1L)
+        .otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") >= 1)
+      .withColumn(out, explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Cross-document boilerplate removal (C4/RefinedWeb-style): drop every
     * line that occurs — after whitespace-normalized lowercasing — in more
     * than `maxDocFreq` distinct documents (navigation chrome, cookie

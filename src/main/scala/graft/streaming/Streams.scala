@@ -84,6 +84,30 @@ object Streams {
     withWm.dropDuplicates(keyCols :+ tsCol)
   }
 
+  /** Ingestion-time dedup of a stream against a STATIC reference corpus:
+    * arriving documents whose content fingerprint (md5 of
+    * whitespace-normalized lowercase text, [[graft.ops.TextAnalysis
+    * .fingerprint]]) already occurs in `corpus` are dropped via a
+    * stream-static left-anti join — STATELESS (no state store, no
+    * watermark needed; Spark re-plans the static side per micro-batch, so
+    * a corpus refresh is picked up on restart). Within-stream duplicates
+    * are NOT collapsed here; chain [[dedupStream]] for that. Unified
+    * batch/stream: on a batch frame this is a plain anti-join.
+    */
+  def dedupStreamAgainstCorpus(
+      stream: DataFrame,
+      textCol: String,
+      corpus: DataFrame,
+      corpusTextCol: String
+  ): DataFrame = {
+    val fps = graft.ops.TextAnalysis
+      .fingerprint(corpus.select(col(corpusTextCol).as("__t")), "__t", "__fp")
+      .select("__fp").distinct()
+    graft.ops.TextAnalysis.fingerprint(stream, textCol, "__fp")
+      .join(fps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Session windows per user with an inactivity gap. */
   def sessionize(
       stream: DataFrame,

@@ -524,6 +524,30 @@ class OpsSpec extends SharedSpark {
     assert(v(3L, "rep_dup5_char_frac") == 0.0)
   }
 
+  test("repeatByWeightPortable: integer epochs for all, fractional for the hash sample") {
+    val d = df("doc_id BIGINT, lang STRING",
+      (1L to 200L).map(i => Row(i, if (i % 2 == 0) "en" else "xx")))
+    val out = Dedup.repeatByWeightPortable(d, "doc_id", "lang",
+        Map("en" -> 25), den = 10, defaultNum = 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("epoch")))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    def keep(id: Long, num: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"0|$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10 < num
+    }
+    (1L to 200L).foreach { i =>
+      val copies =
+        if (i % 2 == 0) 2 + (if (keep(i, 5)) 1 else 0) // en: 2.5 epochs
+        else (if (keep(i, 5)) 1 else 0) // default: 0.5 epochs
+      assert(byDoc.getOrElse(i, Seq()) == (0L until copies.toLong), s"doc $i")
+    }
+    // the fractional keep set matches sampleByHashPortable exactly (nested)
+    val sampled = Dedup.sampleByHashPortable(d, "doc_id", 5, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(byDoc.keySet.filter(_ % 2 == 1) == sampled.filter(_ % 2 == 1))
+  }
+
   test("dedupNewBatch admits only batch docs absent from the corpus") {
     val corpus = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "the quick brown fox jumps over the lazy dog near the river"),

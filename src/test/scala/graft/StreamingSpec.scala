@@ -100,6 +100,31 @@ class StreamingSpec extends SharedSpark
     }(Option(query).toSeq)
   }
 
+  test("dedupStreamAgainstCorpus drops corpus fingerprints, stateless micro-batch") {
+    implicit val sqlCtx = ss.sqlContext
+    val corpus = ss.createDataFrame(Seq(
+      Tuple1("the quick brown fox"), Tuple1("known document two")
+    )).toDF("ctext")
+    val input = MemoryStream[String]
+    val stream = input.toDF().toDF("text")
+    val out = Streams.dedupStreamAgainstCorpus(stream, "text", corpus, "ctext")
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    guarded {
+      query = out.writeStream
+        .format("memory")
+        .queryName("ddc_test")
+        .outputMode("append")
+        .start()
+      input.addData("THE  quick brown FOX", "fresh content one")
+      query.processAllAvailable()
+      input.addData("known document two", "fresh content two")
+      query.processAllAvailable()
+      val got = ss.sql("SELECT text FROM ddc_test").collect()
+        .map(_.getString(0)).toSet
+      assert(got == Set("fresh content one", "fresh content two"))
+    }(Option(query).toSeq)
+  }
+
   test("sessionize groups events by inactivity gap (batch path)") {
     val data = df(
       "event_time TIMESTAMP, user STRING",
