@@ -580,6 +580,23 @@ object SparkEntry {
         Map("en" -> 25, "de" -> 10, "zh" -> 12), den = 10, defaultNum = 5)
         .select("doc_id", "lang", "epoch")
     },
+    "q_semdedup" -> { (s, dir) =>
+      // SemDeDup on the q_cosine_dup planted construction: collinear
+      // copies assign to their original's k-means cell and every split
+      // signature, so at threshold 0.95 (natural max cosine ~0.49) the
+      // surviving set provably equals the global earlier-neighbor rule
+      // DuckDB replays — independent of the clustering
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e
+        .filter(col("vec_id") % 40 === 0)
+        .select(
+          (col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      graft.ops.Similarity.semDeDup(
+        e.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.95, nlist = 16, refineIterations = 2)
+        .select("vec_id")
+    },
     "q_repetition" -> { (s, dir) =>
       // documents are single-line, so plant a repeated line plus a
       // 3-way-shared note to exercise the line-level signals; the token
@@ -1891,6 +1908,20 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, CAST(unnest(range(copies)) AS BIGINT) AS epoch
         |FROM c WHERE copies >= 1""".stripMargin,
+    // q_semdedup: survivors = vectors with NO smaller-id cosine-0.95
+    // neighbor (all such pairs are planted collinear copies, same cell by
+    // construction, so the cluster structure cannot change the answer)
+    "q_semdedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, x -> x * 2) AS embedding
+        |  FROM base WHERE vec_id % 40 = 0),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id FROM allv a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM allv b WHERE b.vec_id < a.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95)""".stripMargin,
     // q_minhash_dedup / q_dedup_cluster: the LSH output is exact-Jaccard
     // VERIFIED, so it is always a subset of the exact all-pairs set; on the
     // fixtures every qualifying pair has jaccard ≥ 0.8, where 16-band×4-row

@@ -364,6 +364,112 @@ object Similarity {
       Seq("__band", "__bkt"),
       maxBucketSize)
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic dedup of an
+    * embedding corpus — cluster with spherical k-means (deterministic
+    * hash-sampled init, optionally Lloyd-refined, as in [[ivfTopK]]), then
+    * inside each cluster drop every vector that has a SMALLER-id vector
+    * within cosine `threshold`. (The deterministic one-pass keep rule; the
+    * paper's greedy per-cluster sweep differs only on chains a~b~c with
+    * a≁c, where this rule is strictly more aggressive.) Returns the
+    * surviving corpus rows.
+    *
+    * Scale shape: centroid refinement moves only nlist·dim partial sums to
+    * the driver; assignment is a narrow mapPartitions against broadcast
+    * centroids; within-cluster pair generation follows the
+    * [[cosineDupPairs]] discipline — oversized clusters are SPLIT by extra
+    * hyperplanes first (collinear duplicates keep colliding, so exact
+    * duplicates are never lost to a split), member arrays are collected
+    * only after oversize keys are anti-joined out, pairs explode in place,
+    * and every candidate is verified with the exact cosine. Only
+    * irreducible near-identical sets larger than `maxBucketSize` are
+    * dropped from PAIR GENERATION (their members then all survive —
+    * conservative), observably via the same bucket diagnostics.
+    */
+  def semDeDup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nlist: Int = 16,
+      refineIterations: Int = 2,
+      splitPlanes: Int = 10,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val sampled: Array[Array[Double]] = base
+      .select(col("__id"), col("__v").cast("array<double>").as("__vd"))
+      .withColumn("__h", xxhash64(col("__id")))
+      .orderBy(col("__h"))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sampled.nonEmpty, "empty corpus")
+    val centroids =
+      if (refineIterations > 0)
+        kMeansCentroids(base.select(col("__v").as("__kv")), "__kv",
+          sampled, refineIterations)
+      else sampled
+    def nearestCell(v: Array[Double]): Int = {
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cen = centroids(c)
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var i = 0
+        val len = math.min(v.length, cen.length)
+        while (i < len) {
+          dot += v(i) * cen(i); nv += v(i) * v(i); nc += cen(i) * cen(i); i += 1
+        }
+        val sim = if (nv == 0 || nc == 0) -1.0 else dot / math.sqrt(nv * nc)
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+    val schema = StructType(base.schema.fields :+
+      StructField("__cell", IntegerType, false))
+    val vIdx = base.schema.fieldIndex("__v")
+    val celled = base.mapPartitions { rows =>
+      rows.map { r =>
+        val v = r.getSeq[Float](vIdx).map(_.toDouble).toArray
+        Row.fromSeq(r.toSeq :+ nearestCell(v))
+      }
+    }(Encoders.row(schema)).persist()
+    // oversized cells switch to (cell, hyperplane-signature) sub-buckets;
+    // collinear duplicates share the signature, so a split never loses them
+    val over = celled
+      .groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("__cell"), lit(true).as("__over"))
+    val bucketed = celled
+      .join(broadcast(over), Seq("__cell"), "left")
+      .select(
+        col("__id"),
+        when(col("__over").isNotNull,
+          concat_ws(":", col("__cell"),
+            lshSignatureFrom(col("__v"), 0, splitPlanes)))
+          .otherwise(col("__cell").cast("string"))
+          .as("__bkt"))
+    val candidates = Dedup
+      .pairsFromBuckets(
+        Dedup.boundedBuckets(bucketed, Seq("__bkt"), col("__id"), maxBucketSize),
+        "__ids")
+      .distinct()
+    val dropped = candidates
+      .join(base.select(col("__id").as("left_id"), col("__v").as("__vl")), "left_id")
+      .join(base.select(col("__id").as("right_id"), col("__v").as("__vr")), "right_id")
+      .filter(
+        cosine(col("__vl").cast("array<double>"), col("__vr").cast("array<double>"))
+          >= threshold)
+      .select(col("right_id").as("__did"))
+      .distinct()
+    corpus.join(dropped, corpus(idCol) <=> dropped("__did"), "left_anti")
+  }
+
   /** Per-band bucket assignment with oversize splitting: rows carry a short
     * signature and a longer one; keys whose short-signature bucket exceeds
     * the cap (found by a count-only aggregation, broadcast back) switch to

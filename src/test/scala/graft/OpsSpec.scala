@@ -243,6 +243,23 @@ class OpsSpec extends SharedSpark {
     assert(dropped.count() > 0)
   }
 
+  test("semDeDup keeps the smallest-id vector of each semantic-dup set") {
+    // ids 0/1/5 collinear (cos 1); 2/3 near-identical; 4 orthogonal
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      Seq(
+        Row(0L, Seq(1.0f, 0.0f, 0.0f)),
+        Row(1L, Seq(2.0f, 0.0f, 0.0f)),
+        Row(2L, Seq(0.0f, 1.0f, 0.02f)),
+        Row(3L, Seq(0.0f, 1.0f, 0.0f)),
+        Row(4L, Seq(0.0f, 0.0f, 1.0f)),
+        Row(5L, Seq(0.5f, 0.0f, 0.0f))
+      ))
+    val out = Similarity.semDeDup(vecs, "vec_id", "embedding",
+        threshold = 0.99, nlist = 3, refineIterations = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 2L, 4L))
+  }
+
   test("simHashPairs survives degenerate skew (identical docs) under the cap") {
     // 5000 identical docs: one bucket per block holds the whole corpus; the
     // cap removes them before any aggregation buffer materializes, so this
