@@ -580,6 +580,40 @@ object SparkEntry {
         Map("en" -> 25, "de" -> 10, "zh" -> 12), den = 10, defaultNum = 5)
         .select("doc_id", "lang", "epoch")
     },
+    "q_corpus_stats" -> { (s, dir) =>
+      // the data-card rollup per (source, lang); duplicates planted by
+      // unioning a copy of every 25th doc under shifted ids
+      val d = t(s, dir, "documents")
+      val copies = d.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      graft.ops.TextAnalysis
+        .corpusStats(d.unionByName(copies), "doc_id", "text",
+          Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_dup_docs"), col("sum_quality_ppm"))
+    },
+    "q_pipeline_curate" -> { (s, dir) =>
+      // the flagship curation chain: quality gate -> per-language
+      // stratified sample -> epoch weighting -> shuffled packing; every
+      // stage is the deterministic portable recipe, so DuckDB replays the
+      // whole pipeline end-to-end
+      val d = t(s, dir, "documents")
+      val gated = graft.ops.TextAnalysis.qualityScore(d, "text")
+        .filter(col("quality") >= 0.5)
+      val sampled = graft.ops.Dedup.sampleByHashStratifiedPortable(
+        gated, "doc_id", "lang", Map("en" -> 9, "de" -> 6), den = 10,
+        defaultNum = 3)
+      val mixed = graft.ops.Dedup.repeatByWeightPortable(
+        sampled.select("doc_id", "lang", "n_chars"), "doc_id", "lang",
+        Map("en" -> 15), den = 10, salt = 2L)
+      // unique packing key per (doc, epoch): ids are far below 1e8
+      val keyed = mixed.withColumn(
+        "pack_id", col("doc_id") * 4 + col("epoch"))
+      graft.ops.Pack.packChunkedShuffled(
+        keyed.select("pack_id", "n_chars"), "pack_id", "n_chars",
+        budget = 4096L, salt = 3L)
+        .select("pack_id", "offset_global", "bin_start")
+    },
     "q_semdedup" -> { (s, dir) =>
       // SemDeDup on the q_cosine_dup planted construction: collinear
       // copies assign to their original's k-means cell and every split
@@ -1908,6 +1942,80 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, CAST(unnest(range(copies)) AS BIGINT) AS epoch
         |FROM c WHERE copies >= 1""".stripMargin,
+    // q_corpus_stats: the data-card rollup replayed literally; the
+    // fingerprint class is global, the rollup per (source, lang)
+    "q_corpus_stats" ->
+      """WITH d0 AS (SELECT doc_id, text, source, lang FROM documents),
+        |copies AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text, source, lang
+        |  FROM d0 WHERE doc_id % 25 = 0),
+        |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM copies),
+        |fp AS (
+        |  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM d),
+        |cls AS (SELECT f, count(*) AS c FROM fp GROUP BY f)
+        |SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN cls.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(sum(CAST(round((
+        |    least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |      / 100.0, 1.0) * 0.5
+        |    + CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |        least(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+        |          AS DOUBLE) / length(text), 1.0) * 0.5 END) * 1000000)
+        |    AS BIGINT)) AS BIGINT) AS sum_quality_ppm
+        |FROM fp JOIN cls ON fp.f = cls.f
+        |GROUP BY source, lang""".stripMargin,
+    // q_pipeline_curate: the whole curation chain — quality gate,
+    // stratified sample, epoch weighting, shuffled packing — each stage
+    // the published portable recipe, composed end-to-end
+    "q_pipeline_curate" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |      / 100.0, 1.0) * 0.5
+        |    + CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |        least(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+        |          AS DOUBLE) / length(text), 1.0) * 0.5 END AS quality
+        |  FROM documents
+        |), gated AS (SELECT * FROM q WHERE quality >= 0.5),
+        |sampled AS (
+        |  SELECT * FROM gated
+        |  WHERE ('0x' || substr(sha256('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |        % 10 < CASE lang WHEN 'en' THEN 9 WHEN 'de' THEN 6 ELSE 3 END
+        |), mixed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(unnest(range(copies)) AS BIGINT) AS epoch
+        |  FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      num // 10 + CASE WHEN
+        |        ('0x' || substr(sha256('2|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |          % 10 < num % 10 THEN 1 ELSE 0 END AS copies
+        |    FROM (SELECT *, CASE lang WHEN 'en' THEN 15 ELSE 10 END AS num
+        |          FROM sampled)
+        |  ) WHERE copies >= 1
+        |), keyed AS (
+        |  SELECT doc_id * 4 + epoch AS pack_id, CAST(n_chars AS BIGINT) AS len
+        |  FROM mixed
+        |), r AS (
+        |  SELECT pack_id, len,
+        |    ('0x' || substr(sha256('3|' || pack_id::VARCHAR), 1, 15))::BIGINT
+        |      AS rank
+        |  FROM keyed
+        |), s AS (
+        |  SELECT pack_id,
+        |    CAST(coalesce(sum(len) OVER (
+        |      ORDER BY rank, pack_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS off
+        |  FROM r
+        |)
+        |SELECT pack_id, off AS offset_global, off // 4096 AS bin_start
+        |FROM s""".stripMargin,
     // q_semdedup: survivors = vectors with NO smaller-id cosine-0.95
     // neighbor (all such pairs are planted collinear copies, same cell by
     // construction, so the cluster structure cannot change the answer)

@@ -56,8 +56,10 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       out: String = "quality"
-  ): DataFrame = {
-    val c = col(textCol)
+  ): DataFrame =
+    df.withColumn(out, qualityCol(col(textCol)))
+
+  private[ops] def qualityCol(c: Column): Column = {
     val tokenScore = least(size(tokens(c)).cast("double") / lit(100.0), lit(1.0))
     val alphaRatio = when(length(c) === 0, lit(0.0)).otherwise(
       least(
@@ -65,7 +67,7 @@ object TextAnalysis {
         lit(1.0)
       )
     )
-    df.withColumn(out, tokenScore * 0.5 + alphaRatio * 0.5)
+    tokenScore * 0.5 + alphaRatio * 0.5
   }
 
   /** Stopword lists for the language-ID heuristic (top function words). */
@@ -287,6 +289,46 @@ object TextAnalysis {
     * a hot bigram's occurrence list. The final per-document collect is
     * bounded by document length.
     */
+  /** Per-group corpus statistics — the data-card rollup a curation run
+    * reports: document count, token and character totals, exact-duplicate
+    * count (documents whose whitespace/case fingerprint occurs more than
+    * once ANYWHERE in the corpus — the class is global, the count
+    * per-group), and mean quality score.
+    *
+    * Quality is reported twice: `mean_quality` (double, convenient) and
+    * `sum_quality_ppm` (the exact integer sum of per-document quality in
+    * parts-per-million). The ppm sum is ORDER-FREE — float means differ in
+    * the last ulp with aggregation order, which an external replica cannot
+    * reproduce when the true mean sits on a rounding boundary; the integer
+    * path rounds per document (deterministic in any engine) and sums
+    * exactly.
+    *
+    * Scale shape: one fingerprint-class count (map-side combinable,
+    * near-unique md5 keys) joined back on each row's own fingerprint, then
+    * a single per-group aggregation. No windows, no skew: the fingerprint
+    * join's build side is the aggregated class table.
+    */
+  def corpusStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String]
+  ): DataFrame = {
+    val fp = fingerprint(df, textCol, "__fp")
+    val classes = fp.groupBy(col("__fp")).agg(count(lit(1)).as("__cls"))
+    fp.join(classes, fp("__fp") <=> classes("__fp"))
+      .drop("__fp")
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(when(col("__cls") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        avg(qualityCol(col(textCol))).as("mean_quality"),
+        sum(round(qualityCol(col(textCol)) * 1000000, 0).cast("long"))
+          .as("sum_quality_ppm"))
+  }
+
   def bigramLogProb(
       df: DataFrame,
       idCol: String,

@@ -541,6 +541,28 @@ class OpsSpec extends SharedSpark {
     assert(v(3L, "rep_dup5_char_frac") == 0.0)
   }
 
+  test("corpusStats: per-group rollup with global duplicate classes") {
+    val d = df("doc_id BIGINT, source STRING, text STRING", Seq(
+      Row(1L, "a", "Hello  World"),
+      Row(2L, "a", "hello world"), // dup of 1 across normalization
+      Row(3L, "a", "three tokens here!"),
+      Row(4L, "b", "hello world") // dup class member in ANOTHER group
+    ))
+    val out = TextAnalysis.corpusStats(d, "doc_id", "text", Seq("source"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_docs") == 3L)
+    assert(out("a").getAs[Long]("n_tokens") == 2 + 2 + 3)
+    assert(out("a").getAs[Long]("n_chars") == 12 + 11 + 18)
+    assert(out("a").getAs[Long]("n_dup_docs") == 2L) // docs 1 and 2
+    assert(out("b").getAs[Long]("n_dup_docs") == 1L) // doc 4, class size 3
+    val q3 = (math.min(3 / 100.0, 1.0) * 0.5
+      + math.min(17.0 / 18.0, 1.0) * 0.5) // "three tokens here!": 17 alpha+space
+    val q12 = math.min(2 / 100.0, 1.0) * 0.5 + 0.5
+    assert(math.abs(out("a").getAs[Double]("mean_quality") - (q12 * 2 + q3) / 3) < 1e-9)
+    val ppm = Seq(q12, q12, q3).map(q => math.round(q * 1e6)).sum
+    assert(out("a").getAs[Long]("sum_quality_ppm") == ppm)
+  }
+
   test("repeatByWeightPortable: integer epochs for all, fractional for the hash sample") {
     val d = df("doc_id BIGINT, lang STRING",
       (1L to 200L).map(i => Row(i, if (i % 2 == 0) "en" else "xx")))
