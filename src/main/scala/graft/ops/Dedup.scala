@@ -1223,9 +1223,11 @@ object Dedup {
     * deduplicated away comes back with empty `out` (the row is kept, so a
     * caller can drop or count the fully-gutted documents).
     *
-    * Paragraph = a `\n\n+`-separated block; whitespace-only blocks are
-    * structure, not content, and are dropped from the reassembly (they
-    * can only arise from leading/trailing separators).
+    * Paragraph = a `\n{2,}`-separated block; whitespace-only blocks
+    * (leading/trailing separators, or interior blocks that contain only
+    * spaces) are structure, not content: they are excluded from dedup and
+    * dropped from the reassembly, which joins surviving paragraphs with
+    * exactly one blank line.
     *
     * Scale shape: first-occurrence selection is a map-side-combinable
     * `min(struct(id, pos))` per normalized paragraph — a viral paragraph's
