@@ -921,6 +921,32 @@ object SparkEntry {
         .intervalJoin(l, r, "l_ts", "r_ts", Seq("user_id"), within = "15 minutes")
         .select(col("user_id"), col("l_id"), col("r_id"))
     },
+    "q_asof_join" -> { (s, dir) =>
+      // each click picks up the latest at-or-before purchase value of the
+      // same user (ts is a nanos long under nanosAsLong — exact on both
+      // engines); unmatched clicks survive with a null p_val
+      val e = t(s, dir, "events")
+      val l = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("lns"), col("event_id").as("l_id"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rns"), col("value").as("p_val"))
+      graft.ops.TimeSeries
+        .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"))
+        .select(col("user_id"), col("l_id"), col("p_val"))
+    },
+    "q_asof_bucketed" -> { (s, dir) =>
+      // the skew-proof bucketized shape under a 6-hour lookback must agree
+      // with DuckDB's ASOF join filtered to the same tolerance
+      val e = t(s, dir, "events")
+      val l = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("lns"), col("event_id").as("l_id"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rns"), col("value").as("p_val"))
+      graft.ops.TimeSeries
+        .asofJoinBucketed(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"),
+          tolerance = 21600000000000L)
+        .select(col("user_id"), col("l_id"), col("p_val"))
+    },
     "q_noisy_window" -> { (s, dir) =>
       // alpha = 0 is the noise-free path of the DP streaming release — the
       // driver oracle checks the full window/group/count plumbing
@@ -1640,6 +1666,32 @@ object SparkEntry {
         |  ON l.user_id = r.user_id AND r.event_type = 'purchase'
         | AND r.t >= l.t - INTERVAL '15 minutes'
         | AND r.t <= l.t + INTERVAL '15 minutes'""".stripMargin,
+    // q_asof_join / q_asof_bucketed: DuckDB's native ASOF JOIN is the
+    // oracle; the bucketed variant adds the tolerance as a post-filter on
+    // the matched row (nearest-prior then age-voided — same contract)
+    "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS lns, event_id AS l_id
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS rns, value AS p_val
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.user_id, l.l_id, r.p_val
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.lns >= r.rns""".stripMargin,
+    "q_asof_bucketed" ->
+      """WITH l AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS lns, event_id AS l_id
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS rns, value AS p_val
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.user_id, l.l_id,
+        |  CASE WHEN l.lns - r.rns <= 21600000000000 THEN r.p_val END AS p_val
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.lns >= r.rns""".stripMargin,
     "q_noisy_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
         |  event_type, count(*) AS count
