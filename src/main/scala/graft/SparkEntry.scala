@@ -490,6 +490,16 @@ object SparkEntry {
       graft.ops.TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), round(col("lm_score"), 4).as("lm_score"))
     },
+    "q_bm25" -> { (s, dir) =>
+      // BM25 top-5 per query; scores are integer ppm sums (order-free) and
+      // the oracle SQL parenthesizes each double exactly as the operator
+      val qs = keysDf(s, Seq("query_id", "query_text"), Seq(
+        Seq("q1", "Spark JOIN merge"),
+        Seq("q2", "customer order value"),
+        Seq("q3", "vector hash scan zzzabsent")))
+      graft.ops.TextAnalysis.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text", qs, k = 5)
+    },
     "q_paragraph_dedup" -> { (s, dir) =>
       // plant a 7-way-shared paragraph plus a per-doc unique one: the
       // shared paragraph must survive only in the min doc_id of its class,
@@ -1431,6 +1441,50 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
+    // q_bm25: full Okapi BM25 replica; every double is parenthesized to
+    // associate exactly as the Spark expressions (idf product first, then
+    // the tf weight as one parenthesized quotient), and per-term scores
+    // are rounded to integer ppm before the order-free sum
+    "q_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |      x -> x <> '') AS t
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d
+        |), stats AS (
+        |  SELECT count(*) AS n, sum(dl) AS sumdl FROM lens
+        |), posts AS (
+        |  SELECT doc_id, w AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY 1, 2
+        |), q AS (
+        |  SELECT * FROM (VALUES ('q1', 'Spark JOIN merge'),
+        |                        ('q2', 'customer order value'),
+        |                        ('q3', 'vector hash scan zzzabsent')) AS q(query_id, query_text)
+        |), qt AS (
+        |  SELECT DISTINCT query_id, w AS term FROM (
+        |    SELECT query_id,
+        |      unnest(list_filter(string_split(regexp_replace(lower(query_text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |        x -> x <> '')) AS w
+        |    FROM q)
+        |), dfs AS (
+        |  SELECT term, count(*) AS df FROM posts
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+        |), sc AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    CAST(round(1000000.0 * ln(1 + (CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS BIGINT) AS ppm
+        |  FROM qt JOIN posts p USING (term) JOIN dfs USING (term)
+        |    JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN stats s
+        |), agg AS (
+        |  SELECT query_id, doc_id, sum(ppm) AS score_ppm FROM sc GROUP BY 1, 2
+        |)
+        |SELECT query_id, doc_id, score_ppm, rank FROM (
+        |  SELECT query_id, doc_id, score_ppm,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rank
+        |  FROM agg
+        |) WHERE rank <= 5""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

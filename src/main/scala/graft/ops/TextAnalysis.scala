@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines. All are
@@ -376,5 +377,90 @@ object TextAnalysis {
           lit(0.0),
           (a, x) => a + x.getField("__term")) / count(lit(1))).as(out))
     df.join(scores.select(col("__id").as(idCol), col(out)), Seq(idCol), "left")
+  }
+
+  /** Okapi BM25 top-k retrieval: for each query (a row of `queries` with an
+    * id and free-text terms), the k highest-scoring documents under
+    *
+    *   score(q,d) = Σ_{t ∈ q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *                · tf_{t,d}(k1+1) / (tf_{t,d} + k1(1 − b + b·dl_d/avgdl))
+    *
+    * over lowercased alphanumeric tokens (duplicate query terms count
+    * once). Returns (queryIdCol, idCol, score_ppm, rank): scores are
+    * reported as the exact integer sum of per-term contributions rounded
+    * to parts-per-million — per-term rounding is engine-deterministic and
+    * integer sums are order-free, so ranking on (score_ppm desc, id asc)
+    * is reproducible bit-for-bit by any external replica (same discipline
+    * as [[corpusStats]]'s quality totals).
+    *
+    * Scale shape: the postings table (one map-side-combinable aggregation
+    * over the exploded corpus) is cut to the query vocabulary by a
+    * broadcast join BEFORE document frequencies are counted (df per term
+    * is unchanged by the cut), so nothing global is computed over
+    * non-query terms; corpus size and total length ride a 1-row broadcast.
+    * Top-k is two-phase — row_number within (query, hash-shard of doc)
+    * keeps k per shard, then the final rank runs over ≤ shards·k rows per
+    * query — so no single task ever sorts a query's full candidate set.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text",
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      shards: Int = 32
+  ): DataFrame = {
+    val tok: Column => Column = c =>
+      filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
+        t => t =!= "")
+    val base = docs.select(col(idCol).as("__id"), tok(col(textCol)).as("__t"))
+    val lens = base.select(col("__id"), size(col("__t")).cast("long").as("__dl"))
+    val stats = lens.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val postings = base
+      .select(col("__id"), size(col("__t")).cast("long").as("__dl"),
+        explode(col("__t")).as("__term"))
+      .groupBy(col("__id"), col("__term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val qt = queries
+      .select(col(queryIdCol).as("__qid"),
+        explode(tok(col(queryTextCol))).as("__term"))
+      .distinct()
+    val relevant = postings
+      .join(broadcast(qt.select(col("__term")).distinct()), Seq("__term"))
+    val dfs = relevant.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    // association mirrors the documented formula exactly — an external SQL
+    // replica with the same parenthesization reproduces each double
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("__df") + lit(0.5)) /
+        (col("__df") + lit(0.5)))
+    val weight = (col("__tf") * lit(k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / avgdl))
+    val scored = relevant
+      .join(broadcast(dfs), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select(col("__term"), col("__id"),
+        round(lit(1000000.0) * idf * weight, 0).cast("long").as("__ppm"))
+    val scores = scored
+      .join(broadcast(qt), Seq("__term"))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(sum(col("__ppm")).as("score_ppm"))
+    val wShard = Window
+      .partitionBy(col("__qid"), pmod(xxhash64(col("__id")), lit(shards)))
+      .orderBy(col("score_ppm").desc, col("__id").asc)
+    val wFinal = Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("score_ppm").desc, col("__id").asc)
+    scores
+      .withColumn("__rk", row_number().over(wShard))
+      .filter(col("__rk") <= k)
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryIdCol), col("__id").as(idCol),
+        col("score_ppm"), col("rank"))
   }
 }

@@ -707,4 +707,43 @@ class OpsSpec extends SharedSpark {
     }
     assert(out.toSeq == exp)
   }
+
+  test("bm25TopK ranks exact-term docs above partial matches, caps at k") {
+    val d = df(
+      "doc_id BIGINT, text STRING",
+      Seq(
+        Row(1L, "spark joins and spark shuffles"), // both terms, tf(spark)=2
+        Row(2L, "spark streaming pipelines here"), // one term
+        Row(3L, "joins joins joins everywhere now"), // one term, tf=3
+        Row(4L, "nothing relevant whatsoever here"),
+        Row(5L, "spark joins once"))) // both terms, shorter doc
+    val q = df("query_id STRING, query_text STRING",
+      Seq(Row("q1", "Spark JOINS"), Row("q2", "streaming")))
+    val out = TextAnalysis
+      .bm25TopK(d, "doc_id", "text", q, k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val q1 = out.filter(_._1 == "q1").sortBy(_._4).map(_._2)
+    assert(q1.length == 3)
+    // docs with both query terms outrank single-term docs; doc 5's shorter
+    // length (b-normalization) beats doc 1's extra tf on the same terms
+    assert(q1.toSet.subsetOf(Set(1L, 3L, 5L)) && q1.take(2).toSet == Set(1L, 5L))
+    val q2 = out.filter(_._1 == "q2")
+    assert(q2.map(_._2).toSeq == Seq(2L)) // only doc 2 contains 'streaming'
+    assert(out.forall(_._3 > 0)) // all reported scores positive ppm
+  }
+
+  test("bm25TopK is shard-count invariant and drops unknown query terms") {
+    val d = df(
+      "doc_id BIGINT, text STRING",
+      (1L to 40L).map(i =>
+        Row(i, s"token$i common ${if (i % 2 == 0) "even" else "odd"} filler")))
+    val q = df("query_id STRING, query_text STRING",
+      Seq(Row("qa", "even token4 zzz_absent_term")))
+    val a = TextAnalysis.bm25TopK(d, "doc_id", "text", q, k = 5, shards = 1)
+    val b = TextAnalysis.bm25TopK(d, "doc_id", "text", q, k = 5, shards = 7)
+    assertSameRows(a, b)
+    // doc 4 matches both 'even' and its unique 'token4' → rank 1
+    assert(a.filter(col("rank") === 1).collect().head.getLong(1) == 4L)
+  }
 }
