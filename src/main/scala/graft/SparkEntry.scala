@@ -944,6 +944,36 @@ object SparkEntry {
         .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"))
         .select(col("user_id"), col("l_id"), col("p_val"))
     },
+    "q_rolling" -> { (s, dir) =>
+      // per-user trailing 1-hour event stats; the replayable sum is the
+      // integer cents path (float window sums are frame-order-sensitive)
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts").as("ns"))
+      graft.ops.TimeSeries
+        .rollingAgg(e, "ns", Seq("user_id"), "value",
+          window = 3600000000000L)
+        .select("user_id", "event_id", "roll_count", "roll_min", "roll_max",
+          "roll_sum_c100")
+    },
+    "q_chunk_docs" -> { (s, dir) =>
+      graft.ops.TextAnalysis.chunkDocuments(
+        t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+    },
+    "q_asof_forward" -> { (s, dir) =>
+      // forward direction: each click picks up the EARLIEST at-or-after
+      // purchase — DuckDB expresses it as ASOF with the inequality flipped
+      val e = t(s, dir, "events")
+      val l = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("lns"), col("event_id").as("l_id"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rns"), col("value").as("p_val"))
+      graft.ops.TimeSeries
+        .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"),
+          direction = "forward")
+        .select(col("user_id"), col("l_id"), col("p_val"))
+    },
     "q_asof_bucketed" -> { (s, dir) =>
       // the skew-proof bucketized shape under a 6-hour lookback must agree
       // with DuckDB's ASOF join filtered to the same tolerance
@@ -1734,6 +1764,45 @@ object SparkEntry {
         |SELECT l.user_id, l.l_id, r.p_val
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.lns >= r.rns""".stripMargin,
+    "q_rolling" ->
+      """SELECT user_id, event_id,
+        |  count(value) OVER w AS roll_count,
+        |  min(value) OVER w AS roll_min,
+        |  max(value) OVER w AS roll_max,
+        |  sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS roll_sum_c100
+        |FROM (SELECT user_id, event_id, value,
+        |        CAST(epoch_ns(ts) AS BIGINT) AS ns FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ns
+        |  RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q_chunk_docs: integer chunk-count arithmetic ((g + stride−1) // stride)
+    // and 1-based inclusive token slices replay the operator exactly
+    "q_chunk_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0
+        |), c AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1 + (greatest(0, n - 64) + 47) // 48)) AS chunk_id
+        |  FROM n
+        |)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  array_to_string(t[(chunk_id*48+1):(chunk_id*48+64)], ' ') AS chunk_text,
+        |  CAST(len(t[(chunk_id*48+1):(chunk_id*48+64)]) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
+    "q_asof_forward" ->
+      """WITH l AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS lns, event_id AS l_id
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS rns, value AS p_val
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.user_id, l.l_id, r.p_val
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.lns <= r.rns""".stripMargin,
     "q_asof_bucketed" ->
       """WITH l AS (
         |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS lns, event_id AS l_id

@@ -379,6 +379,55 @@ object TextAnalysis {
     df.join(scores.select(col("__id").as(idCol), col(out)), Seq(idCol), "left")
   }
 
+  /** Split documents into fixed-size whitespace-token chunks with overlap
+    * — the context-window packing precursor (and the RAG indexing shape):
+    * chunk i covers tokens `[i·stride, i·stride + maxTokens)` with
+    * `stride = maxTokens − overlap`, and the chunk count is
+    * `1 + ⌈max(0, n − maxTokens) / stride⌉` so the final token is always
+    * covered and no chunk starts beyond the text. Original token case and
+    * order are preserved; chunks are rejoined with single spaces (interior
+    * whitespace runs are normalized). Token-less documents produce no
+    * chunks.
+    *
+    * Emits (idCol, chunk_id, chunk_text, n_tokens). Pure narrow per-row
+    * expressions (split → sequence → slice → array_join): no shuffle, and
+    * the explode fan-out is bounded by each document's own length.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0
+  ): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val base = df
+      .select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+    // integer chunk count: both engines replay (g + stride − 1) div stride
+    // exactly (the double division of small ints is exact, floor recovers
+    // the integer quotient)
+    val extra = greatest(lit(0), col("__n") - lit(maxTokens))
+    val numChunks =
+      (lit(1) + floor((extra + lit(stride - 1)) / lit(stride))).cast("int")
+    base
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), numChunks - 1)).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(
+          slice(col("__t"), col("chunk_id") * stride + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("__t"), col("chunk_id") * stride + 1, lit(maxTokens)))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Okapi BM25 top-k retrieval: for each query (a row of `queries` with an
     * id and free-text terms), the k highest-scoring documents under
     *

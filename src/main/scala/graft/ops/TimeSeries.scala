@@ -59,24 +59,34 @@ object TimeSeries {
         ): _*
       )
 
-  /** Backward as-of join: every left row gains `rightValueCols` from the
-    * latest right row with the same `keyCols` and right ts <= left ts
-    * (< if `allowExactMatches` is false), or nulls when no such row exists
-    * (left-outer semantics; left multiplicity is always preserved).
+  /** As-of join: every left row gains `rightValueCols` from the nearest
+    * right row with the same `keyCols` in the requested `direction` —
+    * `"backward"` (latest right ts <= left ts, the default), `"forward"`
+    * (earliest right ts >= left ts), or `"nearest"` (smaller absolute ts
+    * gap of the two, ties to the backward match). With
+    * `allowExactMatches = false` the inequalities become strict. Unmatched
+    * left rows survive with nulls (left-outer; left multiplicity is always
+    * preserved).
     *
-    * `tolerance`, when set, voids matches older than `tolerance` (in the
-    * units of the timestamp columns, which must be numeric — cast
-    * timestamps to epoch first; a long nanos column works as-is).
+    * `tolerance`, when set, voids matches further than `tolerance` ts
+    * units away. Timestamp columns must be integral (cast timestamps to
+    * epoch first; a long nanos column works as-is).
     *
     * Right rows tied on (keys, ts) are first collapsed to the maximum
     * payload struct so the result is deterministic. Null timestamps never
     * match: a null-ts right row is dropped, a null-ts left row is kept
     * unmatched. `rightValueCols` must be disjoint from left's columns.
     *
-    * Physical shape: union-by-name of the two tagged sides, then
-    * `last(payload, ignoreNulls) over (partition by keys order by ts,
-    * side rows unbounded preceding)` — the classic fill-forward
-    * formulation, one shuffle + one sort, no join node at all.
+    * Physical shape: union-by-name of the two sides, then
+    * `last(payload, ignoreNulls)` over a RANGE frame ending at the left
+    * row's ts (and/or `first` over the mirrored following frame) —
+    * the classic fill-forward formulation, one shuffle + one sort shared
+    * by both directions, no join node at all. Range frames make exact-match
+    * exclusion an arithmetic bound (end at ts−1) instead of a tie-breaking
+    * sort column, and `nearest` prices in at zero extra passes. Since each
+    * (keys, ts) tie-group holds at most one right row after the collapse,
+    * frame-order ambiguity within a tie-group cannot change which payload
+    * `last`/`first` observes.
     */
   def asofJoin(
       left: DataFrame,
@@ -86,45 +96,101 @@ object TimeSeries {
       keyCols: Seq[String],
       rightValueCols: Seq[String],
       allowExactMatches: Boolean = true,
-      tolerance: Option[Long] = None
+      tolerance: Option[Long] = None,
+      direction: String = "backward"
   ): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     require(rightValueCols.nonEmpty, "rightValueCols must be non-empty")
     require(
       rightValueCols.intersect(left.columns.toSeq).isEmpty,
       s"rightValueCols ${rightValueCols.mkString(",")} must not clash with left columns")
-    val rightSide = if (allowExactMatches) 0 else 1
-    val leftSide = 1 - rightSide
-    val l = left
-      .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(leftSide))
+    val l = left.withColumn("__ts", col(leftTs))
     val r = dedupRight(right, rightTs, keyCols, rightValueCols)
-      .withColumn("__side", lit(rightSide))
-    // right rows sort before (allowExactMatches) or after (!allow) left
-    // rows at equal ts, so the running last(__r) at a left row has seen
-    // exactly the right rows that may match it
-    val w = Window
+    val base = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l
+      .orderBy(col("__ts").asc)
+    val strict = if (allowExactMatches) 0L else 1L
+    val wBack = base.rangeBetween(Window.unboundedPreceding, -strict)
+    val wFwd = base.rangeBetween(strict, Window.unboundedFollowing)
+    val needBack = direction != "forward"
+    val needFwd = direction != "backward"
+    val raw = l
       .unionByName(r, allowMissingColumns = true)
-      // a null-ts left row sorts to the partition head where only other
-      // null rows precede it, so its fill-forward result is already null —
-      // left-outer semantics (kept, unmatched) fall out of the order
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      // left rows are the ones without their own right payload
+      .withColumn("__mb",
+        if (needBack) last(col("__r"), ignoreNulls = true).over(wBack)
+        else lit(null))
+      .withColumn("__mf",
+        if (needFwd) first(col("__r"), ignoreNulls = true).over(wFwd)
+        else lit(null))
+      // left rows are the ones without their own right payload; null-ts
+      // left rows share a range frame containing only null payloads, so
+      // left-outer semantics fall out of the ordering
       .filter(col("__r").isNull)
-    val withinTol = tolerance match {
-      case Some(tol) =>
-        matched.withColumn(
-          "__m",
-          when(col("__ts") - col("__m.__rts") <= lit(tol), col("__m")))
-      case None => matched
+    // void each candidate inside its own direction BEFORE `nearest` picks,
+    // so an out-of-window closer match can never shadow an in-window
+    // farther one
+    val matched = tolerance.fold(raw) { tol =>
+      val b =
+        if (needBack)
+          raw.withColumn("__mb",
+            when(col("__ts") - col("__mb.__rts") <= lit(tol), col("__mb")))
+        else raw
+      if (needFwd)
+        b.withColumn("__mf",
+          when(col("__mf.__rts") - col("__ts") <= lit(tol), col("__mf")))
+      else b
     }
-    withinTol.select(
+    val withM = direction match {
+      case "backward" => matched.withColumn("__m", col("__mb"))
+      case "forward"  => matched.withColumn("__m", col("__mf"))
+      case "nearest" =>
+        matched.withColumn("__m",
+          when(col("__mb").isNull, col("__mf"))
+            .when(col("__mf").isNull, col("__mb"))
+            .when(col("__ts") - col("__mb.__rts") <=
+              col("__mf.__rts") - col("__ts"), col("__mb"))
+            .otherwise(col("__mf")))
+    }
+    withM.select(
       left.columns.map(col) ++
         rightValueCols.map(c => col(s"__m.$c").as(c)): _*
     )
+  }
+
+  /** Per-key trailing-window rolling aggregates: each row gains the count,
+    * min, max, and sum of `valueCol` over same-key rows with ts in
+    * `(ts − window, ts]` — the event-rate / spend-velocity shape every
+    * behavioral pipeline computes. The sum is emitted twice: `roll_sum`
+    * (double, convenient) and `roll_sum_c100` (the exact integer sum of
+    * per-row `round(value·100)` — order-free, replayable by any engine;
+    * float window sums are frame-order-sensitive and DuckDB/Spark disagree
+    * in the last ulp; same discipline as TextAnalysis.corpusStats).
+    *
+    * `tsCol` must be integral. One shuffle on the keys + one sort on ts —
+    * Spark evaluates all four aggregates in a single WindowExec pass over
+    * a sliding RANGE frame. A hot key serializes into one task (window
+    * semantics need the key's full order); shard upstream if a key exceeds
+    * a task's sort budget.
+    */
+  def rollingAgg(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      window: Long
+  ): DataFrame = {
+    require(window > 0, "window must be positive")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc)
+      .rangeBetween(-(window - 1), 0)
+    df.withColumn("roll_count", count(col(valueCol)).over(w))
+      .withColumn("roll_min", min(col(valueCol)).over(w))
+      .withColumn("roll_max", max(col(valueCol)).over(w))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+      .withColumn("roll_sum_c100",
+        sum(round(col(valueCol) * 100, 0).cast("long")).over(w))
   }
 
   /** [[asofJoin]] restricted to a finite lookback window, restructured for

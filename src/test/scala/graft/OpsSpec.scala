@@ -708,6 +708,24 @@ class OpsSpec extends SharedSpark {
     assert(out.toSeq == exp)
   }
 
+  test("chunkDocuments covers every token with overlapping windows") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, (1 to 13).map(i => s"w$i").mkString(" ")), // 13 tokens
+      Row(2L, "short  doc"), // interior double space normalizes away
+      Row(3L, "   "))) // token-less: no chunks
+    val out = TextAnalysis.chunkDocuments(d, "doc_id", "text",
+        maxTokens = 8, overlap = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // 13 tokens, stride 4 → chunks at 0,4,8: [1..8],[5..12],[9..13]
+    assert(out.keySet == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    assert(out((1L, 0)) == (((1 to 8).map(i => s"w$i").mkString(" "), 8L)))
+    assert(out((1L, 1)) == (((5 to 12).map(i => s"w$i").mkString(" "), 8L)))
+    assert(out((1L, 2)) == (((9 to 13).map(i => s"w$i").mkString(" "), 5L)))
+    assert(out((2L, 0)) == (("short doc", 2L)))
+  }
+
   test("bm25TopK ranks exact-term docs above partial matches, caps at k") {
     val d = df(
       "doc_id BIGINT, text STRING",

@@ -90,6 +90,50 @@ class TimeSeriesSpec extends SharedSpark {
     assert(byQty(2L).getDouble(3) == 1.0) // null-ts quote never matches
   }
 
+  test("asofJoin forward picks the earliest at-or-after quote") {
+    val out = TimeSeries.asofJoin(
+      trades, quotes, "t", "qt", Seq("sym"), Seq("px"),
+      direction = "forward")
+    val m = matches(out.collect().toSeq)
+    assert(m(("B", 5L, 5L)).contains(3.0)) // next quote at 10
+    assert(m(("A", 20L, 2L)).contains(2.0)) // exact match allowed
+    assert(m(("B", 15L, 4L)).isEmpty) // no later quote for B
+    assert(m(("C", 30L, 6L)).isEmpty)
+    val strict = matches(TimeSeries.asofJoin(
+      trades, quotes, "t", "qt", Seq("sym"), Seq("px"),
+      allowExactMatches = false, direction = "forward").collect().toSeq)
+    assert(strict(("A", 20L, 2L)).isEmpty) // t=20 quote now excluded
+  }
+
+  test("asofJoin nearest picks the smaller gap, ties to backward") {
+    val m = matches(TimeSeries.asofJoin(
+      trades, quotes, "t", "qt", Seq("sym"), Seq("px"),
+      direction = "nearest").collect().toSeq)
+    assert(m(("A", 10L, 1L)).contains(1.0)) // gap 2 back beats 10 fwd
+    assert(m(("B", 5L, 5L)).contains(3.0)) // only a forward match exists
+    assert(m(("B", 15L, 4L)).contains(4.0)) // gap 1 back beats none fwd
+    // forward-only case: left t=9 precedes both B quotes (10, 14)
+    val fwd = df("sym STRING, t BIGINT, qty BIGINT", Seq(Row("B", 9L, 9L)))
+    val mf = matches(TimeSeries.asofJoin(
+      fwd, quotes, "t", "qt", Seq("sym"), Seq("px"),
+      direction = "nearest").collect().toSeq)
+    assert(mf(("B", 9L, 9L)).contains(3.0)) // nearest is the t=10 quote
+  }
+
+  test("asofJoin nearest voids per-direction before choosing") {
+    val l = df("sym STRING, t BIGINT, qty BIGINT", Seq(Row("B", 12L, 1L)))
+    // quotes for B at 10 (gap 2 back) and 14 (gap 2 fwd): tie → backward
+    val m0 = matches(TimeSeries.asofJoin(
+      l, quotes, "t", "qt", Seq("sym"), Seq("px"),
+      direction = "nearest").collect().toSeq)
+    assert(m0(("B", 12L, 1L)).contains(3.0))
+    // tolerance 1 voids both
+    val m1 = matches(TimeSeries.asofJoin(
+      l, quotes, "t", "qt", Seq("sym"), Seq("px"),
+      direction = "nearest", tolerance = Some(1L)).collect().toSeq)
+    assert(m1(("B", 12L, 1L)).isEmpty)
+  }
+
   test("asofJoinBucketed equals asofJoin with the same tolerance") {
     val tol = 7L
     val general = TimeSeries.asofJoin(
@@ -111,6 +155,24 @@ class TimeSeriesSpec extends SharedSpark {
       trades, quotes, "t", "qt", Seq("sym"), Seq("px"),
       tolerance = tol, allowExactMatches = false)
     assertSameRows(bucketed, general)
+  }
+
+  test("rollingAgg computes trailing-window count/min/max/sums per key") {
+    val d = df("k STRING, t BIGINT, v DOUBLE",
+      Seq(
+        Row("a", 1L, 1.0), Row("a", 3L, 2.0), Row("a", 4L, 4.0),
+        Row("a", 10L, 8.0), Row("b", 3L, 16.0)))
+    val out = TimeSeries.rollingAgg(d, "t", Seq("k"), "v", window = 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+      .toMap
+    // window (t-2, t]: at a/4 rows t=3,4 are in; t=1 is out
+    assert(out(("a", 1L)) == ((1L, 1.0, 1.0, 1.0, 100L)))
+    assert(out(("a", 3L)) == ((2L, 1.0, 2.0, 3.0, 300L)))
+    assert(out(("a", 4L)) == ((2L, 2.0, 4.0, 6.0, 600L)))
+    assert(out(("a", 10L)) == ((1L, 8.0, 8.0, 8.0, 800L)))
+    assert(out(("b", 3L)) == ((1L, 16.0, 16.0, 16.0, 1600L)))
   }
 
   test("asofJoinBucketed on a larger synthetic series agrees with general") {
