@@ -447,9 +447,11 @@ object TextAnalysis {
     * broadcast join BEFORE document frequencies are counted (df per term
     * is unchanged by the cut), so nothing global is computed over
     * non-query terms; corpus size and total length ride a 1-row broadcast.
-    * Top-k is two-phase — row_number within (query, hash-shard of doc)
-    * keeps k per shard, then the final rank runs over ≤ shards·k rows per
-    * query — so no single task ever sorts a query's full candidate set.
+    * Top-k is the plain `row_number() <= k` filter: Spark plans it as a
+    * Partial WindowGroupLimit before the exchange (each task forwards at
+    * most k rows per query) plus a Final one after, so no single task
+    * ever sorts a query's full candidate set — the two-phase top-k is the
+    * optimizer's job, not hand-rolled sharding.
     */
   def bm25TopK(
       docs: DataFrame,
@@ -460,8 +462,7 @@ object TextAnalysis {
       queryTextCol: String = "query_text",
       k: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75,
-      shards: Int = 32
+      b: Double = 0.75
   ): DataFrame = {
     val tok: Column => Column = c =>
       filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
@@ -498,15 +499,10 @@ object TextAnalysis {
       .join(broadcast(qt), Seq("__term"))
       .groupBy(col("__qid"), col("__id"))
       .agg(sum(col("__ppm")).as("score_ppm"))
-    val wShard = Window
-      .partitionBy(col("__qid"), pmod(xxhash64(col("__id")), lit(shards)))
-      .orderBy(col("score_ppm").desc, col("__id").asc)
     val wFinal = Window
       .partitionBy(col("__qid"))
       .orderBy(col("score_ppm").desc, col("__id").asc)
     scores
-      .withColumn("__rk", row_number().over(wShard))
-      .filter(col("__rk") <= k)
       .withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= k)
       .select(col("__qid").as(queryIdCol), col("__id").as(idCol),

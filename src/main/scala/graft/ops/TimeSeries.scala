@@ -41,23 +41,37 @@ object TimeSeries {
       right: DataFrame,
       rightTs: String,
       keyCols: Seq[String],
-      rightValueCols: Seq[String]
-  ): DataFrame =
-    right
-      // a null right timestamp can never satisfy ts <= left ts; dropping it
-      // here also keeps it out of the fill-forward window order
-      .filter(col(rightTs).isNotNull)
-      .groupBy((keyCols :+ rightTs).map(col): _*)
-      .agg(max(struct(rightValueCols.map(col): _*)).as("__rv"))
-      .select(
+      rightValueCols: Seq[String],
+      assumeUnique: Boolean = false
+  ): DataFrame = {
+    // a null right timestamp can never satisfy ts <= left ts; dropping it
+    // here also keeps it out of the fill-forward window order
+    val nonNull = right.filter(col(rightTs).isNotNull)
+    if (assumeUnique)
+      // caller-guaranteed one row per (keys, ts): skip the collapse and its
+      // shuffle — the right side reaches the window with a narrow project
+      nonNull.select(
         keyCols.map(col) ++ Seq(
           col(rightTs).as("__ts"),
           struct(
-            (col(rightTs).as("__rts") +:
-              rightValueCols.map(c => col(s"__rv.$c").as(c))): _*
+            (col(rightTs).as("__rts") +: rightValueCols.map(col)): _*
           ).as("__r")
         ): _*
       )
+    else
+      nonNull
+        .groupBy((keyCols :+ rightTs).map(col): _*)
+        .agg(max(struct(rightValueCols.map(col): _*)).as("__rv"))
+        .select(
+          keyCols.map(col) ++ Seq(
+            col(rightTs).as("__ts"),
+            struct(
+              (col(rightTs).as("__rts") +:
+                rightValueCols.map(c => col(s"__rv.$c").as(c))): _*
+            ).as("__r")
+          ): _*
+        )
+  }
 
   /** As-of join: every left row gains `rightValueCols` from the nearest
     * right row with the same `keyCols` in the requested `direction` —
@@ -73,9 +87,14 @@ object TimeSeries {
     * epoch first; a long nanos column works as-is).
     *
     * Right rows tied on (keys, ts) are first collapsed to the maximum
-    * payload struct so the result is deterministic. Null timestamps never
-    * match: a null-ts right row is dropped, a null-ts left row is kept
-    * unmatched. `rightValueCols` must be disjoint from left's columns.
+    * payload struct so the result is deterministic; when the caller
+    * guarantees at most one right row per (keys, ts) — typical for event
+    * logs — `assumeRightUnique = true` skips that collapse and its
+    * shuffle, leaving ONE exchange in the whole plan (if the guarantee is
+    * violated, which tied payload wins becomes unspecified). Null
+    * timestamps never match: a null-ts right row is dropped, a null-ts
+    * left row is kept unmatched. `rightValueCols` must be disjoint from
+    * left's columns.
     *
     * Physical shape: union-by-name of the two sides, then
     * `last(payload, ignoreNulls)` over a RANGE frame ending at the left
@@ -97,7 +116,8 @@ object TimeSeries {
       rightValueCols: Seq[String],
       allowExactMatches: Boolean = true,
       tolerance: Option[Long] = None,
-      direction: String = "backward"
+      direction: String = "backward",
+      assumeRightUnique: Boolean = false
   ): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
@@ -106,7 +126,8 @@ object TimeSeries {
       rightValueCols.intersect(left.columns.toSeq).isEmpty,
       s"rightValueCols ${rightValueCols.mkString(",")} must not clash with left columns")
     val l = left.withColumn("__ts", col(leftTs))
-    val r = dedupRight(right, rightTs, keyCols, rightValueCols)
+    val r = dedupRight(right, rightTs, keyCols, rightValueCols,
+      assumeRightUnique)
     val base = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc)

@@ -751,17 +751,20 @@ class OpsSpec extends SharedSpark {
     assert(out.forall(_._3 > 0)) // all reported scores positive ppm
   }
 
-  test("bm25TopK is shard-count invariant and drops unknown query terms") {
+  test("bm25TopK ranks unique-term matches first, drops unknown terms") {
     val d = df(
       "doc_id BIGINT, text STRING",
       (1L to 40L).map(i =>
         Row(i, s"token$i common ${if (i % 2 == 0) "even" else "odd"} filler")))
     val q = df("query_id STRING, query_text STRING",
       Seq(Row("qa", "even token4 zzz_absent_term")))
-    val a = TextAnalysis.bm25TopK(d, "doc_id", "text", q, k = 5, shards = 1)
-    val b = TextAnalysis.bm25TopK(d, "doc_id", "text", q, k = 5, shards = 7)
-    assertSameRows(a, b)
-    // doc 4 matches both 'even' and its unique 'token4' → rank 1
+    val a = TextAnalysis.bm25TopK(d, "doc_id", "text", q, k = 5)
+    // doc 4 matches both 'even' and its unique 'token4' → rank 1; the
+    // absent term contributes nothing (and must not null the scores)
+    assert(a.count() == 5)
     assert(a.filter(col("rank") === 1).collect().head.getLong(1) == 4L)
+    // the top-k filter plans as a Partial WindowGroupLimit before the
+    // exchange — the property the scale story rests on
+    assert(a.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 }

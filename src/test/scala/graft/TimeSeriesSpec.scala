@@ -157,6 +157,25 @@ class TimeSeriesSpec extends SharedSpark {
     assertSameRows(bucketed, general)
   }
 
+  test("asofJoin assumeRightUnique matches the default on unique rights") {
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val dedup = TimeSeries.asofJoin(
+        trades, quotes, "t", "qt", Seq("sym"), Seq("px"), direction = dir)
+      val fast = TimeSeries.asofJoin(
+        trades, quotes, "t", "qt", Seq("sym"), Seq("px"), direction = dir,
+        assumeRightUnique = true)
+      assertSameRows(fast, dedup)
+    }
+    // the fast path must drop the right-side collapse: exactly one
+    // shuffle (the window exchange) in the whole plan
+    val fast = TimeSeries.asofJoin(
+      trades, quotes, "t", "qt", Seq("sym"), Seq("px"),
+      assumeRightUnique = true)
+    val nShuffles = "Exchange hashpartitioning".r
+      .findAllIn(fast.queryExecution.executedPlan.toString).size
+    assert(nShuffles == 1)
+  }
+
   test("rollingAgg computes trailing-window count/min/max/sums per key") {
     val d = df("k STRING, t BIGINT, v DOUBLE",
       Seq(
