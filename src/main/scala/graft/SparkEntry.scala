@@ -944,6 +944,13 @@ object SparkEntry {
         .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"))
         .select(col("user_id"), col("l_id"), col("p_val"))
     },
+    "q_sample_k" -> { (s, dir) =>
+      // fixed 7-doc budget per source, engine-reproducible from the
+      // portable SHA-256-prefix rank
+      graft.ops.Dedup.sampleKPerGroup(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", Seq("source"), k = 7)
+    },
     "q_rolling" -> { (s, dir) =>
       // per-user trailing 1-hour event stats; the replayable sum is the
       // integer cents path (float window sums are frame-order-sensitive)
@@ -1764,6 +1771,13 @@ object SparkEntry {
         |SELECT l.user_id, l.l_id, r.p_val
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.lns >= r.rns""".stripMargin,
+    "q_sample_k" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substr(sha256('0|' || doc_id::VARCHAR), 1, 15))::BIGINT,
+        |             doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 7""".stripMargin,
     "q_rolling" ->
       """SELECT user_id, event_id,
         |  count(value) OVER w AS roll_count,

@@ -72,6 +72,39 @@ object Dedup {
     df.filter(pmod(h, lit(den.toLong)) < num)
   }
 
+  /** Exact-size deterministic sample per group: ranks each group's rows by
+    * the portable SHA-256-prefix hash of `keyCol` (hash ties broken by the
+    * key itself) and keeps the first `k` — the fixed-budget counterpart of
+    * rate-based [[sampleByHashStratifiedPortable]] (carving a 1000-doc
+    * eval set per language, capping a scraped source at N documents). The
+    * keep-set is reproducible in any engine from (salt, key, group) alone
+    * and is nested across k: raising a group's budget only ADDS rows.
+    *
+    * Scale shape: the rank-≤-k filter plans as a Partial WindowGroupLimit,
+    * so each task forwards at most k rows per group into the single
+    * exchange — a group's full membership is never sorted in one task.
+    */
+  def sampleKPerGroup(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      k: Int,
+      salt: Long = 0L
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(
+      substring(
+        sha2(concat_ws("|", lit(salt.toString), col(keyCol).cast("string")), 256),
+        1, 15),
+      16, 10).cast("long")
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Stratified deterministic sampling — the training-mix curation step:
     * each stratum (language, source, domain bucket) keeps its own
     * `rates(stratum)/den` fraction of rows, decided by the SAME portable

@@ -708,6 +708,28 @@ class OpsSpec extends SharedSpark {
     assert(out.toSeq == exp)
   }
 
+  test("sampleKPerGroup keeps exactly k per group, nested across k") {
+    val d = df("id BIGINT, g STRING",
+      (1L to 60L).map(i => Row(i, s"g${i % 3}")))
+    val k5 = Dedup.sampleKPerGroup(d, "id", Seq("g"), 5)
+    val counts = k5.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 5L, "g1" -> 5L, "g2" -> 5L))
+    // nested: the k=3 carve-out is a subset of the k=5 one
+    val k3 = Dedup.sampleKPerGroup(d, "id", Seq("g"), 3)
+      .collect().map(_.getLong(0)).toSet
+    val k5ids = k5.collect().map(_.getLong(0)).toSet
+    assert(k3.subsetOf(k5ids) && k3.size == 9)
+    // deterministic across runs
+    assert(Dedup.sampleKPerGroup(d, "id", Seq("g"), 5)
+      .collect().map(_.getLong(0)).toSet == k5ids)
+    // a group smaller than k survives whole
+    val small = df("id BIGINT, g STRING", Seq(Row(1L, "x"), Row(2L, "x")))
+    assert(Dedup.sampleKPerGroup(small, "id", Seq("g"), 5).count() == 2)
+    // partial WindowGroupLimit bounds per-task fan-in at scale
+    assert(k5.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("chunkDocuments covers every token with overlapping windows") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, (1 to 13).map(i => s"w$i").mkString(" ")), // 13 tokens
