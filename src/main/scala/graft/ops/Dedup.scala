@@ -28,6 +28,19 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol, cols: _*)
 
+  /** The engine-portable hash every deterministic sampler shares: the
+    * first 15 hex chars of sha256("<salt>|<key>") read as a base-16 long.
+    * This exact recipe is a cross-engine replay contract (the DuckDB
+    * oracles and any external consumer reconstruct it in SQL) — change it
+    * here and NOWHERE else.
+    */
+  private[ops] def portableHash(key: Column, salt: Long): Column =
+    conv(
+      substring(
+        sha2(concat_ws("|", lit(salt.toString), key.cast("string")), 256),
+        1, 15),
+      16, 10).cast("long")
+
   /** Deterministic hash-based sampling: keep a row iff
     * pmod(xxhash64(salt, key), den) < num. Unlike `df.sample`, the decision
     * is a pure function of the key, so (a) re-runs and retries select the
@@ -64,11 +77,7 @@ object Dedup {
       salt: Long = 0L
   ): DataFrame = {
     require(den > 0 && num >= 0 && num <= den, "need 0 <= num <= den, den > 0")
-    val h = conv(
-      substring(
-        sha2(concat_ws("|", lit(salt.toString), col(keyCol).cast("string")), 256),
-        1, 15),
-      16, 10).cast("long")
+    val h = portableHash(col(keyCol), salt)
     df.filter(pmod(h, lit(den.toLong)) < num)
   }
 
@@ -92,11 +101,7 @@ object Dedup {
       salt: Long = 0L
   ): DataFrame = {
     require(k > 0, "k must be positive")
-    val h = conv(
-      substring(
-        sha2(concat_ws("|", lit(salt.toString), col(keyCol).cast("string")), 256),
-        1, 15),
-      16, 10).cast("long")
+    val h = portableHash(col(keyCol), salt)
     val w = Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(h.asc, col(keyCol).asc)
@@ -128,11 +133,7 @@ object Dedup {
     require(den > 0, "den must be positive")
     (rates.values ++ Seq(defaultNum)).foreach(n =>
       require(n >= 0 && n <= den, s"need 0 <= num <= $den, got $n"))
-    val h = conv(
-      substring(
-        sha2(concat_ws("|", lit(salt.toString), col(keyCol).cast("string")), 256),
-        1, 15),
-      16, 10).cast("long")
+    val h = portableHash(col(keyCol), salt)
     // sorted fold for a deterministic plan; keys are distinct so the
     // chain order cannot change semantics
     val num = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultNum)) {
@@ -173,11 +174,7 @@ object Dedup {
     val dflt = if (defaultNum < 0) den else defaultNum
     (weights.values ++ Seq(dflt)).foreach(n =>
       require(n >= 0, s"weights must be non-negative, got $n"))
-    val h = conv(
-      substring(
-        sha2(concat_ws("|", lit(salt.toString), col(keyCol).cast("string")), 256),
-        1, 15),
-      16, 10).cast("long")
+    val h = portableHash(col(keyCol), salt)
     val num = weights.toSeq.sortBy(_._1).foldLeft(lit(dflt)) {
       case (acc, (k, n)) => when(col(strataCol) === k, lit(n)).otherwise(acc)
     }

@@ -405,8 +405,7 @@ object TextAnalysis {
       s"overlap must be in [0, maxTokens), got $overlap")
     val stride = maxTokens - overlap
     val base = df
-      .select(col(idCol),
-        filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("__t"))
+      .select(col(idCol), cleanTokens(col(textCol)).as("__t"))
       .withColumn("__n", size(col("__t")))
       .filter(col("__n") > 0)
     // integer chunk count: both engines replay (g + stride − 1) div stride

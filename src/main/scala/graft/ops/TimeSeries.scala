@@ -136,17 +136,23 @@ object TimeSeries {
     val wFwd = base.rangeBetween(strict, Window.unboundedFollowing)
     val needBack = direction != "forward"
     val needFwd = direction != "backward"
+    // null-ts left rows must stay unmatched: their backward frame holds
+    // only fellow null rows, but the FOLLOWING frame of a nulls-first sort
+    // spans the whole partition (and a null `+strict` bound degenerates),
+    // so the forward candidate needs the explicit guard
     val raw = l
       .unionByName(r, allowMissingColumns = true)
       .withColumn("__mb",
-        if (needBack) last(col("__r"), ignoreNulls = true).over(wBack)
+        if (needBack)
+          when(col("__ts").isNotNull,
+            last(col("__r"), ignoreNulls = true).over(wBack))
         else lit(null))
       .withColumn("__mf",
-        if (needFwd) first(col("__r"), ignoreNulls = true).over(wFwd)
+        if (needFwd)
+          when(col("__ts").isNotNull,
+            first(col("__r"), ignoreNulls = true).over(wFwd))
         else lit(null))
-      // left rows are the ones without their own right payload; null-ts
-      // left rows share a range frame containing only null payloads, so
-      // left-outer semantics fall out of the ordering
+      // left rows are the ones without their own right payload
       .filter(col("__r").isNull)
     // void each candidate inside its own direction BEFORE `nearest` picks,
     // so an out-of-window closer match can never shadow an in-window
@@ -222,7 +228,11 @@ object TimeSeries {
     * map-side-combinable `max(struct(ts, payload))` aggregation keyed by a
     * per-partition row id, so no single task ever holds more than one
     * bucket of one key. Output contract identical to
-    * `asofJoin(..., tolerance = Some(tolerance))`.
+    * `asofJoin(..., tolerance = Some(tolerance))`, including null keys
+    * matching null keys (the window form's groupBy-style partitioning),
+    * with one representational limit: left columns ride through a
+    * max(struct(...)) re-assembly, so they must be orderable types (no
+    * maps — stringify such columns first).
     */
   def asofJoinBucketed(
       left: DataFrame,
@@ -239,19 +249,41 @@ object TimeSeries {
     require(
       rightValueCols.intersect(left.columns.toSeq).isEmpty,
       s"rightValueCols ${rightValueCols.mkString(",")} must not clash with left columns")
+    // integer floor-division bucketing: `floor(ts / tol)` on longs goes
+    // through doubles, which at epoch-nanos magnitude (> 2^53) round the
+    // operands by up to 128 ns and can mis-bucket boundary rows (dropping
+    // a valid match). `div` truncates toward zero, so non-exact negative
+    // quotients step down one.
+    def withBucket(df: DataFrame, src: Column): DataFrame =
+      df.withColumn("__tsl", src.cast("long"))
+        .withColumn("__bq", expr(s"__tsl div ${tolerance}L"))
+        .withColumn("__bucket",
+          col("__bq") - when(
+            col("__tsl") % lit(tolerance) =!= 0 && col("__tsl") < 0,
+            1).otherwise(0))
+        .drop("__tsl", "__bq")
     // monotonically_increasing_id is stable for a deterministic source plan
     // (same rows land in the same partitions on retry); it exists only
     // inside this operator and never escapes to the output
-    val l = left
-      .withColumn("__lid", monotonically_increasing_id())
-      .withColumn("__bucket", floor(col(leftTs) / lit(tolerance)))
-    val r = dedupRight(right, rightTs, keyCols, rightValueCols)
-      // a right row at bucket b can match left ts in [r.ts, r.ts+tol],
-      // which spans at most buckets b and b+1
-      .withColumn("__bucket", explode(array(
-        floor(col("__ts") / lit(tolerance)),
-        floor(col("__ts") / lit(tolerance)) + 1)))
-    val joinKeys = keyCols :+ "__bucket"
+    val l = withBucket(
+      left.withColumn("__lid", monotonically_increasing_id()),
+      col(leftTs))
+    // a right row at bucket b can match left ts in [r.ts, r.ts+tol], which
+    // spans at most buckets b and b+1
+    val r = withBucket(dedupRight(right, rightTs, keyCols, rightValueCols),
+      col("__ts"))
+      .withColumn("__bucket",
+        explode(array(col("__bucket"), col("__bucket") + 1)))
+      .select(
+        (keyCols.map(c => col(c).as(s"__rk_$c")) ++
+          Seq(col("__bucket").as("__rb"), col("__r"))): _*)
+    // `<=>` on the keys: the general form's window partitioning groups
+    // null keys together (groupBy semantics), so the bucketized form must
+    // match null to null as well; buckets are non-null whenever ts is
+    val joinCond = keyCols
+      .map(c => col(c) <=> col(s"__rk_$c"))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true)) && col("__bucket") === col("__rb")
     val timeOk =
       (if (allowExactMatches) col("__r.__rts") <= col(leftTs)
        else col("__r.__rts") < col(leftTs)) &&
@@ -260,7 +292,7 @@ object TimeSeries {
     // leads with __rts so ordering is by timestamp (ties impossible: right
     // is unique per (keys, ts) after dedupRight)
     val picked = l
-      .join(r.select((joinKeys :+ "__r").map(col): _*), joinKeys, "left_outer")
+      .join(r, joinCond, "left_outer")
       .withColumn("__cand", when(timeOk, col("__r")))
       .groupBy(col("__lid"))
       .agg(

@@ -134,6 +134,67 @@ class TimeSeriesSpec extends SharedSpark {
     assert(m1(("B", 12L, 1L)).isEmpty)
   }
 
+  test("asofJoin forward/nearest keep null-ts left rows unmatched") {
+    // the FOLLOWING frame of a nulls-first sort spans the whole partition,
+    // so without the explicit guard a null-ts left row would match the
+    // earliest right row
+    val l = df("sym STRING, t BIGINT, qty BIGINT",
+      Seq(Row("A", null, 1L), Row("A", 10L, 2L)))
+    val q = df("sym STRING, qt BIGINT, px DOUBLE",
+      Seq(Row("A", 7L, 1.0), Row("A", 12L, 2.0)))
+    for (dir <- Seq("forward", "nearest", "backward")) {
+      val got = TimeSeries.asofJoin(
+        l, q, "t", "qt", Seq("sym"), Seq("px"), direction = dir)
+        .collect().toSeq
+      assert(got.size == 2, dir)
+      val nullTsRow = got.find(_.getLong(2) == 1L).get
+      assert(nullTsRow.isNullAt(3), dir) // null-ts left row stays unmatched
+      val realRow = got.find(_.getLong(2) == 2L).get
+      assert(!realRow.isNullAt(3), dir) // t=10 matches a real quote
+    }
+  }
+
+  test("asofJoinBucketed matches null keys to null keys like the general form") {
+    val l = df("sym STRING, t BIGINT, qty BIGINT",
+      Seq(Row(null, 10L, 1L), Row("A", 10L, 2L)))
+    val q = df("sym STRING, qt BIGINT, px DOUBLE",
+      Seq(Row(null, 8L, 5.0), Row("A", 8L, 1.0)))
+    val general = TimeSeries.asofJoin(
+      l, q, "t", "qt", Seq("sym"), Seq("px"), tolerance = Some(7L))
+    val bucketed = TimeSeries.asofJoinBucketed(
+      l, q, "t", "qt", Seq("sym"), Seq("px"), tolerance = 7L)
+    assertSameRows(bucketed, general)
+    // and both actually matched the null-key pair
+    val got = bucketed.collect().find(r => r.isNullAt(0)).get
+    assert(got.getDouble(3) == 5.0)
+  }
+
+  test("asofJoinBucketed buckets epoch-nanos timestamps exactly") {
+    // doubles round these longs by up to 128 ns (> 2^53); with an odd
+    // tolerance the boundary rows must still bucket exactly
+    val base = 1704067207179575000L
+    val tol = 3600000000001L // odd: not divisible by any power of two
+    val l = df("sym STRING, t BIGINT, qty BIGINT",
+      (0 until 50).map(i => Row("A", base + i.toLong * 777777777L, i.toLong)))
+    val q = df("sym STRING, qt BIGINT, px DOUBLE",
+      (0 until 50).map(i => Row("A", base - 1L + i.toLong * 999999999L, i.toDouble)))
+    val general = TimeSeries.asofJoin(
+      l, q, "t", "qt", Seq("sym"), Seq("px"), tolerance = Some(tol))
+    val bucketed = TimeSeries.asofJoinBucketed(
+      l, q, "t", "qt", Seq("sym"), Seq("px"), tolerance = tol)
+    assertSameRows(bucketed, general)
+    // negative timestamps floor-divide, not truncate-toward-zero
+    val ln = df("sym STRING, t BIGINT, qty BIGINT",
+      Seq(Row("A", -5L, 1L), Row("A", 3L, 2L)))
+    val qn = df("sym STRING, qt BIGINT, px DOUBLE",
+      Seq(Row("A", -9L, 1.0), Row("A", -6L, 2.0)))
+    val g2 = TimeSeries.asofJoin(
+      ln, qn, "t", "qt", Seq("sym"), Seq("px"), tolerance = Some(10L))
+    val b2 = TimeSeries.asofJoinBucketed(
+      ln, qn, "t", "qt", Seq("sym"), Seq("px"), tolerance = 10L)
+    assertSameRows(b2, g2)
+  }
+
   test("asofJoinBucketed equals asofJoin with the same tolerance") {
     val tol = 7L
     val general = TimeSeries.asofJoin(
