@@ -944,6 +944,20 @@ object SparkEntry {
         .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"))
         .select(col("user_id"), col("l_id"), col("p_val"))
     },
+    "q_corpus_diff" -> { (s, dir) =>
+      // planted second snapshot: every 11th doc removed, every 7th
+      // surviving doc edited, 20 new ids appended — the diff must label
+      // each id exactly
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val next = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionAll(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+      graft.ops.Dedup.corpusDiff(d, next, "doc_id", "text")
+    },
     "q_sample_k" -> { (s, dir) =>
       // fixed 7-doc budget per source, engine-reproducible from the
       // portable SHA-256-prefix rank
@@ -1771,6 +1785,27 @@ object SparkEntry {
         |SELECT l.user_id, l.l_id, r.p_val
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.lns >= r.rns""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH prev AS (SELECT doc_id, text FROM documents),
+        |nxt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' new' FROM documents WHERE doc_id < 20
+        |), fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM prev
+        |), fn AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM nxt
+        |)
+        |SELECT COALESCE(fp.doc_id, fn.doc_id) AS doc_id,
+        |  CASE WHEN fp.f IS NULL THEN 'added'
+        |       WHEN fn.f IS NULL THEN 'removed'
+        |       WHEN fp.f = fn.f THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM fp FULL OUTER JOIN fn ON fp.doc_id = fn.doc_id""".stripMargin,
     "q_sample_k" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source

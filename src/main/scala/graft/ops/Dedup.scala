@@ -110,6 +110,38 @@ object Dedup {
       .drop("__rk")
   }
 
+  /** Corpus version diff — the dataset-versioning primitive: classify
+    * every id across two corpus snapshots as `added` (only in `next`),
+    * `removed` (only in `prev`), `changed` (both, different normalized
+    * fingerprint), or `unchanged`. Emits (idCol, status) — join back on
+    * the id for payloads. Comparison uses the whitespace/case-insensitive
+    * [[graft.ops.TextAnalysis.fingerprint]] so formatting churn doesn't
+    * read as a content change.
+    *
+    * Scale shape: two narrow fingerprint maps and ONE full-outer
+    * sort-merge join on the id (near-unique key, no skew); no windows, no
+    * collects.
+    */
+  def corpusDiff(
+      prev: DataFrame,
+      next: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val p = graft.ops.TextAnalysis.fingerprint(prev, textCol, "__fp_prev")
+      .select(col(idCol), col("__fp_prev"))
+    val n = graft.ops.TextAnalysis.fingerprint(next, textCol, "__fp_next")
+      .select(col(idCol), col("__fp_next"))
+    p.join(n, Seq(idCol), "full_outer")
+      .select(
+        col(idCol),
+        when(col("__fp_prev").isNull, "added")
+          .when(col("__fp_next").isNull, "removed")
+          .when(col("__fp_prev") === col("__fp_next"), "unchanged")
+          .otherwise("changed")
+          .as("status"))
+  }
+
   /** Stratified deterministic sampling — the training-mix curation step:
     * each stratum (language, source, domain bucket) keeps its own
     * `rates(stratum)/den` fraction of rows, decided by the SAME portable

@@ -197,6 +197,32 @@ object Pack {
       }
       .toDF(idCol, "shard", "bin")
   }
+
+  /** Materialize a packed corpus as training shard files: one
+    * `<binCol>=<v>/` directory per bin, exactly ONE file inside each, rows
+    * sorted by `sortCols` within the file — the layout a training reader
+    * consumes sequentially (sample i = file i, no cross-file reads).
+    *
+    * Scale shape: `repartition(binCol)` routes each bin to one task (bins
+    * are budget-bounded by construction, so tasks are balanced) and the
+    * dynamic-partition write then emits a single file per directory. The
+    * in-file sort rides `sortWithinPartitions` — no extra exchange beyond
+    * the one repartition.
+    */
+  def writeShards(
+      df: DataFrame,
+      binCol: String,
+      sortCols: Seq[String],
+      outDir: String,
+      format: String = "parquet"
+  ): Unit =
+    df.repartition(col(binCol))
+      .sortWithinPartitions((binCol +: sortCols).map(col): _*)
+      .write
+      .partitionBy(binCol)
+      .format(format)
+      .mode("overwrite")
+      .save(outDir)
 }
 
 /** Row shape for [[Pack.packChunked]]'s broadcast prefix-offset table. */

@@ -708,6 +708,46 @@ class OpsSpec extends SharedSpark {
     assert(out.toSeq == exp)
   }
 
+  test("writeShards emits one sorted file per bin and round-trips") {
+    val d = df("id BIGINT, len BIGINT",
+      (1L to 40L).map(i => Row(i, 10L)))
+    val packed = Pack.packGreedyNextFit(d, "id", "len", budget = 30L,
+      numShards = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("shards_").toString
+    try {
+      Pack.writeShards(packed.withColumn("b",
+          concat(col("shard"), lit("_"), col("bin"))),
+        "b", Seq("id"), tmp)
+      val back = spark.read.parquet(tmp)
+      assertSameRows(
+        back.select("id", "shard", "bin"),
+        packed.select("id", "shard", "bin"))
+      // exactly one data file inside each bin directory
+      val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      assert(dirs.nonEmpty)
+      dirs.foreach { dir =>
+        val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, dir.getName)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("corpusDiff classifies added/removed/changed/unchanged ids") {
+    val prev = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "same text"), Row(2L, "old text"), Row(3L, "gone"),
+      Row(4L, "Spaced   Text")))
+    val next = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "same text"), Row(2L, "new text"),
+      Row(4L, "spaced text"), // equal modulo whitespace/case → unchanged
+      Row(5L, "brand new")))
+    val out = Dedup.corpusDiff(prev, next, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("sampleKPerGroup keeps exactly k per group, nested across k") {
     val d = df("id BIGINT, g STRING",
       (1L to 60L).map(i => Row(i, s"g${i % 3}")))
