@@ -982,6 +982,19 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 64, overlap = 16)
     },
+    "q_asof_unique" -> { (s, dir) =>
+      // the single-shuffle fast path: (user_id, ts) is unique in events,
+      // so skipping the tie-collapse must reproduce q_asof_join exactly
+      val e = t(s, dir, "events")
+      val l = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("lns"), col("event_id").as("l_id"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rns"), col("value").as("p_val"))
+      graft.ops.TimeSeries
+        .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"),
+          assumeRightUnique = true)
+        .select(col("user_id"), col("l_id"), col("p_val"))
+    },
     "q_asof_forward" -> { (s, dir) =>
       // forward direction: each click picks up the EARLIEST at-or-after
       // purchase — DuckDB expresses it as ASOF with the inequality flipped
@@ -1841,6 +1854,19 @@ object SparkEntry {
         |  array_to_string(t[(chunk_id*48+1):(chunk_id*48+64)], ' ') AS chunk_text,
         |  CAST(len(t[(chunk_id*48+1):(chunk_id*48+64)]) AS BIGINT) AS n_tokens
         |FROM c""".stripMargin,
+    // q_asof_unique: identical contract to q_asof_join — the fast path is
+    // an internal plan change only
+    "q_asof_unique" ->
+      """WITH l AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS lns, event_id AS l_id
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS rns, value AS p_val
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.user_id, l.l_id, r.p_val
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.lns >= r.rns""".stripMargin,
     "q_asof_forward" ->
       """WITH l AS (
         |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS lns, event_id AS l_id
