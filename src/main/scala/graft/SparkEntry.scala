@@ -944,6 +944,9 @@ object SparkEntry {
         .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"))
         .select(col("user_id"), col("l_id"), col("p_val"))
     },
+    "q_profile" -> { (s, dir) =>
+      graft.ops.Profile.describe(t(s, dir, "documents"))
+    },
     "q_corpus_diff" -> { (s, dir) =>
       // planted second snapshot: every 11th doc removed, every 7th
       // surviving doc edited, 20 new ids appended — the diff must label
@@ -1798,6 +1801,33 @@ object SparkEntry {
         |SELECT l.user_id, l.l_id, r.p_val
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.lns >= r.rns""".stripMargin,
+    // q_profile: per-column profile replayed as one UNION ALL branch per
+    // column; string min/max compare bytewise in both engines
+    "q_profile" ->
+      """SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_nulls,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(min(doc_id) AS DOUBLE) AS min_num,
+        |  CAST(max(doc_id) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*), count(*) - count(text),
+        |  count(DISTINCT text), NULL, NULL, min(text), max(text)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang), NULL, NULL, min(lang), max(lang)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source), NULL, NULL, min(source), max(source)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars), CAST(min(n_chars) AS DOUBLE),
+        |  CAST(max(n_chars) AS DOUBLE), NULL, NULL
+        |FROM documents""".stripMargin,
     "q_corpus_diff" ->
       """WITH prev AS (SELECT doc_id, text FROM documents),
         |nxt AS (

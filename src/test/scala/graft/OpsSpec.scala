@@ -708,6 +708,29 @@ class OpsSpec extends SharedSpark {
     assert(out.toSeq == exp)
   }
 
+  test("Profile.describe reports exact per-column stats in long format") {
+    val d = df("id BIGINT, name STRING, score DOUBLE", Seq(
+      Row(1L, "b", 2.5), Row(2L, "a", null), Row(3L, null, 1.0),
+      Row(3L, "a", 4.0)))
+    val out = Profile.describe(d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getLong(1) == 4 && id.getLong(2) == 0 && id.getLong(3) == 3)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 3.0)
+    assert(id.isNullAt(6) && id.isNullAt(7))
+    val name = out("name")
+    assert(name.getLong(2) == 1 && name.getLong(3) == 2)
+    assert(name.getString(6) == "a" && name.getString(7) == "b")
+    assert(name.isNullAt(4) && name.isNullAt(5))
+    val score = out("score")
+    assert(score.getLong(2) == 1 && score.getLong(3) == 3)
+    assert(score.getDouble(4) == 1.0 && score.getDouble(5) == 4.0)
+    // approx path: same shape, distinct counts within HLL tolerance
+    val approx = Profile.describe(d, exactDistinct = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx("id") >= 2 && approx("id") <= 4)
+  }
+
   test("writeShards emits one sorted file per bin and round-trips") {
     val d = df("id BIGINT, len BIGINT",
       (1L to 40L).map(i => Row(i, 10L)))
