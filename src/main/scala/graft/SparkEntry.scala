@@ -933,13 +933,14 @@ object SparkEntry {
     },
     "q_asof_join" -> { (s, dir) =>
       // each click picks up the latest at-or-before purchase value of the
-      // same user (ts is a nanos long under nanosAsLong — exact on both
+      // same user (ts div 1000 = epoch micros: DuckDB timestamps carry µs
+      // precision, so µs is the largest unit exact on both
       // engines); unmatched clicks survive with a null p_val
       val e = t(s, dir, "events")
       val l = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("lns"), col("event_id").as("l_id"))
+        .select(col("user_id"), expr("ts div 1000").as("lns"), col("event_id").as("l_id"))
       val r = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("rns"), col("value").as("p_val"))
+        .select(col("user_id"), expr("ts div 1000").as("rns"), col("value").as("p_val"))
       graft.ops.TimeSeries
         .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"))
         .select(col("user_id"), col("l_id"), col("p_val"))
@@ -973,10 +974,10 @@ object SparkEntry {
       // integer cents path (float window sums are frame-order-sensitive)
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("value"),
-          col("ts").as("ns"))
+          expr("ts div 1000").as("ns"))
       graft.ops.TimeSeries
         .rollingAgg(e, "ns", Seq("user_id"), "value",
-          window = 3600000000000L)
+          window = 3600000000L)
         .select("user_id", "event_id", "roll_count", "roll_min", "roll_max",
           "roll_sum_c100")
     },
@@ -985,14 +986,22 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 64, overlap = 16)
     },
+    "q_funnel" -> { (s, dir) =>
+      // view → click → purchase per user within 7 days, chained
+      // min-aggregations (strictly-later step ordering)
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t"), col("event_type"))
+      graft.ops.TimeSeries.funnel(e, Seq("user_id"), "t", "event_type",
+        Seq("view", "click", "purchase"), within = Some(604800000000L))
+    },
     "q_asof_unique" -> { (s, dir) =>
       // the single-shuffle fast path: (user_id, ts) is unique in events,
       // so skipping the tie-collapse must reproduce q_asof_join exactly
       val e = t(s, dir, "events")
       val l = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("lns"), col("event_id").as("l_id"))
+        .select(col("user_id"), expr("ts div 1000").as("lns"), col("event_id").as("l_id"))
       val r = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("rns"), col("value").as("p_val"))
+        .select(col("user_id"), expr("ts div 1000").as("rns"), col("value").as("p_val"))
       graft.ops.TimeSeries
         .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"),
           assumeRightUnique = true)
@@ -1003,9 +1012,9 @@ object SparkEntry {
       // purchase — DuckDB expresses it as ASOF with the inequality flipped
       val e = t(s, dir, "events")
       val l = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("lns"), col("event_id").as("l_id"))
+        .select(col("user_id"), expr("ts div 1000").as("lns"), col("event_id").as("l_id"))
       val r = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("rns"), col("value").as("p_val"))
+        .select(col("user_id"), expr("ts div 1000").as("rns"), col("value").as("p_val"))
       graft.ops.TimeSeries
         .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"),
           direction = "forward")
@@ -1016,12 +1025,12 @@ object SparkEntry {
       // with DuckDB's ASOF join filtered to the same tolerance
       val e = t(s, dir, "events")
       val l = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("lns"), col("event_id").as("l_id"))
+        .select(col("user_id"), expr("ts div 1000").as("lns"), col("event_id").as("l_id"))
       val r = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("rns"), col("value").as("p_val"))
+        .select(col("user_id"), expr("ts div 1000").as("rns"), col("value").as("p_val"))
       graft.ops.TimeSeries
         .asofJoinBucketed(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"),
-          tolerance = 21600000000000L)
+          tolerance = 21600000000L)
         .select(col("user_id"), col("l_id"), col("p_val"))
     },
     "q_noisy_window" -> { (s, dir) =>
@@ -1792,10 +1801,10 @@ object SparkEntry {
     // the matched row (nearest-prior then age-voided — same contract)
     "q_asof_join" ->
       """WITH l AS (
-        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS lns, event_id AS l_id
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS lns, event_id AS l_id
         |  FROM events WHERE event_type = 'click'
         |), r AS (
-        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS rns, value AS p_val
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS rns, value AS p_val
         |  FROM events WHERE event_type = 'purchase'
         |)
         |SELECT l.user_id, l.l_id, r.p_val
@@ -1863,9 +1872,9 @@ object SparkEntry {
         |  max(value) OVER w AS roll_max,
         |  sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS roll_sum_c100
         |FROM (SELECT user_id, event_id, value,
-        |        CAST(epoch_ns(ts) AS BIGINT) AS ns FROM events)
+        |        CAST(epoch_us(ts) AS BIGINT) AS ns FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ns
-        |  RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
     // q_chunk_docs: integer chunk-count arithmetic ((g + stride−1) // stride)
     // and 1-based inclusive token slices replay the operator exactly
     "q_chunk_docs" ->
@@ -1884,14 +1893,36 @@ object SparkEntry {
         |  array_to_string(t[(chunk_id*48+1):(chunk_id*48+64)], ' ') AS chunk_text,
         |  CAST(len(t[(chunk_id*48+1):(chunk_id*48+64)]) AS BIGINT) AS n_tokens
         |FROM c""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type
+        |  FROM events
+        |), s0 AS (
+        |  SELECT user_id, min(t) AS ts_0 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT e.user_id, min(t) AS ts_1 FROM e JOIN s0 USING (user_id)
+        |  WHERE event_type = 'click' AND t > ts_0
+        |    AND t - ts_0 <= 604800000000 GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(t) AS ts_2
+        |  FROM e JOIN s1 USING (user_id) JOIN s0 USING (user_id)
+        |  WHERE event_type = 'purchase' AND t > ts_1
+        |    AND t - ts_0 <= 604800000000 GROUP BY 1
+        |)
+        |SELECT s0.user_id, s0.ts_0, s1.ts_1, s2.ts_2,
+        |  CASE WHEN ts_0 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN ts_1 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN ts_2 IS NOT NULL THEN 1 ELSE 0 END AS steps_completed
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
     // q_asof_unique: identical contract to q_asof_join — the fast path is
     // an internal plan change only
     "q_asof_unique" ->
       """WITH l AS (
-        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS lns, event_id AS l_id
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS lns, event_id AS l_id
         |  FROM events WHERE event_type = 'click'
         |), r AS (
-        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS rns, value AS p_val
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS rns, value AS p_val
         |  FROM events WHERE event_type = 'purchase'
         |)
         |SELECT l.user_id, l.l_id, r.p_val
@@ -1899,10 +1930,10 @@ object SparkEntry {
         |  ON l.user_id = r.user_id AND l.lns >= r.rns""".stripMargin,
     "q_asof_forward" ->
       """WITH l AS (
-        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS lns, event_id AS l_id
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS lns, event_id AS l_id
         |  FROM events WHERE event_type = 'click'
         |), r AS (
-        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS rns, value AS p_val
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS rns, value AS p_val
         |  FROM events WHERE event_type = 'purchase'
         |)
         |SELECT l.user_id, l.l_id, r.p_val
@@ -1910,14 +1941,14 @@ object SparkEntry {
         |  ON l.user_id = r.user_id AND l.lns <= r.rns""".stripMargin,
     "q_asof_bucketed" ->
       """WITH l AS (
-        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS lns, event_id AS l_id
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS lns, event_id AS l_id
         |  FROM events WHERE event_type = 'click'
         |), r AS (
-        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS rns, value AS p_val
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS rns, value AS p_val
         |  FROM events WHERE event_type = 'purchase'
         |)
         |SELECT l.user_id, l.l_id,
-        |  CASE WHEN l.lns - r.rns <= 21600000000000 THEN r.p_val END AS p_val
+        |  CASE WHEN l.lns - r.rns <= 21600000000 THEN r.p_val END AS p_val
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.lns >= r.rns""".stripMargin,
     "q_noisy_window" ->

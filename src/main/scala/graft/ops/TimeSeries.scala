@@ -185,6 +185,59 @@ object TimeSeries {
     )
   }
 
+  /** Ordered funnel analysis: for each entity, the earliest time it
+    * completed each step of `steps` IN ORDER — step k counts only at a
+    * strictly later timestamp than the entity's earliest completion of
+    * step k−1 (the standard product-analytics funnel; `within` bounds the
+    * whole funnel: step k must land within `within` ts units of step 0).
+    * Emits one row per entity that completed step 0: the entity columns,
+    * `ts_0 … ts_{n-1}` (null once a step is missed — later steps are null
+    * too by construction), and `steps_completed`.
+    *
+    * Deterministic: each step time is a min-aggregation, no row choice.
+    * Scale shape: one filtered pass + groupBy per step, chained by
+    * broadcast-friendly equi-joins on the entity key (AQE picks the
+    * strategy; every aggregation is map-side combinable, every join key is
+    * the entity — no windows, no per-entity event lists, k shuffles for a
+    * k-step funnel).
+    */
+  def funnel(
+      events: DataFrame,
+      entityCols: Seq[String],
+      tsCol: String,
+      stepCol: String,
+      steps: Seq[String],
+      within: Option[Long] = None
+  ): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val key = entityCols.map(col)
+    val s0 = events
+      .filter(col(stepCol) === steps.head && col(tsCol).isNotNull)
+      .groupBy(key: _*)
+      .agg(min(col(tsCol)).as("ts_0"))
+    val chained = steps.zipWithIndex.tail.foldLeft(s0) {
+      case (acc, (step, i)) =>
+        val prev = s"ts_${i - 1}"
+        val cur = s"ts_$i"
+        val deadlineOk = within match {
+          case Some(w) => col(tsCol) - col("ts_0") <= lit(w)
+          case None    => lit(true)
+        }
+        val nexts = events
+          .filter(col(stepCol) === step && col(tsCol).isNotNull)
+          .join(acc.select((entityCols :+ prev :+ "ts_0").distinct.map(col): _*),
+            entityCols)
+          .filter(col(tsCol) > col(prev) && deadlineOk)
+          .groupBy(key: _*)
+          .agg(min(col(tsCol)).as(cur))
+        acc.join(nexts, entityCols, "left_outer")
+    }
+    chained.withColumn("steps_completed",
+      steps.indices
+        .map(i => when(col(s"ts_$i").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
+
   /** Per-key trailing-window rolling aggregates: each row gains the count,
     * min, max, and sum of `valueCol` over same-key rows with ts in
     * `(ts − window, ts]` — the event-rate / spend-velocity shape every

@@ -237,6 +237,41 @@ class TimeSeriesSpec extends SharedSpark {
     assert(nShuffles == 1)
   }
 
+  test("funnel requires ordered steps and respects the within bound") {
+    val e = df("u BIGINT, t BIGINT, ev STRING", Seq(
+      // u1: full ordered funnel
+      Row(1L, 10L, "view"), Row(1L, 20L, "click"), Row(1L, 30L, "buy"),
+      // u2: click BEFORE view — click must not count; no click after
+      Row(2L, 10L, "click"), Row(2L, 20L, "view"), Row(2L, 30L, "buy"),
+      // u3: view+click, no buy
+      Row(3L, 10L, "view"), Row(3L, 15L, "click"),
+      // u4: never viewed → not in output
+      Row(4L, 10L, "buy"),
+      // u5: full funnel but buy outside within=15
+      Row(5L, 10L, "view"), Row(5L, 12L, "click"), Row(5L, 40L, "buy"),
+      // u6: same-ts click (ties are NOT later) then a later one
+      Row(6L, 10L, "view"), Row(6L, 10L, "click"), Row(6L, 11L, "click")))
+    val out = TimeSeries.funnel(e, Seq("u"), "t", "ev",
+        Seq("view", "click", "buy"), within = Some(15L))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getInt(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L, 6L))
+    assert(out(1L) == ((Some(20L), None, 2))) // buy at 30 > within
+    assert(out(2L) == ((None, None, 1))) // pre-view click doesn't count
+    assert(out(3L) == ((Some(15L), None, 2)))
+    assert(out(5L) == ((Some(12L), None, 2))) // buy at 40 outside window
+    assert(out(6L) == ((Some(11L), None, 2))) // same-ts click skipped
+    // without the bound, u1 completes all three steps
+    val free = TimeSeries.funnel(e, Seq("u"), "t", "ev",
+        Seq("view", "click", "buy"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(free(1L) == 3 && free(2L) == 1 && free(5L) == 3)
+  }
+
   test("rollingAgg computes trailing-window count/min/max/sums per key") {
     val d = df("k STRING, t BIGINT, v DOUBLE",
       Seq(
