@@ -958,7 +958,7 @@ object SparkEntry {
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")))
         .unionAll(d.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 1000).as("doc_id"),
+          .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(col("text"), lit(" new")).as("text")))
       graft.ops.Dedup.corpusDiff(d, next, "doc_id", "text")
     },
@@ -1844,7 +1844,7 @@ object SparkEntry {
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 11 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000, text || ' new' FROM documents WHERE doc_id < 20
+        |  SELECT doc_id + 1000000, text || ' new' FROM documents WHERE doc_id < 20
         |), fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
         |  FROM prev
@@ -1853,9 +1853,9 @@ object SparkEntry {
         |  FROM nxt
         |)
         |SELECT COALESCE(fp.doc_id, fn.doc_id) AS doc_id,
-        |  CASE WHEN fp.f IS NULL THEN 'added'
-        |       WHEN fn.f IS NULL THEN 'removed'
-        |       WHEN fp.f = fn.f THEN 'unchanged'
+        |  CASE WHEN fp.doc_id IS NULL THEN 'added'
+        |       WHEN fn.doc_id IS NULL THEN 'removed'
+        |       WHEN fp.f IS NOT DISTINCT FROM fn.f THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM fp FULL OUTER JOIN fn ON fp.doc_id = fn.doc_id""".stripMargin,
     "q_sample_k" ->

@@ -128,16 +128,19 @@ object Dedup {
       idCol: String,
       textCol: String
   ): DataFrame = {
+    // presence travels as an explicit marker: a null text has a null
+    // fingerprint, which must read as "present with empty content", not
+    // "row absent"
     val p = graft.ops.TextAnalysis.fingerprint(prev, textCol, "__fp_prev")
-      .select(col(idCol), col("__fp_prev"))
+      .select(col(idCol), col("__fp_prev"), lit(true).as("__in_prev"))
     val n = graft.ops.TextAnalysis.fingerprint(next, textCol, "__fp_next")
-      .select(col(idCol), col("__fp_next"))
+      .select(col(idCol), col("__fp_next"), lit(true).as("__in_next"))
     p.join(n, Seq(idCol), "full_outer")
       .select(
         col(idCol),
-        when(col("__fp_prev").isNull, "added")
-          .when(col("__fp_next").isNull, "removed")
-          .when(col("__fp_prev") === col("__fp_next"), "unchanged")
+        when(col("__in_prev").isNull, "added")
+          .when(col("__in_next").isNull, "removed")
+          .when(col("__fp_prev") <=> col("__fp_next"), "unchanged")
           .otherwise("changed")
           .as("status"))
   }

@@ -208,20 +208,25 @@ object Pack {
     * dynamic-partition write then emits a single file per directory. The
     * in-file sort rides `sortWithinPartitions` — no extra exchange beyond
     * the one repartition.
+    *
+    * `mode` follows `DataFrameWriter`: the default `"errorifexists"`
+    * refuses a non-empty `outDir`; pass `"overwrite"` deliberately to
+    * replace a previous epoch's shards.
     */
   def writeShards(
       df: DataFrame,
       binCol: String,
       sortCols: Seq[String],
       outDir: String,
-      format: String = "parquet"
+      format: String = "parquet",
+      mode: String = "errorifexists"
   ): Unit =
     df.repartition(col(binCol))
       .sortWithinPartitions((binCol +: sortCols).map(col): _*)
       .write
       .partitionBy(binCol)
       .format(format)
-      .mode("overwrite")
+      .mode(mode)
       .save(outDir)
 }
 

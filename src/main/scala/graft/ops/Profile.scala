@@ -14,14 +14,16 @@ object Profile {
     * n_distinct, min_num, max_num, min_str, max_str`. Numeric columns
     * report min/max cast to double, string columns report them verbatim
     * (binary ordering in both Spark and DuckDB); other types profile
-    * counts only. Null-handling follows SQL: `n_distinct` excludes nulls.
+    * counts only, and unorderable types (maps, or structs/arrays holding
+    * them) also skip `n_distinct` (null) since distinct-counting needs an
+    * ordering. Null-handling follows SQL: `n_distinct` excludes nulls.
     *
     * Scale shape: ONE aggregation pass emitting every measure, then a
     * narrow unpivot of the single result row. `exactDistinct = true`
     * (the oracle path) plans n distinct aggregates via Expand — the input
     * is replicated once per profiled column, the exact-count price; at
     * 100 TB pass `exactDistinct = false` for one-pass mergeable HLL
-    * sketches (±2% by default) with no Expand.
+    * sketches (rsd 0.02, ±2%) with no Expand.
     */
   def describe(
       df: DataFrame,
@@ -32,11 +34,18 @@ object Profile {
     val types = df.schema.map(f => f.name -> f.dataType).toMap
     def numeric(c: String) = types(c).isInstanceOf[NumericType]
     def stringy(c: String) = types(c) == StringType
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: MapType      => false
+      case s: StructType   => s.fields.forall(f => orderable(f.dataType))
+      case a: ArrayType    => orderable(a.elementType)
+      case _               => true
+    }
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: targets.flatMap { c =>
       Seq(
         count(col(c)).as(s"__cnt_$c"),
-        (if (exactDistinct) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        (if (!orderable(types(c))) lit(null).cast("long")
+         else if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c), 0.02)).as(s"__nd_$c"),
         (if (numeric(c)) min(col(c)).cast("double")
          else lit(null).cast("double")).as(s"__minn_$c"),
         (if (numeric(c)) max(col(c)).cast("double")

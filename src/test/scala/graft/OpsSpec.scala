@@ -729,6 +729,12 @@ class OpsSpec extends SharedSpark {
     val approx = Profile.describe(d, exactDistinct = false)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(approx("id") >= 2 && approx("id") <= 4)
+    // unorderable (map) columns profile counts only instead of throwing
+    val withMap = d.withColumn("m", map(lit("k"), col("id")))
+    val mrow = Profile.describe(withMap).collect()
+      .find(_.getString(0) == "m").get
+    assert(mrow.getLong(1) == 4 && mrow.getLong(2) == 0)
+    assert(mrow.isNullAt(3)) // n_distinct skipped for unorderable types
   }
 
   test("writeShards emits one sorted file per bin and round-trips") {
@@ -736,7 +742,8 @@ class OpsSpec extends SharedSpark {
       (1L to 40L).map(i => Row(i, 10L)))
     val packed = Pack.packGreedyNextFit(d, "id", "len", budget = 30L,
       numShards = 2)
-    val tmp = java.nio.file.Files.createTempDirectory("shards_").toString
+    val root = java.nio.file.Files.createTempDirectory("shards_").toString
+    val tmp = s"$root/out" // default errorifexists mode needs a fresh path
     try {
       Pack.writeShards(packed.withColumn("b",
           concat(col("shard"), lit("_"), col("bin"))),
@@ -753,22 +760,24 @@ class OpsSpec extends SharedSpark {
         assert(files.length == 1, dir.getName)
       }
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
   }
 
   test("corpusDiff classifies added/removed/changed/unchanged ids") {
     val prev = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "same text"), Row(2L, "old text"), Row(3L, "gone"),
-      Row(4L, "Spaced   Text")))
+      Row(4L, "Spaced   Text"),
+      Row(6L, null), Row(7L, null))) // null text is PRESENT, not absent
     val next = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "same text"), Row(2L, "new text"),
       Row(4L, "spaced text"), // equal modulo whitespace/case → unchanged
-      Row(5L, "brand new")))
+      Row(5L, "brand new"),
+      Row(6L, "filled in"), Row(7L, null)))
     val out = Dedup.corpusDiff(prev, next, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
-      4L -> "unchanged", 5L -> "added"))
+      4L -> "unchanged", 5L -> "added", 6L -> "changed", 7L -> "unchanged"))
   }
 
   test("sampleKPerGroup keeps exactly k per group, nested across k") {
