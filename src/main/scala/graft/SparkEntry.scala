@@ -986,6 +986,13 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 64, overlap = 16)
     },
+    "q_retention" -> { (s, dir) =>
+      // daily cohort retention over the event month (bucket = 1 day in µs)
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t"))
+      graft.ops.TimeSeries.retention(e, Seq("user_id"), "t",
+        bucket = 86400000000L)
+    },
     "q_funnel" -> { (s, dir) =>
       // view → click → purchase per user within 7 days, chained
       // min-aggregations (strictly-later step ordering)
@@ -1893,6 +1900,18 @@ object SparkEntry {
         |  array_to_string(t[(chunk_id*48+1):(chunk_id*48+64)], ' ') AS chunk_text,
         |  CAST(len(t[(chunk_id*48+1):(chunk_id*48+64)]) AS BIGINT) AS n_tokens
         |FROM c""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS b
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(b) AS cohort FROM e GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, b FROM e
+        |)
+        |SELECT cohort, b - cohort AS "offset",
+        |  count(DISTINCT user_id) AS n_active
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type

@@ -238,6 +238,40 @@ object TimeSeries {
         .reduce(_ + _))
   }
 
+  /** Cohort retention matrix: entities are assigned to the cohort of their
+    * first-ever activity bucket (`ts div bucket`, integral ts — floor for
+    * the non-negative timestamps this targets), and each (cohort, offset)
+    * cell counts the entities from that cohort active `offset` buckets
+    * later. Offset 0 is the cohort size; cells with no active entities are
+    * absent (a reader outer-joins the full grid if it wants zeros).
+    *
+    * Scale shape: three map-side-combinable aggregations — first-seen per
+    * entity, distinct (entity, bucket) activity, and the final cell count —
+    * joined on the entity key; no windows, no event lists.
+    */
+  def retention(
+      events: DataFrame,
+      entityCols: Seq[String],
+      tsCol: String,
+      bucket: Long
+  ): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val key = entityCols.map(col)
+    val b = expr(s"`$tsCol` div ${bucket}L")
+    val e = events.filter(col(tsCol).isNotNull)
+    val firstSeen = e
+      .groupBy(key: _*)
+      .agg(min(b).as("__cohort"))
+    val active = e
+      .select((key :+ b.as("__b")): _*)
+      .distinct()
+    active
+      .join(firstSeen, entityCols)
+      .groupBy(col("__cohort").as("cohort"),
+        (col("__b") - col("__cohort")).as("offset"))
+      .agg(countDistinct(struct(key: _*)).as("n_active"))
+  }
+
   /** Per-key trailing-window rolling aggregates: each row gains the count,
     * min, max, and sum of `valueCol` over same-key rows with ts in
     * `(ts − window, ts]` — the event-rate / spend-velocity shape every

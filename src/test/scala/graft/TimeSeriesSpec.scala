@@ -237,6 +237,22 @@ class TimeSeriesSpec extends SharedSpark {
     assert(nShuffles == 1)
   }
 
+  test("retention assigns cohorts from first activity and counts offsets") {
+    val e = df("u BIGINT, t BIGINT", Seq(
+      Row(1L, 0L), Row(1L, 5L), Row(1L, 25L), // cohort 0, offsets 0 and 2
+      Row(2L, 3L), Row(2L, 13L), // cohort 0, offsets 0 and 1
+      Row(3L, 12L), // cohort 1, offset 0 only
+      Row(4L, null))) // null ts ignored entirely
+    val out = TimeSeries.retention(e, Seq("u"), "t", bucket = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, // users 1 and 2 start in bucket 0
+      (0L, 1L) -> 1L, // user 2 active in bucket 1
+      (0L, 2L) -> 1L, // user 1 active in bucket 2
+      (1L, 0L) -> 1L)) // user 3's own cohort
+  }
+
   test("funnel requires ordered steps and respects the within bound") {
     val e = df("u BIGINT, t BIGINT, ev STRING", Seq(
       // u1: full ordered funnel
