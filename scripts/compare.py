@@ -2,10 +2,18 @@
 """Local replica of the driver's correctness gate.
 
 Usage: compare.py <sfDir> <verifyOutDir>
+       compare.py --lint-only <sfDir> <oracleSqlJsonPath>
 
 Reads oracle_sql.json from verifyOutDir, registers each parquet table in
 DuckDB as a view, runs each oracle SQL, and compares against the Spark
 result parquet (sorted rows, column order by name, float tolerance).
+
+Every oracle result is also TYPE-LINTED: DuckDB silently widens
+sum(BIGINT) to HUGEINT (int128), avg(DECIMAL) to DECIMAL, etc. — types
+Spark never emits, so the driver's hash of the two representations differs
+even when every value is numerically equal (this broke q_bm25/q_rolling in
+round 6). Any oracle column whose type falls outside the Spark-expressible
+set below fails the gate loudly, before row comparison.
 """
 import json
 import math
@@ -17,6 +25,46 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+# Types Spark parquet output can carry; anything else (HUGEINT, DECIMAL,
+# FLOAT, UHUGEINT, TIME, INTERVAL, ...) means the oracle SQL needs a CAST.
+ALLOWED_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "VARCHAR",
+    "DATE", "TIMESTAMP", "BOOLEAN",
+}
+
+
+def lint_types(con, name, sql):
+    """Return [] if every output column type is Spark-expressible, else
+    the offending (column, type) pairs."""
+    rel = con.sql(sql)
+    return [
+        (c, str(t)) for c, t in zip(rel.columns, rel.types)
+        if str(t) not in ALLOWED_TYPES
+    ]
+
+
+def lint_only(sf_dir, oracle_json_path):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    with open(oracle_json_path) as f:
+        oracles = json.load(f)
+    n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            bad = lint_types(con, name, sql)
+        except Exception as e:
+            print(f"LINT-ERROR {name}: {e}")
+            n_bad += 1
+            continue
+        if bad:
+            print(f"LINT-FAIL {name}: non-Spark oracle types {bad}")
+            n_bad += 1
+    print(f"== lint: {len(oracles) - n_bad} clean, {n_bad} flagged ==")
+    sys.exit(1 if n_bad else 0)
 
 
 def canon(rows, cols):
@@ -38,6 +86,9 @@ def canon(rows, cols):
 
 
 def main():
+    if sys.argv[1] == "--lint-only":
+        lint_only(sys.argv[2], sys.argv[3])
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -49,6 +100,11 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
+            bad = lint_types(con, name, sql)
+            if bad:
+                print(f"FAIL {name}: oracle type lint {bad}")
+                n_fail += 1
+                continue
             o = con.execute(sql)
             o_cols = [d[0] for d in o.description]
             o_rows = o.fetchall()

@@ -1561,7 +1561,7 @@ object SparkEntry {
         |  FROM qt JOIN posts p USING (term) JOIN dfs USING (term)
         |    JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN stats s
         |), agg AS (
-        |  SELECT query_id, doc_id, sum(ppm) AS score_ppm FROM sc GROUP BY 1, 2
+        |  SELECT query_id, doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm FROM sc GROUP BY 1, 2
         |)
         |SELECT query_id, doc_id, score_ppm, rank FROM (
         |  SELECT query_id, doc_id, score_ppm,
@@ -1877,7 +1877,7 @@ object SparkEntry {
         |  count(value) OVER w AS roll_count,
         |  min(value) OVER w AS roll_min,
         |  max(value) OVER w AS roll_max,
-        |  sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS roll_sum_c100
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS roll_sum_c100
         |FROM (SELECT user_id, event_id, value,
         |        CAST(epoch_us(ts) AS BIGINT) AS ns FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ns
