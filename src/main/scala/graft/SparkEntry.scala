@@ -504,10 +504,13 @@ object SparkEntry {
       // plant a 7-way-shared paragraph plus a per-doc unique one: the
       // shared paragraph must survive only in the min doc_id of its class,
       // the unique one everywhere — DuckDB replays the construction
+      // coalesce(text,'') on BOTH sides: concat_ws would silently skip a
+      // null text (no separator) while DuckDB's || nulls the whole string;
+      // pinning '' makes the fixture null-robust and engine-identical
       val d = t(s, dir, "documents").select(
         col("doc_id"),
         concat_ws("\n\n",
-          col("text"),
+          coalesce(col("text"), lit("")),
           concat(lit("shared passage "), pmod(col("doc_id"), lit(7))),
           concat(lit("unique note "), col("doc_id"))).as("text"))
       graft.ops.Dedup.paragraphDedup(d, "doc_id", "text")
@@ -2107,7 +2110,7 @@ object SparkEntry {
     "q_paragraph_dedup" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    text || chr(10) || chr(10)
+        |    coalesce(text, '') || chr(10) || chr(10)
         |      || 'shared passage ' || CAST(doc_id % 7 AS VARCHAR)
         |      || chr(10) || chr(10)
         |      || 'unique note ' || CAST(doc_id AS VARCHAR) AS text
@@ -2237,7 +2240,10 @@ object SparkEntry {
         |SELECT doc_id FROM batch
         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
     // q_dedup_stream_corpus: the stateless fingerprint anti-join replayed
-    // on the same planted construction (md5 of the normalized text)
+    // on the same planted construction (md5 of the normalized text).
+    // NOT EXISTS with `=` (not NOT IN): a null-text batch row has a null
+    // fingerprint, which Spark's left-anti equi-join keeps but DuckDB's
+    // three-valued NOT IN would silently drop
     "q_dedup_stream_corpus" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7
@@ -2252,9 +2258,11 @@ object SparkEntry {
         |    AS fp
         |  FROM corpus
         |)
-        |SELECT doc_id FROM batch
-        |WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |      NOT IN (SELECT fp FROM cf)""".stripMargin,
+        |SELECT doc_id FROM batch b2
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM cf
+        |  WHERE cf.fp = md5(regexp_replace(lower(trim(b2.text)), '\s+', ' ', 'g'))
+        |)""".stripMargin,
     // q_mix_epochs: copies = num//10 + (sha-prefix % 10 < num % 10), epochs
     // unnested 0..copies-1 — the exact published recipe
     "q_mix_epochs" ->

@@ -261,24 +261,28 @@ object Similarity {
       sims.sortBy(-_._1).take(n).map(_._2)
     }
 
+    // vec columns are cast to array<double> before assign, so the row read
+    // is type-agnostic (float or double embeddings both work)
     def assign(df: DataFrame, vc: String, outCol: String, n: Int): DataFrame = {
       val schema = StructType(df.schema.fields :+
         StructField(outCol, ArrayType(IntegerType, false), false))
       val vIdx = df.schema.fieldIndex(vc)
       df.mapPartitions { rows =>
         rows.map { r =>
-          val v = r.getSeq[Float](vIdx).map(_.toDouble).toArray
+          val v = r.getSeq[Double](vIdx).toArray
           Row.fromSeq(r.toSeq :+ nearest(v, n).toSeq)
         }
       }(Encoders.row(schema))
     }
 
     val bucketed = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv")),
       "__cv", "__cells", 1
     ).withColumn("__cell", element_at(col("__cells"), 1)).drop("__cells")
     val probed = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv")),
       "__qv", "__cells", nprobe
     ).withColumn("__cell", explode(col("__cells"))).drop("__cells")
 
@@ -398,9 +402,12 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // cast once up front so every row read below is type-agnostic
+    // (float or double embeddings both work)
+    val base = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
     val sampled: Array[Array[Double]] = base
-      .select(col("__id"), col("__v").cast("array<double>").as("__vd"))
+      .select(col("__id"), col("__v").as("__vd"))
       .withColumn("__h", xxhash64(col("__id")))
       .orderBy(col("__h"))
       .limit(nlist)
@@ -434,7 +441,7 @@ object Similarity {
     val vIdx = base.schema.fieldIndex("__v")
     val celled = base.mapPartitions { rows =>
       rows.map { r =>
-        val v = r.getSeq[Float](vIdx).map(_.toDouble).toArray
+        val v = r.getSeq[Double](vIdx).toArray
         Row.fromSeq(r.toSeq :+ nearestCell(v))
       }
     }(Encoders.row(schema)).persist()

@@ -244,14 +244,24 @@ final case class PrivateJoin(
     // of its side — measured ~14% of the 6.4M-row uniform sweep), and
     // Spark schedules concurrent jobs from separate threads, so the
     // smaller side's probe hides entirely behind the larger one's.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val lf = Future(truncate(m(leftKey), leftStrategy, leftThreshold))
-    val rf = Future(truncate(m(rightKey), rightStrategy, rightThreshold))
-    val l = Await.result(lf, Duration.Inf)
-    val r = Await.result(rf, Duration.Inf)
-    JoinKernel.join(l, r, on, "inner", nullsAreEqual)
+    // The probe runs on the caller's thread plus one dedicated thread —
+    // never the shared global fork-join pool, where blocking a Spark
+    // action could starve unrelated users of the same JVM. The spawned
+    // thread inherits the caller's SparkContext local properties (job
+    // group, scheduler pool) because InheritableThreadLocal carries them.
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "private-join-truncate")
+      t.setDaemon(true)
+      t
+    }
+    try {
+      val rf = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame = truncate(m(rightKey), rightStrategy, rightThreshold)
+      })
+      val l = truncate(m(leftKey), leftStrategy, leftThreshold)
+      val r = rf.get()
+      JoinKernel.join(l, r, on, "inner", nullsAreEqual)
+    } finally pool.shutdown()
   }
 }
 

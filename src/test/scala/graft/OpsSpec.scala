@@ -260,6 +260,27 @@ class OpsSpec extends SharedSpark {
     assert(out == Set(0L, 2L, 4L))
   }
 
+  test("semDeDup and ivfTopK accept ARRAY<DOUBLE> embeddings") {
+    // the cell-assignment row read must not assume float elements
+    val vecs = df("vec_id BIGINT, embedding ARRAY<DOUBLE>",
+      Seq(
+        Row(0L, Seq(1.0, 0.0, 0.0)),
+        Row(1L, Seq(2.0, 0.0, 0.0)),
+        Row(2L, Seq(0.0, 1.0, 0.0)),
+        Row(3L, Seq(0.0, 0.0, 1.0))
+      ))
+    val kept = Similarity.semDeDup(vecs, "vec_id", "embedding",
+        threshold = 0.99, nlist = 2, refineIterations = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L))
+    val queries = vecs.filter(col("vec_id") < 2)
+    val top1 = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", 1,
+        nlist = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0 and 1 are collinear: top-1 by (cosine desc, id) is id 0 for both
+    assert(top1 == Set((0L, 0L), (1L, 0L)))
+  }
+
   test("simHashPairs survives degenerate skew (identical docs) under the cap") {
     // 5000 identical docs: one bucket per block holds the whole corpus; the
     // cap removes them before any aggregation buffer materializes, so this
