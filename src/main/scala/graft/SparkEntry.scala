@@ -430,6 +430,27 @@ object SparkEntry {
         GROUP BY l_returnflag, l_linestatus
       """)
     },
+    "q_sql_quantile" -> { (s, dir) =>
+      // dp_quantile's infinite-epsilon path is the deterministic
+      // interpolated quantile over clipped values, which DuckDB's
+      // quantile_cont replays exactly; q ∈ {.25,.5,.75} keeps every
+      // interpolation fraction binary-exact in both engines
+      graft.plans.GraftFunctions.register(s)
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .createOrReplaceTempView("lineitem_sql_q")
+      s.sql("""
+        SELECT l_returnflag,
+               round(dp_quantile(l_quantity, 0.25, 1.0, 50.0,
+                                 cast('Infinity' as double)), 6) AS p25,
+               round(dp_quantile(l_quantity, 0.5, 1.0, 50.0,
+                                 cast('Infinity' as double)), 6) AS p50,
+               round(dp_quantile(l_quantity, 0.75, 1.0, 50.0,
+                                 cast('Infinity' as double)), 6) AS p75
+        FROM lineitem_sql_q
+        GROUP BY l_returnflag
+      """)
+    },
 
     "q_quantile" -> { (s, dir) =>
       val li = t(s, dir, "lineitem").select("l_returnflag", "l_quantity")
@@ -492,7 +513,13 @@ object SparkEntry {
     },
     "q_bm25" -> { (s, dir) =>
       // BM25 top-5 per query; scores are integer ppm sums (order-free) and
-      // the oracle SQL parenthesizes each double exactly as the operator
+      // the oracle SQL parenthesizes each double exactly as the operator.
+      // Hash-stability guard bands (measured at sf0.01, pinned by the
+      // "BM25 entry fixture preserves its ppm hash guard bands" suite
+      // test): every per-term 1e6·idf·weight sits ≥4.3e-4 from a .5
+      // rounding boundary, adjacent-rank score gaps are ≥88 ppm — a
+      // fixture/tokenizer change eroding them fails the suite, not the
+      // driver gate
       val qs = keysDf(s, Seq("query_id", "query_text"), Seq(
         Seq("q1", "Spark JOIN merge"),
         Seq("q2", "customer order value"),
@@ -537,6 +564,35 @@ object SparkEntry {
       graft.ops.Pack.packChunkedShuffled(
         t(s, dir, "documents").select("doc_id", "n_chars"),
         "doc_id", "n_chars", budget = 4096L, salt = 1L)
+    },
+    "q_write_shards" -> { (s, dir) =>
+      // writeShards is side-effecting; this entry lifts it to a hard
+      // signal (the q_dedup_stream pattern): pack greedily into per-shard
+      // bins, write one file per (shard, bin) directory into a fresh temp
+      // dir, then read the LAYOUT back — the file count per bin pins the
+      // writer's one-file-per-directory contract, and the row-set hash is
+      // the portable SHA-256 recipe DuckDB replays from the packing
+      // recursion alone (no filesystem on the oracle side)
+      val packed = graft.ops.Pack.packGreedyNextFit(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", budget = 4096L, numShards = 8)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_shards_").toString + "/epoch0"
+      graft.ops.Pack.writeShards(
+        packed.select(col("doc_id"),
+          concat_ws("_", col("shard"), col("bin")).as("gbin")),
+        "gbin", Seq("doc_id"), out)
+      s.read.parquet(out)
+        .withColumn("__f", input_file_name())
+        .groupBy(col("gbin").cast("string").as("gbin"))
+        .agg(
+          countDistinct(col("__f")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"),
+          expr("bit_xor(cast(conv(substring(sha2(concat_ws('|', '0', " +
+            "cast(doc_id as string)), 256), 1, 15), 16, 10) as bigint))")
+            .as("row_hash"))
     },
     "q_dedup_batch" -> { (s, dir) =>
       // incremental ingestion: docs split 7/3 into corpus/batch by id; every
@@ -1510,6 +1566,14 @@ object SparkEntry {
         |             / count(*))
         |        / (count(*) - 1), 0), 600.25)), 6) END AS noisy_stddev
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // q_sql_quantile: dp_quantile at infinite epsilon = interpolated
+    // quantile over clipped values = DuckDB quantile_cont (both R-7)
+    "q_sql_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(least(greatest(l_quantity, 1.0), 50.0), 0.25), 6) AS p25,
+        |  round(quantile_cont(least(greatest(l_quantity, 1.0), 50.0), 0.5), 6) AS p50,
+        |  round(quantile_cont(least(greatest(l_quantity, 1.0), 50.0), 0.75), 6) AS p75
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_quantile" ->
       """SELECT ks.l_returnflag,
         |  round(coalesce(c.median, 25.5), 6) AS median
@@ -2193,6 +2257,35 @@ object SparkEntry {
         |  CASE WHEN len > 0 THEN (off + len - 1) // 4096
         |       ELSE off // 4096 END AS bin_end
         |FROM s""".stripMargin,
+    // q_write_shards: the greedy packing recursion (the q_pack_greedy
+    // replay at budget 4096) aggregated per (shard, bin) directory;
+    // n_files is the literal 1 the one-file-per-bin contract promises,
+    // row_hash the portable SHA-256 xor of the bin's doc ids
+    "q_write_shards" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+        |    CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), rec AS (
+        |  SELECT doc_id, shard, rn, CAST(0 AS BIGINT) AS bin, len AS fill
+        |  FROM p WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.doc_id, p.shard, p.rn,
+        |    CASE WHEN rec.fill > 0 AND rec.fill + p.len <= 4096
+        |         THEN rec.bin ELSE rec.bin + 1 END,
+        |    CASE WHEN rec.fill > 0 AND rec.fill + p.len <= 4096
+        |         THEN rec.fill + p.len ELSE p.len END
+        |  FROM rec JOIN p ON p.shard = rec.shard AND p.rn = rec.rn + 1
+        |)
+        |SELECT CAST(shard AS VARCHAR) || '_' || CAST(bin AS VARCHAR) AS gbin,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id,
+        |  bit_xor(('0x' || substr(sha256('0|' || doc_id::VARCHAR), 1, 15))::BIGINT)
+        |    AS row_hash
+        |FROM rec GROUP BY 1""".stripMargin,
     // q_dedup_batch: DuckDB replays the corpus/batch split + planted
     // case-shifted copies, then admits batch docs with NO equal-shingle-set
     // partner in the corpus (i = nb = nc ⟺ equal sets)

@@ -22,9 +22,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * gaussian | discrete_gaussian; scale is α / b / σ² per mechanism; scale 0
   * adds no noise. The function lowers to the native [[AddNoise]] expression,
   * so it participates in whole-stage codegen like any built-in. The
-  * aggregate forms — dp_count, dp_sum, dp_avg, dp_var, dp_stddev — lower
-  * to the same factory decompositions the programmatic API builds
-  * (Aggregations.create*Measurement), one Aggregate node each.
+  * aggregate forms — dp_count, dp_sum, dp_avg, dp_var, dp_stddev,
+  * dp_quantile — lower to the same factory decompositions the programmatic
+  * API builds (Aggregations.create*Measurement), one Aggregate node each.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dpAvg)
     ext.injectFunction(GraftFunctions.dpVar)
     ext.injectFunction(GraftFunctions.dpStddev)
+    ext.injectFunction(GraftFunctions.dpQuantile)
   }
 }
 
@@ -314,11 +315,49 @@ object GraftFunctions {
     varianceBuilder("dp_stddev", sqrt = true)
   )
 
+  /** `dp_quantile(value, q, lower, upper, epsilon)` — noisy quantile via
+    * the exponential mechanism over gaps ([[graft.plans.DpQuantileAgg]],
+    * the SQL face of createQuantileMeasurement, reference
+    * `aggregations.py:1736`). `epsilon` must be positive; an infinite
+    * epsilon (`cast('Infinity' as double)`) selects the noise-free
+    * interpolated quantile, matching `quantile_cont` over clipped values.
+    */
+  val dpQuantile: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("dp_quantile"),
+    new ExpressionInfo(
+      classOf[DpQuantileAgg].getName,
+      null,
+      "dp_quantile",
+      "dp_quantile(value, q, lower, upper, epsilon) - noisy quantile (exponential mechanism)",
+      "dp_quantile(x, 0.5, 0.0, 50.0, 1.0)"
+    ),
+    (children: Seq[Expression]) => {
+      require(children.size == 5,
+        "dp_quantile(value, q, lower, upper, epsilon) takes 5 arguments")
+      val Seq(value, qE, loE, hiE, epsE) = children
+      require(qE.foldable && loE.foldable && hiE.foldable && epsE.foldable,
+        "dp_quantile q, bounds, and epsilon must be literals")
+      def toD(what: String, v: Any): Double = v match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case d: java.math.BigDecimal               => d.doubleValue()
+        case n: java.lang.Number                   => n.doubleValue()
+        case other => throw new IllegalArgumentException(s"bad $what: $other")
+      }
+      val eps = toD("epsilon", epsE.eval())
+      val epsilon = if (eps.isPosInfinity) None else Some(eps)
+      DpQuantileAgg(
+        Cast(value, DoubleType),
+        toD("q", qE.eval()), toD("lower", loE.eval()), toD("upper", hiE.eval()),
+        epsilon, graft.random.RandomSource.secureSeed()
+      ).toAggregateExpression()
+    }
+  )
+
   /** Register into an existing session (the extensions class does this for
     * sessions built with `spark.sql.extensions`).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dpNoise, dpCount, dpSum, dpAvg, dpVar, dpStddev).foreach {
+    Seq(dpNoise, dpCount, dpSum, dpAvg, dpVar, dpStddev, dpQuantile).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -88,6 +88,44 @@ class ExtensionsSpec extends SharedSpark {
     assert(v == 400.0) // (u-l)^2/4
   }
 
+  test("dp_quantile at infinite epsilon equals the interpolated quantile") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0), ("b", 5.0))
+      .toDF("K", "x").createOrReplaceTempView("ext_q")
+    val out = spark
+      .sql("""SELECT K,
+              dp_quantile(x, 0.5, 0.0, 50.0, cast('Infinity' as double)) AS med,
+              dp_quantile(x, 0.25, 0.0, 50.0, cast('Infinity' as double)) AS p25
+              FROM ext_q GROUP BY K ORDER BY K""")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // sorted a = [1,2,3,10]: median = 2.5 (pos 1.5), p25 = 1.75 (pos 0.75)
+    assert(out(0) == ("a", 2.5, 1.75))
+    assert(out(1) == ("b", 5.0, 5.0))
+    // clipping applies before interpolation: upper 4 clips the 10
+    val clipped = spark
+      .sql("""SELECT dp_quantile(x, 1.0, 0.0, 4.0, cast('Infinity' as double))
+              AS hi FROM ext_q WHERE K = 'a'""")
+      .head().getDouble(0)
+    assert(clipped == 4.0)
+  }
+
+  test("dp_quantile noisy path stays in bounds and tracks the target rank") {
+    GraftFunctions.register(spark)
+    spark.range(2000).selectExpr("cast(id % 100 as double) AS x")
+      .createOrReplaceTempView("ext_qn")
+    val draws = spark
+      .sql("SELECT dp_quantile(x, 0.5, 0.0, 100.0, 5.0) AS m FROM ext_qn")
+      .head().getDouble(0)
+    assert(draws >= 0.0 && draws <= 100.0)
+    // at eps=5 over 2000 points the EM concentrates near the true median
+    assert(math.abs(draws - 50.0) < 15.0, s"median draw too far: $draws")
+    // epsilon must be positive
+    assertThrows[Exception](
+      spark.sql("SELECT dp_quantile(x, 0.5, 0.0, 100.0, -1.0) FROM ext_qn")
+        .collect())
+  }
+
   test("dp_noise rejects non-literal mechanism and bad arity") {
     GraftFunctions.register(spark)
     val d = df("K STRING, n BIGINT", Seq(Row("a", 10L)))

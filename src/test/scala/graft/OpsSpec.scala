@@ -281,6 +281,63 @@ class OpsSpec extends SharedSpark {
     assert(top1 == Set((0L, 0L), (1L, 0L)))
   }
 
+  test("BM25 entry fixture preserves its ppm hash guard bands") {
+    // the q_bm25 driver hash is stable because (a) every per-term
+    // 1e6·idf·weight double sits far from a .5 rounding boundary (a 1-ulp
+    // ln() difference moves it ~1e-9, measured min distance 4.3e-4 at
+    // sf0.01) and (b) adjacent-rank integer scores are well separated
+    // (measured min gap 88 ppm). A fixture or tokenizer change that erodes
+    // either band should fail HERE, not flakily at the driver gate.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists)
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val queries = df("query_id STRING, query_text STRING", Seq(
+      Row("q1", "Spark JOIN merge"),
+      Row("q2", "customer order value"),
+      Row("q3", "vector hash scan zzzabsent")))
+    // replicate bm25TopK's per-term score WITHOUT the round(): the same
+    // tokenization, idf, and weight association as TextAnalysis.bm25TopK
+    val tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c =>
+      filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
+        t => t =!= "")
+    val base = docs.select(col("doc_id").as("__id"), tok(col("text")).as("__t"))
+    val stats = base.select(size(col("__t")).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val postings = base
+      .select(col("__id"), size(col("__t")).cast("long").as("__dl"),
+        explode(col("__t")).as("__term"))
+      .groupBy(col("__id"), col("__term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val qterms = queries
+      .select(explode(tok(col("query_text"))).as("__term")).distinct()
+    val relevant = postings.join(broadcast(qterms), Seq("__term"))
+    val dfs = relevant.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("__df") + lit(0.5)) /
+        (col("__df") + lit(0.5)))
+    val weight = (col("__tf") * lit(1.2 + 1)) /
+      (col("__tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("__dl") / avgdl))
+    val raw = relevant
+      .join(broadcast(dfs), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select((lit(1000000.0) * idf * weight).as("__raw"))
+    val minBoundaryDist = raw
+      .select(min(abs(col("__raw") - floor(col("__raw")) - lit(0.5))))
+      .head().getDouble(0)
+    assert(minBoundaryDist >= 1e-4,
+      s"per-term ppm score within $minBoundaryDist of a rounding boundary")
+    // adjacent-rank separation on the entry's own output
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, k = 5)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val minGap = out
+      .withColumn("__gap", lag(col("score_ppm"), 1).over(w) - col("score_ppm"))
+      .filter(col("__gap").isNotNull)
+      .agg(min(col("__gap"))).head().getLong(0)
+    assert(minGap >= 10L, s"adjacent-rank scores only $minGap ppm apart")
+  }
+
   test("simHashPairs survives degenerate skew (identical docs) under the cap") {
     // 5000 identical docs: one bucket per block holds the whole corpus; the
     // cap removes them before any aggregation buffer materializes, so this
