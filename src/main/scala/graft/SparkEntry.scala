@@ -481,6 +481,19 @@ object SparkEntry {
       val m = GeometricPartitionSelection(dom(e), Rational.zero, 5L)
       m(e).asInstanceOf[DataFrame]
     },
+    "q_sql_partition" -> { (s, dir) =>
+      // dp_partition_count at alpha=0 is the deterministic release path:
+      // count if >= threshold, NULL (filtered) otherwise — the SQL face of
+      // the q_partition_selection fixture
+      graft.plans.GraftFunctions.register(s)
+      t(s, dir, "events").select(col("user_id").cast(LongType))
+        .createOrReplaceTempView("events_sql_ps")
+      s.sql("""
+        SELECT user_id, dp_partition_count(0.0, 5) AS count
+        FROM events_sql_ps GROUP BY user_id
+        HAVING count IS NOT NULL
+      """)
+    },
 
     // ---------- scale extensions: text analysis ----------
     "q_dedup_exact" -> { (s, dir) =>
@@ -1583,6 +1596,9 @@ object SparkEntry {
         |           FROM lineitem GROUP BY 1) c
         |USING (l_returnflag)""".stripMargin,
     "q_partition_selection" ->
+      """SELECT user_id, count(*) AS count
+        |FROM events GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    "q_sql_partition" ->
       """SELECT user_id, count(*) AS count
         |FROM events GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
     "q_dedup_exact" ->

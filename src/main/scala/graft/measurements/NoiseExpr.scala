@@ -204,3 +204,34 @@ object AddNoise {
     )
   }
 }
+
+/** Partition-selection release gate (reference `spark_measurements.py:
+  * 367-587` keeps rows whose noisy count clears the threshold): passes the
+  * child value through when ≥ `threshold`, nulls it otherwise. The point of
+  * making this ONE expression rather than a SQL CASE is single evaluation —
+  * the child is the nondeterministic noisy count, and the released value
+  * must be the same draw that was compared, never a second one.
+  */
+case class ThresholdOrNull(child: Expression, threshold: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "threshold_or_null"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val l = v.asInstanceOf[Long]
+      if (l >= threshold) l else null
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c >= ${threshold}L) { ${ev.value} = $c; }
+         |else { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ThresholdOrNull =
+    copy(child = newChild)
+}

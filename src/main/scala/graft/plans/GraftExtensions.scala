@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dpVar)
     ext.injectFunction(GraftFunctions.dpStddev)
     ext.injectFunction(GraftFunctions.dpQuantile)
+    ext.injectFunction(GraftFunctions.dpPartitionCount)
   }
 }
 
@@ -353,11 +354,63 @@ object GraftFunctions {
     }
   )
 
+  /** `dp_partition_count(alpha, threshold)` — the SQL face of
+    * createPartitionSelectionMeasurement (reference `aggregations.py:1993`,
+    * mechanism `spark_measurements.py:367-587`): a COUNT(*) with two-sided
+    * geometric noise at scale `alpha`, released only when the noisy count
+    * clears `threshold`, NULL otherwise. The noisy draw is compared and
+    * released as ONE evaluation ([[graft.measurements.ThresholdOrNull]]),
+    * so the value a caller filters on is the value they publish:
+    *
+    * {{{
+    *   SELECT k, dp_partition_count(2.0, 5) AS n FROM t
+    *   GROUP BY k HAVING n IS NOT NULL
+    * }}}
+    *
+    * `alpha = 0` is the deterministic path (count if ≥ threshold).
+    */
+  val dpPartitionCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("dp_partition_count"),
+    new ExpressionInfo(
+      classOf[AddNoise].getName,
+      null,
+      "dp_partition_count",
+      "dp_partition_count(alpha, threshold) - noisy COUNT(*), NULL below the release threshold",
+      "dp_partition_count(2.0, 5)"
+    ),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "dp_partition_count(alpha, threshold) takes 2 arguments")
+      val Seq(alphaE, tauE) = children
+      require(alphaE.foldable && tauE.foldable,
+        "dp_partition_count alpha and threshold must be literals")
+      val alpha = alphaE.eval() match {
+        case d: java.lang.Double     => Rational.fromDouble(d)
+        case f: java.lang.Float      => Rational.fromDouble(f.toDouble)
+        case d: java.math.BigDecimal => Rational.fromDouble(d.doubleValue())
+        case d: org.apache.spark.sql.types.Decimal => Rational.fromDouble(d.toDouble)
+        case n: java.lang.Number     => Rational(n.longValue())
+        case other => throw new IllegalArgumentException(s"bad alpha: $other")
+      }
+      val tau = tauE.eval() match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(s"bad threshold: $other")
+      }
+      val agg = aggregate.Count(Seq(expressions.Literal(1)))
+        .toAggregateExpression()
+      ThresholdOrNull(
+        AddNoise(Cast(agg, LongType), GeometricMechanism(alpha),
+          graft.random.RandomSource.secureSeed()),
+        tau)
+    }
+  )
+
   /** Register into an existing session (the extensions class does this for
     * sessions built with `spark.sql.extensions`).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dpNoise, dpCount, dpSum, dpAvg, dpVar, dpStddev, dpQuantile).foreach {
+    Seq(dpNoise, dpCount, dpSum, dpAvg, dpVar, dpStddev, dpQuantile,
+        dpPartitionCount).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -126,6 +126,25 @@ class ExtensionsSpec extends SharedSpark {
         .collect())
   }
 
+  test("dp_partition_count releases counts only at-or-above the threshold") {
+    GraftFunctions.register(spark)
+    // keys 0..9 with count = key+1: threshold 5 keeps keys 4..9 exactly
+    spark.range(55)
+      .selectExpr("cast(floor((sqrt(8*id + 1) - 1) / 2) as long) AS k")
+      .createOrReplaceTempView("ext_ps")
+    val det = spark
+      .sql("""SELECT k, dp_partition_count(0.0, 5) AS n FROM ext_ps
+              GROUP BY k HAVING n IS NOT NULL ORDER BY k""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(det.toSeq == Seq((4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 10L)))
+    // noisy path: every released value must itself clear the threshold —
+    // the compared draw IS the released draw (single evaluation)
+    val noisy = spark
+      .sql("""SELECT k, dp_partition_count(2.0, 5) AS n FROM ext_ps GROUP BY k""")
+      .collect().flatMap(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    assert(noisy.forall(_ >= 5L), s"released value below threshold: ${noisy.mkString(",")}")
+  }
+
   test("dp_noise rejects non-literal mechanism and bad arity") {
     GraftFunctions.register(spark)
     val d = df("K STRING, n BIGINT", Seq(Row("a", 10L)))
