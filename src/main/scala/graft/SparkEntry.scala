@@ -1053,6 +1053,55 @@ object SparkEntry {
         .select("user_id", "event_id", "roll_count", "roll_min", "roll_max",
           "roll_sum_c100")
     },
+    "q_resample" -> { (s, dir) =>
+      // per-user 6-hour grid over the event month with LOCF + linear
+      // interpolation; per-bucket value = max integer cents (order-free),
+      // interp = one fixed-shape IEEE expression over exact ints
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("value"), expr("ts div 1000").as("tsu"))
+      graft.ops.TimeSeries
+        .resample(e, "tsu", Seq("user_id"), "value",
+          interval = 21600000000L)
+    },
+    "q_ewma" -> { (s, dir) =>
+      // per-user EWMA (α=0.25, exact binary) truncated to 8 rows; the fold
+      // is a fixed left-to-right chain of IEEE ops over a (ts, event_id)-
+      // ordered frame, replayed in DuckDB by list() OVER + list_reduce
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("tsu"))
+      graft.ops.TimeSeries
+        .ewma(e, "tsu", Seq("user_id"), "value",
+          alpha = 0.25, lookback = 8, tieCol = "event_id")
+        .select("user_id", "event_id", "ewma")
+    },
+    "q_zscore" -> { (s, dir) =>
+      // per-user trailing-16-row z-score; the anomaly decision is pure
+      // integer arithmetic over exact cent sums — no float summation in
+      // the flag, and z itself is replayable (correctly-rounded sqrt)
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("tsu"))
+      graft.ops.TimeSeries
+        .rollingZScore(e, "tsu", Seq("user_id"), "value",
+          window = 16, threshold = 3, tieCol = "event_id")
+        .select("user_id", "event_id", "z", "is_anomaly")
+    },
+    "q_range_join" -> { (s, dir) =>
+      // every 97th event opens a 10-minute interval; the bucketed range
+      // join emits each (event, interval) containment pair without ever
+      // planning the O(L·R) theta-join
+      val e = t(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("tsu"))
+      val iv = e.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("interval_id"),
+          col("tsu").as("t_start"),
+          (col("tsu") + lit(600000000L)).as("t_end"))
+      graft.ops.TimeSeries
+        .rangeJoinBucketed(e, iv, "tsu", "t_start", "t_end",
+          Nil, Seq("interval_id"), bucketWidth = 600000000L)
+        .select("event_id", "interval_id")
+    },
     "q_chunk_docs" -> { (s, dir) =>
       graft.ops.TextAnalysis.chunkDocuments(
         t(s, dir, "documents"), "doc_id", "text",
@@ -1965,6 +2014,93 @@ object SparkEntry {
         |        CAST(epoch_us(ts) AS BIGINT) AS ns FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ns
         |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q_resample: per-bucket max-of-cents is order-free; LOCF/next markers
+    // via IGNORE NULLS windows over the generate_series grid; the interp
+    // expression is shape-identical to the Spark side (exact int inputs,
+    // double cast per operand), so doubles match bit-for-bit
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 21600000000 AS b,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), pb AS (
+        |  SELECT user_id, b, CAST(count(*) AS BIGINT) AS n_rows,
+        |    max(c) AS v_c100
+        |  FROM e GROUP BY user_id, b
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(min(b), max(b))) AS b
+        |  FROM e GROUP BY user_id
+        |), f AS (
+        |  SELECT g.user_id, g.b,
+        |    coalesce(p.n_rows, 0) AS n_rows, p.v_c100,
+        |    last_value(p.v_c100 IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN p.v_c100 IS NOT NULL THEN g.b END
+        |               IGNORE NULLS) OVER wp AS pb,
+        |    first_value(p.v_c100 IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN p.v_c100 IS NOT NULL THEN g.b END
+        |                IGNORE NULLS) OVER wn AS nb
+        |  FROM grid g LEFT JOIN pb p ON g.user_id = p.user_id AND g.b = p.b
+        |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY g.user_id ORDER BY g.b
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, b * 21600000000 AS bucket_start, n_rows, v_c100,
+        |  pv AS v_locf_c100,
+        |  CASE WHEN v_c100 IS NOT NULL THEN CAST(v_c100 AS DOUBLE)
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+        |           * CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+        |  END AS v_interp
+        |FROM f""".stripMargin,
+    // q_ewma: list() OVER preserves frame order, list_reduce seeds with the
+    // first element and folds left — the identical IEEE op chain as the
+    // Spark aggregate() fold (0.75/0.25 are exact binary)
+    "q_ewma" ->
+      """SELECT user_id, event_id,
+        |  list_reduce(
+        |    list(CAST(value AS DOUBLE)) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+        |    (acc, x) -> acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE)
+        |  ) AS ewma
+        |FROM events""".stripMargin,
+    // q_zscore: the flag is pure integer arithmetic over exact cent sums
+    // (sums cast back from DuckDB's HUGEINT widening); z divides two exact
+    // ints under a correctly-rounded sqrt — replayable on any IEEE engine
+    "q_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, event_id, c,
+        |    CAST(count(c) OVER win AS BIGINT) AS n,
+        |    CAST(sum(c) OVER win AS BIGINT) AS s,
+        |    CAST(sum(c * c) OVER win AS BIGINT) AS ss
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, event_id,
+        |  CASE WHEN n * ss - s * s = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(c * n - s AS DOUBLE)
+        |            / sqrt(CAST(n * ss - s * s AS DOUBLE)) END AS z,
+        |  (c * n - s) * (c * n - s) > 9 * (n * ss - s * s) AS is_anomaly
+        |FROM w""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+        |  FROM events WHERE ts IS NOT NULL
+        |), iv AS (
+        |  SELECT event_id AS interval_id, tsu AS t_start,
+        |    tsu + 600000000 AS t_end
+        |  FROM e WHERE event_id % 97 = 0
+        |)
+        |SELECT e.event_id, iv.interval_id
+        |FROM e JOIN iv ON e.tsu BETWEEN iv.t_start AND iv.t_end""".stripMargin,
     // q_chunk_docs: integer chunk-count arithmetic ((g + stride−1) // stride)
     // and 1-based inclusive token slices replay the operator exactly
     "q_chunk_docs" ->

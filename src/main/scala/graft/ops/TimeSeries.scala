@@ -390,4 +390,232 @@ object TimeSeries {
         rightValueCols.map(c => col(s"__m.$c").as(c)): _*
     )
   }
+
+  /** Regular-grid resampling with gap fill: buckets each row to
+    * `floor(ts / interval)`, reduces every (keys, bucket) group to a
+    * deterministic observation, then emits ONE row per bucket on each
+    * key's [min, max] bucket range — gap buckets included — with three
+    * fills: the raw per-bucket value (null in gaps), last-observation-
+    * carried-forward, and linear interpolation between the surrounding
+    * observations.
+    *
+    * Determinism across engines: the per-bucket reduction is
+    * `max(round(value·100))` as an integer (cents) — order-free, exact —
+    * and the interpolation is a single fixed-shape IEEE expression over
+    * exact integer inputs (`pv + (nv−pv)·(b−pb)/(nb−pb)`, every operand
+    * cast to double first), so any engine replays it bit-for-bit. `v_interp`
+    * is null before a key's first / after its last observation (LOCF covers
+    * the trailing edge); both fills are null only for keys with no
+    * observations at all, which cannot occur by construction.
+    *
+    * Scale shape: one map-side-combinable aggregation on (keys, bucket),
+    * one per-key min/max aggregation whose fan-out is `span / interval`
+    * rows per key (bound it by choosing `interval`), one broadcast-or-SMJ
+    * left join back, and one window pass per key ordered by bucket. The
+    * grid explode is `sequence()` — generated, never collected. A key's
+    * grid must fit a task's sort budget for the fill window (same caveat
+    * as [[rollingAgg]]).
+    */
+  def resample(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      interval: Long
+  ): DataFrame = {
+    require(interval > 0, "interval must be positive")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val key = keyCols.map(col)
+    val bucketed = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__tsl", col(tsCol).cast("long"))
+      .withColumn("__bq", expr(s"__tsl div ${interval}L"))
+      .withColumn("__b",
+        col("__bq") - when(
+          col("__tsl") % lit(interval) =!= 0 && col("__tsl") < 0,
+          1).otherwise(0))
+    val perBucket = bucketed
+      .groupBy((key :+ col("__b")): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(round(col(valueCol) * 100, 0).cast("long")).as("v_c100"))
+    val grid = bucketed
+      .groupBy(key: _*)
+      .agg(min(col("__b")).as("__bmin"), max(col("__b")).as("__bmax"))
+      .select((key :+ explode(sequence(col("__bmin"), col("__bmax"))).as("__b")): _*)
+    val joined = grid.join(perBucket, keyCols :+ "__b", "left_outer")
+    val wPrev = Window.partitionBy(key: _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(key: _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = col("v_c100").isNotNull
+    joined
+      .withColumn("__pb", last(when(obs, col("__b")), ignoreNulls = true).over(wPrev))
+      .withColumn("__pv", last(when(obs, col("v_c100")), ignoreNulls = true).over(wPrev))
+      .withColumn("__nb", first(when(obs, col("__b")), ignoreNulls = true).over(wNext))
+      .withColumn("__nv", first(when(obs, col("v_c100")), ignoreNulls = true).over(wNext))
+      .withColumn("v_locf_c100", col("__pv"))
+      .withColumn("v_interp",
+        when(obs, col("v_c100").cast("double"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv").cast("double") +
+              (col("__nv") - col("__pv")).cast("double") *
+              (col("__b") - col("__pb")).cast("double") /
+              (col("__nb") - col("__pb")).cast("double")))
+      .withColumn("bucket_start", col("__b") * lit(interval))
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .select((key ++ Seq(col("bucket_start"), col("n_rows"), col("v_c100"),
+        col("v_locf_c100"), col("v_interp"))): _*)
+  }
+
+  /** Per-key exponentially-weighted moving average, truncated to the last
+    * `lookback` rows: row t gets the fold `s ← (1−α)·s + α·x` over the
+    * frame's values in (ts, tie) order, seeded with the frame's first
+    * value — the standard recursive EWMA restricted to a bounded window so
+    * the per-row cost is O(lookback), not O(history).
+    *
+    * Determinism across engines: `collect_list` over a row-frame window
+    * preserves frame order, the ordering (`tsCol`, `tieCol`) must be
+    * unique per key, and the fold is a fixed left-to-right chain of IEEE
+    * double ops — DuckDB's `list(x) OVER w` + `list_reduce` replays it
+    * bit-for-bit. Pick α with an exact binary representation (0.25, 0.5)
+    * when an external engine must reproduce the stream.
+    *
+    * Scale shape: one shuffle on the keys + one in-partition sort; the
+    * window materializes `lookback` doubles per row (bound it by choosing
+    * `lookback`). A hot key serializes into one task — shard upstream if a
+    * key exceeds the sort budget.
+    */
+  def ewma(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      alpha: Double,
+      lookback: Int,
+      tieCol: String
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(lookback > 0, "lookback must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    df.withColumn("__arr", collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn("ewma",
+        aggregate(
+          expr("slice(__arr, 2, size(__arr) - 1)"),
+          element_at(col("__arr"), 1),
+          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)))
+      .drop("__arr")
+  }
+
+  /** Per-key trailing-window z-score anomaly flags, exact by construction:
+    * values are reduced to integer cents, the frame's Σ and Σ² are exact
+    * integer window sums, and the flag compares
+    * `(c·n − Σ)² > t²·(n·Σsq − Σ²)` in pure integer arithmetic — no
+    * engine-dependent float summation anywhere in the decision. The
+    * reported `z = (c·n − Σ) / sqrt(n·Σsq − Σ²)` is a fixed-shape IEEE
+    * expression over those exact integers (sqrt is correctly rounded on
+    * every IEEE engine), so it also replays bit-for-bit; z is 0 when the
+    * frame variance is 0 (all values equal ⇒ the row cannot deviate).
+    *
+    * Integer bounds: |cents| ≤ C requires n·Σsq ≤ n²·C² < 2^63 — e.g.
+    * C = 10^6 (values to $10k) allows windows to ~3000 rows. The window is
+    * row-based over a total order, so (`tsCol`, `tieCol`) must be unique
+    * per key.
+    *
+    * Scale shape: identical to [[rollingAgg]] — one shuffle on the keys,
+    * one sort, every aggregate in a single WindowExec pass.
+    */
+  def rollingZScore(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      window: Int,
+      threshold: Int,
+      tieCol: String
+  ): DataFrame = {
+    require(window > 1, "window must be > 1")
+    require(threshold > 0, "threshold must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.withColumn("__c", round(col(valueCol) * 100, 0).cast("long"))
+      .withColumn("__n", count(col("__c")).over(w))
+      .withColumn("__s", sum(col("__c")).over(w))
+      .withColumn("__ss", sum(col("__c") * col("__c")).over(w))
+      .withColumn("__num", col("__c") * col("__n") - col("__s"))
+      .withColumn("__den2", col("__n") * col("__ss") - col("__s") * col("__s"))
+      .withColumn("z",
+        when(col("__den2") === 0, lit(0.0))
+          .otherwise(col("__num").cast("double") / sqrt(col("__den2").cast("double"))))
+      .withColumn("is_anomaly",
+        col("__num") * col("__num") > lit(threshold.toLong * threshold) * col("__den2"))
+      .drop("__c", "__n", "__s", "__ss", "__num", "__den2")
+  }
+
+  /** Batch range (interval containment) join: each left row with
+    * `ltsCol ∈ [startCol, endCol]` of a right interval row, matched on
+    * `keyCols` equality (empty for pure time overlap). Inner-join
+    * semantics — one output row per qualifying (left, interval) pair,
+    * carrying the left columns plus `rightValueCols`.
+    *
+    * Never plans the O(|L|·|R|) theta-join Spark would produce from a raw
+    * BETWEEN predicate: both sides bucket to `bucketWidth`-sized time
+    * cells — each interval replicates into the `(end−start)/W + 1` cells
+    * it spans — and the join is a plain equi-join on (keys, cell) with the
+    * containment predicate as a post-filter. Choose `bucketWidth` near the
+    * typical interval length: replication stays O(1) per interval while
+    * each left row meets only the intervals in its own cell.
+    *
+    * `rightValueCols` must be disjoint from left's columns; null
+    * timestamps / null endpoints never match; intervals with end < start
+    * are empty (no rows). Timestamp columns must be integral.
+    */
+  def rangeJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      ltsCol: String,
+      startCol: String,
+      endCol: String,
+      keyCols: Seq[String],
+      rightValueCols: Seq[String],
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(rightValueCols.nonEmpty, "rightValueCols must be non-empty")
+    require(
+      rightValueCols.intersect(left.columns.toSeq).isEmpty,
+      s"rightValueCols ${rightValueCols.mkString(",")} must not clash with left columns")
+    def cellOf(df: DataFrame, src: Column, out: String): DataFrame =
+      df.withColumn("__tsl", src.cast("long"))
+        .withColumn("__bq", expr(s"__tsl div ${bucketWidth}L"))
+        .withColumn(out,
+          col("__bq") - when(
+            col("__tsl") % lit(bucketWidth) =!= 0 && col("__tsl") < 0,
+            1).otherwise(0))
+        .drop("__tsl", "__bq")
+    val l = cellOf(left.filter(col(ltsCol).isNotNull), col(ltsCol), "__cell")
+    val r0 = cellOf(
+      cellOf(
+        right.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+          col(endCol) >= col(startCol)),
+        col(startCol), "__c0"),
+      col(endCol), "__c1")
+    val r = r0
+      .withColumn("__cell", explode(sequence(col("__c0"), col("__c1"))))
+      .select(
+        (keyCols.map(c => col(c).as(s"__rk_$c")) ++
+          Seq(col("__cell").as("__rcell"),
+            col(startCol).as("__rs"), col(endCol).as("__re")) ++
+          rightValueCols.map(col)): _*)
+    val joinCond = keyCols
+      .map(c => col(c) <=> col(s"__rk_$c"))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true)) && col("__cell") === col("__rcell")
+    l.join(r, joinCond, "inner")
+      .filter(col(ltsCol) >= col("__rs") && col(ltsCol) <= col("__re"))
+      .select(left.columns.map(col) ++ rightValueCols.map(col): _*)
+  }
 }

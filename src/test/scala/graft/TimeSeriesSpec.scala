@@ -306,6 +306,113 @@ class TimeSeriesSpec extends SharedSpark {
     assert(out(("b", 3L)) == ((1L, 16.0, 16.0, 16.0, 1600L)))
   }
 
+  test("resample fills gaps with LOCF and linear interpolation") {
+    // key a: observations at buckets 0 (v=100c) and 3 (v=400c), gap at 1,2
+    val d = df("k STRING, t BIGINT, v DOUBLE",
+      Seq(
+        Row("a", 0L, 1.0), Row("a", 5L, 1.5), // both bucket 0 → max 150c
+        Row("a", 31L, 4.0), // bucket 3
+        Row("b", 12L, 2.0))) // single-observation key: 1-bucket grid
+    val out = TimeSeries.resample(d, "t", Seq("k"), "v", interval = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toMap
+    assert(out.size == 5)
+    assert(out(("a", 0L)) == ((2L, Some(150L), Some(150L), Some(150.0))))
+    // gaps: LOCF carries 150c; interp walks 150→400 over 3 buckets
+    assert(out(("a", 10L)) == ((0L, None, Some(150L),
+      Some(150.0 + 250.0 * 1.0 / 3.0))))
+    assert(out(("a", 20L)) == ((0L, None, Some(150L),
+      Some(150.0 + 250.0 * 2.0 / 3.0))))
+    assert(out(("a", 30L)) == ((1L, Some(400L), Some(400L), Some(400.0))))
+    assert(out(("b", 10L)) == ((1L, Some(200L), Some(200L), Some(200.0))))
+  }
+
+  test("resample floor-divides negative timestamps into the right buckets") {
+    val d = df("k STRING, t BIGINT, v DOUBLE",
+      Seq(Row("a", -15L, 1.0), Row("a", -10L, 2.0), Row("a", 5L, 3.0)))
+    val starts = TimeSeries.resample(d, "t", Seq("k"), "v", interval = 10L)
+      .collect().map(_.getLong(1)).sorted
+    // -15 → bucket -2 (start -20), -10 → bucket -1 (start -10), 5 → bucket 0
+    assert(starts.toSeq == Seq(-20L, -10L, 0L))
+  }
+
+  test("ewma folds s←(1−α)s+αx over the trailing frame in (ts, tie) order") {
+    val d = df("k STRING, t BIGINT, id BIGINT, v DOUBLE",
+      Seq(
+        Row("a", 1L, 1L, 10.0), Row("a", 2L, 2L, 20.0),
+        Row("a", 2L, 3L, 40.0), Row("a", 9L, 4L, 80.0),
+        Row("b", 1L, 5L, 7.0)))
+    val out = TimeSeries.ewma(d, "t", Seq("k"), "v",
+        alpha = 0.5, lookback = 3, tieCol = "id")
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(out(1L) == 10.0)
+    assert(out(2L) == 15.0) // 10·.5 + 20·.5
+    assert(out(3L) == 27.5) // (15)·.5 + 40·.5 with seed 10: ((10·.5+20·.5)·.5+40·.5)
+    // lookback 3 drops t=1: seed 20 → 20·.5+40·.5=30 → 30·.5+80·.5=55
+    assert(out(4L) == 55.0)
+    assert(out(5L) == 7.0)
+  }
+
+  test("rollingZScore flags deviations by exact integer arithmetic") {
+    // window 4, threshold 2: constant 10.0 then a spike
+    val d = df("k STRING, t BIGINT, id BIGINT, v DOUBLE",
+      Seq(
+        Row("a", 1L, 1L, 10.0), Row("a", 2L, 2L, 10.0),
+        Row("a", 3L, 3L, 10.0), Row("a", 4L, 4L, 50.0),
+        Row("b", 1L, 5L, 3.0)))
+    val out = TimeSeries.rollingZScore(d, "t", Seq("k"), "v",
+        window = 4, threshold = 2, tieCol = "id")
+      .collect().map(r => r.getLong(2) -> ((r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    // constant frames: variance 0 → z 0, never anomalous
+    assert(out(1L) == ((0.0, false)))
+    assert(out(2L) == ((0.0, false)))
+    assert(out(3L) == ((0.0, false)))
+    // frame cents (1000,1000,1000,5000): n=4 Σ=8000 Σsq=28e6
+    // num = 5000·4−8000 = 12000; den² = 4·28e6−64e6 = 48e6
+    // z = 12000/√(48e6) ≈ 1.732; flag: 144e6 > 4·48e6=192e6 → false
+    assert(math.abs(out(4L)._1 - 12000.0 / math.sqrt(48e6)) < 1e-12)
+    assert(!out(4L)._2)
+    assert(out(5L) == ((0.0, false)))
+    // threshold 1 flips the spike to anomalous: 144e6 > 48e6
+    val strict = TimeSeries.rollingZScore(d, "t", Seq("k"), "v",
+        window = 4, threshold = 1, tieCol = "id")
+      .collect().map(r => r.getLong(2) -> r.getBoolean(5)).toMap
+    assert(strict(4L) && !strict(3L))
+  }
+
+  test("rangeJoinBucketed equals the naive BETWEEN join") {
+    val ls = (0 until 400).map(i => Row((i * 13 % 1009).toLong, i.toLong))
+    val rs = (0 until 40).map(i =>
+      Row(i.toLong, (i * 29 % 997).toLong, (i * 29 % 997 + i % 50).toLong))
+    val l = df("t BIGINT, lid BIGINT", ls)
+    val r = df("iid BIGINT, s BIGINT, e BIGINT", rs)
+    val got = TimeSeries.rangeJoinBucketed(
+      l, r, "t", "s", "e", Nil, Seq("iid"), bucketWidth = 37L)
+    val want = l.join(r, col("t") >= col("s") && col("t") <= col("e"))
+      .select("t", "lid", "iid")
+    assertSameRows(got, want)
+  }
+
+  test("rangeJoinBucketed respects keys and drops empty/null intervals") {
+    val l = df("k STRING, t BIGINT, lid BIGINT",
+      Seq(Row("a", 10L, 1L), Row("b", 10L, 2L), Row("a", 99L, 3L)))
+    val r = df("k STRING, s BIGINT, e BIGINT, iid BIGINT",
+      Seq(
+        Row("a", 5L, 15L, 10L), // matches lid 1 only (key a)
+        Row("b", 20L, 5L, 11L), // end < start: empty
+        Row("b", null, 15L, 12L))) // null start: dropped
+    val out = TimeSeries.rangeJoinBucketed(
+        l, r, "t", "s", "e", Seq("k"), Seq("iid"), bucketWidth = 10L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("asofJoinBucketed on a larger synthetic series agrees with general") {
     // 3 keys x 200 left rows, right rows every 5 ticks — crosses many
     // bucket boundaries including the replicate-into-next-bucket path
