@@ -1102,6 +1102,23 @@ object SparkEntry {
           Nil, Seq("interval_id"), bucketWidth = 600000000L)
         .select("event_id", "interval_id")
     },
+    "q_score_linear" -> { (s, dir) =>
+      // hashed-linear classifier inference: integer weights from the
+      // portable hash chain make score and label exact on any engine
+      graft.ops.TextAnalysis.scoreHashedLinear(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "text", dim = 4096, range = 1000,
+        bucketSalt = 3L, weightSalt = 7L)
+        .select("doc_id", "score", "score_label")
+    },
+    "q_mix_temperature" -> { (s, dir) =>
+      // T=2 source rebalancing: quota = min(n, max(1, round(3·√n))) per
+      // source, members by portable SHA-256 rank — sqrt is correctly
+      // rounded, so the whole mix replays in DuckDB
+      graft.ops.Dedup.mixByTemperature(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", invTemp = 0.5, scale = 3.0, salt = 5L)
+    },
     "q_chunk_docs" -> { (s, dir) =>
       graft.ops.TextAnalysis.chunkDocuments(
         t(s, dir, "documents"), "doc_id", "text",
@@ -2101,6 +2118,46 @@ object SparkEntry {
         |)
         |SELECT e.event_id, iv.interval_id
         |FROM e JOIN iv ON e.tsu BETWEEN iv.t_start AND iv.t_end""".stripMargin,
+    // q_score_linear: the token→bucket→weight chain is two portable
+    // SHA-256-prefix hashes and integer mods; list_sum over the weights
+    // (cast back from HUGEINT) replays the aggregate fold exactly
+    "q_score_linear" ->
+      """SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> ''),
+        |    t -> ('0x' || substr(sha256('7|' ||
+        |           CAST(('0x' || substr(sha256('3|' || t), 1, 15))::BIGINT
+        |                % 4096 AS VARCHAR)), 1, 15))::BIGINT
+        |         % 2001 - 1000)), 0) AS BIGINT) AS score,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> ''),
+        |    t -> ('0x' || substr(sha256('7|' ||
+        |           CAST(('0x' || substr(sha256('3|' || t), 1, 15))::BIGINT
+        |                % 4096 AS VARCHAR)), 1, 15))::BIGINT
+        |         % 2001 - 1000)), 0) AS BIGINT) > 0 AS score_label
+        |FROM documents""".stripMargin,
+    // q_mix_temperature: per-source quota from a correctly-rounded sqrt,
+    // members by the portable SHA-256-prefix rank (ties by doc_id)
+    "q_mix_temperature" ->
+      """WITH cnt AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source
+        |), q AS (
+        |  SELECT source,
+        |    least(n, greatest(1,
+        |      CAST(round(3.0 * sqrt(CAST(n AS DOUBLE)), 0) AS BIGINT)))
+        |      AS quota
+        |  FROM cnt
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(sha256('5|' || doc_id::VARCHAR), 1, 15))::BIGINT,
+        |      doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.source
+        |FROM r JOIN q ON r.source = q.source WHERE r.rk <= q.quota""".stripMargin,
     // q_chunk_docs: integer chunk-count arithmetic ((g + stride−1) // stride)
     // and 1-based inclusive token slices replay the operator exactly
     "q_chunk_docs" ->

@@ -222,6 +222,56 @@ object Dedup {
       .drop("__copies")
   }
 
+  /** Temperature-scaled source mixing (the multilingual / multi-corpus
+    * rebalancing shape: sampling a source proportionally to n^(1/T)
+    * flattens the size distribution for T > 1, up-weighting small sources):
+    * each stratum of `strataCol` with n rows gets a quota
+    * `min(n, max(minQuota, round(scale · n^invTemp)))` and contributes its
+    * quota of rows chosen by the portable SHA-256-prefix rank (ties by
+    * `keyCol`) — the same deterministic carve-out as [[sampleKPerGroup]],
+    * so the realized mix is engine-reproducible and stable under reruns.
+    *
+    * `invTemp = 0.5` (T = 2) is computed with `sqrt`, which IEEE requires
+    * to be correctly rounded — the quota then replays bit-for-bit in any
+    * engine; other exponents go through `pow`, whose last-ulp behavior is
+    * libm-specific (quotas could differ by 1 near rounding boundaries —
+    * fine for training mixes, not for cross-engine replay contracts).
+    *
+    * Scale shape: one map-side-combinable count per stratum (a tiny
+    * broadcast relation joined back), then one shuffle on the stratum and
+    * an in-partition sort for the rank. The quota is data-dependent, so
+    * Spark's WindowGroupLimit pruning (literal k only) does NOT apply —
+    * a hot stratum pays its full sort; when quotas are known up front,
+    * [[sampleKPerGroup]] with literal k is the cheaper path.
+    */
+  def mixByTemperature(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      invTemp: Double,
+      scale: Double,
+      minQuota: Int = 1,
+      salt: Long = 0L
+  ): DataFrame = {
+    require(invTemp > 0 && invTemp <= 1, "invTemp must be in (0, 1]")
+    require(scale > 0, "scale must be positive")
+    require(minQuota >= 0, "minQuota must be non-negative")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val raised =
+      if (invTemp == 0.5) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), lit(invTemp))
+    val quotas = counts.withColumn("__quota",
+      least(col("__n"),
+        greatest(lit(minQuota.toLong),
+          round(lit(scale) * raised, 0).cast("long"))))
+    val h = portableHash(col(keyCol), salt)
+    val w = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas.select(col(strataCol), col("__quota"))), Seq(strataCol))
+      .filter(col("__rk") <= col("__quota"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Cross-document boilerplate removal (C4/RefinedWeb-style): drop every
     * line that occurs — after whitespace-normalized lowercasing — in more
     * than `maxDocFreq` distinct documents (navigation chrome, cookie

@@ -507,4 +507,52 @@ object TextAnalysis {
       .select(col("__qid").as(queryIdCol), col("__id").as(idCol),
         col("score_ppm"), col("rank"))
   }
+
+  /** Hashed-linear text classifier inference (the fastText / Vowpal-Wabbit
+    * "hashing trick" shape): each lowercase whitespace token maps to one of
+    * `dim` buckets by the engine-portable SHA-256-prefix hash, the bucket's
+    * weight is looked up, and the document's score is the integer sum of
+    * its tokens' weights (plus `bias`) with `label = score > 0`.
+    *
+    * The weight table here is a deterministic pseudorandom stand-in — the
+    * bucket id is re-hashed with `weightSalt` and mapped to an integer in
+    * [−range, range] — because a real trained model cannot ship in this
+    * library; swapping it for learned weights is a broadcast-join on
+    * `bucket` against a (bucket, weight) table, and nothing else changes.
+    * Integer weights make the score EXACT: no float summation, so any
+    * engine with SHA-256 replays score and label bit-for-bit.
+    *
+    * Scale shape: one narrow map — tokenize, per-token hash chain, and an
+    * in-row `aggregate` fold, all codegen'd Catalyst builtins; no explode,
+    * no shuffle, output rows = input rows. Per-row cost is O(tokens ·
+    * sha256); for throughput-critical paths reduce `dim` cost by
+    * pre-hashing a vocabulary table and broadcast-joining instead.
+    */
+  def scoreHashedLinear(
+      df: DataFrame,
+      textCol: String,
+      dim: Int = 4096,
+      range: Int = 1000,
+      bucketSalt: Long = 3L,
+      weightSalt: Long = 7L,
+      bias: Long = 0L,
+      out: String = "score"
+  ): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    require(range > 0, "range must be positive")
+    val toks = filter(
+      split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    // per-token weight: token → bucket (hash mod dim) → weight (re-hash of
+    // the bucket id, mod 2·range+1, shifted to [−range, range]); both
+    // hashes are the Dedup.portableHash 60-bit SHA-256 prefix, so the
+    // whole chain is replayable in any engine with SHA-256
+    val weightOf: Column => Column = t => {
+      val bucket = pmod(Dedup.portableHash(t, bucketSalt), lit(dim.toLong))
+      pmod(Dedup.portableHash(bucket, weightSalt), lit(2L * range + 1)) -
+        lit(range.toLong)
+    }
+    df.withColumn(out,
+        aggregate(toks, lit(bias), (acc, t) => acc + weightOf(t)))
+      .withColumn(s"${out}_label", col(out) > 0)
+  }
 }

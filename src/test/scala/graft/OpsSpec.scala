@@ -939,4 +939,49 @@ class OpsSpec extends SharedSpark {
     // exchange — the property the scale story rests on
     assert(a.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
+
+  test("scoreHashedLinear sums per-token hash weights exactly") {
+    val d = df("id BIGINT, text STRING",
+      Seq(
+        Row(1L, "alpha beta alpha"),
+        Row(2L, "ALPHA  beta\talpha"), // case/whitespace-normalized: same
+        Row(3L, ""), // empty → bias only
+        Row(4L, "alpha")))
+    val out = TextAnalysis.scoreHashedLinear(d, "text",
+        dim = 64, range = 10, bias = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // exactness: recompute the weight chain on the driver
+    def h(salt: Long, key: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$salt|$key".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    def w(tok: String): Long = h(7L, (h(3L, tok) % 64).toString) % 21 - 10
+    val expect1 = 2L + 2 * w("alpha") + w("beta")
+    assert(out(1L) == ((expect1, expect1 > 0)))
+    assert(out(2L) == out(1L)) // normalization-invariant
+    assert(out(3L) == ((2L, true))) // bias only
+    assert(out(4L) == ((2L + w("alpha"), 2L + w("alpha") > 0)))
+  }
+
+  test("mixByTemperature carves round(scale·√n) per source, capped at n") {
+    // sources: a has 9 rows, b has 4, c has 1
+    val rows = (0 until 9).map(i => Row(s"a$i", "a")) ++
+      (0 until 4).map(i => Row(s"b$i", "b")) ++ Seq(Row("c0", "c"))
+    val d = df("k STRING, src STRING", rows)
+    val out = Dedup.mixByTemperature(d, "k", "src",
+        invTemp = 0.5, scale = 1.0)
+      .collect().map(_.getString(1)).groupBy(identity)
+      .view.mapValues(_.length).toMap // column order preserved: (k, src)
+    // quotas: a → round(√9)=3, b → round(√4)=2, c → max(1, round(1))=1
+    assert(out == Map("a" -> 3, "b" -> 2, "c" -> 1))
+    // scale beyond n caps at n; selection is deterministic across reruns
+    val all = Dedup.mixByTemperature(d, "k", "src",
+      invTemp = 0.5, scale = 100.0)
+    assert(all.count() == 14)
+    val r1 = Dedup.mixByTemperature(d, "k", "src", invTemp = 0.5, scale = 1.0)
+    assertSameRows(r1, Dedup.mixByTemperature(d, "k", "src",
+      invTemp = 0.5, scale = 1.0))
+  }
 }
