@@ -1020,6 +1020,29 @@ object SparkEntry {
     "q_profile" -> { (s, dir) =>
       graft.ops.Profile.describe(t(s, dir, "documents"))
     },
+    "q_heavy_hitters" -> { (s, dir) =>
+      // per-lang top sources via the mergeable Misra-Gries summary; the
+      // corpus has 20 distinct sources per lang < k = 32, so the sketch is
+      // provably on its exact path (no decrement ever fires) and the
+      // counts replay as plain GROUP BY counts with count_min = count_max
+      graft.ops.Sketches.heavyHittersBy(
+        t(s, dir, "documents"), Seq("lang"), "source", k = 32)
+    },
+    "q_scd2" -> { (s, dir) =>
+      // SCD Type-2 history of each user's coarse activity band; the band
+      // is pure integer-cents arithmetic ((user_id, µs) is unique in the
+      // fixture, so the dedup rule never has to break a tie)
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          expr("CAST(round(value * 100, 0) AS BIGINT) div 10000").as("band"))
+      graft.ops.TimeSeries.buildHistory(e, "user_id", "tsu", Seq("band"))
+    },
+    "q_vocab" -> { (s, dir) =>
+      // top-100 token vocabulary with cumulative corpus coverage; ranks
+      // tie-break lexicographically so the cut is deterministic
+      graft.ops.TextAnalysis.vocabulary(
+        t(s, dir, "documents"), "doc_id", "text", topV = 100)
+    },
     "q_corpus_diff" -> { (s, dir) =>
       // planted second snapshot: every 11th doc removed, every 7th
       // surviving doc edited, 20 new ids appended — the diff must label
@@ -1966,6 +1989,53 @@ object SparkEntry {
         |SELECT l.user_id, l.l_id, r.p_val
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.lns >= r.rns""".stripMargin,
+    // q_heavy_hitters: the sketch's exact path (distinct sources < k) is
+    // the GROUP BY relation with the error width pinned to zero
+    "q_heavy_hitters" ->
+      """SELECT lang, source AS item, count(*) AS count_min,
+        |  count(*) AS count_max
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    // q_scd2: change rows carry their own interval — the lead of the next
+    // change's valid_from replays Spark's forward-looking first() window
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+        |    CAST(round(value * 100, 0) AS BIGINT) // 10000 AS band
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, tsu, band,
+        |    (lag(band) OVER (PARTITION BY user_id ORDER BY tsu)
+        |      IS DISTINCT FROM band) AS chg
+        |  FROM o
+        |)
+        |SELECT user_id, band, tsu AS valid_from,
+        |  lead(tsu) OVER w AS valid_to,
+        |  (lead(tsu) OVER w IS NULL) AS is_current
+        |FROM f WHERE chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsu)""".stripMargin,
+    // q_vocab: the coverage fraction is one double division of two exact
+    // integers (HUGEINT sums cast to DOUBLE before the divide)
+    "q_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT token, count(*) AS n_occ,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM toks WHERE token <> '' GROUP BY token
+        |), tot AS (SELECT CAST(sum(n_occ) AS DOUBLE) AS total FROM tf),
+        |top AS (
+        |  SELECT token, n_occ, n_docs FROM tf
+        |  ORDER BY n_occ DESC, token LIMIT 100
+        |)
+        |SELECT CAST(row_number() OVER w AS BIGINT) AS rank, token, n_occ,
+        |  n_docs,
+        |  CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / (SELECT total FROM tot) AS cum_frac
+        |FROM top
+        |WINDOW w AS (ORDER BY n_occ DESC, token)""".stripMargin,
     // q_profile: per-column profile replayed as one UNION ALL branch per
     // column; string min/max compare bytewise in both engines
     "q_profile" ->

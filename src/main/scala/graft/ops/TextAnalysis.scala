@@ -555,4 +555,49 @@ object TextAnalysis {
         aggregate(toks, lit(bias), (acc, t) => acc + weightOf(t)))
       .withColumn(s"${out}_label", col(out) > 0)
   }
+
+  /** Top-`topV` token vocabulary with corpus coverage — the tokenizer-
+    * training precursor: `(rank, token, n_occ, n_docs, cum_frac)` where
+    * `cum_frac` is the fraction of all token occurrences covered by ranks
+    * `1..rank`. Tokens are lowercased whitespace tokens (the same contract
+    * as [[tokenCount]]); rank ties break lexicographically so the listing
+    * is fully deterministic.
+    *
+    * Scale shape: explode is narrow; the term-frequency aggregation is the
+    * one real shuffle (map-side combinable — partial counts per partition,
+    * so the shuffle carries distinct-tokens-per-partition rows, not token
+    * occurrences); the top-V cut is `TakeOrderedAndProject` (per-partition
+    * heap + driver merge of V-row heads, never a global sort); the ranking
+    * window then runs over only V rows, so its single-partition frame is
+    * bounded by the parameter, not the data. The corpus total rides along
+    * as a broadcast scalar.
+    */
+  def vocabulary(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topV: Int
+  ): DataFrame = {
+    require(topV >= 1 && topV <= 10000000, s"topV out of range: $topV")
+    val toks = df
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"))
+    val total = tf.agg(sum("n_occ").as("__total"))
+    val ord = Seq(col("n_occ").desc, col("token").asc)
+    val w = Window.orderBy(ord: _*)
+    tf.orderBy(ord: _*)
+      .limit(topV)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_frac",
+        sum("n_occ")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("__total").cast("double"))
+      .select("rank", "token", "n_occ", "n_docs", "cum_frac")
+  }
 }

@@ -618,4 +618,61 @@ object TimeSeries {
       .filter(col(ltsCol) >= col("__rs") && col(ltsCol) <= col("__re"))
       .select(left.columns.map(col) ++ rightValueCols.map(col): _*)
   }
+
+  /** Slowly-changing-dimension (SCD Type-2) history builder: collapse an
+    * observation log `(id, ts, values...)` into validity intervals — one
+    * row per maximal run of consecutive equal value tuples per id, with
+    * `valid_from` (run's first ts), `valid_to` (next run's first ts, NULL
+    * for the current run) and `is_current`. The warehouse-standard
+    * change-capture shape for entity state over corpus snapshots (which
+    * doc versions existed when) or dimension feeds.
+    *
+    * Duplicate `(id, ts)` observations are collapsed to one deterministic
+    * row first (max of the value struct — the [[dedupRight]] rule), so the
+    * output is engine-replayable even over nondeterministically-ordered
+    * input.
+    *
+    * Scale shape: one shuffle on `(id, ts)` for the dedup aggregation
+    * (map-side combinable), then ONE exchange + sort on id for both window
+    * passes — change flags and next-change timestamps share the same
+    * partitioning and ordering, so Catalyst plans them over a single sort
+    * without a second exchange. No join, no per-segment re-aggregation: a
+    * change row IS its segment's output row. A hot id serializes into one
+    * task (window semantics); ids are entity keys, so hot ids mean an
+    * upstream modeling problem, not a plan problem.
+    *
+    * Reference counterpart: none — the reference has no temporal
+    * collapse; public semantics follow the standard SCD2 contract (half-
+    * open intervals `[valid_from, valid_to)`).
+    */
+  def buildHistory(
+      df: DataFrame,
+      idCol: String,
+      tsCol: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val id = col(idCol)
+    val one = df
+      .filter(id.isNotNull && col(tsCol).isNotNull)
+      .groupBy(id, col(tsCol))
+      .agg(max(struct(valueCols.map(col): _*)).as("__v"))
+    val w = Window.partitionBy(id).orderBy(col(tsCol).asc)
+    val flagged = one
+      // null-safe: the first row of an id (lag NULL) is always a change
+      .withColumn("__chg", !(lag(col("__v"), 1).over(w) <=> col("__v")))
+    val withNext = flagged
+      .withColumn("__next_from",
+        first(when(col("__chg"), col(tsCol)), ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+    withNext
+      .filter(col("__chg"))
+      .select(
+        Seq(id) ++
+          valueCols.map(c => col(s"__v.$c").as(c)) ++
+          Seq(
+            col(tsCol).as("valid_from"),
+            col("__next_from").as("valid_to"),
+            col("__next_from").isNull.as("is_current")): _*)
+  }
 }

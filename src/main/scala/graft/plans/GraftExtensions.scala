@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dpStddev)
     ext.injectFunction(GraftFunctions.dpQuantile)
     ext.injectFunction(GraftFunctions.dpPartitionCount)
+    ext.injectFunction(GraftFunctions.heavyHitters)
   }
 }
 
@@ -405,12 +406,46 @@ object GraftFunctions {
     }
   )
 
+  /** `heavy_hitters(item, k)` — the mergeable Misra–Gries summary
+    * ([[HeavyHittersAgg]]): `array<struct<item, count_min, count_max>>`
+    * with O(k) aggregate state. Not a DP primitive — the scale face of
+    * top-item counting (explode it for one row per item):
+    *
+    * {{{
+    *   SELECT h.item, h.count_min, h.count_max
+    *   FROM (SELECT heavy_hitters(source, 16) AS hs FROM documents),
+    *        LATERAL explode(hs) AS t(h)
+    * }}}
+    */
+  val heavyHitters: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("heavy_hitters"),
+    new ExpressionInfo(
+      classOf[HeavyHittersAgg].getName,
+      null,
+      "heavy_hitters",
+      "heavy_hitters(item, k) - Misra-Gries top-item summary with deterministic count bounds",
+      "heavy_hitters(source, 16)"
+    ),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "heavy_hitters(item, k) takes 2 arguments")
+      val Seq(item, kE) = children
+      require(kE.foldable, "heavy_hitters k must be a literal")
+      val k = kE.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case other => throw new IllegalArgumentException(s"bad k: $other")
+      }
+      HeavyHittersAgg(
+        Cast(item, org.apache.spark.sql.types.StringType), k
+      ).toAggregateExpression()
+    }
+  )
+
   /** Register into an existing session (the extensions class does this for
     * sessions built with `spark.sql.extensions`).
     */
   def register(spark: SparkSession): Unit = {
     Seq(dpNoise, dpCount, dpSum, dpAvg, dpVar, dpStddev, dpQuantile,
-        dpPartitionCount).foreach {
+        dpPartitionCount, heavyHitters).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

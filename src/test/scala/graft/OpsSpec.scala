@@ -984,4 +984,28 @@ class OpsSpec extends SharedSpark {
     assertSameRows(r1, Dedup.mixByTemperature(d, "k", "src",
       invTemp = 0.5, scale = 1.0))
   }
+
+  test("vocabulary ranks by frequency with lexicographic ties and coverage") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the cat sat"), Row(2L, "the dog SAT"), Row(3L, "THE the")))
+    // counts: the=4, sat=2, cat=1, dog=1 (total 8)
+    val v = TextAnalysis.vocabulary(d, "doc_id", "text", topV = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+    assert(v.toSeq == Seq(
+      (1L, "the", 4L, 3L, 0.5),
+      (2L, "sat", 2L, 2L, 0.75),
+      (3L, "cat", 1L, 1L, 0.875)))
+  }
+
+  test("vocabulary ignores empty-token artifacts and respects topV cut") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "  a  b   a "), Row(2L, ""), Row(3L, "   ")))
+    val v = TextAnalysis.vocabulary(d, "doc_id", "text", topV = 1)
+    assert(v.count() == 1)
+    val top = v.head()
+    assert(top.getString(1) == "a" && top.getLong(2) == 2L)
+    assert(top.getDouble(4) == 2.0 / 3.0)
+  }
 }

@@ -429,4 +429,59 @@ class TimeSeriesSpec extends SharedSpark {
       l, r, "t", "qt", Seq("sym"), Seq("px"), tolerance = tol)
     assertSameRows(bucketed, general)
   }
+
+  test("buildHistory collapses runs into half-open validity intervals") {
+    val obs = df("id BIGINT, t BIGINT, s STRING", Seq(
+      Row(1L, 10L, "a"), Row(1L, 20L, "a"), Row(1L, 30L, "b"),
+      Row(1L, 40L, "b"), Row(1L, 50L, "a"),
+      Row(2L, 5L, "x")))
+    val h = TimeSeries.buildHistory(obs, "id", "t", Seq("s"))
+    val expected = df(
+      "id BIGINT, s STRING, valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN",
+      Seq(
+        Row(1L, "a", 10L, 30L, false),
+        Row(1L, "b", 30L, 50L, false),
+        Row(1L, "a", 50L, null, true),
+        Row(2L, "x", 5L, null, true)))
+    assertSameRows(h, expected)
+  }
+
+  test("buildHistory dedups equal (id, ts) observations deterministically") {
+    // two conflicting observations at t=10 → the max value struct wins,
+    // regardless of input order or partitioning
+    val obs = df("id BIGINT, t BIGINT, s STRING", Seq(
+      Row(1L, 10L, "a"), Row(1L, 10L, "z"), Row(1L, 20L, "z")))
+    for (parts <- Seq(1, 4)) {
+      val h = TimeSeries.buildHistory(obs.repartition(parts), "id", "t", Seq("s"))
+      val expected = df(
+        "id BIGINT, s STRING, valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN",
+        Seq(Row(1L, "z", 10L, null, true)))
+      assertSameRows(h, expected)
+    }
+  }
+
+  test("buildHistory tracks multi-column value tuples and null values") {
+    val obs = df("id BIGINT, t BIGINT, a STRING, b BIGINT", Seq(
+      Row(7L, 1L, "p", 1L), Row(7L, 2L, "p", null),
+      Row(7L, 3L, "p", null), Row(7L, 4L, "p", 1L)))
+    val h = TimeSeries.buildHistory(obs, "id", "t", Seq("a", "b"))
+    val expected = df(
+      "id BIGINT, a STRING, b BIGINT, valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN",
+      Seq(
+        Row(7L, "p", 1L, 1L, 2L, false),
+        Row(7L, "p", null, 2L, 4L, false),
+        Row(7L, "p", 1L, 4L, null, true)))
+    assertSameRows(h, expected)
+  }
+
+  test("buildHistory plans one exchange for both window passes") {
+    val obs = df("id BIGINT, t BIGINT, s STRING",
+      (0 until 100).map(i => Row((i % 5).toLong, i.toLong, s"v${i % 3}")))
+    val plan = TimeSeries.buildHistory(obs, "id", "t", Seq("s"))
+      .queryExecution.executedPlan.toString
+    // dedup agg exchanges on (id, t); the two windows share ONE exchange
+    // on id — three total would mean the second window re-shuffled
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+  }
 }
