@@ -758,6 +758,25 @@ object SparkEntry {
         queriesDf, e, "vec_id", "embedding", k = 3)
         .select("query_id", "neighbor_id")
     },
+    "q_quantize" -> { (s, dir) =>
+      // per-vector symmetric int8 quantization, exploded to scalar rows;
+      // the floor(x·127/amax + 0.5) chain is a fixed IEEE expression both
+      // engines evaluate identically
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.quantizeInt8(e, "embedding")
+        .select(col("vec_id"), col("qscale"),
+          posexplode(col("qvec")).as(Seq("pos", "qv")))
+        .select(col("vec_id"), col("pos").cast("long").as("idx"),
+          col("qv").cast("long").as("qval"), col("qscale"))
+    },
+    "q_quant_ann" -> { (s, dir) =>
+      // top-3 neighbors ranked on the dequantized int8 dot product; qdot
+      // is exact integer arithmetic so the ranking replays engine-free
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.quantizedTopK(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "qdot")
+    },
     "q_minhash_dedup" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       graft.ops.Dedup.minHashPairs(d, "doc_id", "text",
@@ -1042,6 +1061,17 @@ object SparkEntry {
       // tie-break lexicographically so the cut is deterministic
       graft.ops.TextAnalysis.vocabulary(
         t(s, dir, "documents"), "doc_id", "text", topV = 100)
+    },
+    "q_corr_matrix" -> { (s, dir) =>
+      // one-pass correlation matrix over fixed-point lineitem measures;
+      // every moment sum is an exact DECIMAL(38,0) so the six pairwise
+      // correlations are partition-order-free and replay in DuckDB from
+      // HUGEINT sums
+      graft.ops.Profile.corrMatrix(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        decimals = Map(
+          "l_extendedprice" -> 2, "l_discount" -> 2, "l_tax" -> 2))
     },
     "q_corpus_diff" -> { (s, dir) =>
       // planted second snapshot: every 11th doc removed, every 7th
@@ -2036,6 +2066,72 @@ object SparkEntry {
         |    / (SELECT total FROM tot) AS cum_frac
         |FROM top
         |WINDOW w AS (ORDER BY n_occ DESC, token)""".stripMargin,
+    // q_corr_matrix: exact HUGEINT moment sums cast to DOUBLE, then the
+    // identical double expression tree as the Spark side — (n·Σxy − Σx·Σy)
+    // over the product of per-column sqrt spreads, NULL-guarded on a zero
+    // denominator
+    "q_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x0,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+        |    CAST(round(l_tax * 100, 0) AS BIGINT) AS x3
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(CAST(x0 AS HUGEINT)) AS DOUBLE) AS s0,
+        |    CAST(sum(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x3 AS HUGEINT)) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(x0 AS HUGEINT) * x0) AS DOUBLE) AS p00,
+        |    CAST(sum(CAST(x0 AS HUGEINT) * x1) AS DOUBLE) AS p01,
+        |    CAST(sum(CAST(x0 AS HUGEINT) * x2) AS DOUBLE) AS p02,
+        |    CAST(sum(CAST(x0 AS HUGEINT) * x3) AS DOUBLE) AS p03,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS p11,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS p12,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * x3) AS DOUBLE) AS p13,
+        |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS p22,
+        |    CAST(sum(CAST(x2 AS HUGEINT) * x3) AS DOUBLE) AS p23,
+        |    CAST(sum(CAST(x3 AS HUGEINT) * x3) AS DOUBLE) AS p33
+        |  FROM c
+        |)
+        |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+        |  CASE WHEN sqrt(nd*p00 - s0*s0) * sqrt(nd*p11 - s1*s1) = 0 THEN NULL
+        |    ELSE (nd*p01 - s0*s1)
+        |      / (sqrt(nd*p00 - s0*s0) * sqrt(nd*p11 - s1*s1)) END AS corr
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount', n,
+        |  CASE WHEN sqrt(nd*p00 - s0*s0) * sqrt(nd*p22 - s2*s2) = 0 THEN NULL
+        |    ELSE (nd*p02 - s0*s2)
+        |      / (sqrt(nd*p00 - s0*s0) * sqrt(nd*p22 - s2*s2)) END
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_tax', n,
+        |  CASE WHEN sqrt(nd*p00 - s0*s0) * sqrt(nd*p33 - s3*s3) = 0 THEN NULL
+        |    ELSE (nd*p03 - s0*s3)
+        |      / (sqrt(nd*p00 - s0*s0) * sqrt(nd*p33 - s3*s3)) END
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount', n,
+        |  CASE WHEN sqrt(nd*p11 - s1*s1) * sqrt(nd*p22 - s2*s2) = 0 THEN NULL
+        |    ELSE (nd*p12 - s1*s2)
+        |      / (sqrt(nd*p11 - s1*s1) * sqrt(nd*p22 - s2*s2)) END
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_tax', n,
+        |  CASE WHEN sqrt(nd*p11 - s1*s1) * sqrt(nd*p33 - s3*s3) = 0 THEN NULL
+        |    ELSE (nd*p13 - s1*s3)
+        |      / (sqrt(nd*p11 - s1*s1) * sqrt(nd*p33 - s3*s3)) END
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_discount', 'l_tax', n,
+        |  CASE WHEN sqrt(nd*p22 - s2*s2) * sqrt(nd*p33 - s3*s3) = 0 THEN NULL
+        |    ELSE (nd*p23 - s2*s3)
+        |      / (sqrt(nd*p22 - s2*s2) * sqrt(nd*p33 - s3*s3)) END
+        |FROM s""".stripMargin,
     // q_profile: per-column profile replayed as one UNION ALL branch per
     // column; string min/max compare bytewise in both engines
     "q_profile" ->
@@ -2352,6 +2448,56 @@ object SparkEntry {
         |SELECT a.vec_id AS left_id, b.vec_id AS right_id
         |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin,
+    // q_quantize: the absmax scale and the rounded lanes replay via DuckDB
+    // list lambdas over the same double-cast floats
+    "q_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+        |  FROM embeddings
+        |), z AS (
+        |  SELECT vec_id, fv,
+        |    list_max(list_transform(fv, x -> abs(x))) AS amax
+        |  FROM v
+        |)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx,
+        |  CAST(CASE WHEN amax = 0 THEN 0
+        |    ELSE floor(fv[i] * 127.0 / amax + 0.5) END AS BIGINT) AS qval,
+        |  amax AS qscale
+        |FROM z, unnest(range(1, len(fv) + 1)) AS t(i)""".stripMargin,
+    // q_quant_ann: integer qdot plus the identical dequantized ranking
+    // expression; ties break on neighbor_id in both engines
+    "q_quant_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+        |  FROM embeddings
+        |), z AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(fv, x -> abs(x))) AS amax,
+        |    CASE WHEN list_max(list_transform(fv, x -> abs(x))) = 0
+        |      THEN list_transform(fv, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(fv, x -> CAST(floor(
+        |        x * 127.0 / list_max(list_transform(fv, y -> abs(y))) + 0.5)
+        |        AS BIGINT)) END AS qv
+        |  FROM v
+        |), q AS (
+        |  SELECT vec_id AS query_id, qv AS qq, amax AS qs
+        |  FROM z WHERE vec_id < 5
+        |), sc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qq) + 1),
+        |      i -> q.qq[i] * c.qv[i])) AS BIGINT) AS qdot,
+        |    q.qs AS qs, c.amax AS cs
+        |  FROM q, z c
+        |)
+        |SELECT query_id, neighbor_id, qdot FROM (
+        |  SELECT query_id, neighbor_id, qdot,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY (CAST(qdot AS DOUBLE) * (qs * cs)) / 16129.0 DESC,
+        |               neighbor_id) AS rk
+        |  FROM sc
+        |) WHERE rk <= 3""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 5)

@@ -69,4 +69,83 @@ object Profile {
           col(s"__maxs_$c").as("max_str"))): _*)).as("__p"))
       .select("__p.*")
   }
+
+  /** Pairwise Pearson correlation matrix in ONE aggregation pass:
+    * `(col_x, col_y, n, corr)` for every unordered column pair, computed
+    * from exact fixed-point moment sums. Each input column is scaled to an
+    * integer (`decimals(c)` decimal digits, default 0 — pass 2 for a cents
+    * column) and summed as `DECIMAL(38,0)`, so the k(k+1)/2 moment sums
+    * are EXACT integers independent of partitioning and merge order; the
+    * final correlation is one fixed double-expression over those sums —
+    * fully deterministic and replayable in any engine with 128-bit sums
+    * (DuckDB: `sum(BIGINT) → HUGEINT`). A zero-variance column yields NULL
+    * against every partner (0/0 guarded), and rows with a NULL in any
+    * profiled column are excluded up front (complete-case, the classical
+    * contract).
+    *
+    * Scale shape: one partial-aggregated pass — k + k(k+1)/2 + 1 combinable
+    * sums, one exchange of a single summary row, then a narrow unpivot.
+    * Compare Spark's own `corr`, which is per-pair (k² passes or a
+    * k²-column agg of NON-replayable float moments). The decimal sums cost
+    * ~2× a double sum in the hot loop; that is the price of a
+    * partition-count-independent answer.
+    *
+    * Numerics: the textbook `n·Σxy − Σx·Σy` form cancels catastrophically
+    * only when |corr| ≫ data spread / mean (constant-ish columns); with
+    * exact integer sums the subtraction itself is exact until the double
+    * cast, so the usual one-pass instability does not apply — only the
+    * final 53-bit rounding does.
+    *
+    * Reference counterpart: none (the reference profiles single columns);
+    * the measurement shape matches any standard covariance rollup.
+    */
+  def corrMatrix(
+      df: DataFrame,
+      cols: Seq[String],
+      decimals: Map[String, Int] = Map.empty
+  ): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size, "corrMatrix columns must be distinct")
+    decimals.foreach { case (c, d) =>
+      require(d >= 0 && d <= 9, s"decimals($c) must be in [0, 9], got $d")
+    }
+    val dec = DecimalType(38, 0)
+    val fixed: Seq[(String, Column)] = cols.map { c =>
+      val d = decimals.getOrElse(c, 0)
+      val scaled = if (d == 0) col(c) else col(c) * lit(math.pow(10, d))
+      c -> round(scaled, 0).cast(dec)
+    }
+    val complete = cols.map(col(_).isNotNull).reduce(_ && _)
+    val sums = fixed.map { case (c, e) => sum(e).as(s"__s_$c") }
+    val prodPairs = for {
+      i <- fixed.indices
+      j <- i until fixed.size
+    } yield (i, j)
+    val prods = prodPairs.map { case (i, j) =>
+      sum((fixed(i)._2 * fixed(j)._2).cast(dec)).as(s"__p_${i}_$j")
+    }
+    val aggs = count(lit(1)).as("__n") +: (sums ++ prods)
+    val nD = col("__n").cast("double")
+    def sD(i: Int) = col(s"__s_${cols(i)}").cast("double")
+    def pD(i: Int, j: Int) = col(s"__p_${i}_$j").cast("double")
+    val outPairs = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.size
+    } yield {
+      val num = nD * pD(i, j) - sD(i) * sD(j)
+      val varX = nD * pD(i, i) - sD(i) * sD(i)
+      val varY = nD * pD(j, j) - sD(j) * sD(j)
+      val den = sqrt(varX) * sqrt(varY)
+      struct(
+        lit(cols(i)).as("col_x"),
+        lit(cols(j)).as("col_y"),
+        col("__n").as("n"),
+        when(den === 0d, lit(null).cast("double"))
+          .otherwise(num / den).as("corr"))
+    }
+    df.filter(complete)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(outPairs: _*)).as("__c"))
+      .select("__c.*")
+  }
 }

@@ -520,4 +520,76 @@ object Similarity {
           .otherwise(col("__s").cast("string"))
           .as("__bkt"))
   }
+
+  /** Symmetric per-vector int8 quantization: `qscale = max_i |v_i|`,
+    * `q_i = floor(v_i · 127 / qscale + 0.5)` (half-up, exact IEEE chain —
+    * replayable in any engine), stored as `array<tinyint>`. 4× smaller
+    * than float32 — at 100 TB of embeddings that is 4× less scan I/O,
+    * broadcast size, and shuffle volume for every downstream ANN pass,
+    * with the scale kept per vector for dequantization. An all-zero
+    * vector quantizes to zeros with `qscale = 0`.
+    *
+    * Reference counterpart: none; the scheme is the standard symmetric
+    * absmax int8 quantization used by every major inference runtime.
+    */
+  def quantizeInt8(
+      df: DataFrame,
+      vecCol: String,
+      qvecCol: String = "qvec",
+      scaleCol: String = "qscale"
+  ): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn(scaleCol, array_max(transform(v, x => abs(x))))
+      .withColumn(qvecCol,
+        when(col(scaleCol) === 0d,
+          transform(v, _ => lit(0).cast("tinyint")))
+          .otherwise(transform(v,
+            x => floor(x * lit(127.0) / col(scaleCol) + lit(0.5))
+              .cast("tinyint"))))
+  }
+
+  /** Top-k neighbors ranked on the QUANTIZED integer dot product,
+    * dequantized to an approximate float dot score
+    * (`qdot · qscale_q · qscale_c / 127²`): the scale path where the
+    * exact per-pair float dot is too expensive — the inner loop is an
+    * int8 multiply-accumulate (`qdot` is exact integer arithmetic, so
+    * ranking is partition-order-free; ties break on neighbor id).
+    * Queries are broadcast, the corpus is scanned once, and per-query
+    * top-k goes through the rank window Spark rewrites to
+    * WindowGroupLimit (per-partition heap, no full per-query sort).
+    */
+  def quantizedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val q = quantizeInt8(
+      queries.select(col(idCol).as("query_id"), col(vecCol)),
+      vecCol, "__qq", "__qs")
+      .select("query_id", "__qq", "__qs")
+    val c = quantizeInt8(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+      vecCol, "__cq", "__cs")
+      .select("neighbor_id", "__cq", "__cs")
+    val idot = aggregate(
+      zip_with(col("__qq"), col("__cq"),
+        (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c
+      .crossJoin(broadcast(q))
+      .withColumn("qdot", idot)
+      .withColumn("score",
+        (col("qdot").cast("double") * (col("__qs") * col("__cs")))
+          / lit(16129.0))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select("query_id", "neighbor_id", "qdot", "score")
+  }
 }

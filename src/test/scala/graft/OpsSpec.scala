@@ -985,6 +985,90 @@ class OpsSpec extends SharedSpark {
       invTemp = 0.5, scale = 1.0))
   }
 
+  test("quantizeInt8: absmax scale, half-up lanes, zero-vector safe") {
+    val d = df("id BIGINT, v ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(0.5f, -1.0f, 0.25f)),
+      Row(2L, Seq(0.0f, 0.0f, 0.0f))))
+    val out = Similarity.quantizeInt8(d, "v").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getSeq[Byte](3))).toMap
+    // amax 1.0: 0.5·127+0.5 → floor(64.0)=64; -127 exact; 0.25·127=31.75+0.5 → 32
+    assert(out(1L)._1 == 1.0)
+    assert(out(1L)._2 == Seq[Byte](64, -127, 32))
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == Seq[Byte](0, 0, 0))
+  }
+
+  test("quantizeInt8 round-trip error is within half a quantization step") {
+    val vecs = (0 until 20).map { i =>
+      Row(i.toLong, (0 until 8).map(j =>
+        math.sin(i * 8 + j + 1).toFloat))
+    }
+    val d = df("id BIGINT, v ARRAY<FLOAT>", vecs)
+    val rows = Similarity.quantizeInt8(d, "v").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val s = r.getDouble(2)
+      val q = r.getSeq[Byte](3)
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(qi * s / 127.0 - x) <= s / 254.0 + 1e-12)
+      }
+    }
+  }
+
+  test("quantizedTopK returns self first with the exact integer self-dot") {
+    val vecs = Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      Row(1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      Row(2L, Seq(0.7f, 0.7f, 0.1f, 0.0f)),
+      Row(3L, Seq(-1.0f, 0.2f, 0.0f, 0.4f)))
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>", vecs)
+    val top = Similarity.quantizedTopK(
+      d.filter(col("vec_id") === 0L), d, "vec_id", "embedding", k = 2)
+      .orderBy("query_id", "neighbor_id").collect()
+    // self neighbor ranks first: qdot(self) = 127² = 16129
+    val self = top.find(r => r.getLong(1) == 0L).get
+    assert(self.getLong(2) == 16129L)
+    assert(top.length == 2)
+  }
+
+  test("corrMatrix: exact fixed-point moments reproduce known correlations") {
+    val rows = (1 to 50).map { i =>
+      Row(i.toDouble, 2.0 * i, 51.0 - i, 7.0)
+    }
+    val d = df("a DOUBLE, b DOUBLE, c DOUBLE, k DOUBLE", rows).repartition(7)
+    val m = Profile.corrMatrix(d, Seq("a", "b", "c", "k"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(math.abs(m(("a", "b")).get - 1.0) < 1e-12)
+    assert(math.abs(m(("a", "c")).get + 1.0) < 1e-12)
+    // constant column: zero variance → NULL against every partner
+    assert(m(("a", "k")).isEmpty && m(("b", "k")).isEmpty && m(("c", "k")).isEmpty)
+  }
+
+  test("corrMatrix matches Spark's corr and is partition-independent") {
+    val rows = (0 until 200).map { i =>
+      Row(((i * 37) % 101).toDouble, ((i * i) % 89).toDouble)
+    }
+    val d = df("x DOUBLE, y DOUBLE", rows)
+    val expected = d.agg(corr("x", "y")).head().getDouble(0)
+    val got = Seq(1, 8).map { parts =>
+      Profile.corrMatrix(d.repartition(parts), Seq("x", "y"))
+        .head().getDouble(3)
+    }
+    assert(math.abs(got.head - expected) < 1e-9)
+    // exact sums: the two layouts agree to the BIT, not within tolerance
+    assert(got.head == got(1))
+  }
+
+  test("corrMatrix excludes incomplete rows and scales cents columns") {
+    val d = df("p DOUBLE, q DOUBLE", Seq(
+      Row(1.25, 10.0), Row(2.50, 20.0), Row(null, 99.0), Row(3.75, 30.0)))
+    val r = Profile.corrMatrix(d, Seq("p", "q"), decimals = Map("p" -> 2)).head()
+    assert(r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
   test("vocabulary ranks by frequency with lexicographic ties and coverage") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "the cat sat"), Row(2L, "the dog SAT"), Row(3L, "THE the")))
