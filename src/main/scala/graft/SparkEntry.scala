@@ -941,7 +941,7 @@ object SparkEntry {
     "q_window_counts" -> { (s, dir) =>
       val e = t(s, dir, "events").withColumn(
         "event_time",
-        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+        date_trunc("second", col("ts").cast("timestamp")))
       graft.streaming.Streams
         .windowedCounts(e, "event_time", Seq("event_type"), "1 hour")
         .select(
@@ -995,7 +995,7 @@ object SparkEntry {
       // unified batch path of the session-window aggregation
       val e = t(s, dir, "events").withColumn(
         "event_time",
-        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+        date_trunc("second", col("ts").cast("timestamp")))
       graft.streaming.Streams
         .sessionize(e, "event_time", "user_id", gap = "30 minutes")
         .select(
@@ -1012,7 +1012,7 @@ object SparkEntry {
       // purchases joined to any same-user event within ±15 minutes
       val e = t(s, dir, "events").withColumn(
         "event_time",
-        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+        date_trunc("second", col("ts").cast("timestamp")))
       val l = e.select(col("user_id"), col("event_time").as("l_ts"),
         col("event_id").as("l_id"))
       val r = e.filter(col("event_type") === "purchase")
@@ -1024,14 +1024,14 @@ object SparkEntry {
     },
     "q_asof_join" -> { (s, dir) =>
       // each click picks up the latest at-or-before purchase value of the
-      // same user (ts div 1000 = epoch micros: DuckDB timestamps carry µs
-      // precision, so µs is the largest unit exact on both
-      // engines); unmatched clicks survive with a null p_val
+      // same user (events.ts is parquet timestamp[us]; unix_micros on the
+      // UTC-session cast equals DuckDB's epoch_us exactly); unmatched
+      // clicks survive with a null p_val
       val e = t(s, dir, "events")
       val l = e.filter(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("lns"), col("event_id").as("l_id"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("lns"), col("event_id").as("l_id"))
       val r = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("rns"), col("value").as("p_val"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("rns"), col("value").as("p_val"))
       graft.ops.TimeSeries
         .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"))
         .select(col("user_id"), col("l_id"), col("p_val"))
@@ -1052,7 +1052,7 @@ object SparkEntry {
       // is pure integer-cents arithmetic ((user_id, µs) is unique in the
       // fixture, so the dedup rule never has to break a tie)
       val e = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tsu"),
           expr("CAST(round(value * 100, 0) AS BIGINT) div 10000").as("band"))
       graft.ops.TimeSeries.buildHistory(e, "user_id", "tsu", Seq("band"))
     },
@@ -1099,7 +1099,7 @@ object SparkEntry {
       // integer cents path (float window sums are frame-order-sensitive)
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("value"),
-          expr("ts div 1000").as("ns"))
+          unix_micros(col("ts").cast("timestamp")).as("ns"))
       graft.ops.TimeSeries
         .rollingAgg(e, "ns", Seq("user_id"), "value",
           window = 3600000000L)
@@ -1111,7 +1111,7 @@ object SparkEntry {
       // interpolation; per-bucket value = max integer cents (order-free),
       // interp = one fixed-shape IEEE expression over exact ints
       val e = t(s, dir, "events")
-        .select(col("user_id"), col("value"), expr("ts div 1000").as("tsu"))
+        .select(col("user_id"), col("value"), unix_micros(col("ts").cast("timestamp")).as("tsu"))
       graft.ops.TimeSeries
         .resample(e, "tsu", Seq("user_id"), "value",
           interval = 21600000000L)
@@ -1122,7 +1122,7 @@ object SparkEntry {
       // ordered frame, replayed in DuckDB by list() OVER + list_reduce
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("value"),
-          expr("ts div 1000").as("tsu"))
+          unix_micros(col("ts").cast("timestamp")).as("tsu"))
       graft.ops.TimeSeries
         .ewma(e, "tsu", Seq("user_id"), "value",
           alpha = 0.25, lookback = 8, tieCol = "event_id")
@@ -1134,7 +1134,7 @@ object SparkEntry {
       // the flag, and z itself is replayable (correctly-rounded sqrt)
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("value"),
-          expr("ts div 1000").as("tsu"))
+          unix_micros(col("ts").cast("timestamp")).as("tsu"))
       graft.ops.TimeSeries
         .rollingZScore(e, "tsu", Seq("user_id"), "value",
           window = 16, threshold = 3, tieCol = "event_id")
@@ -1145,7 +1145,7 @@ object SparkEntry {
       // join emits each (event, interval) containment pair without ever
       // planning the O(L·R) theta-join
       val e = t(s, dir, "events")
-        .select(col("event_id"), expr("ts div 1000").as("tsu"))
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("tsu"))
       val iv = e.filter(col("event_id") % 97 === 0)
         .select(col("event_id").as("interval_id"),
           col("tsu").as("t_start"),
@@ -1180,7 +1180,7 @@ object SparkEntry {
     "q_retention" -> { (s, dir) =>
       // daily cohort retention over the event month (bucket = 1 day in µs)
       val e = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("t"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
       graft.ops.TimeSeries.retention(e, Seq("user_id"), "t",
         bucket = 86400000000L)
     },
@@ -1188,7 +1188,7 @@ object SparkEntry {
       // view → click → purchase per user within 7 days, chained
       // min-aggregations (strictly-later step ordering)
       val e = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("t"), col("event_type"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"), col("event_type"))
       graft.ops.TimeSeries.funnel(e, Seq("user_id"), "t", "event_type",
         Seq("view", "click", "purchase"), within = Some(604800000000L))
     },
@@ -1197,9 +1197,9 @@ object SparkEntry {
       // so skipping the tie-collapse must reproduce q_asof_join exactly
       val e = t(s, dir, "events")
       val l = e.filter(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("lns"), col("event_id").as("l_id"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("lns"), col("event_id").as("l_id"))
       val r = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("rns"), col("value").as("p_val"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("rns"), col("value").as("p_val"))
       graft.ops.TimeSeries
         .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"),
           assumeRightUnique = true)
@@ -1210,9 +1210,9 @@ object SparkEntry {
       // purchase — DuckDB expresses it as ASOF with the inequality flipped
       val e = t(s, dir, "events")
       val l = e.filter(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("lns"), col("event_id").as("l_id"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("lns"), col("event_id").as("l_id"))
       val r = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("rns"), col("value").as("p_val"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("rns"), col("value").as("p_val"))
       graft.ops.TimeSeries
         .asofJoin(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"),
           direction = "forward")
@@ -1223,9 +1223,9 @@ object SparkEntry {
       // with DuckDB's ASOF join filtered to the same tolerance
       val e = t(s, dir, "events")
       val l = e.filter(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("lns"), col("event_id").as("l_id"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("lns"), col("event_id").as("l_id"))
       val r = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("rns"), col("value").as("p_val"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("rns"), col("value").as("p_val"))
       graft.ops.TimeSeries
         .asofJoinBucketed(l, r, "lns", "rns", Seq("user_id"), Seq("p_val"),
           tolerance = 21600000000L)
@@ -1236,7 +1236,7 @@ object SparkEntry {
       // driver oracle checks the full window/group/count plumbing
       val e = t(s, dir, "events").withColumn(
         "event_time",
-        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+        date_trunc("second", col("ts").cast("timestamp")))
       graft.streaming.Streams
         .noisyWindowedCounts(e, "event_time", Seq("event_type"), "1 hour",
           graft.exact.Rational(0))
@@ -1277,7 +1277,7 @@ object SparkEntry {
         .parquet(s"$base/src")
       val withTs = src.withColumn(
         "event_time",
-        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+        date_trunc("second", col("ts").cast("timestamp")))
       val sinkName = s"graft_noisy_window_stream_$stamp"
       val q = graft.streaming.Streams
         .noisyWindowedCounts(withTs, "event_time", Seq("event_type"), "1 hour",
@@ -1396,11 +1396,10 @@ object SparkEntry {
       val e = t(s, dir, "events").select("user_id", "event_type", "ts")
       graft.streaming.Streams
         .dedupStream(e.unionByName(e), "ts", Seq("user_id", "event_type"))
-        // dedup runs on full nanosecond timestamps; the comparison column is
-        // truncated to microseconds because DuckDB reads TIMESTAMP(NANOS)
-        // parquet at microsecond precision
+        // dedup runs on the native µs timestamps; the comparison column is
+        // epoch micros, the exact stored precision on both engines
         .select(col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us"))
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
     },
     "q_interactive" -> { (s, dir) =>
       // end-to-end PrivacyAccountant session on the ∞-budget deterministic

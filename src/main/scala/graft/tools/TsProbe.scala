@@ -19,7 +19,6 @@ object TsProbe {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
