@@ -1444,6 +1444,60 @@ object SparkEntry {
       featured
         .filter(size(col("features")) === 4)
         .select(col("asset_id"), col("metadata.n_bytes").as("n_bytes"))
+    },
+    "q_cdc_apply" -> { (s, dir) =>
+      // CDC post-image: the customer snapshot under an orders-derived
+      // changelog (seq = o_orderkey, unique per key by construction;
+      // F→update, O→insert, P→delete); payloads in integer cents
+      val snap = t(s, dir, "customer").select(
+        col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("bal_c"),
+        col("c_mktsegment").as("seg"))
+      val chg = t(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "F", "U")
+          .when(col("o_orderstatus") === "O", "I")
+          .otherwise("D").as("op"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("bal_c"),
+        col("o_orderpriority").as("seg"))
+      graft.ops.Incremental.applyChangelog(
+        snap, chg, Seq("c_custkey"), "seq", "op", Seq("bal_c", "seg"))
+    },
+    "q_incr_agg" -> { (s, dir) =>
+      // incremental view maintenance: fold the odd-orderkey half of orders
+      // into the even half's saved aggregate states — must equal the
+      // from-scratch GROUP BY over all of orders (integer-cents sums)
+      val o = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("v"))
+      val base = graft.ops.Incremental.aggStates(
+        o.filter(col("o_orderkey") % 2 === 0), Seq("o_custkey"), "v")
+      graft.ops.Incremental
+        .mergeAggStates(base,
+          o.filter(col("o_orderkey") % 2 =!= 0), Seq("o_custkey"), "v")
+        .select(col("o_custkey"), col("cnt"), col("sum").as("sum_v"),
+          col("min").as("min_v"), col("max").as("max_v"))
+    },
+    "q_bloom_semijoin" -> { (s, dir) =>
+      // Bloom-pruned semi join: lineitem rows of high-value orders; must
+      // be bit-identical to the plain IN-subquery (FPs removed exactly)
+      val hi = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_orderkey").as("hk"))
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      graft.ops.BloomJoin.semiJoin(li, hi, "l_orderkey", "hk",
+        expectedItems = 100000L)
+    },
+    "q_bloom_anti" -> { (s, dir) =>
+      // Bloom-routed anti join: definite misses bypass the join on the
+      // narrow path; must equal the plain NOT-IN over the same keys
+      val hi = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_orderkey").as("hk"))
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      graft.ops.BloomJoin.antiJoin(li, hi, "l_orderkey", "hk",
+        expectedItems = 100000L)
     }
   )
 
@@ -3164,6 +3218,45 @@ object SparkEntry {
         |)
         |SELECT l_returnflag,
         |  round(1.0 + (bin + (0.5*(n-1) - cumb)/c) * (49.0/64), 6) AS median
-        |FROM agg WHERE cumb <= 0.5*(n-1) AND 0.5*(n-1) < cumb + c""".stripMargin
+        |FROM agg WHERE cumb <= 0.5*(n-1) AND 0.5*(n-1) < cumb + c""".stripMargin,
+    // q_cdc_apply: arg_max replays the per-key latest change (seq =
+    // o_orderkey is unique per key, so every arg_max picks the same row)
+    "q_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT o_custkey AS k, o_orderkey AS seq,
+        |    CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I'
+        |      ELSE 'D' END AS op,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS bal_c,
+        |    o_orderpriority AS seg
+        |  FROM orders
+        |), latest AS (
+        |  SELECT k, arg_max(op, seq) AS op, arg_max(bal_c, seq) AS bal_c,
+        |    arg_max(seg, seq) AS seg
+        |  FROM chg GROUP BY k
+        |), snap AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c,
+        |    c_mktsegment AS seg
+        |  FROM customer
+        |)
+        |SELECT COALESCE(s.c_custkey, l.k) AS c_custkey,
+        |  CASE WHEN l.k IS NOT NULL THEN l.bal_c ELSE s.bal_c END AS bal_c,
+        |  CASE WHEN l.k IS NOT NULL THEN l.seg ELSE s.seg END AS seg
+        |FROM snap s FULL OUTER JOIN latest l ON s.c_custkey = l.k
+        |WHERE l.k IS NULL OR l.op <> 'D'""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT o_custkey, count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_v,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM (SELECT o_custkey,
+        |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        |      FROM orders)
+        |GROUP BY o_custkey""".stripMargin,
+    "q_bloom_semijoin" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)""".stripMargin,
+    "q_bloom_anti" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)""".stripMargin
   )
 }

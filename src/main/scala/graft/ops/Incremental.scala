@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Incremental maintenance of snapshots and aggregates — the operators
+  * that keep a 100 TB corpus refresh from rescanning the corpus. Both
+  * follow the delta-maintenance discipline of the reference's
+  * re-execution-free pipelines (cf. reference `docs/source/tutorials`
+  * incremental-session guidance): the big input appears in exactly one
+  * shuffle, and the carried state is keys-sized, never corpus-sized.
+  */
+object Incremental {
+
+  /** Apply a CDC changelog to a keyed snapshot.
+    *
+    * `changes` carries one row per change event: the key columns, a
+    * monotonically increasing `seqCol` (commit LSN / offset; `(keys, seq)`
+    * must be unique — the usual changelog contract — otherwise which tied
+    * change wins is unspecified), an `opCol` in {"I","U","D"}
+    * (insert / update / delete; I and U are both upserts), and the new
+    * payload values. The result is the post-image: snapshot rows with no
+    * change survive unchanged, the latest I/U per key upserts its payload,
+    * and keys whose latest change is D disappear (a D on an absent key is
+    * a no-op).
+    *
+    * Physical shape: the changelog collapses to its per-key latest row
+    * with one `max_by(struct(op, payload), seq)` hash aggregate (map-side
+    * partial combine bounds the shuffle by distinct keys, not change
+    * volume), then one full-outer join against the snapshot on the keys.
+    * The snapshot — the 100 TB side — is touched by exactly that one
+    * join; no windows, no sorts.
+    */
+  def applyChangelog(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    require(
+      (keyCols ++ payloadCols).toSet.subsetOf(snapshot.columns.toSet),
+      "snapshot must carry every key and payload column")
+    val latest = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct(col(opCol).as("op") +: payloadCols.map(col): _*),
+        col(seqCol)).as("__chg"))
+    val keyEq = keyCols
+      .map(k => snapshot(k) <=> latest(k))
+      .reduce(_ && _)
+    val joined = snapshot.join(latest, keyEq, "full_outer")
+    val hasChange = latest(keyCols.head).isNotNull ||
+      col("__chg").isNotNull
+    val deleted = hasChange && col("__chg.op") === "D"
+    val outKeys = keyCols.map(k =>
+      coalesce(snapshot(k), latest(k)).as(k))
+    val outPayload = payloadCols.map(p =>
+      when(col("__chg").isNotNull, col(s"__chg.$p"))
+        .otherwise(snapshot(p)).as(p))
+    joined
+      .filter(!coalesce(deleted, lit(false)))
+      .select(outKeys ++ outPayload: _*)
+  }
+
+  /** Build the mergeable aggregate state of `valueCol` per key:
+    * `(keys..., cnt, sum, min, max)`. `sum` is exact integer arithmetic —
+    * pass an integral column (scale doubles to cents first) so re-merging
+    * is replayable in any order. One hash-aggregate pass. */
+  def aggStates(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val v = col(valueCol).cast(LongType)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(v).as("cnt"),
+        sum(v).as("sum"),
+        min(v).as("min"),
+        max(v).as("max"))
+  }
+
+  /** Fold a batch of new raw rows into an existing aggregate state without
+    * touching the rows the state already summarizes: the classic
+    * self-maintainable-view update for the distributive aggregates
+    * (count/sum/min/max — Gray et al., "Data Cube", ICDE'96 taxonomy).
+    * `base` is a previous [[aggStates]] output; `delta` is raw. The result
+    * equals `aggStates(old rows ∪ delta)` exactly (integer sums), at the
+    * cost of one shuffle of `delta`'s partial states plus the keys-sized
+    * `base` — the corpus that produced `base` is not read at all.
+    */
+  def mergeAggStates(
+      base: DataFrame,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val expected = keyCols ++ Seq("cnt", "sum", "min", "max")
+    require(
+      expected.toSet.subsetOf(base.columns.toSet),
+      s"base must be an aggStates output carrying ${expected.mkString(",")}")
+    aggStates(delta, keyCols, valueCol)
+      .unionByName(base.select(expected.map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum")).as("sum"),
+        min(col("min")).as("min"),
+        max(col("max")).as("max"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.{BloomJoin, Incremental}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+class IncrementalSpec extends SharedSpark {
+
+  private def snapshot = df(
+    "k BIGINT, v BIGINT, w STRING",
+    Seq(Row(1L, 10L, "a"), Row(2L, 20L, "b"), Row(3L, 30L, "c")))
+
+  // per key 2: two changes out of order — seq 7 (U, 25) must win over
+  // seq 5 (U, 22); key 3 deleted; key 4 inserted; key 9 deleted while
+  // absent (no-op)
+  private def changes = df(
+    "k BIGINT, seq BIGINT, op STRING, v BIGINT, w STRING",
+    Seq(
+      Row(2L, 5L, "U", 22L, "b5"),
+      Row(2L, 7L, "U", 25L, "b7"),
+      Row(3L, 6L, "D", null, null),
+      Row(4L, 1L, "I", 40L, "d"),
+      Row(9L, 2L, "D", null, null)))
+
+  test("applyChangelog upserts the latest change, deletes, and keeps the rest") {
+    val out = Incremental.applyChangelog(
+      snapshot, changes, Seq("k"), "seq", "op", Seq("v", "w"))
+    assertSameRows(out, df(
+      "k BIGINT, v BIGINT, w STRING",
+      Seq(Row(1L, 10L, "a"), Row(2L, 25L, "b7"), Row(4L, 40L, "d"))))
+  }
+
+  test("applyChangelog with an empty changelog is the identity") {
+    val out = Incremental.applyChangelog(
+      snapshot, changes.limit(0), Seq("k"), "seq", "op", Seq("v", "w"))
+    assertSameRows(out, snapshot)
+  }
+
+  test("a re-inserted key after delete takes the later change") {
+    val c = df(
+      "k BIGINT, seq BIGINT, op STRING, v BIGINT, w STRING",
+      Seq(Row(3L, 6L, "D", null, null), Row(3L, 8L, "I", 33L, "c8")))
+    val out = Incremental.applyChangelog(
+      snapshot, c, Seq("k"), "seq", "op", Seq("v", "w"))
+    assert(out.filter(col("k") === 3L && col("v") === 33L).count() == 1)
+  }
+
+  test("mergeAggStates equals a from-scratch aggregation of all rows") {
+    val old = df("g STRING, x BIGINT",
+      Seq(Row("a", 1L), Row("a", 5L), Row("b", -2L)))
+    val delta = df("g STRING, x BIGINT",
+      Seq(Row("a", 7L), Row("c", 4L), Row("b", 0L)))
+    val merged = Incremental.mergeAggStates(
+      Incremental.aggStates(old, Seq("g"), "x"), delta, Seq("g"), "x")
+    assertSameRows(merged,
+      Incremental.aggStates(old.unionByName(delta), Seq("g"), "x"))
+  }
+
+  private lazy val leftRows = df("lk BIGINT, payload STRING",
+    (1L to 200L).map(i => Row(i, s"p$i")) :+ Row(null, "pnull"))
+  private lazy val rightRows = df("rk BIGINT",
+    Seq(Row(3L), Row(50L), Row(199L), Row(999L), Row(null)))
+
+  test("bloom semi join is bit-identical to the plain semi join") {
+    val out = BloomJoin.semiJoin(leftRows, rightRows, "lk", "rk",
+      expectedItems = 16)
+    val exact = leftRows.join(
+      rightRows, leftRows("lk") === rightRows("rk"), "left_semi")
+    assertSameRows(out, exact)
+    assert(out.count() == 3)
+  }
+
+  test("bloom anti join is bit-identical to the plain anti join, nulls kept") {
+    val out = BloomJoin.antiJoin(leftRows, rightRows, "lk", "rk",
+      expectedItems = 16)
+    val exact = leftRows.join(
+      rightRows, leftRows("lk") === rightRows("rk"), "left_anti")
+    assertSameRows(out, exact)
+    assert(out.filter(col("lk").isNull).count() == 1)
+  }
+
+  test("bloom filter probe admits every present key (no false negatives)") {
+    val bf = BloomJoin.buildFilter(rightRows, "rk", expectedItems = 16)
+    val present = rightRows.filter(col("rk").isNotNull)
+      .filter(BloomJoin.mightContain(bf, col("rk")))
+    assert(present.count() == 4)
+  }
+
+  test("driver testdata contract: events.ts is a microsecond TIMESTAMP_NTZ") {
+    // the round-7 driver regenerated events.parquet as timestamp[us] (it
+    // was int64 nanos before); every event-time entry derives epoch micros
+    // via unix_micros on the UTC-session cast, so a schema flip must fail
+    // HERE, not as 18 opaque driver-gate failures
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists)
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    assert(e.schema("ts").dataType == TimestampNTZType)
+    val us = e.select(unix_micros(col("ts").cast("timestamp")).as("us"))
+    assert(us.filter(col("us").isNull).count() == 0)
+  }
+}
