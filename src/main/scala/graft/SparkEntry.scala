@@ -1498,6 +1498,75 @@ object SparkEntry {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
       graft.ops.BloomJoin.antiJoin(li, hi, "l_orderkey", "hk",
         expectedItems = 100000L)
+    },
+    "q_zorder" -> { (s, dir) =>
+      // Morton key of the (partkey, suppkey) grid — the checkable core of
+      // the z-order clustering path (zOrder itself only re-arranges rows);
+      // modulo gridding keeps the oracle pure integer bit arithmetic
+      val li = t(s, dir, "lineitem")
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Layout.zValue(
+          Seq(col("l_partkey") % 1024, col("l_suppkey") % 1024),
+          bits = 10).as("zv"))
+    },
+    "q_equidepth" -> { (s, dir) =>
+      // 16 equi-depth price bands over orders; bin ids replay as pure
+      // integer rank arithmetic on the value histogram
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("v"))
+      graft.ops.Layout.equiDepthBins(o, "v", numBins = 16)
+        .select(col("o_orderkey"), col("bin"))
+    },
+    "q_interval_join_stream" -> { (s, dir) =>
+      // TRUE micro-batch stream-stream interval join: both sides stream
+      // the staged 8-file events directory 2 files per trigger and
+      // inner-join on (user_id, ±15 min). The staged files are NOT
+      // time-ordered, so the watermark is set beyond the staged span —
+      // arrival order then cannot age state out under a legitimate match,
+      // and the appended matches must equal the batch join bit-for-bit
+      // (the production path would keep the 30-minute default and rely on
+      // approximately ordered arrival).
+      import org.apache.spark.sql.streaming.Trigger
+      val stamp = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ssjoin_$stamp"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rmrf)
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(s"$base/chk"))
+      val srcDone = new java.io.File(s"$base/src/_SUCCESS")
+      if (!srcDone.isFile) {
+        rmrf(new java.io.File(s"$base/src"))
+        t(s, dir, "events").repartition(8).write.parquet(s"$base/src")
+      }
+      def src() = s.readStream
+        .schema(t(s, dir, "events").schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$base/src")
+        .withColumn("event_time",
+          date_trunc("second", col("ts").cast("timestamp")))
+      val l = src().select(col("user_id"), col("event_time").as("l_ts"),
+        col("event_id").as("l_id"))
+      val r = src().filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_time").as("r_ts"),
+          col("event_id").as("r_id"))
+      val sinkName = s"graft_ssjoin_sink_$stamp"
+      val q = graft.streaming.Streams
+        .intervalJoin(l, r, "l_ts", "r_ts", Seq("user_id"),
+          within = "15 minutes", watermark = "60 days")
+        .select(col("user_id"), col("l_id"), col("r_id"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sinkName)
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
     }
   )
 
@@ -3257,6 +3326,41 @@ object SparkEntry {
     "q_bloom_anti" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey NOT IN
-        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)""".stripMargin
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)""".stripMargin,
+    // q_zorder: bit i of column j lands at output bit i*2+j (partkey grid
+    // at j=0, suppkey grid at j=1)
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(generate_series(0, 9), i ->
+        |    ((((l_partkey % 1024) >> i) & 1) << (2*i)) +
+        |    ((((l_suppkey % 1024) >> i) & 1) << (2*i + 1))))
+        |  AS BIGINT) AS zv
+        |FROM lineitem""".stripMargin,
+    "q_equidepth" ->
+      """WITH v AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        |  FROM orders
+        |), h AS (
+        |  SELECT v, count(*) AS c FROM v GROUP BY v
+        |), b AS (
+        |  SELECT v, CAST(
+        |    ((sum(c) OVER (ORDER BY v) - c) * 16) //
+        |      (SELECT count(*) FROM v) AS BIGINT) AS bin
+        |  FROM h
+        |)
+        |SELECT o_orderkey, bin FROM v JOIN b USING (v)""".stripMargin,
+    // q_interval_join_stream: the drained micro-batch join must converge
+    // to exactly the batch interval join
+    "q_interval_join_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS t, event_id, event_type
+        |  FROM events
+        |)
+        |SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id
+        |FROM e l JOIN e r
+        |  ON l.user_id = r.user_id AND r.event_type = 'purchase'
+        | AND r.t >= l.t - INTERVAL '15 minutes'
+        | AND r.t <= l.t + INTERVAL '15 minutes'""".stripMargin
   )
 }
