@@ -1567,6 +1567,27 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(sinkName)
+    },
+    "q_scd2_snapshot" -> { (s, dir) =>
+      // time-travel: the SCD2 history of q_scd2 reconstructed as of
+      // 2024-01-16T00:00:00Z — equals the per-user latest band at that
+      // instant replayed directly from the events
+      val e = t(s, dir, "events")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tsu"),
+          expr("CAST(round(value * 100, 0) AS BIGINT) div 10000").as("band"))
+      val hist = graft.ops.TimeSeries.buildHistory(
+        e, "user_id", "tsu", Seq("band"))
+      graft.ops.TimeSeries.snapshotAt(hist, lit(1705363200000000L))
+    },
+    "q_sample_weighted" -> { (s, dir) =>
+      // 500 documents drawn without replacement with probability
+      // proportional to length (A-ES keys from the portable 60-bit hash);
+      // the keep-set replays bit-for-bit from (salt, doc_id, n_chars)
+      graft.ops.Dedup
+        .sampleByWeightPortable(
+          t(s, dir, "documents"), "doc_id", "n_chars", k = 500, salt = 7L)
+        .select(col("doc_id"), col("source"))
     }
   )
 
@@ -3350,6 +3371,29 @@ object SparkEntry {
         |  FROM h
         |)
         |SELECT o_orderkey, bin FROM v JOIN b USING (v)""".stripMargin,
+    // q_scd2_snapshot: the history row covering T is the per-user latest
+    // band at or before T, replayed directly from the events
+    "q_scd2_snapshot" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+        |    CAST(round(value * 100, 0) AS BIGINT) // 10000 AS band
+        |  FROM events
+        |)
+        |SELECT user_id, arg_max(band, tsu) AS band
+        |FROM o WHERE tsu <= 1705363200000000
+        |GROUP BY user_id""".stripMargin,
+    // q_sample_weighted: A-ES keys from the identical 60-bit SHA-256
+    // integer; the k-th/k+1-th key gap is a continuous-hash guard band,
+    // so a 1-ulp ln() difference cannot flip membership
+    "q_sample_weighted" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(sha256('7|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+        |    n_chars
+        |  FROM documents
+        |)
+        |ORDER BY -ln((h + 0.5) / 1152921504606846976.0) / n_chars, doc_id
+        |LIMIT 500""".stripMargin,
     // q_interval_join_stream: the drained micro-batch join must converge
     // to exactly the batch interval join
     "q_interval_join_stream" ->

@@ -81,6 +81,37 @@ object Dedup {
     df.filter(pmod(h, lit(den.toLong)) < num)
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws the exponential key
+    * `-ln(u) / w` from the portable hash of its id
+    * (`u = (sha60(id) + 0.5) / 2^60`) and the `k` smallest keys win —
+    * inclusion probability proportional to `weightCol` at every prefix,
+    * and the whole sample replays from `(salt, id, weight)` alone, in any
+    * engine. Weights must be strictly positive.
+    *
+    * Scale shape: the key is a narrow codegen'd expression and the
+    * `orderBy(key).limit(k)` plans as TakeOrderedAndProject — per-task
+    * top-k heaps, one k-row merge at the driver, no global sort. Ties
+    * cannot occur (distinct hashes give distinct keys), so the result is
+    * a deterministic set.
+    */
+  def sampleByWeightPortable(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      salt: Long = 0L
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (portableHash(col(keyCol), salt).cast("double") + lit(0.5)) /
+      lit(math.pow(2, 60))
+    val key = -log(u) / col(weightCol).cast("double")
+    df.withColumn("__wkey", key)
+      .orderBy(col("__wkey"), col(keyCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Exact-size deterministic sample per group: ranks each group's rows by
     * the portable SHA-256-prefix hash of `keyCol` (hash ties broken by the
     * key itself) and keeps the first `k` — the fixed-budget counterpart of

@@ -675,4 +675,16 @@ object TimeSeries {
             col("__next_from").as("valid_to"),
             col("__next_from").isNull.as("is_current")): _*)
   }
+
+  /** Time-travel over a [[buildHistory]] result: the table as of `ts`
+    * (each id's row whose `[valid_from, valid_to)` interval covers `ts`;
+    * ids first seen after `ts` are absent). A narrow filter — on a
+    * `valid_from`-partitioned or z-ordered history the scan prunes to the
+    * files whose interval stats straddle `ts`, so reconstructing an old
+    * training snapshot never reads the full history. */
+  def snapshotAt(history: DataFrame, ts: Column): DataFrame =
+    history
+      .filter(col("valid_from") <= ts &&
+        (col("valid_to").isNull || ts < col("valid_to")))
+      .drop("valid_from", "valid_to", "is_current")
 }

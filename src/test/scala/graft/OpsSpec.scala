@@ -858,6 +858,31 @@ class OpsSpec extends SharedSpark {
       4L -> "unchanged", 5L -> "added", 6L -> "changed", 7L -> "unchanged"))
   }
 
+  test("sampleByWeightPortable is deterministic and weight-proportional") {
+    // ids 1..400 with weight 1, ids 401..500 with weight 50: the heavy
+    // 20% should dominate a k=100 A-ES sample (E[heavy] ≈ 95)
+    val d = df("id BIGINT, w BIGINT",
+      (1L to 400L).map(Row(_, 1L)) ++ (401L to 500L).map(Row(_, 50L)))
+    val s1 = Dedup.sampleByWeightPortable(d, "id", "w", k = 100, salt = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == 100)
+    val heavy = s1.count(_ > 400L)
+    assert(heavy >= 80, s"expected the heavy ids to dominate, got $heavy")
+    // replayable: same (salt, id, weight) → same set, any partitioning
+    val s2 = Dedup.sampleByWeightPortable(
+      d.repartition(7), "id", "w", k = 100, salt = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // a different salt draws a different set
+    val s3 = Dedup.sampleByWeightPortable(d, "id", "w", k = 100, salt = 4L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 != s3)
+    // top-k plans as TakeOrderedAndProject, not a global sort
+    val plan = Dedup.sampleByWeightPortable(d, "id", "w", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("sampleKPerGroup keeps exactly k per group, nested across k") {
     val d = df("id BIGINT, g STRING",
       (1L to 60L).map(i => Row(i, s"g${i % 3}")))

@@ -446,6 +446,22 @@ class TimeSeriesSpec extends SharedSpark {
     assertSameRows(h, expected)
   }
 
+  test("snapshotAt reconstructs the table as of an instant") {
+    val obs = df("id BIGINT, t BIGINT, s STRING", Seq(
+      Row(1L, 10L, "a"), Row(1L, 30L, "b"), Row(1L, 50L, "a"),
+      Row(2L, 5L, "x"), Row(3L, 40L, "y")))
+    val h = TimeSeries.buildHistory(obs, "id", "t", Seq("s"))
+    // at t=35: id 1 is in its [30,50) "b" interval, id 3 not yet born
+    assertSameRows(
+      TimeSeries.snapshotAt(h, lit(35L)),
+      df("id BIGINT, s STRING", Seq(Row(1L, "b"), Row(2L, "x"))))
+    // at t=50 (boundary): the new interval owns its valid_from
+    assertSameRows(
+      TimeSeries.snapshotAt(h, lit(50L)),
+      df("id BIGINT, s STRING",
+        Seq(Row(1L, "a"), Row(2L, "x"), Row(3L, "y"))))
+  }
+
   test("buildHistory dedups equal (id, ts) observations deterministically") {
     // two conflicting observations at t=10 → the max value struct wins,
     // regardless of input order or partitioning
