@@ -1588,6 +1588,35 @@ object SparkEntry {
         .sampleByWeightPortable(
           t(s, dir, "documents"), "doc_id", "n_chars", k = 500, salt = 7L)
         .select(col("doc_id"), col("source"))
+    },
+    "q_novelty" -> { (s, dir) =>
+      // corpus-unique share of each doc's distinct 3-grams (novelty —
+      // the diversity dual of the duplication signals)
+      graft.ops.TextAnalysis.ngramNovelty(
+        t(s, dir, "documents"), "doc_id", "text", n = 3)
+    },
+    "q_clip_quantiles" -> { (s, dir) =>
+      // per-returnflag winsorization of price cents at the exact discrete
+      // [p5, p95] — boundaries are actual data values, so the clip
+      // replays exactly
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("v"))
+      graft.ops.Profile
+        .clipToQuantiles(li, Seq("l_returnflag"), "v", pLo = 0.05, pHi = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("v").as("v_clip"))
+    },
+    "q_quality_check" -> { (s, dir) =>
+      // five declarative constraints audited in ONE aggregation pass;
+      // maybe_pri plants real nulls so the null-budget check has teeth
+      val o = t(s, dir, "orders").withColumn("maybe_pri",
+        when(col("o_totalprice") >= 100000.0, col("o_orderpriority")))
+      graft.ops.Quality.check(o, Seq(
+        graft.ops.Quality.NotNull("o_custkey"),
+        graft.ops.Quality.Unique(Seq("o_orderkey")),
+        graft.ops.Quality.InRange("o_totalprice", 0.0, 600000.0),
+        graft.ops.Quality.AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        graft.ops.Quality.MaxNullFraction("maybe_pri", 0.25)))
     }
   )
 
@@ -3394,6 +3423,79 @@ object SparkEntry {
         |)
         |ORDER BY -ln((h + 0.5) / 1152921504606846976.0) / n_chars, doc_id
         |LIMIT 500""".stripMargin,
+    // q_novelty: identical tokenization to q_ngram_jaccard; a gram is
+    // novel iff its corpus doc-frequency is exactly 1
+    "q_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS gram
+        |  FROM t
+        |), dfreq AS (SELECT gram, count(*) AS c FROM sh GROUP BY 1),
+        |agg AS (
+        |  SELECT sh.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN dfreq.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS novel_grams
+        |  FROM sh JOIN dfreq USING (gram) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.novel_grams, 0) AS novel_grams,
+        |  round(CAST(a.novel_grams AS DOUBLE) / a.n_grams, 6) AS novelty
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // q_clip_quantiles: the p-boundary is the smallest value whose
+    // cumulative count reaches ceil(p*n) within its group
+    "q_clip_quantiles" ->
+      """WITH v AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+        |  FROM lineitem
+        |), h AS (
+        |  SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2
+        |), cw AS (
+        |  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM h
+        |), b AS (
+        |  SELECT g,
+        |    min(CASE WHEN cum >= ceil(0.05 * n) THEN v END) AS lo,
+        |    min(CASE WHEN cum >= ceil(0.95 * n) THEN v END) AS hi
+        |  FROM cw GROUP BY g
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  least(greatest(v.v, b.lo), b.hi) AS v_clip
+        |FROM v JOIN b USING (g)""".stripMargin,
+    "q_quality_check" ->
+      """WITH o AS (
+        |  SELECT *, CASE WHEN o_totalprice >= 100000.0
+        |    THEN o_orderpriority END AS maybe_pri FROM orders
+        |), m AS (
+        |  SELECT count(*) AS total,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
+        |    count(*) - count(DISTINCT o_orderkey) AS v1,
+        |    sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |      (o_totalprice < 0.0 OR o_totalprice > 600000.0)
+        |      THEN 1 ELSE 0 END) AS v2,
+        |    sum(CASE WHEN o_orderstatus IS NOT NULL AND
+        |      o_orderstatus NOT IN ('F', 'O', 'P')
+        |      THEN 1 ELSE 0 END) AS v3,
+        |    greatest(
+        |      sum(CASE WHEN maybe_pri IS NULL THEN 1 ELSE 0 END)
+        |        - floor(0.25 * count(*)), 0) AS v4
+        |  FROM o
+        |)
+        |SELECT 'not_null:o_custkey' AS check_name,
+        |  CAST(v0 AS BIGINT) AS violations, v0 = 0 AS passed FROM m
+        |UNION ALL SELECT 'unique:o_orderkey', CAST(v1 AS BIGINT), v1 = 0 FROM m
+        |UNION ALL SELECT 'in_range:o_totalprice', CAST(v2 AS BIGINT), v2 = 0 FROM m
+        |UNION ALL SELECT 'accepted:o_orderstatus', CAST(v3 AS BIGINT), v3 = 0 FROM m
+        |UNION ALL SELECT 'max_null_frac:maybe_pri', CAST(v4 AS BIGINT), v4 = 0 FROM m""".stripMargin,
     // q_interval_join_stream: the drained micro-batch join must converge
     // to exactly the batch interval join
     "q_interval_join_stream" ->

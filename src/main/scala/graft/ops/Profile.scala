@@ -148,4 +148,49 @@ object Profile {
       .select(explode(array(outPairs: _*)).as("__c"))
       .select("__c.*")
   }
+
+  /** Winsorize `valueCol` per group at the exact discrete
+    * `[pLo, pHi]` quantiles: the boundary for p is the smallest value
+    * whose cumulative count reaches `ceil(p·n)` — always an actual data
+    * value, so the clip replays exactly on any engine (no interpolation
+    * arithmetic to disagree about). Null values pass through unclipped.
+    *
+    * Shape: one hash aggregate collapses the input to its per-group value
+    * histogram, a group-partitioned window walks each group's DISTINCT
+    * values (state bounded by distinct values per group, never rows), and
+    * the two boundaries join back onto the input — AQE broadcasts the
+    * per-group bounds. The full input is touched twice (histogram +
+    * clip), both times embarrassingly parallel.
+    */
+  def clipToQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pLo: Double,
+      pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo <= pHi && pHi <= 1, "need 0 <= pLo <= pHi <= 1")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val hist = df
+      .filter(v.isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(v)
+    val cw = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(v)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val bounds = cw
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(col("__cum") >= ceil(lit(pLo) * col("__n")), v)).as("__lo"),
+        min(when(col("__cum") >= ceil(lit(pHi) * col("__n")), v)).as("__hi"))
+    df.join(bounds, groupCols, "left")
+      .withColumn(valueCol,
+        when(v.isNull, v).otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
 }

@@ -600,4 +600,43 @@ object TextAnalysis {
           .cast("double") / col("__total").cast("double"))
       .select("rank", "token", "n_occ", "n_docs", "cum_frac")
   }
+
+  /** Per-document n-gram novelty: the share of each document's distinct
+    * word n-grams that occur in NO other document —
+    * `(idCol, n_grams, novel_grams, novelty)`, novelty null for documents
+    * shorter than n tokens. A high score marks content the corpus has not
+    * seen elsewhere (diversity weighting, dedup triage); a near-zero
+    * score marks boilerplate reassembled from common phrases.
+    *
+    * Shape: distinct grams explode per doc (bounded by doc length), one
+    * shuffle builds the corpus gram→doc-frequency table, one shuffle
+    * aggregates back per doc — the inverted-index pattern of [[bm25TopK]];
+    * no pairwise comparisons anywhere, so cost is linear in corpus grams.
+    */
+  def ngramNovelty(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams = df.select(
+      col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("__gram"))
+    val dfreq = grams.groupBy("__gram").agg(count(lit(1)).as("__df"))
+    val perDoc = grams
+      .join(dfreq, "__gram")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("novel_grams"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        round(col("novel_grams").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
 }

@@ -786,6 +786,57 @@ class OpsSpec extends SharedSpark {
     assert(out.toSeq == exp)
   }
 
+  test("clipToQuantiles winsorizes at exact discrete per-group boundaries") {
+    // group a: values 1..100 once each → p10 boundary = 10 (cum 10 >= 10),
+    // p90 boundary = 90; group b: constant → clip is the identity
+    val d = df("g STRING, v BIGINT",
+      (1L to 100L).map(Row("a", _)) ++ (1L to 20L).map(_ => Row("b", 7L)))
+    val out = Profile.clipToQuantiles(d, Seq("g"), "v", 0.10, 0.90)
+    val a = out.filter(col("g") === "a").select("v")
+      .collect().map(_.getLong(0))
+    assert(a.min == 10L && a.max == 90L)
+    assert(a.count(_ == 10L) == 10 && a.count(_ == 90L) == 11)
+    assert(out.filter(col("g") === "b").select("v")
+      .collect().map(_.getLong(0)).forall(_ == 7L))
+    // nulls pass through unclipped
+    val dn = df("g STRING, v BIGINT", Seq(Row("a", 1L), Row("a", null)))
+    assert(Profile.clipToQuantiles(dn, Seq("g"), "v", 0.1, 0.9)
+      .filter(col("v").isNull).count() == 1)
+  }
+
+  test("ngramNovelty scores corpus-unique grams and keeps short docs") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a b c d"),      // grams: "a b c", "b c d"
+      Row(2L, "a b c x"),      // shares "a b c" with doc 1
+      Row(3L, "zz yy")))       // too short for 3-grams
+    val out = TextAnalysis.ngramNovelty(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1) // "b c d" unique, "a b c" shared
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1)
+    assert(out(3L) == ((0L, 0L, None)))
+    assert(out(1L)._3.contains(0.5d))
+  }
+
+  test("Quality.check evaluates all constraints in one pass") {
+    val d = df("id BIGINT, s STRING, x DOUBLE", Seq(
+      Row(1L, "ok", 5.0), Row(1L, "ok", 50.0), Row(2L, null, -1.0),
+      Row(3L, "bad", null), Row(4L, "ok", 7.0)))
+    val out = Quality.check(d, Seq(
+      Quality.NotNull("s"),
+      Quality.Unique(Seq("id")),
+      Quality.InRange("x", 0.0, 10.0),
+      Quality.AcceptedValues("s", Seq("ok")),
+      Quality.MaxNullFraction("s", 0.5)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out("not_null:s") == ((1L, false)))
+    assert(out("unique:id") == ((1L, false)))    // id 1 twice
+    assert(out("in_range:x") == ((2L, false)))   // -1 and 50; null skipped
+    assert(out("accepted:s") == ((1L, false)))   // "bad"; null skipped
+    assert(out("max_null_frac:s") == ((0L, true))) // 1 null <= floor(0.5*5)
+  }
+
   test("Profile.describe reports exact per-column stats in long format") {
     val d = df("id BIGINT, name STRING, score DOUBLE", Seq(
       Row(1L, "b", 2.5), Row(2L, "a", null), Row(3L, null, 1.0),
