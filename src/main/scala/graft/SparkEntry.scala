@@ -1617,6 +1617,29 @@ object SparkEntry {
         graft.ops.Quality.InRange("o_totalprice", 0.0, 600000.0),
         graft.ops.Quality.AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
         graft.ops.Quality.MaxNullFraction("maybe_pri", 0.25)))
+    },
+    "q_pipeline_curate2" -> { (s, dir) =>
+      // second end-to-end curation chain, this time over the round-7
+      // layer: per-language length winsorization -> novelty scoring ->
+      // novelty-boosted weighted sampling. The A-ES weight is raw double
+      // arithmetic over exact integers (no rounding step), so every
+      // engine derives identical keys and the same 400 winners.
+      val d = t(s, dir, "documents")
+      val lenW = graft.ops.Profile.clipToQuantiles(
+        d.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        Seq("lang"), "n_chars", pLo = 0.05, pHi = 0.95)
+      val nov = graft.ops.TextAnalysis
+        .ngramNovelty(d, "doc_id", "text", n = 3)
+        .filter(col("n_grams") > 0)
+      val scored = lenW
+        .join(nov, Seq("doc_id"))
+        .withColumn("w",
+          col("n_chars").cast("double") *
+            (lit(1.0) +
+              col("novel_grams").cast("double") / col("n_grams")))
+      graft.ops.Dedup
+        .sampleByWeightPortable(scored, "doc_id", "w", k = 400, salt = 11L)
+        .select(col("doc_id"), col("lang"), col("source"))
     }
   )
 
@@ -3496,6 +3519,52 @@ object SparkEntry {
         |UNION ALL SELECT 'in_range:o_totalprice', CAST(v2 AS BIGINT), v2 = 0 FROM m
         |UNION ALL SELECT 'accepted:o_orderstatus', CAST(v3 AS BIGINT), v3 = 0 FROM m
         |UNION ALL SELECT 'max_null_frac:maybe_pri', CAST(v4 AS BIGINT), v4 = 0 FROM m""".stripMargin,
+    // q_pipeline_curate2: winsorized length × (1 + novelty) feeds the
+    // same portable A-ES order; DuckDB replays every stage
+    "q_pipeline_curate2" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+        |), cw AS (
+        |  SELECT lang, n_chars,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h
+        |), bnd AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum >= ceil(0.05 * n) THEN n_chars END) AS lo,
+        |    min(CASE WHEN cum >= ceil(0.95 * n) THEN n_chars END) AS hi
+        |  FROM cw GROUP BY lang
+        |), lw AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |    least(greatest(d.n_chars, bnd.lo), bnd.hi) AS n_clip
+        |  FROM documents d JOIN bnd USING (lang)
+        |), t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS gram
+        |  FROM t
+        |), dfreq AS (SELECT gram, count(*) AS c FROM sh GROUP BY 1),
+        |nov AS (
+        |  SELECT sh.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN dfreq.c = 1 THEN 1 ELSE 0 END) AS novel
+        |  FROM sh JOIN dfreq USING (gram) GROUP BY 1
+        |), scored AS (
+        |  SELECT lw.doc_id, lw.lang, lw.source,
+        |    CAST(lw.n_clip AS DOUBLE) *
+        |      (1.0 + CAST(nov.novel AS DOUBLE) / nov.n_grams) AS w,
+        |    ('0x' || substr(sha256('11|' || lw.doc_id::VARCHAR), 1, 15))::BIGINT
+        |      AS hsh
+        |  FROM lw JOIN nov USING (doc_id) WHERE nov.n_grams > 0
+        |)
+        |SELECT doc_id, lang, source FROM scored
+        |ORDER BY -ln((hsh + 0.5) / 1152921504606846976.0) / w, doc_id
+        |LIMIT 400""".stripMargin,
     // q_interval_join_stream: the drained micro-batch join must converge
     // to exactly the batch interval join
     "q_interval_join_stream" ->
