@@ -43,6 +43,26 @@ class LayoutSpec extends SharedSpark {
     assert(out.columns.toSeq == Seq("x", "y", "p"))
   }
 
+  test("zOrder partitions cover disjoint z-ranges (zone maps prune)") {
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L) yield Row(x, y)
+    val d = df("x BIGINT, y BIGINT", pts).repartition(8)
+    val out = Layout.zOrder(d, Seq(col("x"), col("y")), bits = 5,
+      numPartitions = 4)
+    // recompute each row's z and observe the per-partition [min,max]
+    // ranges: range partitioning on z makes them non-overlapping, which
+    // is exactly the property file-level min/max stats prune on
+    val ranges = out
+      .select(spark_partition_id().as("pid"),
+        Layout.zValue(Seq(col("x"), col("y")), bits = 5).as("z"))
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.nonEmpty)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 <= lo2
+      case _ => true
+    })
+  }
+
   test("equiDepthBins: bins are contiguous in value and balanced on distinct data") {
     val d = df("id BIGINT, v BIGINT", (1L to 160L).map(i => Row(i, 1000L - i)))
     val out = Layout.equiDepthBins(d, "v", numBins = 8)
