@@ -46,6 +46,19 @@ class IncrementalSpec extends SharedSpark {
     assert(out.filter(col("k") === 3L && col("v") === 33L).count() == 1)
   }
 
+  test("applyChangelog handles composite keys and null key parts") {
+    val snap = df("a BIGINT, b STRING, v BIGINT",
+      Seq(Row(1L, "x", 10L), Row(1L, null, 11L), Row(2L, "x", 20L)))
+    val c = df("a BIGINT, b STRING, seq BIGINT, op STRING, v BIGINT",
+      Seq(
+        Row(1L, null, 3L, "U", 99L),   // null-safe key match
+        Row(2L, "x", 4L, "D", null)))
+    val out = Incremental.applyChangelog(
+      snap, c, Seq("a", "b"), "seq", "op", Seq("v"))
+    assertSameRows(out, df("a BIGINT, b STRING, v BIGINT",
+      Seq(Row(1L, "x", 10L), Row(1L, null, 99L))))
+  }
+
   test("mergeAggStates equals a from-scratch aggregation of all rows") {
     val old = df("g STRING, x BIGINT",
       Seq(Row("a", 1L), Row("a", 5L), Row("b", -2L)))
