@@ -1253,8 +1253,13 @@ object SparkEntry {
       // the sink's final content is the full aggregation — identical to
       // the batch path and to the DuckDB oracle.
       import org.apache.spark.sql.streaming.Trigger
+      // the staging cache key covers the SOURCE SCHEMA too: a driver-side
+      // testdata regeneration that changes types (r7 flipped ts from
+      // int64 nanos to timestamp[us]) must invalidate the staged copy,
+      // not feed the new schema to old files
       val stamp = java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir))
+        scala.util.hashing.MurmurHash3.stringHash(
+          dir + "|" + t(s, dir, "events").schema.catalogString))
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$stamp"
       // The checkpoint is cleared EVERY run (a stale one would make a
       // restarted query skip the already-committed input files); the
@@ -1529,8 +1534,10 @@ object SparkEntry {
       // (the production path would keep the 30-minute default and rely on
       // approximately ordered arrival).
       import org.apache.spark.sql.streaming.Trigger
+      // schema-aware cache key — see q_noisy_window_stream
       val stamp = java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir))
+        scala.util.hashing.MurmurHash3.stringHash(
+          dir + "|" + t(s, dir, "events").schema.catalogString))
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ssjoin_$stamp"
       def rmrf(p: java.io.File): Unit = {
         if (p.isDirectory) p.listFiles().foreach(rmrf)

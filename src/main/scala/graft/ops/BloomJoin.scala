@@ -37,7 +37,10 @@ object BloomJoin {
 
   /** The serialized Bloom filter of `xxhash64(keyCol)` over `df` — usable
     * directly with [[mightContain]] against any other frame. Null keys
-    * hash to the xxhash64 seed and at worst cost one false positive. */
+    * hash to the xxhash64 seed and at worst cost one false positive.
+    * Returns null when `df` is empty (Spark's BloomFilterAggregate yields
+    * null at cardinality 0) — [[semiJoin]]/[[antiJoin]] fall back to the
+    * plain join in that case. */
   def buildFilter(
       df: DataFrame,
       keyCol: String,
@@ -71,8 +74,14 @@ object BloomJoin {
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
     val bf = buildFilter(right, rightKey, expectedItems, fpp)
-    val pruned = left.filter(mightContain(bf, col(leftKey)))
-    pruned.join(right, pruned(leftKey) === right(rightKey), "left_semi")
+    if (bf == null) {
+      // empty build side: nothing can match, but route through the real
+      // join so the result shape/semantics stay those of the plain join
+      left.join(right, left(leftKey) === right(rightKey), "left_semi")
+    } else {
+      val pruned = left.filter(mightContain(bf, col(leftKey)))
+      pruned.join(right, pruned(leftKey) === right(rightKey), "left_semi")
+    }
   }
 
   /** `left ANTI JOIN right` on `leftKey = rightKey` with Bloom routing:
@@ -89,11 +98,18 @@ object BloomJoin {
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
     val bf = buildFilter(right, rightKey, expectedItems, fpp)
-    val probe = mightContain(bf, col(leftKey))
-    val definiteMiss = left.filter(!probe || col(leftKey).isNull)
-    val maybe = left.filter(probe && col(leftKey).isNotNull)
-    val candidates =
-      maybe.join(right, maybe(leftKey) === right(rightKey), "left_anti")
-    definiteMiss.unionByName(candidates)
+    if (bf == null) {
+      // empty build side: an anti join keeps EVERY left row; probing a
+      // null filter would instead null out both branches and silently
+      // drop them all
+      left.join(right, left(leftKey) === right(rightKey), "left_anti")
+    } else {
+      val probe = mightContain(bf, col(leftKey))
+      val definiteMiss = left.filter(!probe || col(leftKey).isNull)
+      val maybe = left.filter(probe && col(leftKey).isNotNull)
+      val candidates =
+        maybe.join(right, maybe(leftKey) === right(rightKey), "left_anti")
+      definiteMiss.unionByName(candidates)
+    }
   }
 }

@@ -106,7 +106,11 @@ object Dedup {
     val u = (portableHash(col(keyCol), salt).cast("double") + lit(0.5)) /
       lit(math.pow(2, 60))
     val key = -log(u) / col(weightCol).cast("double")
-    df.withColumn("__wkey", key)
+    // non-positive/null weights would sort FIRST (null/negative keys) and
+    // silently fill the sample — exclude them so the positive-weight
+    // contract fails soft (row simply not sampled), never corrupts
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wkey", key)
       .orderBy(col("__wkey"), col(keyCol))
       .limit(k)
       .drop("__wkey")
@@ -407,7 +411,7 @@ object Dedup {
     * deserialization and plain string ops, ~5× faster than the nested
     * higher-order-function expression for long texts. Narrow (no shuffle).
     */
-  private def shingleRows(
+  private[ops] def shingleRows(
       df: DataFrame,
       idCol: String,
       textCol: String,

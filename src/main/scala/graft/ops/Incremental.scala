@@ -53,9 +53,8 @@ object Incremental {
       .map(k => snapshot(k) <=> latest(k))
       .reduce(_ && _)
     val joined = snapshot.join(latest, keyEq, "full_outer")
-    val hasChange = latest(keyCols.head).isNotNull ||
-      col("__chg").isNotNull
-    val deleted = hasChange && col("__chg.op") === "D"
+    // __chg is non-null exactly on rows a latest change matched
+    val deleted = col("__chg").isNotNull && col("__chg.op") === "D"
     val outKeys = keyCols.map(k =>
       coalesce(snapshot(k), latest(k)).as(k))
     val outPayload = payloadCols.map(p =>
@@ -78,7 +77,9 @@ object Incremental {
     val v = col(valueCol).cast(LongType)
     df.groupBy(keyCols.map(col): _*)
       .agg(
-        count(v).as("cnt"),
+        // row count, not non-null-value count — cnt must mean "rows this
+        // state summarizes" for the view-maintenance contract to hold
+        count(lit(1)).as("cnt"),
         sum(v).as("sum"),
         min(v).as("min"),
         max(v).as("max"))

@@ -188,9 +188,18 @@ object Profile {
       .agg(
         min(when(col("__cum") >= ceil(lit(pLo) * col("__n")), v)).as("__lo"),
         min(when(col("__cum") >= ceil(lit(pHi) * col("__n")), v)).as("__hi"))
-    df.join(bounds, groupCols, "left")
-      .withColumn(valueCol,
-        when(v.isNull, v).otherwise(least(greatest(v, col("__lo")), col("__hi"))))
-      .drop("__lo", "__hi")
+    // null-safe key match so a null group still meets its own bounds row
+    // (a plain equi-join would leave the whole null group unclipped);
+    // bounds keys are renamed first — groupBy preserves grouping exprIds,
+    // so joining back on the original names would be an ambiguous self-join
+    val boundsR = bounds.select(
+      groupCols.map(k => col(k).as(s"__bk_$k")) ++
+        Seq(col("__lo"), col("__hi")): _*)
+    val keyEq = groupCols.map(k => df(k) <=> boundsR(s"__bk_$k")).reduce(_ && _)
+    val clipped = when(df(valueCol).isNull, df(valueCol))
+      .otherwise(least(greatest(df(valueCol), col("__lo")), col("__hi")))
+    df.join(boundsR, keyEq, "left")
+      .select(df.columns.map(c =>
+        if (c == valueCol) clipped.as(valueCol) else df(c)): _*)
   }
 }

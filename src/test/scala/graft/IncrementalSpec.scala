@@ -93,6 +93,14 @@ class IncrementalSpec extends SharedSpark {
     assert(out.filter(col("lk").isNull).count() == 1)
   }
 
+  test("bloom joins fall back to the plain join on an empty build side") {
+    val empty = rightRows.filter(col("rk") === -1L)
+    // anti join against nothing keeps EVERY left row
+    assert(BloomJoin.antiJoin(leftRows, empty, "lk", "rk", 16).count()
+      == leftRows.count())
+    assert(BloomJoin.semiJoin(leftRows, empty, "lk", "rk", 16).count() == 0)
+  }
+
   test("bloom filter probe admits every present key (no false negatives)") {
     val bf = BloomJoin.buildFilter(rightRows, "rk", expectedItems = 16)
     val present = rightRows.filter(col("rk").isNotNull)

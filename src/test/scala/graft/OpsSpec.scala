@@ -802,6 +802,12 @@ class OpsSpec extends SharedSpark {
     val dn = df("g STRING, v BIGINT", Seq(Row("a", 1L), Row("a", null)))
     assert(Profile.clipToQuantiles(dn, Seq("g"), "v", 0.1, 0.9)
       .filter(col("v").isNull).count() == 1)
+    // a NULL group key is a group like any other (null-safe bounds join)
+    val gn = df("g STRING, v BIGINT",
+      (1L to 10L).map(i => Row(null, i)) :+ Row("a", 5L))
+    val gnOut = Profile.clipToQuantiles(gn, Seq("g"), "v", 0.2, 0.8)
+      .filter(col("g").isNull).select("v").collect().map(_.getLong(0))
+    assert(gnOut.min == 2L && gnOut.max == 8L)
   }
 
   test("ngramNovelty scores corpus-unique grams and keeps short docs") {
@@ -932,6 +938,12 @@ class OpsSpec extends SharedSpark {
     val plan = Dedup.sampleByWeightPortable(d, "id", "w", 100)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
+    // null/zero/negative weights are excluded, never sample-dominating
+    val bad = df("id BIGINT, w BIGINT",
+      Seq(Row(900L, null), Row(901L, 0L), Row(902L, -5L), Row(903L, 1L)))
+    val picked = Dedup.sampleByWeightPortable(bad, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked == Set(903L))
   }
 
   test("sampleKPerGroup keeps exactly k per group, nested across k") {
