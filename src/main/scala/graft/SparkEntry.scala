@@ -1647,6 +1647,23 @@ object SparkEntry {
       graft.ops.Dedup
         .sampleByWeightPortable(scored, "doc_id", "w", k = 400, salt = 11L)
         .select(col("doc_id"), col("lang"), col("source"))
+    },
+    "q_split_hash" -> { (s, dir) =>
+      // disjoint 80/10/10 train/val/test split, engine-replayable from
+      // (salt, doc_id); buckets partition the corpus by construction
+      graft.ops.Dedup
+        .splitByHash(t(s, dir, "documents"), "doc_id",
+          bps = Seq(8000, 1000, 1000))
+        .select(col("doc_id"), col("split"))
+    },
+    "q_rank_normalize" -> { (s, dir) =>
+      // percent_rank per returnflag from the value HISTOGRAM — the window
+      // walks 50 distinct quantities, never the 60k rows
+      val li = t(s, dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      graft.ops.Profile
+        .rankNormalize(li, Seq("l_returnflag"), "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"), col("pct"))
     }
   )
 
@@ -3572,6 +3589,22 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM scored
         |ORDER BY -ln((hsh + 0.5) / 1152921504606846976.0) / w, doc_id
         |LIMIT 400""".stripMargin,
+    "q_split_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < 8000 THEN 0 WHEN h < 9000 THEN 1 ELSE 2 END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(sha256('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |      % 10000 AS h
+        |  FROM documents
+        |)""".stripMargin,
+    // q_rank_normalize: the histogram rank equals SQL percent_rank (ties
+    // share their first row's rank)
+    "q_rank_normalize" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(percent_rank() OVER (
+        |    PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS pct
+        |FROM lineitem""".stripMargin,
     // q_interval_join_stream: the drained micro-batch join must converge
     // to exactly the batch interval join
     "q_interval_join_stream" ->

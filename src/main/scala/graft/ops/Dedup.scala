@@ -81,6 +81,32 @@ object Dedup {
     df.filter(pmod(h, lit(den.toLong)) < num)
   }
 
+  /** Deterministic disjoint train/val/test split: bucket i gets the rows
+    * whose portable hash lands in its basis-point range —
+    * `bps = Seq(8000, 1000, 1000)` is the usual 80/10/10. Adds an integer
+    * `split` column (0-based bucket index). Splitting by a document/user
+    * id keeps all of an entity's rows in ONE bucket, buckets never
+    * overlap by construction, and membership replays in any engine from
+    * `(salt, key)` alone (same SHA-256 recipe as [[sampleByHashPortable]]).
+    * Narrow, codegen'd, no shuffle. */
+  def splitByHash(
+      df: DataFrame,
+      keyCol: String,
+      bps: Seq[Int],
+      salt: Long = 0L,
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(bps.nonEmpty && bps.forall(_ > 0) && bps.sum == 10000,
+      s"bps must be positive and sum to 10000, got $bps")
+    val h = pmod(portableHash(col(keyCol), salt), lit(10000L))
+    val cums = bps.scanLeft(0)(_ + _).tail
+    val expr0: Column = cums.init.zipWithIndex.reverse.foldLeft(
+      lit(bps.size - 1)) { case (acc, (cum, i)) =>
+      when(h < cum, lit(i)).otherwise(acc)
+    }
+    df.withColumn(splitCol, expr0)
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis A-ES): each row draws the exponential key
     * `-ln(u) / w` from the portable hash of its id

@@ -149,6 +149,46 @@ object Profile {
       .select("__c.*")
   }
 
+  /** Percent-rank of `valueCol` within each group — SQL
+    * `percent_rank()` semantics ((rows strictly smaller) / (n − 1), ties
+    * share the rank of their first row, 0 for singleton groups) — WITHOUT
+    * a per-row window sort: the rank comes from the per-group value
+    * histogram, so the window walks DISTINCT values only and the full
+    * input is never sorted. The standard rank-gaussianization front half
+    * for feature columns. Null values get a null rank.
+    */
+  def rankNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String = "pct"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val hist = df
+      .filter(v.isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(v)
+    val ranked = hist
+      .withColumn("__cb", sum(col("__c")).over(w) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(v)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val pct = round(
+      col("__cb").cast(DoubleType) /
+        greatest(col("__n") - 1L, lit(1L)).cast(DoubleType), 6)
+    val keyed = ranked.select(
+      (groupCols :+ valueCol).map(k => col(k).as(s"__rk_$k")) :+
+        pct.as(outCol): _*)
+    val keyEq = (groupCols :+ valueCol)
+      .map(k => df(k) <=> keyed(s"__rk_$k"))
+      .reduce(_ && _)
+    df.join(keyed, keyEq, "left")
+      .select(df.columns.map(df(_)) :+ col(outCol): _*)
+  }
+
   /** Winsorize `valueCol` per group at the exact discrete
     * `[pLo, pHi]` quantiles: the boundary for p is the smallest value
     * whose cumulative count reaches `ceil(p·n)` — always an actual data

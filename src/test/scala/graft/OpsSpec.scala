@@ -946,6 +946,37 @@ class OpsSpec extends SharedSpark {
     assert(picked == Set(903L))
   }
 
+  test("splitByHash partitions rows into disjoint exhaustive buckets") {
+    val d = df("id BIGINT", (1L to 1000L).map(Row(_)))
+    val out = Dedup.splitByHash(d, "id", Seq(8000, 1000, 1000))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2))
+    assert(counts.values.sum == 1000L)
+    assert(counts(0) > 700L && counts(1) < 200L && counts(2) < 200L)
+    // deterministic and identical to the rate-based sampler's carve-outs:
+    // bucket 0 is exactly the num=8000/den=10000 keep set
+    val b0 = out.filter(col("split") === 0).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val rate = Dedup.sampleByHashPortable(d, "id", 8000, 10000)
+      .collect().map(_.getLong(0)).toSet
+    assert(b0 == rate)
+  }
+
+  test("rankNormalize matches percent_rank semantics without sorting rows") {
+    val d = df("g STRING, v BIGINT",
+      Seq(Row("a", 10L), Row("a", 20L), Row("a", 20L), Row("a", 30L),
+        Row("b", 5L), Row("a", null)))
+    val out = Profile.rankNormalize(d, Seq("g"), "v")
+    val got = out.collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // a: n=4 → ranks 0, 1/3 (tie), 1/3, 1; b singleton → 0; null → null
+    assert(got == Set(
+      ("a", Some(10L), Some(0.0)), ("a", Some(20L), Some(0.333333)),
+      ("a", Some(30L), Some(1.0)), ("b", Some(5L), Some(0.0)),
+      ("a", None, None)))
+  }
+
   test("sampleKPerGroup keeps exactly k per group, nested across k") {
     val d = df("id BIGINT, g STRING",
       (1L to 60L).map(i => Row(i, s"g${i % 3}")))
