@@ -1664,6 +1664,53 @@ object SparkEntry {
       graft.ops.Profile
         .rankNormalize(li, Seq("l_returnflag"), "l_quantity")
         .select(col("l_orderkey"), col("l_linenumber"), col("pct"))
+    },
+    "q_fd_check" -> { (s, dir) =>
+      // orders violating "an order has one supplier": the FD audit
+      // returns each violating lhs group with its distinct-rhs count
+      graft.ops.Quality.functionalDependencyViolations(
+        t(s, dir, "lineitem"), Seq("l_orderkey"), Seq("l_suppkey"))
+    },
+    "q_running_counts_stream" -> { (s, dir) =>
+      // TRUE micro-batch execution of the mapGroupsWithState running
+      // counter: 4 AvailableNow triggers over the staged source, update
+      // mode into a memory sink. Counts per key are monotone across
+      // triggers, so max(cnt) per key is the drained total — equal to the
+      // batch GROUP BY whatever the file arrival order.
+      import org.apache.spark.sql.streaming.Trigger
+      val stamp = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          dir + "|" + t(s, dir, "events").schema.catalogString))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_rcs_$stamp"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rmrf)
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(s"$base/chk"))
+      val srcDone = new java.io.File(s"$base/src/_SUCCESS")
+      if (!srcDone.isFile) {
+        rmrf(new java.io.File(s"$base/src"))
+        t(s, dir, "events").repartition(8).write.parquet(s"$base/src")
+      }
+      val src = s.readStream
+        .schema(t(s, dir, "events").schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$base/src")
+      val sinkName = s"graft_rcs_sink_$stamp"
+      val q = graft.streaming.Streams
+        .runningCounts(src, "event_type")
+        .toDF("event_type", "cnt")
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(sinkName)
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .groupBy("event_type")
+        .agg(max(col("cnt")).as("cnt"))
     }
   )
 
@@ -3605,6 +3652,16 @@ object SparkEntry {
         |  round(percent_rank() OVER (
         |    PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS pct
         |FROM lineitem""".stripMargin,
+    "q_fd_check" ->
+      """SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_rhs,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1
+        |HAVING count(DISTINCT l_suppkey) > 1""".stripMargin,
+    // q_running_counts_stream: the drained update-mode state must equal
+    // the batch GROUP BY
+    "q_running_counts_stream" ->
+      """SELECT event_type, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
     // q_interval_join_stream: the drained micro-batch join must converge
     // to exactly the batch interval join
     "q_interval_join_stream" ->

@@ -82,4 +82,22 @@ object Quality {
       .select(explode(array(out: _*)).as("__r"))
       .select("__r.*")
   }
+
+  /** Groups violating the functional dependency `lhs → rhs`: one row per
+    * lhs tuple that maps to more than one distinct rhs tuple, with the
+    * distinct-rhs and row counts. Empty result = the dependency holds.
+    * One hash aggregate on lhs (map-side combinable); no joins.
+    */
+  def functionalDependencyViolations(
+      df: DataFrame,
+      lhs: Seq[String],
+      rhs: Seq[String]): DataFrame = {
+    require(lhs.nonEmpty && rhs.nonEmpty, "lhs and rhs must be non-empty")
+    require(lhs.intersect(rhs).isEmpty, "lhs and rhs must be disjoint")
+    df.groupBy(lhs.map(col): _*)
+      .agg(
+        count_distinct(struct(rhs.map(col): _*)).as("n_rhs"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_rhs") > 1)
+  }
 }

@@ -843,6 +843,17 @@ class OpsSpec extends SharedSpark {
     assert(out("max_null_frac:s") == ((0L, true))) // 1 null <= floor(0.5*5)
   }
 
+  test("functionalDependencyViolations finds only multi-valued lhs groups") {
+    val d = df("a BIGINT, b STRING", Seq(
+      Row(1L, "x"), Row(1L, "x"), Row(2L, "x"), Row(2L, "y"),
+      Row(3L, null), Row(3L, "z")))
+    val out = Quality.functionalDependencyViolations(d, Seq("a"), Seq("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // key 1 maps to one rhs (holds); key 2 to two; key 3's null is a
+    // distinct struct value, so it violates too
+    assert(out == Map(2L -> ((2L, 2L)), 3L -> ((2L, 2L))))
+  }
+
   test("Profile.describe reports exact per-column stats in long format") {
     val d = df("id BIGINT, name STRING, score DOUBLE", Seq(
       Row(1L, "b", 2.5), Row(2L, "a", null), Row(3L, null, 1.0),
