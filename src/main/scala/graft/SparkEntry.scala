@@ -1671,6 +1671,21 @@ object SparkEntry {
       graft.ops.Quality.functionalDependencyViolations(
         t(s, dir, "lineitem"), Seq("l_orderkey"), Seq("l_suppkey"))
     },
+    "q_incr_distinct" -> { (s, dir) =>
+      // incremental distinct maintenance: union the two halves' HLL
+      // states; per-customer priority cardinality is <= 5, far inside the
+      // sketch's exact (coupon) regime, so the estimate IS the exact
+      // count and the DuckDB COUNT(DISTINCT) oracles it
+      val o = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+      val base = graft.ops.Incremental.distinctStates(
+        o.filter(col("o_orderkey") % 2 === 0),
+        Seq("o_custkey"), "o_orderpriority")
+      val merged = graft.ops.Incremental.mergeDistinctStates(
+        base, o.filter(col("o_orderkey") % 2 =!= 0),
+        Seq("o_custkey"), "o_orderpriority")
+      graft.ops.Incremental.estimateDistinct(merged, Seq("o_custkey"))
+    },
     "q_running_counts_stream" -> { (s, dir) =>
       // TRUE micro-batch execution of the mapGroupsWithState running
       // counter: 4 AvailableNow triggers over the staged source, update
@@ -3657,6 +3672,11 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1
         |HAVING count(DISTINCT l_suppkey) > 1""".stripMargin,
+    // q_incr_distinct: cardinalities <= 5 keep the HLL in its exact
+    // coupon regime, so the sketch union replays as plain COUNT(DISTINCT)
+    "q_incr_distinct" ->
+      """SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_distinct
+        |FROM orders GROUP BY 1""".stripMargin,
     // q_running_counts_stream: the drained update-mode state must equal
     // the batch GROUP BY
     "q_running_counts_stream" ->

@@ -85,6 +85,42 @@ object Incremental {
         max(v).as("max"))
   }
 
+  /** Mergeable distinct-count states per key: `(keys..., nd_sketch)` where
+    * the sketch is a DataSketches HLL binary. Below the sketch's coupon
+    * threshold (hundreds of values at the default lgK=12) the estimate is
+    * EXACT; beyond it the standard ~1.6% HLL error applies. Unlike
+    * `count_distinct`, states from disjoint batches union losslessly —
+    * the incremental counterpart of the exact [[aggStates]]. */
+  def distinctStates(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("nd_sketch"))
+  }
+
+  /** Fold a delta's distinct-count states into saved ones (sketch union —
+    * exact in coupon mode, never double-counts re-seen values). */
+  def mergeDistinctStates(
+      base: DataFrame,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      lgK: Int = 12): DataFrame =
+    distinctStates(delta, keyCols, valueCol, lgK)
+      .unionByName(base.select((keyCols :+ "nd_sketch").map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_union_agg(col("nd_sketch"), lit(true)).as("nd_sketch"))
+
+  /** Readout of [[distinctStates]]: `(keys..., n_distinct)`. */
+  def estimateDistinct(states: DataFrame, keyCols: Seq[String]): DataFrame =
+    states.select(
+      keyCols.map(col) :+
+        hll_sketch_estimate(col("nd_sketch"))
+          .cast(LongType).as("n_distinct"): _*)
+
   /** Fold a batch of new raw rows into an existing aggregate state without
     * touching the rows the state already summarizes: the classic
     * self-maintainable-view update for the distributive aggregates

@@ -59,6 +59,19 @@ class IncrementalSpec extends SharedSpark {
       Seq(Row(1L, "x", 10L), Row(1L, null, 99L))))
   }
 
+  test("distinct states union losslessly in the HLL coupon regime") {
+    val old = df("g STRING, v STRING",
+      Seq(Row("a", "x"), Row("a", "y"), Row("b", "x")))
+    // delta re-sees "x" in group a — the union must not double-count
+    val delta = df("g STRING, v STRING",
+      Seq(Row("a", "x"), Row("a", "z"), Row("c", "q")))
+    val merged = Incremental.mergeDistinctStates(
+      Incremental.distinctStates(old, Seq("g"), "v"), delta, Seq("g"), "v")
+    val got = Incremental.estimateDistinct(merged, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("mergeAggStates equals a from-scratch aggregation of all rows") {
     val old = df("g STRING, x BIGINT",
       Seq(Row("a", 1L), Row("a", 5L), Row("b", -2L)))
