@@ -1671,6 +1671,17 @@ object SparkEntry {
       graft.ops.Quality.functionalDependencyViolations(
         t(s, dir, "lineitem"), Seq("l_orderkey"), Seq("l_suppkey"))
     },
+    "q_quality_rows" -> { (s, dir) =>
+      // row-level invariants (cross-column Satisfies predicates) audited
+      // in the same one-pass harness; qty_cap_30 is deliberately violated
+      val li = t(s, dir, "lineitem")
+      graft.ops.Quality.check(li, Seq(
+        graft.ops.Quality.Satisfies("price_at_least_qty",
+          col("l_extendedprice") >= col("l_quantity")),
+        graft.ops.Quality.Satisfies("qty_cap_30", col("l_quantity") <= 30.0),
+        graft.ops.Quality.InRange("l_discount", 0.0, 0.1),
+        graft.ops.Quality.NotNull("l_shipdate")))
+    },
     "q_incr_distinct" -> { (s, dir) =>
       // incremental distinct maintenance: union the two halves' HLL
       // states; per-customer priority cardinality is <= 5, far inside the
@@ -3672,6 +3683,23 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1
         |HAVING count(DISTINCT l_suppkey) > 1""".stripMargin,
+    "q_quality_rows" ->
+      """WITH m AS (
+        |  SELECT
+        |    sum(CASE WHEN l_extendedprice >= l_quantity
+        |      THEN 0 ELSE 1 END) AS v0,
+        |    sum(CASE WHEN l_quantity <= 30.0 THEN 0 ELSE 1 END) AS v1,
+        |    sum(CASE WHEN l_discount IS NOT NULL AND
+        |      (l_discount < 0.0 OR l_discount > 0.1)
+        |      THEN 1 ELSE 0 END) AS v2,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v3
+        |  FROM lineitem
+        |)
+        |SELECT 'satisfies:price_at_least_qty' AS check_name,
+        |  CAST(v0 AS BIGINT) AS violations, v0 = 0 AS passed FROM m
+        |UNION ALL SELECT 'satisfies:qty_cap_30', CAST(v1 AS BIGINT), v1 = 0 FROM m
+        |UNION ALL SELECT 'in_range:l_discount', CAST(v2 AS BIGINT), v2 = 0 FROM m
+        |UNION ALL SELECT 'not_null:l_shipdate', CAST(v3 AS BIGINT), v3 = 0 FROM m""".stripMargin,
     // q_incr_distinct: cardinalities <= 5 keep the HLL in its exact
     // coupon regime, so the sketch union replays as plain COUNT(DISTINCT)
     "q_incr_distinct" ->

@@ -43,6 +43,15 @@ object Quality {
     val name = s"max_null_frac:$column"
   }
 
+  /** Every row must satisfy an arbitrary boolean expression (cross-column
+    * comparisons, arithmetic invariants). A row whose predicate evaluates
+    * to null counts as a violation — an invariant that cannot be
+    * established is not held. */
+  final case class Satisfies(label: String, predicate: Column)
+      extends Constraint {
+    val name = s"satisfies:$label"
+  }
+
   /** Evaluate every constraint in one pass:
     * `(check_name, violations, passed)` — one row per constraint, ordered
     * as declared. `violations` counts offending rows (for [[Unique]]: rows
@@ -68,6 +77,8 @@ object Quality {
           sum(when(col(col0).isNull, 1L).otherwise(0L)) -
             floor(lit(f) * total),
           lit(0L))
+      case Satisfies(_, pred) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
     }
     val aggs = constraints.zipWithIndex.map { case (c, i) =>
       coalesce(violations(c), lit(0L)).as(s"__v$i")

@@ -841,6 +841,11 @@ class OpsSpec extends SharedSpark {
     assert(out("in_range:x") == ((2L, false)))   // -1 and 50; null skipped
     assert(out("accepted:s") == ((1L, false)))   // "bad"; null skipped
     assert(out("max_null_frac:s") == ((0L, true))) // 1 null <= floor(0.5*5)
+    // Satisfies: a null predicate is a violation (invariant not held)
+    val sat = Quality.check(d, Seq(
+      Quality.Satisfies("x_lt_100", col("x") < 100.0)))
+      .collect().map(r => (r.getLong(1), r.getBoolean(2))).head
+    assert(sat == ((1L, false))) // the null-x row fails the invariant
   }
 
   test("functionalDependencyViolations finds only multi-valued lhs groups") {
