@@ -1671,6 +1671,22 @@ object SparkEntry {
       graft.ops.Quality.functionalDependencyViolations(
         t(s, dir, "lineitem"), Seq("l_orderkey"), Seq("l_suppkey"))
     },
+    "q_quality_by" -> { (s, dir) =>
+      // the per-source drift monitor: same one-pass audit, fanned out
+      graft.ops.Quality.checkBy(t(s, dir, "documents"), Seq("source"), Seq(
+        graft.ops.Quality.NotNull("text"),
+        graft.ops.Quality.Satisfies("text_nonempty", length(col("text")) > 0),
+        graft.ops.Quality.InRange("n_chars", 1.0, 100000.0),
+        graft.ops.Quality.Unique(Seq("doc_id"))))
+    },
+    "q_sample_weighted_group" -> { (s, dir) =>
+      // 100 weighted winners PER LANGUAGE (A-ES quota per group)
+      graft.ops.Dedup
+        .sampleByWeightPerGroup(
+          t(s, dir, "documents"), "doc_id", "n_chars", Seq("lang"),
+          k = 100, salt = 7L)
+        .select(col("doc_id"), col("lang"))
+    },
     "q_quality_rows" -> { (s, dir) =>
       // row-level invariants (cross-column Satisfies predicates) audited
       // in the same one-pass harness; qty_cap_30 is deliberately violated
@@ -3683,6 +3699,34 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1
         |HAVING count(DISTINCT l_suppkey) > 1""".stripMargin,
+    "q_quality_by" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v0,
+        |    sum(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END) AS v1,
+        |    sum(CASE WHEN n_chars IS NOT NULL AND
+        |      (n_chars < 1.0 OR n_chars > 100000.0) THEN 1 ELSE 0 END) AS v2,
+        |    count(*) - count(DISTINCT doc_id) AS v3
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT source, 'not_null:text' AS check_name,
+        |  CAST(v0 AS BIGINT) AS violations, v0 = 0 AS passed FROM m
+        |UNION ALL SELECT source, 'satisfies:text_nonempty',
+        |  CAST(v1 AS BIGINT), v1 = 0 FROM m
+        |UNION ALL SELECT source, 'in_range:n_chars',
+        |  CAST(v2 AS BIGINT), v2 = 0 FROM m
+        |UNION ALL SELECT source, 'unique:doc_id',
+        |  CAST(v3 AS BIGINT), v3 = 0 FROM m""".stripMargin,
+    "q_sample_weighted_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      -ln((('0x' || substr(sha256('7|' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |           + 0.5) / 1152921504606846976.0) / n_chars,
+        |      doc_id) AS rn
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |)
+        |WHERE rn <= 100""".stripMargin,
     "q_quality_rows" ->
       """WITH m AS (
         |  SELECT

@@ -142,6 +142,36 @@ object Dedup {
       .drop("__wkey")
   }
 
+  /** Per-group [[sampleByWeightPortable]]: k weighted winners per group —
+    * the fixed-budget quota whose inclusion odds follow `weightCol`
+    * inside each group (per-language corpora weighted by length or
+    * quality). Same A-ES keys, same engine-replayable contract; the
+    * rank-≤-k filter plans as a Partial WindowGroupLimit, so each task
+    * forwards at most k rows per group into the single exchange. */
+  def sampleByWeightPerGroup(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      groupCols: Seq[String],
+      k: Int,
+      salt: Long = 0L
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val u = (portableHash(col(keyCol), salt).cast("double") + lit(0.5)) /
+      lit(math.pow(2, 60))
+    val key = -log(u) / col(weightCol).cast("double")
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__wkey"), col(keyCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wkey", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__wkey", "__rn")
+  }
+
   /** Exact-size deterministic sample per group: ranks each group's rows by
     * the portable SHA-256-prefix hash of `keyCol` (hash ties broken by the
     * key itself) and keeps the first `k` — the fixed-budget counterpart of

@@ -58,10 +58,9 @@ object Quality {
     * beyond the first of each duplicated tuple; for [[MaxNullFraction]]:
     * nulls beyond the allowed budget).
     */
-  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
-    require(constraints.nonEmpty, "constraints must be non-empty")
+  private def violationsOf(c: Constraint): Column = {
     val total = count(lit(1))
-    def violations(c: Constraint): Column = c match {
+    c match {
       case NotNull(col0) =>
         sum(when(col(col0).isNull, 1L).otherwise(0L))
       case Unique(cols) =>
@@ -80,8 +79,12 @@ object Quality {
       case Satisfies(_, pred) =>
         sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
     }
+  }
+
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "constraints must be non-empty")
     val aggs = constraints.zipWithIndex.map { case (c, i) =>
-      coalesce(violations(c), lit(0L)).as(s"__v$i")
+      coalesce(violationsOf(c), lit(0L)).as(s"__v$i")
     }
     val out = constraints.zipWithIndex.map { case (c, i) =>
       struct(
@@ -92,6 +95,33 @@ object Quality {
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(out: _*)).as("__r"))
       .select("__r.*")
+  }
+
+  /** Per-group [[check]]: the same one-pass audit fanned out by
+    * `groupCols` — `(groupCols..., check_name, violations, passed)`, one
+    * row per (group, constraint). The per-source / per-language drift
+    * monitor: one hash aggregate regardless of constraint count, then a
+    * narrow explode. */
+  def checkBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      constraints: Seq[Constraint]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(constraints.nonEmpty, "constraints must be non-empty")
+    val aggs = constraints.zipWithIndex.map { case (c, i) =>
+      coalesce(violationsOf(c), lit(0L)).as(s"__v$i")
+    }
+    val out = constraints.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c.name).as("check_name"),
+        col(s"__v$i").as("violations"),
+        (col(s"__v$i") === 0L).as("passed"))
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) :+ explode(array(out: _*)).as("__r"): _*)
+      .select(groupCols.map(col) :+ col("__r.check_name") :+
+        col("__r.violations") :+ col("__r.passed"): _*)
   }
 
   /** Groups violating the functional dependency `lhs → rhs`: one row per

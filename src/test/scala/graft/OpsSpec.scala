@@ -848,6 +848,30 @@ class OpsSpec extends SharedSpark {
     assert(sat == ((1L, false))) // the null-x row fails the invariant
   }
 
+  test("checkBy fans the one-pass audit out per group") {
+    val d = df("src STRING, x BIGINT", Seq(
+      Row("a", 1L), Row("a", null), Row("b", 2L), Row("b", 3L)))
+    val out = Quality.checkBy(d, Seq("src"), Seq(Quality.NotNull("x")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out == Map("a" -> ((1L, false)), "b" -> ((0L, true))))
+  }
+
+  test("sampleByWeightPerGroup takes k per group, nested across k") {
+    val d = df("id BIGINT, g STRING, w BIGINT",
+      (1L to 90L).map(i => Row(i, s"g${i % 3}", 1L + i % 5)))
+    val k10 = Dedup.sampleByWeightPerGroup(d, "id", "w", Seq("g"), 10)
+    val counts = k10.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 10L) && counts.size == 3)
+    // nested: the k=5 quota is a prefix of the k=10 one
+    val k5 = Dedup.sampleByWeightPerGroup(d, "id", "w", Seq("g"), 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(k5.subsetOf(k10.collect().map(_.getLong(0)).toSet) && k5.size == 15)
+    // rank filter plans as a partial WindowGroupLimit
+    assert(k10.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("functionalDependencyViolations finds only multi-valued lhs groups") {
     val d = df("a BIGINT, b STRING", Seq(
       Row(1L, "x"), Row(1L, "x"), Row(2L, "x"), Row(2L, "y"),
