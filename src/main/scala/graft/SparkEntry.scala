@@ -1753,6 +1753,81 @@ object SparkEntry {
       s.table(sinkName)
         .groupBy("event_type")
         .agg(max(col("cnt")).as("cnt"))
+    },
+
+    // ---------- scale extensions: OLAP / warehouse reshaping ----------
+    "q_rollup" -> { (s, dir) =>
+      // region -> nation subtotal lattice in ONE Expand + hash aggregate;
+      // grouping_id disambiguates subtotal NULLs from data NULLs
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      graft.ops.Olap.rollupAgg(base, Seq("r_name", "n_name"),
+        Seq(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n_orders")))
+    },
+    "q_cube" -> { (s, dir) =>
+      graft.ops.Olap.cubeAgg(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n_orders")))
+    },
+    "q_pivot" -> { (s, dir) =>
+      // explicit value list => one conditional hash aggregate, no
+      // value-discovery scan
+      graft.ops.Olap.pivotAgg(t(s, dir, "orders"),
+        Seq("o_orderstatus"), "o_orderpriority",
+        values = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW"),
+        names = Seq("urgent", "high", "medium", "notspec", "low"),
+        agg = count(lit(1)))
+    },
+    "q_unpivot" -> { (s, dir) =>
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      graft.ops.Olap.unpivotLong(wide, Seq("l_returnflag"),
+        Seq("sum_qty", "sum_price"), "metric", "val")
+    },
+    "q_grouped_percentiles" -> { (s, dir) =>
+      // dyadic percentiles over integral quantities: interpolation
+      // arithmetic is exact in double, so the oracle matches bit-for-bit
+      graft.ops.Olap.percentilesByGroup(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_quantity"),
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+    },
+    "q_argmax" -> { (s, dir) =>
+      // deterministic arg-max: single hash aggregate, payload in the
+      // struct order breaks ties totally
+      graft.ops.Olap.argMax(t(s, dir, "customer"),
+        Seq("c_nationkey"), Seq(col("c_acctbal")),
+        Seq("c_custkey" -> col("c_custkey"),
+          "top_bal" -> col("c_acctbal")))
+    },
+    "q_string_agg" -> { (s, dir) =>
+      graft.ops.Olap.stringAgg(
+        t(s, dir, "nation").join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey")),
+        Seq("r_name"), col("n_name"), ",", "nations")
+    },
+    "q_histogram" -> { (s, dir) =>
+      // fixed-bound equal-width histogram: one pass, bins-row shuffle
+      graft.ops.Olap.histogramFixed(t(s, dir, "events"),
+        col("value"), 0.0, 500.0, 25)
+    },
+    "q_json_extract" -> { (s, dir) =>
+      // JSON property extraction stays inside codegen (get_json_object);
+      // no UDF, predicate-safe for pushdown on the outer columns
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
     }
   )
 
@@ -3765,6 +3840,69 @@ object SparkEntry {
         |FROM e l JOIN e r
         |  ON l.user_id = r.user_id AND r.event_type = 'purchase'
         | AND r.t >= l.t - INTERVAL '15 minutes'
-        | AND r.t <= l.t + INTERVAL '15 minutes'""".stripMargin
+        | AND r.t <= l.t + INTERVAL '15 minutes'""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total,
+        |  count(*) AS n_orders, GROUPING(r_name, n_name) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS n_orders,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+        |    AS notspec,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM w""".stripMargin,
+    // dyadic percentiles over integral l_quantity: quantile_cont's linear
+    // interpolation is exact in double, matching Spark's percentile
+    "q_grouped_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_argmax" ->
+      """SELECT c_nationkey, c_custkey, top_bal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal AS top_bal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |  FROM customer
+        |) WHERE rn = 1""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT bin, 0.0 + CAST(bin AS DOUBLE) * 20.0 AS bin_lo, n FROM (
+        |  SELECT CAST(least(greatest(floor((value - 0.0) / 20.0), 0.0),
+        |    24.0) AS BIGINT) AS bin, count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |)""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
