@@ -1828,6 +1828,46 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    },
+    "q_edit_join" -> { (s, dir) =>
+      // PassJoin segment-pigeonhole candidates over the DISTINCT
+      // vocabulary; the DuckDB oracle is the exact all-pairs filter
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+      graft.ops.Similarity.editDistanceJoin(
+        names.select(col("p_name").as("name_a")), "name_a",
+        names.select(col("p_name").as("name_b")), "name_b",
+        maxDist = 2)
+        .filter(col("name_a") < col("name_b"))
+    },
+    "q_pagerank" -> { (s, dir) =>
+      // symmetrized customer<->supplier interaction graph (no dangling
+      // mass); 3 damped iterations from uniform — deterministic, so the
+      // DuckDB CTE-chain oracle replays it exactly
+      val e0 = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      // roundDigits=9 snaps each iterate to a 1e-9 grid: contribution
+      // sums are order-dependent in their last ulps across engines, and
+      // the quantization (guard-band pinned in GraphSpec) makes the
+      // DuckDB replay bit-identical
+      graft.ops.Graph.pageRank(edges, iters = 3, damping = 0.85,
+        roundDigits = 9)
+    },
+    "q_graph_degrees" -> { (s, dir) =>
+      val e0 = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      graft.ops.Graph.degrees(e0)
     }
   )
 
@@ -3903,6 +3943,65 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS BIGINT) AS sum_k,
         |  count(*) AS n
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_edit_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // q_pagerank: constants written as the same double ops Spark executes
+    // ((1.0 - 0.85)/n, 1.0/n) so every iterate matches bit-for-bit
+    "q_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r
+        |       FROM nodes CROSS JOIN nn),
+        |r1 AS (SELECT nodes.id,
+        |         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c.c, CAST(0.0 AS DOUBLE)), 9) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN (
+        |         SELECT e.dst AS id, sum(p.r / d.outdeg) AS c
+        |         FROM edges e JOIN r0 p ON e.src = p.id
+        |         JOIN deg d ON d.src = e.src GROUP BY 1) c
+        |       ON nodes.id = c.id),
+        |r2 AS (SELECT nodes.id,
+        |         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c.c, CAST(0.0 AS DOUBLE)), 9) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN (
+        |         SELECT e.dst AS id, sum(p.r / d.outdeg) AS c
+        |         FROM edges e JOIN r1 p ON e.src = p.id
+        |         JOIN deg d ON d.src = e.src GROUP BY 1) c
+        |       ON nodes.id = c.id),
+        |r3 AS (SELECT nodes.id,
+        |         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c.c, CAST(0.0 AS DOUBLE)), 9) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN (
+        |         SELECT e.dst AS id, sum(p.r / d.outdeg) AS c
+        |         FROM edges e JOIN r2 p ON e.src = p.id
+        |         JOIN deg d ON d.src = e.src GROUP BY 1) c
+        |       ON nodes.id = c.id)
+        |SELECT id, r FROM r3""".stripMargin,
+    "q_graph_degrees" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |)
+        |SELECT coalesce(o.id, i.id) AS id,
+        |  coalesce(o.out_deg, 0) AS out_deg,
+        |  coalesce(i.in_deg, 0) AS in_deg
+        |FROM (SELECT src AS id, count(*) AS out_deg FROM e0 GROUP BY 1) o
+        |FULL OUTER JOIN
+        |  (SELECT dst AS id, count(*) AS in_deg FROM e0 GROUP BY 1) i
+        |ON o.id = i.id""".stripMargin
   )
 }

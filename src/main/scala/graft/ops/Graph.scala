@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph analytics over edge tables. Web-scale corpus curation ranks
+  * sources by link structure (Common Crawl releases harmonic-centrality /
+  * PageRank host rankings precisely for this); the same shapes serve
+  * user-item interaction graphs.
+  *
+  * Scale notes. Ranks and degrees are one row per node — tiny next to the
+  * edge table, which is the thing that must not be re-shuffled per
+  * iteration. Edges are therefore joined to the out-degree ONCE and
+  * persisted pre-partitioned on `src`; every iteration then shuffles only
+  * the rank table (nodes rows) into that layout, aggregates contributions
+  * map-side, and produces the next rank. Lineage is truncated by
+  * persisting each iterate and unpersisting its predecessor, so the plan
+  * does not grow with the iteration count.
+  */
+object Graph {
+
+  /** Fixed-iteration damped PageRank without dangling redistribution
+    * (nodes with no out-edges leak mass, as in the classic formulation;
+    * feed a symmetrized edge set if every node should retain mass).
+    *
+    * Input `edges` must have columns (`src`, `dst`); multi-edges count
+    * multiply. Returns (`id`, `r`) after `iters` rounds of
+    * r' = (1-d)/N + d * Σ_in r/outdeg from uniform initialization.
+    * Deterministic given the edge set.
+    *
+    * `roundDigits > 0` quantizes each iterate to that many decimal
+    * digits — the engine-replayable mode: per-node contribution sums are
+    * order-dependent in their last few ulps (~1e-17 here), so replaying
+    * the recurrence on another engine drifts unless every iterate is
+    * snapped to a grid much coarser than the drift. GraphSpec pins the
+    * guard band (every pre-round iterate sits far from a grid boundary).
+    *
+    * `initial` overrides the uniform start — single-iteration callers use
+    * it to step the recurrence explicitly (see the guard-band test).
+    */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      numPartitions: Int = 0,
+      roundDigits: Int = 0,
+      initial: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // one driver-side long — bounded by construction
+    // edge×degree joined once, laid out by src for every later rank join
+    val ed = e.join(deg, "src")
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = (1.0 - damping) / n
+    var rank = initial.getOrElse(nodes.withColumn("r", lit(1.0 / n)))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(rank, ed("src") === rank("id"))
+        .groupBy(ed("dst").as("id"))
+        .agg(sum(col("r") / col("outdeg")).as("c"))
+      val raw =
+        lit(teleport) + lit(damping) * coalesce(col("c"), lit(0.0))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (if (roundDigits > 0) round(raw, roundDigits) else raw).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count(): Unit // materialize before dropping the predecessor
+      if (prev != null) prev.unpersist()
+      prev = next
+      rank = next
+    }
+    rank
+  }
+
+  /** In/out degree profile per node — the first quality signal over a link
+    * graph (spam hosts are out-degree outliers). One aggregate per side,
+    * one outer merge on the (small) per-node results. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -592,4 +592,79 @@ object Similarity {
       .filter(col("__rk") <= k)
       .select("query_id", "neighbor_id", "qdot", "score")
   }
+
+  /** Edit-distance similarity join, PassJoin-style segment pigeonhole
+    * (Li, Deng, Feng 2011). Returns (`leftCol`, `rightCol`, `dist`) for
+    * every pair with `levenshtein <= maxDist`. Feed DISTINCT strings and
+    * re-attach ids afterwards — candidate volume then scales with the
+    * vocabulary, not the corpus.
+    *
+    * Pruning: each right string of length m splits into maxDist+1 even
+    * segments; by pigeonhole, any left string within distance τ contains
+    * at least one segment EXACTLY, starting within τ of the segment's
+    * home position. The left side emits the substrings at those
+    * positions for each candidate right length in [len-τ, len+τ]; the
+    * candidate join is an equi-join on (segment index, substring, right
+    * length) — selective keys, where a bare length band would shuffle
+    * whole length classes together. Left expansion is bounded by
+    * (τ+1)(2τ+1)²; candidates dedup on the pair before the exact verify,
+    * which uses Spark's banded `levenshtein(_, _, threshold)` (O(τ·n)
+    * per pair, not O(n²)). All codegen'd — no UDF anywhere.
+    */
+  def editDistanceJoin(
+      left: DataFrame,
+      leftCol: String,
+      right: DataFrame,
+      rightCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(leftCol != rightCol, "left and right column names must differ")
+    val tau = maxDist
+    val segs = tau + 1
+
+    // right: (i, seg, m) per segment of each string
+    val m = length(col(rightCol))
+    val base = (m / segs).cast("int")
+    val rem = (m % segs).cast("int")
+    val rightSegs = right
+      .select(col(rightCol))
+      .withColumn("__i", explode(sequence(lit(0), lit(tau))))
+      .withColumn("__m", m)
+      .withColumn("__seg",
+        col(rightCol).substr(
+          col("__i") * base + least(col("__i"), rem) + lit(1),
+          base + when(col("__i") < rem, 1).otherwise(0)))
+
+    // left: probe substrings for each candidate right length and segment
+    val llen = length(col(leftCol))
+    val probes = left
+      .select(col(leftCol))
+      .withColumn("__m",
+        explode(sequence(greatest(llen - tau, lit(0)), llen + tau)))
+      .withColumn("__i", explode(sequence(lit(0), lit(tau))))
+      .withColumn("__base", (col("__m") / segs).cast("int"))
+      .withColumn("__rem", (col("__m") % segs).cast("int"))
+      .withColumn("__slen",
+        col("__base") + when(col("__i") < col("__rem"), 1).otherwise(0))
+      .withColumn("__home",
+        col("__i") * col("__base") + least(col("__i"), col("__rem")))
+      .withColumn("__p",
+        explode(when(
+          least(col("__home") + tau, llen - col("__slen")) >=
+            greatest(col("__home") - tau, lit(0)),
+          sequence(greatest(col("__home") - tau, lit(0)),
+            least(col("__home") + tau, llen - col("__slen"))))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("__seg",
+        col(leftCol).substr(col("__p") + lit(1), col("__slen")))
+      .select(col(leftCol), col("__m"), col("__i"), col("__seg"))
+
+    probes
+      .join(rightSegs, Seq("__m", "__i", "__seg"))
+      .select(col(leftCol), col(rightCol))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col(leftCol), col(rightCol), tau).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= tau)
+  }
 }

@@ -1251,4 +1251,38 @@ class OpsSpec extends SharedSpark {
     assert(top.getString(1) == "a" && top.getLong(2) == 2L)
     assert(top.getDouble(4) == 2.0 / 3.0)
   }
+
+  test("editDistanceJoin finds all pairs within the threshold (vs brute)") {
+    val words = Seq("kitten", "sitten", "sitting", "mitten", "cat", "cart",
+      "care", "bare", "band", "bend", "", "a", "ab")
+    val l = df("w STRING", words.map(Row(_)))
+    val r = df("v STRING", words.map(Row(_)))
+    val got = Similarity.editDistanceJoin(l, "w", r, "v", maxDist = 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- words; b <- words
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b, dd.toLong)).toSet
+    assert(got == want)
+  }
+
+  test("editDistanceJoin candidate volume stays within the pigeonhole bound") {
+    // expansion per left string is at most (τ+1)(2τ+1)² probes; verify the
+    // join emits each qualifying pair exactly once (distinct-ed)
+    val l = df("w STRING", Seq(Row("aaaa")))
+    val r = df("v STRING", Seq(Row("aaab")))
+    val got = Similarity.editDistanceJoin(l, "w", r, "v", maxDist = 2)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(2) == 1L)
+  }
 }
