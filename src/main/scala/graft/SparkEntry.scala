@@ -1335,6 +1335,13 @@ object SparkEntry {
         shingleSize = 3, jaccardThreshold = 0.5, maxDocFreq = 20)
         .select("left_id", "right_id")
     },
+    "q_containment" -> { (s, dir) =>
+      // asymmetric quote/subset detection: a doc whose shingles are mostly
+      // inside another doc (containment scores are exact-integer divisions,
+      // so the doubles hash bit-for-bit across engines)
+      graft.ops.Dedup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id",
+        "text", shingleSize = 3, threshold = 0.4, maxDocFreq = 20)
+    },
     "q_dup_spans" -> { (s, dir) =>
       // exact substring-level dedup signal (Lee et al. 2022): merged token
       // ranges of every 8-token span occurring more than once in the corpus
@@ -3562,6 +3569,39 @@ object SparkEntry {
         |SELECT l AS left_id, r AS right_id FROM inter
         |JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
         |WHERE CAST(i AS DOUBLE) / (sl.n + sr.n - i) >= 0.5""".stripMargin,
+    // q_containment: same shingle space as q_ngram_jaccard (k=3, df ≤ 20);
+    // containment scores are single divisions of exact integers, so the
+    // DOUBLE outputs are bit-identical across engines (no ln/round).
+    "q_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS sh
+        |  FROM t
+        |), dfreq AS (SELECT sh, count(*) AS c FROM sh GROUP BY 1),
+        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.id AS l, b.id AS r
+        |  FROM sh a JOIN sh b USING (sh) JOIN dfreq USING (sh)
+        |  WHERE dfreq.c BETWEEN 2 AND 20 AND a.id < b.id GROUP BY 1, 2
+        |), inter AS (
+        |  SELECT c.l, c.r, count(*) AS i FROM cand c
+        |  JOIN sh x ON x.id = c.l JOIN sh y ON y.id = c.r AND y.sh = x.sh
+        |  GROUP BY 1, 2
+        |)
+        |SELECT l AS left_id, r AS right_id,
+        |  CAST(i AS DOUBLE) / sl.n AS contain_left,
+        |  CAST(i AS DOUBLE) / sr.n AS contain_right
+        |FROM inter
+        |JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
+        |WHERE greatest(CAST(i AS DOUBLE) / sl.n, CAST(i AS DOUBLE) / sr.n)
+        |      >= 0.4""".stripMargin,
     "q_prdp_transform" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(CAST(l_quantity AS DOUBLE), 6) AS log_t,

@@ -1124,6 +1124,61 @@ object Dedup {
       shingleSize: Int = 5,
       jaccardThreshold: Double = 0.8,
       maxDocFreq: Int = 100
+  ): DataFrame =
+    ngramPairStats(df, idCol, textCol, shingleSize, maxDocFreq,
+      prune = (imax, nl, nr) =>
+        imax.cast("double") / (nl + nr - imax) >= jaccardThreshold)
+      .withColumn(
+        "jaccard",
+        col("__inter").cast("double") / (col("__nl") + col("__nr") - col("__inter"))
+      )
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+
+  /** Asymmetric n-gram containment pairs (Broder 1997's containment; the
+    * quote/subset-detection signal of modern corpus curation): over distinct
+    * k-shingle sets, containment(A→B) = |S(A) ∩ S(B)| / |S(A)|. A short
+    * document embedded verbatim in a long one has containment ≈ 1 while its
+    * Jaccard is tiny — invisible to symmetric near-dup passes. Emits one row
+    * per unordered candidate pair with BOTH directions (`contain_left` =
+    * share of the left doc's shingles that the right doc also has), kept
+    * when either direction reaches `threshold`.
+    *
+    * Scale shape identical to [[ngramJaccardPairs]] (shared core): bucketed
+    * rare-shingle candidates, Imax pruning bound containment ≤
+    * Imax/min(nl, nr), exact verification join. Scores are single IEEE
+    * divisions of exact integers — engine-independent.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 100
+  ): DataFrame =
+    ngramPairStats(df, idCol, textCol, shingleSize, maxDocFreq,
+      prune = (imax, nl, nr) =>
+        imax.cast("double") / least(nl, nr) >= threshold)
+      .withColumn("contain_left", col("__inter").cast("double") / col("__nl"))
+      .withColumn("contain_right", col("__inter").cast("double") / col("__nr"))
+      .filter(greatest(col("contain_left"), col("contain_right")) >= threshold)
+      .select(col("left_id"), col("right_id"),
+        col("contain_left"), col("contain_right"))
+
+  /** Shared candidate-generation + exact-verification core of the n-gram
+    * pair operators: returns (left_id, right_id, __inter, __nl, __nr) for
+    * every unordered pair sharing ≥ 1 rare shingle that survives `prune`
+    * (an upper-bound test on (Imax, nl, nr) — must be monotone in the true
+    * intersection so pruning never loses a qualifying pair).
+    */
+  private def ngramPairStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      maxDocFreq: Int,
+      prune: (Column, Column, Column) => Column
   ): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleSize).persist()
     // Candidate pairs share ≥ 1 rare shingle (doc frequency ≤ maxDocFreq):
@@ -1145,7 +1200,8 @@ object Dedup {
     // the achievable intersection: a shared shingle is either rare (df in
     // [2, maxDocFreq] — counted exactly by __rareInter), or frequent (df >
     // maxDocFreq — at most min of the docs' frequent-shingle counts __f);
-    // df = 1 shingles can never be shared. jaccard ≤ Imax/(nl+nr−Imax).
+    // df = 1 shingles can never be shared. The caller's `prune` tests its
+    // similarity bound at intersection = Imax.
     val freqCounts = grouped
       .filter(size(col("__ids")) > maxDocFreq)
       .select(explode(col("__ids")).as("__id"))
@@ -1164,9 +1220,7 @@ object Dedup {
         stats.select(col("__id").as("right_id"), col("__n").as("__nr"),
           col("__f").as("__fr")), "right_id")
       .withColumn("__imax", col("__rareInter") + least(col("__fl"), col("__fr")))
-      .filter(
-        col("__imax").cast("double") /
-          (col("__nl") + col("__nr") - col("__imax")) >= jaccardThreshold)
+      .filter(prune(col("__imax"), col("__nl"), col("__nr")))
       .drop("__imax", "__fl", "__fr")
     // exact verification on the (small) candidate set, over ALL shingles:
     // equi-join on (id, shingle) so shared-shingle count = join cardinality
@@ -1175,12 +1229,6 @@ object Dedup {
       .join(sh.select(col("__id").as("right_id"), col("__sh")), Seq("right_id", "__sh"))
       .groupBy(col("left_id"), col("right_id"), col("__nl"), col("__nr"))
       .agg(count(lit(1)).as("__inter"))
-      .withColumn(
-        "jaccard",
-        col("__inter").cast("double") / (col("__nl") + col("__nr") - col("__inter"))
-      )
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
   /** Exact duplicated-span detection (the substring-dedup pass of

@@ -111,6 +111,26 @@ class OpsSpec extends SharedSpark {
     assert(!found.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("ngram containment finds an embedded doc that jaccard misses") {
+    // doc 20 is a strict prefix of doc 21: every shingle of 20 is in 21,
+    // so containment(20→21) = 1.0 while jaccard = n20/n21 is small
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val planted = df("doc_id BIGINT, text STRING",
+      Seq(Row(20L, short), Row(21L, long)))
+    val pairs = Dedup.ngramContainmentPairs(planted, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9)
+    val rows = pairs.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("left_id") == 20L && r.getAs[Long]("right_id") == 21L)
+    assert(r.getAs[Double]("contain_left") == 1.0)
+    assert(r.getAs[Double]("contain_right") < 0.11)
+    val jac = Dedup.ngramJaccardPairs(planted, "doc_id", "text",
+      shingleSize = 3, jaccardThreshold = 0.9)
+    assert(jac.count() == 0L)
+  }
+
   test("brute-force ANN returns self first, in cosine order") {
     val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
       Seq(
