@@ -417,6 +417,8 @@ object SparkEntry {
       s.sql("""
         SELECT l_returnflag, l_linestatus,
                dp_count('geometric', 0.0) AS noisy_count,
+               dp_count_distinct(l_quantity, 'geometric', 0.0)
+                 AS noisy_distinct,
                dp_noise(count(*), 'geometric', 0.0) AS noise_passthrough,
                round(dp_sum(l_quantity, 0.0, 50.0, 'laplace', 0.0), 4)
                  AS noisy_sum,
@@ -2111,6 +2113,7 @@ object SparkEntry {
     "q_sql_dp" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS noisy_count,
+        |  count(DISTINCT l_quantity) AS noisy_distinct,
         |  count(*) AS noise_passthrough,
         |  round(sum(least(greatest(l_quantity, 0.0), 50.0)), 4) AS noisy_sum,
         |  round(sum(least(greatest(l_quantity - 25.5, -24.5), 24.5))

@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dpNoise)
     ext.injectFunction(GraftFunctions.dpCount)
+    ext.injectFunction(GraftFunctions.dpCountDistinct)
     ext.injectFunction(GraftFunctions.dpSum)
     ext.injectFunction(GraftFunctions.dpAvg)
     ext.injectFunction(GraftFunctions.dpVar)
@@ -132,6 +133,36 @@ object GraftFunctions {
       require(mechanism.isDiscrete, "dp_count needs a discrete mechanism")
       val agg = aggregate.Count(Seq(expressions.Literal(1)))
         .toAggregateExpression()
+      AddNoise(Cast(agg, LongType), mechanism,
+        graft.random.RandomSource.secureSeed())
+    }
+  )
+
+  /** `dp_count_distinct(col, ..., mechanism, scale)` — a noisy null-safe
+    * COUNT(DISTINCT ...): the SQL face of createCountDistinctMeasurement
+    * (reference `aggregations.py:361`). The columns are wrapped in a struct
+    * before the distinct so an all-null tuple still counts as one distinct
+    * row, matching [[graft.transformations.CountDistinct]] — plain SQL
+    * `count(DISTINCT x)` would silently drop it.
+    */
+  val dpCountDistinct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("dp_count_distinct"),
+    new ExpressionInfo(
+      classOf[AddNoise].getName,
+      null,
+      "dp_count_distinct",
+      "dp_count_distinct(col, ..., mechanism, scale) - noisy null-safe COUNT(DISTINCT ...)",
+      "dp_count_distinct(x, 'geometric', 2.0)"
+    ),
+    (children: Seq[Expression]) => {
+      require(children.size >= 3,
+        "dp_count_distinct(col, ..., mechanism, scale) takes >= 3 arguments")
+      val cols = children.dropRight(2)
+      val Seq(mechExpr, scaleExpr) = children.takeRight(2)
+      val mechanism = parseMechanism("dp_count_distinct", mechExpr, scaleExpr)
+      require(mechanism.isDiscrete, "dp_count_distinct needs a discrete mechanism")
+      val key = expressions.CreateStruct(cols)
+      val agg = aggregate.Count(Seq(key)).toAggregateExpression(isDistinct = true)
       AddNoise(Cast(agg, LongType), mechanism,
         graft.random.RandomSource.secureSeed())
     }
@@ -444,8 +475,8 @@ object GraftFunctions {
     * sessions built with `spark.sql.extensions`).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dpNoise, dpCount, dpSum, dpAvg, dpVar, dpStddev, dpQuantile,
-        dpPartitionCount, heavyHitters).foreach {
+    Seq(dpNoise, dpCount, dpCountDistinct, dpSum, dpAvg, dpVar, dpStddev,
+        dpQuantile, dpPartitionCount, heavyHitters).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

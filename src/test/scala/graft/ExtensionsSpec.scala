@@ -61,6 +61,26 @@ class ExtensionsSpec extends SharedSpark {
     assert(s == 50.0)
   }
 
+  test("dp_count_distinct is null-safe, unlike plain count(DISTINCT)") {
+    GraftFunctions.register(spark)
+    val d = df("K STRING, n BIGINT",
+      Seq(Row("a", 10L), Row("a", 10L), Row("a", null), Row("a", null),
+        Row("b", 7L)))
+    d.createOrReplaceTempView("ext_cd")
+    val rows = spark
+      .sql("""SELECT K, dp_count_distinct(n, 'geometric', 0.0) AS c,
+              count(DISTINCT n) AS plain
+              FROM ext_cd GROUP BY K""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the null tuple counts as one distinct row; SQL count(DISTINCT) drops it
+    assert(rows == Set(("a", 2L, 1L), ("b", 1L, 1L)))
+    // multi-column form and noisy spread sanity (scale > 0 still one expr)
+    val noisy = spark.sql(
+      """SELECT dp_count_distinct(K, n, 'geometric', 2.0) AS c FROM ext_cd""")
+      .head().getLong(0)
+    assert(noisy > -40L && noisy < 43L)
+  }
+
   test("dp_var and dp_stddev match the factory decomposition at scale 0") {
     import spark.implicits._
     GraftFunctions.register(spark)
