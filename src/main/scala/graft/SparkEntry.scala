@@ -542,6 +542,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.bm25TopK(
         t(s, dir, "documents"), "doc_id", "text", qs, k = 5)
     },
+    "q_tfidf" -> { (s, dir) =>
+      // top-5 TF-IDF keywords per document; same ppm discipline as q_bm25
+      // (one round per (doc, term), integer ranking afterwards)
+      graft.ops.TextAnalysis.tfidfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", k = 5)
+    },
     "q_paragraph_dedup" -> { (s, dir) =>
       // plant a 7-way-shared paragraph plus a per-doc unique one: the
       // shared paragraph must survive only in the min doc_id of its class,
@@ -2202,6 +2208,33 @@ object SparkEntry {
         |  SELECT query_id, doc_id, score_ppm,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rank
         |  FROM agg
+        |) WHERE rank <= 5""".stripMargin,
+    // q_tfidf: same tokenizer and ppm-rounding discipline as q_bm25; the
+    // smoothed idf ln((N+1)/(df+1)) + 1 is parenthesized exactly as the
+    // operator computes it
+    "q_tfidf" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |      x -> x <> '') AS t
+        |  FROM documents
+        |), n AS (SELECT count(*) AS n FROM d),
+        |tfc AS (
+        |  SELECT doc_id, w AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY 1, 2
+        |), dfc AS (
+        |  SELECT term, count(*) AS doc_freq FROM tfc GROUP BY 1
+        |), scored AS (
+        |  SELECT doc_id, term, tf, doc_freq,
+        |    CAST(round(1000000.0 * tf *
+        |      (ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(doc_freq AS DOUBLE) + 1.0)) + 1.0), 0) AS BIGINT)
+        |      AS score_ppm
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, tf, doc_freq, score_ppm, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_ppm DESC, term) AS rank
+        |  FROM scored
         |) WHERE rank <= 5""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,

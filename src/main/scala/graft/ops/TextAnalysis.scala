@@ -508,6 +508,60 @@ object TextAnalysis {
         col("score_ppm"), col("rank"))
   }
 
+  /** TF-IDF keyword extraction: the `k` highest-scoring terms of each
+    * document under the smoothed formula
+    *
+    *   score(t,d) = tf_{t,d} · (ln((N + 1)/(df_t + 1)) + 1)
+    *
+    * over the same lowercased alphanumeric tokens as [[bm25TopK]]. Returns
+    * (idCol, term, tf, doc_freq, score_ppm, rank): the score is rounded to
+    * integer parts-per-million once per (doc, term) — the [[bm25TopK]]
+    * discipline — so ranking on (score_ppm desc, term asc) replays
+    * bit-for-bit in any engine whose `ln` agrees within the rounding guard
+    * band (score_ppm is positive because df_t ≤ N keeps the ln ≥ 0).
+    *
+    * Scale shape: term frequencies are one map-side-combinable aggregation
+    * over the exploded corpus; document frequencies are a second
+    * aggregation OF THAT RESULT (rows = distinct (doc, term), never
+    * re-reading the corpus), joined back on the term key — vocabulary-sized,
+    * so a shuffle join, not a broadcast; N rides a 1-row broadcast. Top-k
+    * is `row_number() <= k`, planned as Partial + Final WindowGroupLimit:
+    * each task forwards at most k rows per document before the exchange.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tok: Column => Column = c =>
+      filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
+        t => t =!= "")
+    val base = df.select(col(idCol).as("__id"), tok(col(textCol)).as("__t"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val tf = base
+      .select(col("__id"), explode(col("__t")).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val scored = tf
+      .join(dfs, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("__id"), col("term"), col("tf"), col("doc_freq"),
+        round(lit(1000000.0) * col("tf") *
+            (log((col("__n").cast("double") + lit(1.0)) /
+              (col("doc_freq").cast("double") + lit(1.0))) + lit(1.0)), 0)
+          .cast("long").as("score_ppm"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("score_ppm").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__id").as(idCol), col("term"), col("tf"),
+        col("doc_freq"), col("score_ppm"), col("rank"))
+  }
+
   /** Hashed-linear text classifier inference (the fastText / Vowpal-Wabbit
     * "hashing trick" shape): each lowercase whitespace token maps to one of
     * `dim` buckets by the engine-portable SHA-256-prefix hash, the bucket's

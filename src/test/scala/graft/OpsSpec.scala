@@ -358,6 +358,57 @@ class OpsSpec extends SharedSpark {
     assert(minGap >= 10L, s"adjacent-rank scores only $minGap ppm apart")
   }
 
+  test("tfidfTopTerms ranks by the smoothed formula and keeps top-k") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "apple banana apple"),
+      Row(2L, "banana cherry"),
+      Row(3L, "cherry dog cherry")))
+    val out = TextAnalysis.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"),
+          r.getAs[Long]("doc_freq"), r.getAs[Long]("score_ppm")))
+      .toMap
+    def ppm(tf: Long, docFreq: Long): Long =
+      math.round(1e6 * tf * (math.log(4.0 / (docFreq + 1.0)) + 1.0))
+    // doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert(out((1L, 1)) == ("apple", 2L, 1L, ppm(2, 1)))
+    assert(out((1L, 2)) == ("banana", 1L, 2L, ppm(1, 2)))
+    // doc 3: cherry tf=2 df=2 beats dog tf=1 df=1
+    assert(out((3L, 1)) == ("cherry", 2L, 2L, ppm(2, 2)))
+    assert(out((3L, 2)) == ("dog", 1L, 1L, ppm(1, 1)))
+    // doc 2 has only 2 terms, both emitted; nothing beyond k anywhere
+    assert(out.size == 6)
+  }
+
+  test("TF-IDF entry fixture preserves its ppm hash guard band") {
+    // same discipline as the BM25 guard-band test: every distinct raw
+    // 1e6·tf·idf value must sit far from a .5 rounding boundary relative
+    // to the ~1e-9 absolute drift a 1-ulp ln() difference can cause, so
+    // the driver hash of q_tfidf cannot flip on an engine's libm.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c =>
+      filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
+        t => t =!= "")
+    val base = docs.select(col("doc_id").as("__id"), tok(col("text")).as("__t"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val tf = base.select(col("__id"), explode(col("__t")).as("term"))
+      .groupBy(col("__id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val raw = tf.join(dfs, Seq("term")).crossJoin(broadcast(n))
+      .select((lit(1000000.0) * col("tf") *
+        (log((col("__n").cast("double") + lit(1.0)) /
+          (col("doc_freq").cast("double") + lit(1.0))) + lit(1.0))).as("__raw"))
+      .distinct()
+    val minBoundaryDist = raw
+      .select(min(abs(col("__raw") - floor(col("__raw")) - lit(0.5))))
+      .head().getDouble(0)
+    assert(minBoundaryDist >= 1e-6,
+      s"distinct ppm score within $minBoundaryDist of a rounding boundary")
+  }
+
   test("simHashPairs survives degenerate skew (identical docs) under the cap") {
     // 5000 identical docs: one bucket per block holds the whole corpus; the
     // cap removes them before any aggregation buffer materializes, so this
