@@ -1148,6 +1148,14 @@ object SparkEntry {
           window = 16, threshold = 3, tieCol = "event_id")
         .select("user_id", "event_id", "z", "is_anomaly")
     },
+    "q_mad_outliers" -> { (s, dir) =>
+      // per-event-type robust outliers: discrete medians are actual data
+      // values and the deviations single IEEE subtractions, so every
+      // double here hashes bit-for-bit (no mean/stddev accumulation)
+      graft.ops.Profile.madOutliers(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", k = 3.0)
+    },
     "q_range_join" -> { (s, dir) =>
       // every 97th event opens a 10-minute interval; the bucketed range
       // join emits each (event, interval) containment pair without ever
@@ -2739,6 +2747,22 @@ object SparkEntry {
         |            / sqrt(CAST(n * ss - s * s AS DOUBLE)) END AS z,
         |  (c * n - s) * (c * n - s) > 9 * (n * ss - s * s) AS is_anomaly
         |FROM w""".stripMargin,
+    // q_mad_outliers: quantile_disc(0.5) is exactly the operator's
+    // discrete median (smallest value with cumulative count >= ceil(n/2))
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+        |  abs(d.value - d.med) > 3.0 * m.mad AS is_outlier
+        |FROM dev d JOIN mad m USING (event_type)""".stripMargin,
     "q_range_join" ->
       """WITH e AS (
         |  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu

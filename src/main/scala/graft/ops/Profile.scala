@@ -189,6 +189,73 @@ object Profile {
       .select(df.columns.map(df(_)) :+ col(outCol): _*)
   }
 
+  /** Per-group robust outlier flagging by median absolute deviation: a row
+    * is an outlier when |x − median| > k · MAD, with both the median and
+    * the MAD taken as exact DISCRETE medians (the smallest value whose
+    * cumulative count reaches ⌈n/2⌉ — for p = 0.5 this is exactly the
+    * element at 0-based index ⌊(n−1)/2⌋, i.e. `quantile_disc(0.5)`).
+    * Discrete medians are actual data values and |x − m| is a single IEEE
+    * subtraction, so every emitted number replays bit-for-bit on any
+    * engine — no interpolation and no mean/stddev accumulation order to
+    * disagree about, and unlike z-scores the flag is immune to the
+    * outliers' own magnitude. Null values keep null med/mad/flag.
+    *
+    * Shape: two histogram collapses (values, then deviations — state per
+    * group bounded by DISTINCT values, never rows), each followed by a
+    * group-partitioned window walk and a join back that AQE broadcasts.
+    * The input is touched three times, all embarrassingly parallel.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 3.0,
+      medOut: String = "med",
+      madOut: String = "mad",
+      flagOut: String = "is_outlier"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(k >= 0, "k must be >= 0")
+    val med = discreteMedian(df, groupCols, col(valueCol))
+    val medEq = groupCols.map(c => df(c) <=> med(s"__mk_$c")).reduce(_ && _)
+    val withMed = df.join(med, medEq, "left")
+      .select(df.columns.map(df(_)) :+ col("__m").as(medOut): _*)
+    val dev = abs(col(valueCol) - col(medOut))
+    val mad = discreteMedian(withMed.withColumn("__dev", dev),
+      groupCols, col("__dev"))
+    val madEq = groupCols.map(c => withMed(c) <=> mad(s"__mk_$c")).reduce(_ && _)
+    withMed.join(mad, madEq, "left")
+      .select(withMed.columns.map(withMed(_)) :+ col("__m").as(madOut): _*)
+      .withColumn(flagOut,
+        when(col(valueCol).isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col(valueCol) - col(medOut)) > lit(k) * col(madOut)))
+  }
+
+  /** One row per group: renamed keys `__mk_<k>` plus `__m`, the exact
+    * discrete median of `value` (nulls excluded) — the histogram/window
+    * shape of [[clipToQuantiles]] at p = 0.5.
+    */
+  private def discreteMedian(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .filter(value.isNotNull)
+      .groupBy(groupCols.map(col) :+ value.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+    val cw = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cw.groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("__cum") >= ceil(lit(0.5) * col("__n")), col("__v")))
+        .as("__m"))
+      .select(groupCols.map(c => col(c).as(s"__mk_$c")) :+ col("__m"): _*)
+  }
+
   /** Winsorize `valueCol` per group at the exact discrete
     * `[pLo, pHi]` quantiles: the boundary for p is the smallest value
     * whose cumulative count reaches `ceil(p·n)` — always an actual data

@@ -881,6 +881,31 @@ class OpsSpec extends SharedSpark {
     assert(gnOut.min == 2L && gnOut.max == 8L)
   }
 
+  test("madOutliers flags by discrete median absolute deviation") {
+    // group a: 1..9 plus a wild 1000 → med = 5 (10 values, index 4),
+    // devs sorted [0,1,1,2,2,3,3,4,4,995] → MAD = 2 (index 4);
+    // outliers: |x − 5| > 6 → only 1000. group b: constants → MAD 0,
+    // every distinct value is an outlier, the constant never.
+    val d = df("g STRING, v DOUBLE",
+      ((1 to 9).map(i => Row("a", i.toDouble)) :+ Row("a", 1000.0)) ++
+        Seq(Row("b", 2.0), Row("b", 2.0), Row("b", 2.0), Row("b", 9.0),
+          Row("a", null)))
+    val out = Profile.madOutliers(d, Seq("g"), "v", k = 3.0)
+    val a = out.filter(col("g") === "a" && col("v").isNotNull).collect()
+    assert(a.forall(r => r.getAs[Double]("med") == 5.0 &&
+      r.getAs[Double]("mad") == 2.0))
+    assert(a.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Double]("v"))
+      .toSeq == Seq(1000.0))
+    val b = out.filter(col("g") === "b").collect()
+    assert(b.forall(r => r.getAs[Double]("med") == 2.0 &&
+      r.getAs[Double]("mad") == 0.0))
+    assert(b.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Double]("v"))
+      .toSeq == Seq(9.0))
+    // null value keeps null med join result in the flag
+    assert(out.filter(col("v").isNull).head().isNullAt(
+      out.columns.indexOf("is_outlier")))
+  }
+
   test("ngramNovelty scores corpus-unique grams and keeps short docs") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "a b c d"),      // grams: "a b c", "b c d"
