@@ -548,6 +548,18 @@ object SparkEntry {
       graft.ops.TextAnalysis.tfidfTopTerms(
         t(s, dir, "documents"), "doc_id", "text", k = 5)
     },
+    "q_cosine_text" -> { (s, dir) =>
+      // exact all-pairs TF-IDF cosine join (lossless prefix filtering);
+      // the oracle replays it brute-force — losslessness means the two
+      // must agree pair-for-pair, cosine-for-cosine. The synthetic corpus
+      // is pathologically self-similar (a shared small vocabulary puts
+      // ~80% of ALL pairs above cosine 0.5), so the entry runs a 10%
+      // doc_id slice — the suite's sf0.01 losslessness test covers the
+      // full corpus
+      graft.ops.Similarity.tfidfCosinePairs(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", threshold = 0.7)
+    },
     "q_paragraph_dedup" -> { (s, dir) =>
       // plant a 7-way-shared paragraph plus a per-doc unique one: the
       // shared paragraph must survive only in the min doc_id of its class,
@@ -2244,6 +2256,45 @@ object SparkEntry {
         |    ORDER BY score_ppm DESC, term) AS rank
         |  FROM scored
         |) WHERE rank <= 5""".stripMargin,
+    // q_cosine_text: brute-force replay of the prefix-filtered all-pairs
+    // cosine join — same ppm tf-idf weights as q_tfidf, L2-requantized to
+    // integer ppm, exact integer dots (DuckDB widens the sums to HUGEINT
+    // internally; outputs are cast), cosine as the identical IEEE tree
+    "q_cosine_text" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |      x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), n AS (SELECT count(*) AS n FROM d),
+        |tfc AS (
+        |  SELECT doc_id, w AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY 1, 2
+        |), dfc AS (
+        |  SELECT term, count(*) AS doc_freq FROM tfc GROUP BY 1
+        |), wt AS (
+        |  SELECT doc_id, term,
+        |    CAST(round(1000000.0 * tf *
+        |      (ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(doc_freq AS DOUBLE) + 1.0)) + 1.0), 0) AS BIGINT)
+        |      AS w
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+        |), wf AS (SELECT * FROM wt WHERE w > 0),
+        |n2 AS (SELECT doc_id, sum(w * w) AS n2 FROM wf GROUP BY 1),
+        |q AS (
+        |  SELECT wf.doc_id, term,
+        |    CAST(round(1000000.0 * CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 0) AS BIGINT) AS q
+        |  FROM wf JOIN n2 USING (doc_id)
+        |), qf AS (SELECT * FROM q WHERE q > 0),
+        |qn AS (SELECT doc_id, sum(q * q) AS qn2 FROM qf GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS l, b.doc_id AS r, sum(a.q * b.q) AS dot
+        |  FROM qf a JOIN qf b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT l AS left_id, r AS right_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(x.qn2 AS DOUBLE)) * sqrt(CAST(y.qn2 AS DOUBLE))) AS cosine
+        |FROM dots JOIN qn x ON x.doc_id = l JOIN qn y ON y.doc_id = r
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(x.qn2 AS DOUBLE)) * sqrt(CAST(y.qn2 AS DOUBLE))) >= 0.7""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

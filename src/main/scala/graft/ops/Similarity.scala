@@ -667,4 +667,115 @@ object Similarity {
         levenshtein(col(leftCol), col(rightCol), tau).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= tau)
   }
+
+  /** Exact all-pairs document similarity over quantized TF-IDF vectors
+    * with LOSSLESS prefix filtering (Bayardo, Ma & Srikant 2007, "Scaling
+    * Up All Pairs Similarity Search"): every unordered pair whose cosine
+    * reaches `threshold`, with no embedding model required.
+    *
+    * Number discipline, chosen so every emitted double replays bit-for-bit
+    * on any engine: term weights are the ppm-rounded smoothed TF-IDF of
+    * [[TextAnalysis.tfidfTopTerms]] (integers; the one `ln` is covered by
+    * that entry's guard-band class); each document's weights are then
+    * L2-normalized and re-quantized to integer ppm — the division and
+    * `sqrt` are IEEE-correctly-rounded, so unlike `ln` they carry no libm
+    * variance. Dot products and norms of the quantized vectors are EXACT
+    * integer sums (accumulated in Decimal(38,0), immune to both overflow
+    * and float ordering), and the final cosine is a fixed expression tree
+    * of deterministic IEEE ops over those integers.
+    *
+    * Scale shape: candidates come from prefix filtering, not a doc-freq
+    * cap — each document's terms are sorted by (quantized weight desc,
+    * term), and a term is in the prefix while the REMAINING suffix still
+    * has enough norm to reach `threshold` on its own (suffix² ≥ t²·norm²).
+    * A qualifying pair must share a prefix term of at least one side
+    * (sharing only suffix terms bounds cosine by the suffix norm fraction
+    * < t), so joining prefix postings against full postings loses nothing;
+    * tf-idf weighting pushes stopwords out of prefixes, keeping posting
+    * fan-out to rare terms. The exact verify touches only candidates.
+    * Everything is aggregations, windows, and equi-joins — no explosion
+    * beyond the prefix postings join.
+    */
+  def tfidfCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val tok: Column => Column = c =>
+      filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
+        t => t =!= "")
+    val base = df.select(col(idCol).as("__id"), tok(col(textCol)).as("__t"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val tf = base
+      .select(col("__id"), explode(col("__t")).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val w = tf
+      .join(dfs, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("__id"), col("term"),
+        round(lit(1000000.0) * col("tf") *
+            (log((col("__n").cast("double") + lit(1.0)) /
+              (col("doc_freq").cast("double") + lit(1.0))) + lit(1.0)), 0)
+          .cast("long").as("w"))
+      .filter(col("w") > 0)
+    // exact raw norm² (w ≤ ~2^31 keeps w·w inside long; the SUM is decimal)
+    val rawNorm = w.groupBy(col("__id"))
+      .agg(sum((col("w") * col("w")).cast(dec)).as("__n2"))
+    // unit-normalize and requantize to ppm: (1e6·w)/norm is a division of
+    // exacts by a correctly-rounded sqrt — deterministic across engines
+    val q = w
+      .join(rawNorm, Seq("__id"))
+      .select(col("__id"), col("term"),
+        round(lit(1000000.0) * col("w").cast("double") /
+            sqrt(col("__n2").cast("double")), 0)
+          .cast("long").as("q"))
+      .filter(col("q") > 0)
+    val qNorm = q.groupBy(col("__id"))
+      .agg(sum((col("q") * col("q")).cast(dec)).as("__qn2"))
+    // prefix marking: sorted by weight, a term stays in the prefix while
+    // the suffix STARTING AT IT could still reach t·‖d‖ alone
+    val byWeight = Window.partitionBy(col("__id"))
+      .orderBy(col("q").desc, col("term").asc)
+    val prefix = q
+      .join(qNorm, Seq("__id"))
+      .withColumn("__cumBefore",
+        coalesce(
+          sum((col("q") * col("q")).cast(dec))
+            .over(byWeight.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast(dec)))
+      .filter(
+        (col("__qn2") - col("__cumBefore")).cast("double") >=
+          lit(threshold * threshold) * col("__qn2").cast("double"))
+      .select(col("term"), col("__id").as("__pid"))
+    val full = q.select(col("term"), col("__id").as("__fid"))
+    val cand = prefix
+      .join(full, Seq("term"))
+      .filter(col("__pid") =!= col("__fid"))
+      .select(
+        least(col("__pid"), col("__fid")).as("left_id"),
+        greatest(col("__pid"), col("__fid")).as("right_id"))
+      .distinct()
+    val ql = q.select(col("__id").as("left_id"), col("term"), col("q").as("__ql"))
+    val qr = q.select(col("__id").as("right_id"), col("term"), col("q").as("__qr"))
+    cand
+      .join(ql, Seq("left_id"))
+      .join(qr, Seq("right_id", "term"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(sum((col("__ql") * col("__qr")).cast(dec)).as("__dot"))
+      .join(qNorm.select(col("__id").as("left_id"), col("__qn2").as("__a2")),
+        Seq("left_id"))
+      .join(qNorm.select(col("__id").as("right_id"), col("__qn2").as("__b2")),
+        Seq("right_id"))
+      .withColumn("cosine",
+        col("__dot").cast("double") /
+          (sqrt(col("__a2").cast("double")) * sqrt(col("__b2").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("left_id"), col("right_id"), col("cosine"))
+  }
 }

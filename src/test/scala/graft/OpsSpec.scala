@@ -881,6 +881,77 @@ class OpsSpec extends SharedSpark {
     assert(gnOut.min == 2L && gnOut.max == 8L)
   }
 
+  test("tfidfCosinePairs finds duplicates and respects the threshold") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog"),
+      Row(2L, "the quick brown fox jumps over the lazy dog"),
+      Row(3L, "the quick brown fox naps beside a calm dog"),
+      Row(4L, "completely unrelated treatise on monetary policy")))
+    val out = Similarity.tfidfCosinePairs(d, "doc_id", "text", threshold = 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    // identical docs: all quantized weights equal → cosine exactly 1
+    assert(out((1L, 2L)) == 1.0)
+    // doc 3 shares "the quick brown fox … dog" (idf-downweighted) ≈ 0.44
+    assert(out.keySet.contains((1L, 3L)) && out.keySet.contains((2L, 3L)))
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(out.values.forall(c => c >= 0.4 && c <= 1.0))
+  }
+
+  test("prefix filtering is lossless against the unfiltered join at sf0.01") {
+    // the candidate prefix join must find EXACTLY the pairs the full
+    // postings self-join finds — run both over the real corpus and diff
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fast = Similarity.tfidfCosinePairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: same weight pipeline, candidates = every pair sharing
+    // ANY term (no prefix restriction)
+    val tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c =>
+      filter(split(regexp_replace(lower(c), "[^a-z0-9]+", " "), " "),
+        t => t =!= "")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val base = docs.select(col("doc_id").as("__id"), tok(col("text")).as("__t"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val tf = base.select(col("__id"), explode(col("__t")).as("term"))
+      .groupBy(col("__id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val w = tf.join(dfs, Seq("term")).crossJoin(broadcast(n))
+      .select(col("__id"), col("term"),
+        round(lit(1000000.0) * col("tf") *
+          (log((col("__n").cast("double") + lit(1.0)) /
+            (col("doc_freq").cast("double") + lit(1.0))) + lit(1.0)), 0)
+          .cast("long").as("w"))
+      .filter(col("w") > 0)
+    val rawNorm = w.groupBy(col("__id"))
+      .agg(sum((col("w") * col("w")).cast(dec)).as("__n2"))
+    val q = w.join(rawNorm, Seq("__id"))
+      .select(col("__id"), col("term"),
+        round(lit(1000000.0) * col("w").cast("double") /
+          sqrt(col("__n2").cast("double")), 0).cast("long").as("q"))
+      .filter(col("q") > 0).persist()
+    val qn = q.groupBy(col("__id")).agg(sum((col("q") * col("q")).cast(dec)).as("__qn2"))
+    val slow = q.select(col("__id").as("l"), col("term"), col("q").as("ql"))
+      .join(q.select(col("__id").as("r"), col("term"), col("q").as("qr")), Seq("term"))
+      .filter(col("l") < col("r"))
+      .groupBy(col("l"), col("r"))
+      .agg(sum((col("ql") * col("qr")).cast(dec)).as("dot"))
+      .join(qn.select(col("__id").as("l"), col("__qn2").as("a2")), Seq("l"))
+      .join(qn.select(col("__id").as("r"), col("__qn2").as("b2")), Seq("r"))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("a2").cast("double")) * sqrt(col("b2").cast("double"))))
+      .filter(col("cosine") >= 0.5)
+      .select(col("l"), col("r"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.unpersist()
+    assert(fast == slow, s"prefix filter lost ${(slow -- fast).size} pairs, " +
+      s"invented ${(fast -- slow).size}")
+    assert(fast.nonEmpty)
+  }
+
   test("madOutliers flags by discrete median absolute deviation") {
     // group a: 1..9 plus a wild 1000 → med = 5 (10 values, index 4),
     // devs sorted [0,1,1,2,2,3,3,4,4,995] → MAD = 2 (index 4);
