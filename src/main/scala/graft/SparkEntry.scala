@@ -1519,6 +1519,17 @@ object SparkEntry {
         .select(col("o_custkey"), col("cnt"), col("sum").as("sum_v"),
           col("min").as("min_v"), col("max").as("max_v"))
     },
+    "q_sample_bottomk" -> { (s, dir) =>
+      // mergeable bottom-k (KMV) sample per event type, built by folding
+      // the odd-event half into the even half's saved states — merge
+      // losslessness means this must equal the from-scratch sketch the
+      // oracle computes over all of events
+      val e = t(s, dir, "events").select("event_type", "event_id")
+      val base = graft.ops.Incremental.sampleStates(
+        e.filter(col("event_id") % 2 === 0), Seq("event_type"), "event_id", 32)
+      graft.ops.Incremental.mergeSampleStates(base,
+        e.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "event_id", 32)
+    },
     "q_bloom_semijoin" -> { (s, dir) =>
       // Bloom-pruned semi join: lineitem rows of high-value orders; must
       // be bit-identical to the plain IN-subquery (FPs removed exactly)
@@ -3771,6 +3782,20 @@ object SparkEntry {
         |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
         |      FROM orders)
         |GROUP BY o_custkey""".stripMargin,
+    // q_sample_bottomk: the oracle sketches ALL of events from scratch —
+    // equality with the entry's two-batch merge is the losslessness proof;
+    // the hash is the shared portable SHA-256 recipe (salt 9)
+    "q_sample_bottomk" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id,
+        |    ('0x' || substr(sha256('9|' || event_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM (SELECT DISTINCT event_type, event_id FROM events)
+        |)
+        |SELECT event_type, event_id, h, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY h, event_id) AS rank
+        |  FROM h
+        |) WHERE rank <= 32""".stripMargin,
     "q_bloom_semijoin" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN

@@ -148,4 +148,67 @@ object Incremental {
         min(col("min")).as("min"),
         max(col("max")).as("max"))
   }
+
+  /** Mergeable bottom-k sample states per key: the `k` distinct values of
+    * `idCol` in each group whose portable 60-bit SHA-256 hash is smallest,
+    * as `(keys..., id, h, rank)`. A bottom-k (KMV) sketch is three tools
+    * in one: (a) a uniform without-replacement sample of the group's
+    * distinct ids, (b) a distinct-count estimator ([[estimateDistinctKmv]]
+    * — and unlike the HLL of [[distinctStates]] it replays EXACTLY in any
+    * engine with SHA-256), and (c) losslessly mergeable across batches —
+    * bottom-k of a union equals bottom-k of the unioned bottom-k states
+    * ([[mergeSampleStates]]), so a corpus refresh touches only the delta.
+    *
+    * Shape: distinct on (keys, id) is one map-side-combinable shuffle; the
+    * bottom-k is `row_number() <= k`, planned as Partial + Final
+    * WindowGroupLimit — each task forwards at most k rows per group.
+    */
+  def sampleStates(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      k: Int,
+      salt: Long = 9L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val dist = df.select((keyCols :+ idCol).map(col): _*).distinct()
+      .withColumn("h", Dedup.portableHash(col(idCol), salt))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("h").asc, col(idCol).asc)
+    dist.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Fold a delta of raw rows into saved bottom-k states: sketch the delta,
+    * union the (keys, id) rows of both sketches, re-take the bottom k.
+    * Exactly equals [[sampleStates]] over the full history. */
+  def mergeSampleStates(
+      base: DataFrame,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      k: Int,
+      salt: Long = 9L): DataFrame = {
+    val cols = (keyCols :+ idCol).map(col)
+    sampleStates(
+      base.select(cols: _*)
+        .unionByName(sampleStates(delta, keyCols, idCol, k, salt)
+          .select(cols: _*)),
+      keyCols, idCol, k, salt)
+  }
+
+  /** KMV readout of [[sampleStates]]: `(keys..., n_distinct_est)`. For a
+    * group whose sketch is saturated (rank k exists), the classic
+    * estimator (k−1)·2^60/h_k; below k distinct ids the count is exact.
+    * Every number is a fixed arithmetic tree over exact integers, so the
+    * estimate itself replays bit-for-bit across engines.
+    */
+  def estimateDistinctKmv(states: DataFrame, keyCols: Seq[String], k: Int): DataFrame =
+    states.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), max(when(col("rank") === k, col("h"))).as("__hk"))
+      .select(keyCols.map(col) :+
+        when(col("__hk").isNull, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
+            col("__hk").cast("double"))
+          .as("n_distinct_est"): _*)
 }

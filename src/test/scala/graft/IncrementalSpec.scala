@@ -83,6 +83,28 @@ class IncrementalSpec extends SharedSpark {
       Incremental.aggStates(old.unionByName(delta), Seq("g"), "x"))
   }
 
+  test("bottom-k sample states merge losslessly and estimate distincts") {
+    val rows = df("g STRING, id BIGINT",
+      (1L to 300L).map(i => Row(if (i % 3 == 0) "a" else "b", i)) ++
+        Seq(Row("c", 1L), Row("c", 1L), Row("c", 2L))) // dupes collapse
+    val full = Incremental.sampleStates(rows, Seq("g"), "id", k = 16)
+    // merging any split equals the from-scratch sketch
+    val merged = Incremental.mergeSampleStates(
+      Incremental.sampleStates(rows.filter(col("id") % 2 === 0), Seq("g"), "id", 16),
+      rows.filter(col("id") % 2 =!= 0), Seq("g"), "id", 16)
+    assertSameRows(merged, full)
+    // per-group sizes: min(k, distinct ids)
+    val sizes = full.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("a" -> 16L, "b" -> 16L, "c" -> 2L))
+    // unsaturated group counts exactly; saturated estimates are sane
+    val est = Incremental.estimateDistinctKmv(full, Seq("g"), 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("c") == 2.0)
+    assert(est("a") > 20.0 && est("a") < 500.0, s"a est ${est("a")}")
+    assert(est("b") > 40.0 && est("b") < 1000.0, s"b est ${est("b")}")
+  }
+
   private lazy val leftRows = df("lk BIGINT, payload STRING",
     (1L to 200L).map(i => Row(i, s"p$i")) :+ Row(null, "pnull"))
   private lazy val rightRows = df("rk BIGINT",
