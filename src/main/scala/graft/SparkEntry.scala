@@ -542,6 +542,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.bm25TopK(
         t(s, dir, "documents"), "doc_id", "text", qs, k = 5)
     },
+    "q_composition" -> { (s, dir) =>
+      // corpus mix report by source: counts, exact ppm shares, and
+      // per-source entropy terms (the epoch-mix design input)
+      graft.ops.TextAnalysis.corpusComposition(
+        t(s, dir, "documents"), "source", "n_chars")
+    },
     "q_tfidf" -> { (s, dir) =>
       // top-5 TF-IDF keywords per document; same ppm discipline as q_bm25
       // (one round per (doc, term), integer ranking afterwards)
@@ -2240,6 +2246,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rank
         |  FROM agg
         |) WHERE rank <= 5""".stripMargin,
+    // q_composition: shares are divisions of exact integers; the entropy
+    // term parenthesizes (−1e6 · p) · ln(p) exactly as the operator
+    "q_composition" ->
+      """WITH g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_size
+        |  FROM documents GROUP BY 1
+        |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+        |                CAST(sum(n_size) AS BIGINT) AS ts FROM g)
+        |SELECT source, n_docs, n_size,
+        |  CAST(round(1000000.0 * CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 0) AS BIGINT)
+        |    AS doc_share_ppm,
+        |  CAST(round(1000000.0 * CAST(n_size AS DOUBLE) / CAST(ts AS DOUBLE), 0) AS BIGINT)
+        |    AS size_share_ppm,
+        |  CAST(round(-1000000.0 * (CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE))
+        |    * ln(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE)), 0) AS BIGINT)
+        |    AS doc_entropy_term_ppm
+        |FROM g CROSS JOIN t""".stripMargin,
     // q_tfidf: same tokenizer and ppm-rounding discipline as q_bm25; the
     // smoothed idf ln((N+1)/(df+1)) + 1 is parenthesized exactly as the
     // operator computes it

@@ -309,6 +309,35 @@ object TextAnalysis {
     * a single per-group aggregation. No windows, no skew: the fingerprint
     * join's build side is the aggregated class table.
     */
+  /** Corpus composition report — the input to epoch-mix design: one row
+    * per `groupCol` value with document and size counts, exact ppm shares,
+    * and the group's Shannon-entropy contribution −p·ln(p) in ppm (sum the
+    * column for the corpus mix entropy in nats·1e6). Shares are single
+    * divisions of exact integers and the one `ln` is rounded per group
+    * (the [[bm25TopK]] ppm discipline; group counts are few, so rounding
+    * boundaries stay far away), making the report engine-replayable.
+    * Shape: one map-side-combinable aggregation plus a 1-row broadcast.
+    */
+  def corpusComposition(
+      df: DataFrame,
+      groupCol: String,
+      sizeCol: String
+  ): DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast("long")).as("n_size"))
+    val tot = g.agg(sum(col("n_docs")).as("__td"), sum(col("n_size")).as("__ts"))
+    val p = col("n_docs").cast("double") / col("__td").cast("double")
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_size"),
+        round(lit(1000000.0) * col("n_docs").cast("double") /
+          col("__td").cast("double"), 0).cast("long").as("doc_share_ppm"),
+        round(lit(1000000.0) * col("n_size").cast("double") /
+          col("__ts").cast("double"), 0).cast("long").as("size_share_ppm"),
+        round(lit(-1000000.0) * p * log(p), 0).cast("long")
+          .as("doc_entropy_term_ppm"))
+  }
+
   def corpusStats(
       df: DataFrame,
       idCol: String,

@@ -358,6 +358,21 @@ class OpsSpec extends SharedSpark {
     assert(minGap >= 10L, s"adjacent-rank scores only $minGap ppm apart")
   }
 
+  test("corpusComposition reports exact shares and entropy terms") {
+    val d = df("src STRING, sz BIGINT", Seq(
+      Row("web", 100L), Row("web", 300L), Row("web", 100L),
+      Row("book", 500L)))
+    val out = TextAnalysis.corpusComposition(d, "src", "sz")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_size"),
+          r.getAs[Long]("doc_share_ppm"), r.getAs[Long]("size_share_ppm"),
+          r.getAs[Long]("doc_entropy_term_ppm"))).toMap
+    val webEnt = math.round(-1e6 * 0.75 * math.log(0.75))
+    val bookEnt = math.round(-1e6 * 0.25 * math.log(0.25))
+    assert(out("web") == (3L, 500L, 750000L, 500000L, webEnt))
+    assert(out("book") == (1L, 500L, 250000L, 500000L, bookEnt))
+  }
+
   test("tfidfTopTerms ranks by the smoothed formula and keeps top-k") {
     val d = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "apple banana apple"),
