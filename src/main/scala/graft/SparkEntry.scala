@@ -1369,6 +1369,13 @@ object SparkEntry {
         shingleSize = 3, jaccardThreshold = 0.5, maxDocFreq = 20)
         .select("left_id", "right_id")
     },
+    "q_sorted_neighbors" -> { (s, dir) =>
+      // merge/purge blocking: candidate pairs within 3 positions in the
+      // (n_chars, doc_id) total order — the sort-key complement of the
+      // hash/LSH blockers
+      graft.ops.Dedup.sortedNeighborPairs(
+        t(s, dir, "documents"), "doc_id", "n_chars", window = 3)
+    },
     "q_containment" -> { (s, dir) =>
       // asymmetric quote/subset detection: a doc whose shingles are mostly
       // inside another doc (containment scores are exact-integer divisions,
@@ -3715,6 +3722,16 @@ object SparkEntry {
         |SELECT l AS left_id, r AS right_id FROM inter
         |JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
         |WHERE CAST(i AS DOUBLE) / (sl.n + sr.n - i) >= 0.5""".stripMargin,
+    "q_sorted_neighbors" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |  a.n_chars AS left_key, b.n_chars AS right_key,
+        |  CAST(b.rank - a.rank AS BIGINT) AS gap
+        |FROM r a JOIN r b ON b.rank BETWEEN a.rank + 1 AND a.rank + 3""".stripMargin,
     // q_containment: same shingle space as q_ngram_jaccard (k=3, df ≤ 20);
     // containment scores are single divisions of exact integers, so the
     // DOUBLE outputs are bit-identical across engines (no ln/round).

@@ -1166,6 +1166,45 @@ object Dedup {
       .select(col("left_id"), col("right_id"),
         col("contain_left"), col("contain_right"))
 
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995, the
+    * merge/purge blocking method): rows are totally ordered by
+    * (`sortCol`, `idCol`) and every pair at most `window` positions apart
+    * is emitted as `(left_id, right_id, left_key, right_key, gap)` (left =
+    * lower rank). The complement of the hash/LSH blockers: neighbors in a
+    * domain sort key (length, normalized title, zip code) become
+    * candidates even when they share no token or shingle. Chain with an
+    * exact verifier ([[ngramJaccardPairs]]-style) downstream.
+    *
+    * Scale shape: the global rank comes from the packers' hierarchical
+    * prefix scan (range partition + per-partition window + a one-row-per-
+    * partition driver prefix — no single global-sort task); pair
+    * generation is a `window`-way explode plus an EQUI-join on rank, so
+    * the output is exactly n·window bounded with no range-join fallback.
+    */
+  def sortedNeighborPairs(
+      df: DataFrame,
+      idCol: String,
+      sortCol: String,
+      window: Int = 3
+  ): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ranked = Pack.globalRank(
+      df.select(col(idCol).as("__id"), col(sortCol).as("__k")),
+      Seq(col("__k"), col("__id")))
+    val probes = ranked.select(
+      col("__id").as("left_id"), col("__k").as("left_key"),
+      col("__rank"),
+      explode(sequence(lit(1), lit(window))).as("gap"))
+      .select(col("left_id"), col("left_key"),
+        (col("__rank") + col("gap")).as("__tr"), col("gap").cast("long").as("gap"))
+    val targets = ranked.select(
+      col("__id").as("right_id"), col("__k").as("right_key"),
+      col("__rank").as("__tr"))
+    probes.join(targets, Seq("__tr"))
+      .select(col("left_id"), col("right_id"),
+        col("left_key"), col("right_key"), col("gap"))
+  }
+
   /** Shared candidate-generation + exact-verification core of the n-gram
     * pair operators: returns (left_id, right_id, __inter, __nl, __nr) for
     * every unordered pair sharing ≥ 1 rare shingle that survives `prune`

@@ -135,6 +135,20 @@ object Pack {
       .drop("__pid", "__local", "__off")
   }
 
+  /** Exact global 0-based rank under `orderCols` (a total order):
+    * [[globalCumBefore]] with unit lengths — a row's rank is the count of
+    * rows before it, computed without any single global-sort task.
+    * Returns the input columns plus `__rank`.
+    */
+  private[ops] def globalRank(
+      df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      partitions: Int = 0
+  ): DataFrame =
+    globalCumBefore(df.withColumn("__len", lit(1L)), orderCols, partitions)
+      .withColumnRenamed("offset_global", "__rank")
+      .drop("__len")
+
   /** Bin columns from `offset_global`/`__len`. `div` (integer division),
     * not `/` (double division): offsets in a 100-TB stream exceed 2^53 and
     * must not round through a double.

@@ -358,6 +358,21 @@ class OpsSpec extends SharedSpark {
     assert(minGap >= 10L, s"adjacent-rank scores only $minGap ppm apart")
   }
 
+  test("sortedNeighborPairs emits exactly the window-bounded rank pairs") {
+    // sort by (k, id): order is 10/a, 20/b, 20/c, 30/d, 40/e
+    val d = df("id STRING, k BIGINT", Seq(
+      Row("a", 10L), Row("b", 20L), Row("c", 20L),
+      Row("d", 30L), Row("e", 40L)))
+    val out = Dedup.sortedNeighborPairs(d, "id", "k", window = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("gap"))).toSet
+    assert(out == Set(
+      ("a", "b", 1L), ("a", "c", 2L),
+      ("b", "c", 1L), ("b", "d", 2L),
+      ("c", "d", 1L), ("c", "e", 2L),
+      ("d", "e", 1L)))
+  }
+
   test("corpusComposition reports exact shares and entropy terms") {
     val d = df("src STRING, sz BIGINT", Seq(
       Row("web", 100L), Row("web", 300L), Row("web", 100L),
