@@ -1369,6 +1369,14 @@ object SparkEntry {
         shingleSize = 3, jaccardThreshold = 0.5, maxDocFreq = 20)
         .select("left_id", "right_id")
     },
+    "q_negative_samples" -> { (s, dir) =>
+      // 4 deterministic contrastive negatives per anchor from the full
+      // embedding pool; the portable SHA recipe lets the oracle replay
+      // the exact draw (self-collisions dropped by contract)
+      val emb = t(s, dir, "embeddings").select("vec_id")
+      graft.ops.Dedup.negativeSamples(
+        emb.filter(col("vec_id") < 100), "vec_id", emb, "vec_id", k = 4)
+    },
     "q_sorted_neighbors" -> { (s, dir) =>
       // merge/purge blocking: candidate pairs within 3 positions in the
       // (n_chars, doc_id) total order — the sort-key complement of the
@@ -3722,6 +3730,25 @@ object SparkEntry {
         |SELECT l AS left_id, r AS right_id FROM inter
         |JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
         |WHERE CAST(i AS DOUBLE) / (sl.n + sr.n - i) >= 0.5""".stripMargin,
+    // q_negative_samples: the pool index is the dense 0-based vec_id rank;
+    // the draw is the shared portable SHA-256 recipe over "anchor#j"
+    // (salt 11) mod pool size
+    "q_negative_samples" ->
+      """WITH pool AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS idx
+        |  FROM embeddings
+        |), n AS (SELECT count(*) AS n FROM pool),
+        |probes AS (
+        |  SELECT a.vec_id AS anchor_id, j,
+        |    ('0x' || substr(sha256('11|' || a.vec_id::VARCHAR || '#' || j::VARCHAR), 1, 15))::BIGINT
+        |      % n.n AS idx
+        |  FROM embeddings a CROSS JOIN n
+        |    CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j)
+        |  WHERE a.vec_id < 100
+        |)
+        |SELECT anchor_id, CAST(j AS BIGINT) AS j, p.vec_id AS neg_id
+        |FROM probes JOIN pool p USING (idx)
+        |WHERE p.vec_id <> anchor_id""".stripMargin,
     "q_sorted_neighbors" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,

@@ -1166,6 +1166,50 @@ object Dedup {
       .select(col("left_id"), col("right_id"),
         col("contain_left"), col("contain_right"))
 
+  /** Deterministic negative sampling for contrastive training: `k`
+    * pseudo-random pool rows per anchor, chosen by the engine-portable
+    * SHA-256 hash of `"<anchor>#<j>"` modulo the pool size — re-runs,
+    * retries, and external replicas pick the SAME negatives, and a fresh
+    * `salt` is a fresh reproducible draw. Accidental positives (a negative
+    * equal to its own anchor) are dropped when `excludeSelf`, so an anchor
+    * can yield fewer than `k` rows — by contract, not silently.
+    *
+    * Scale shape: the pool is dense-indexed by the packers' hierarchical
+    * global rank (no single global-sort task), the pool SIZE rides a 1-row
+    * broadcast, and each anchor explodes into exactly k probe rows that
+    * EQUI-join the index — no sampling scan of the pool per anchor.
+    */
+  def negativeSamples(
+      anchors: DataFrame,
+      anchorIdCol: String,
+      pool: DataFrame,
+      poolIdCol: String,
+      k: Int,
+      salt: Long = 11L,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ranked = Pack.globalRank(
+      pool.select(col(poolIdCol).as("__poolId")), Seq(col("__poolId")))
+      .withColumnRenamed("__rank", "__tr")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val probes = anchors.select(col(anchorIdCol).as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("__n"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__tr",
+        pmod(
+          portableHash(
+            concat_ws("#", col("anchor_id").cast("string"),
+              col("j").cast("string")), salt),
+          col("__n")))
+    val joined = probes.join(ranked, Seq("__tr"))
+    (if (excludeSelf) joined.filter(!(col("__poolId") <=> col("anchor_id")))
+     else joined)
+      .select(col("anchor_id"), col("j").cast("long").as("j"),
+        col("__poolId").as("neg_id"))
+  }
+
   /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995, the
     * merge/purge blocking method): rows are totally ordered by
     * (`sortCol`, `idCol`) and every pair at most `window` positions apart

@@ -358,6 +358,23 @@ class OpsSpec extends SharedSpark {
     assert(minGap >= 10L, s"adjacent-rank scores only $minGap ppm apart")
   }
 
+  test("negativeSamples draws deterministically and never its own anchor") {
+    val pool = df("id BIGINT", (0L until 50L).map(Row(_)))
+    val anchors = pool.filter(col("id") < 5)
+    val a = Dedup.negativeSamples(anchors, "id", pool, "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.negativeSamples(anchors, "id", pool, "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)                      // same draw on re-run
+    assert(a.forall(t => t._1 != t._3)) // no self-negatives
+    assert(a.forall(t => t._3 >= 0L && t._3 < 50L))
+    assert(a.size >= 5 * 3 - 5)         // at most one self drop per (a, j)
+    // a fresh salt is a different (but still deterministic) draw
+    val c = Dedup.negativeSamples(anchors, "id", pool, "id", k = 3, salt = 12L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c != a)
+  }
+
   test("sortedNeighborPairs emits exactly the window-bounded rank pairs") {
     // sort by (k, id): order is 10/a, 20/b, 20/c, 30/d, 40/e
     val d = df("id STRING, k BIGINT", Seq(
