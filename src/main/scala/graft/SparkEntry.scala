@@ -1822,6 +1822,54 @@ object SparkEntry {
         .agg(max(col("cnt")).as("cnt"))
     },
 
+    "q_sample_bottomk_stream" -> { (s, dir) =>
+      // TRUE micro-batch maintenance of the bottom-k (KMV) sample states:
+      // foreachBatch folds each trigger's files into the carried states
+      // via mergeSampleStates. Bottom-k merge is lossless and
+      // order-insensitive, so the drained states must equal the
+      // from-scratch sketch over all of events — the q_sample_bottomk
+      // oracle verbatim — whatever the file arrival order.
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, dir, "events").select("event_type", "event_id")
+      val stamp = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          dir + "|" + ev.schema.catalogString))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_kmv_$stamp"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rmrf)
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(s"$base/chk"))
+      val srcDone = new java.io.File(s"$base/src/_SUCCESS")
+      if (!srcDone.isFile) {
+        rmrf(new java.io.File(s"$base/src"))
+        ev.repartition(8).write.parquet(s"$base/src")
+      }
+      var state: DataFrame = null
+      val q = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$base/src")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.select("event_type", "event_id")
+          state =
+            (if (state == null)
+               graft.ops.Incremental.sampleStates(
+                 b, Seq("event_type"), "event_id", 32)
+             else
+               graft.ops.Incremental.mergeSampleStates(
+                 state, b, Seq("event_type"), "event_id", 32))
+              .localCheckpoint() // keys-sized; cut lineage across triggers
+          ()
+        }
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      state
+    },
+
     // ---------- scale extensions: OLAP / warehouse reshaping ----------
     "q_rollup" -> { (s, dir) =>
       // region -> nation subtotal lattice in ONE Expand + hash aggregate;
@@ -3854,6 +3902,19 @@ object SparkEntry {
     // equality with the entry's two-batch merge is the losslessness proof;
     // the hash is the shared portable SHA-256 recipe (salt 9)
     "q_sample_bottomk" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id,
+        |    ('0x' || substr(sha256('9|' || event_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM (SELECT DISTINCT event_type, event_id FROM events)
+        |)
+        |SELECT event_type, event_id, h, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY h, event_id) AS rank
+        |  FROM h
+        |) WHERE rank <= 32""".stripMargin,
+    // q_sample_bottomk_stream: identical oracle — the drained streaming
+    // states must equal the from-scratch sketch (lossless merge)
+    "q_sample_bottomk_stream" ->
       """WITH h AS (
         |  SELECT event_type, event_id,
         |    ('0x' || substr(sha256('9|' || event_id::VARCHAR), 1, 15))::BIGINT AS h
