@@ -1189,9 +1189,12 @@ object Dedup {
       excludeSelf: Boolean = true
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // persisted: the index is read by both the size aggregate and the
+    // probe join (globalRank's checkpoint already cut the pool scan)
     val ranked = Pack.globalRank(
       pool.select(col(poolIdCol).as("__poolId")), Seq(col("__poolId")))
       .withColumnRenamed("__rank", "__tr")
+      .persist()
     val n = ranked.agg(count(lit(1)).as("__n"))
     val probes = anchors.select(col(anchorIdCol).as("anchor_id"))
       .crossJoin(broadcast(n))
@@ -1232,9 +1235,11 @@ object Dedup {
       window: Int = 3
   ): DataFrame = {
     require(window >= 1, "window must be >= 1")
+    // ranked feeds both join legs; persist so the rank window runs once
+    // (globalRank's internal checkpoint already cut the scan lineage)
     val ranked = Pack.globalRank(
       df.select(col(idCol).as("__id"), col(sortCol).as("__k")),
-      Seq(col("__k"), col("__id")))
+      Seq(col("__k"), col("__id"))).persist()
     val probes = ranked.select(
       col("__id").as("left_id"), col("__k").as("left_key"),
       col("__rank"),

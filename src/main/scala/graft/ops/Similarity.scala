@@ -710,10 +710,15 @@ object Similarity {
         t => t =!= "")
     val base = df.select(col(idCol).as("__id"), tok(col(textCol)).as("__t"))
     val n = base.agg(count(lit(1)).as("__n"))
+    // q feeds FIVE consumers (norms, prefix, full postings, both verify
+    // legs) and w/tf two each — persist the shared stages or every reuse
+    // re-scans the corpus (MEMORY_AND_DISK, so 100-TB postings spill,
+    // never recompute)
     val tf = base
       .select(col("__id"), explode(col("__t")).as("term"))
       .groupBy(col("__id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     val w = tf
       .join(dfs, Seq("term"))
@@ -724,6 +729,7 @@ object Similarity {
               (col("doc_freq").cast("double") + lit(1.0))) + lit(1.0)), 0)
           .cast("long").as("w"))
       .filter(col("w") > 0)
+      .persist()
     // exact raw norm² (w ≤ ~2^31 keeps w·w inside long; the SUM is decimal)
     val rawNorm = w.groupBy(col("__id"))
       .agg(sum((col("w") * col("w")).cast(dec)).as("__n2"))
@@ -736,8 +742,10 @@ object Similarity {
             sqrt(col("__n2").cast("double")), 0)
           .cast("long").as("q"))
       .filter(col("q") > 0)
+      .persist()
     val qNorm = q.groupBy(col("__id"))
       .agg(sum((col("q") * col("q")).cast(dec)).as("__qn2"))
+      .persist()
     // prefix marking: sorted by weight, a term stays in the prefix while
     // the suffix STARTING AT IT could still reach t·‖d‖ alone
     val byWeight = Window.partitionBy(col("__id"))

@@ -569,10 +569,13 @@ object TextAnalysis {
         t => t =!= "")
     val base = df.select(col(idCol).as("__id"), tok(col(textCol)).as("__t"))
     val n = base.agg(count(lit(1)).as("__n"))
+    // tf feeds both the doc-frequency aggregate and the score join —
+    // persist it so the corpus is tokenized once, not twice
     val tf = base
       .select(col("__id"), explode(col("__t")).as("term"))
       .groupBy(col("__id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     val scored = tf
       .join(dfs, Seq("term"))

@@ -358,6 +358,37 @@ class OpsSpec extends SharedSpark {
     assert(minGap >= 10L, s"adjacent-rank scores only $minGap ppm apart")
   }
 
+  test("round-7 additions keep their scale-plan contracts") {
+    val docs = df("doc_id BIGINT, text STRING",
+      (1L to 20L).map(i => Row(i, s"alpha beta w$i gamma")))
+    // tfidf top-k and bottom-k states: two-phase WindowGroupLimit, so no
+    // task ever sorts a full group
+    val tp = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(tp).size >= 2, tp.take(400))
+    val sp = Incremental.sampleStates(
+      docs.select(col("doc_id"), lit("g").as("g")), Seq("g"), "doc_id", 4)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(sp).size >= 2, sp.take(400))
+    // the all-pairs cosine join must never fall back to a cartesian or
+    // non-equi broadcast nested loop — candidates come from equi-joins
+    val cp = Similarity.tfidfCosinePairs(docs, "doc_id", "text", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct"), "cosine join went cartesian")
+    // the shared weight/postings stages MUST be cache-scanned — without
+    // the persists every one of q's five consumers re-scans the corpus
+    // (the only nested-loop joins are the broadcast 1-row corpus-size
+    // aggregate, printed inside the cached subtree descriptions)
+    assert(cp.contains("InMemoryTableScan"),
+      "cosine shared stages are not cached")
+    // sorted-neighborhood pairs join on rank EQUALITY (explode + equi),
+    // not a rank range condition
+    val np = Dedup.sortedNeighborPairs(docs, "doc_id", "doc_id", 2)
+      .queryExecution.executedPlan.toString
+    assert(!np.contains("CartesianProduct") &&
+      !np.contains("BroadcastNestedLoopJoin"), "neighbor join not equi")
+  }
+
   test("negativeSamples draws deterministically and never its own anchor") {
     val pool = df("id BIGINT", (0L until 50L).map(Row(_)))
     val anchors = pool.filter(col("id") < 5)
