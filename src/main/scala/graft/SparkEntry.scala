@@ -1369,6 +1369,20 @@ object SparkEntry {
         shingleSize = 3, jaccardThreshold = 0.5, maxDocFreq = 20)
         .select("left_id", "right_id")
     },
+    "q_majority_label" -> { (s, dir) =>
+      // annotation reconciliation shape: each user's most frequent event
+      // type, ties to the lexicographically smallest
+      graft.ops.Quality.majorityLabel(
+        t(s, dir, "events").select("user_id", "event_type"),
+        Seq("user_id"), "event_type")
+    },
+    "q_top_mass" -> { (s, dir) =>
+      // nucleus selection: per source, the minimal doc prefix (by chars
+      // desc) carrying half the source's character mass
+      graft.ops.Quality.topMassPerGroup(
+        t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+        Seq("source"), "n_chars", p = 0.5, tieCol = "doc_id")
+    },
     "q_negative_samples" -> { (s, dir) =>
       // 4 deterministic contrastive negatives per anchor from the full
       // embedding pool; the portable SHA recipe lets the oracle replay
@@ -3778,6 +3792,34 @@ object SparkEntry {
         |SELECT l AS left_id, r AS right_id FROM inter
         |JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
         |WHERE CAST(i AS DOUBLE) / (sl.n + sr.n - i) >= 0.5""".stripMargin,
+    "q_majority_label" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n_votes
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, CAST(sum(n_votes) AS BIGINT) AS n_total
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT user_id, event_type, n_votes, n_total FROM (
+        |  SELECT c.user_id, c.event_type, c.n_votes, t.n_total,
+        |    row_number() OVER (PARTITION BY c.user_id
+        |      ORDER BY n_votes DESC, event_type) AS r
+        |  FROM c JOIN t USING (user_id)
+        |) WHERE r = 1""".stripMargin,
+    // q_top_mass: the keep test compares the EXCLUSIVE integer running
+    // sum against ceil(p·W) of the exact group total
+    "q_top_mass" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot,
+        |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars,
+        |  CAST(cb + n_chars AS BIGINT) AS cum_weight
+        |FROM w
+        |WHERE cb < CAST(ceil(0.5 * CAST(tot AS DOUBLE)) AS BIGINT)""".stripMargin,
     // q_negative_samples: the pool index is the dense 0-based vec_id rank;
     // the draw is the shared portable SHA-256 recipe over "anchor#j"
     // (salt 11) mod pool size

@@ -141,4 +141,69 @@ object Quality {
         count(lit(1)).as("n_rows"))
       .filter(col("n_rhs") > 1)
   }
+
+  /** Label consolidation by majority vote: one row per key with the most
+    * frequent `labelCol` value (ties broken by smallest label — fully
+    * deterministic), its count, and the key's total row count. The
+    * standard reconciliation step for multiply-annotated training data.
+    * Shape: one map-side-combinable count aggregation, a key-local total
+    * window over the (key, label)-sized counts, and a two-phase
+    * WindowGroupLimit argmax — no task touches a full key's raw rows.
+    */
+  def majorityLabel(
+      df: DataFrame,
+      keyCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy((keyCols :+ labelCol).map(col): _*)
+      .agg(count(lit(1)).as("n_votes"))
+    val keyW = Window.partitionBy(keyCols.map(col): _*)
+    val pick = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("n_votes").desc, col(labelCol).asc)
+    counts
+      .withColumn("n_total", sum(col("n_votes")).over(
+        keyW.orderBy(col(labelCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .drop("__r")
+  }
+
+  /** Minimal top-mass (nucleus) selection per group: the smallest prefix
+    * of rows — ordered by (`weightCol` desc, `tieCol` asc) — whose weight
+    * sum reaches `p` of the group total. The corpus-curation move "keep
+    * the docs carrying 90% of the quality mass per source". Exact with
+    * integral weights: the threshold is ceil(p·W) computed once per group
+    * from exact integer W, and a row is kept while the EXCLUSIVE running
+    * sum is below it. Emits the kept rows with `cum_weight` (inclusive).
+    * Shape: one window pass per group ordered by weight; state bounded by
+    * group size.
+    */
+  def topMassPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      weightCol: String,
+      p: Double,
+      tieCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(p > 0 && p <= 1, "p must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = col(weightCol).cast("long")
+    val keyW = Window.partitionBy(groupCols.map(col): _*)
+    val order = keyW.orderBy(col(weightCol).desc, col(tieCol).asc)
+    df
+      .withColumn("__w", w)
+      .withColumn("__tot", sum(col("__w")).over(
+        keyW.orderBy(col(tieCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__cumBefore",
+        coalesce(sum(col("__w")).over(order.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__cumBefore") <
+        ceil(lit(p) * col("__tot").cast("double")))
+      .withColumn("cum_weight", col("__cumBefore") + col("__w"))
+      .drop("__w", "__tot", "__cumBefore")
+  }
 }

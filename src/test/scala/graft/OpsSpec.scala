@@ -1069,6 +1069,37 @@ class OpsSpec extends SharedSpark {
     assert(out(1L)._3.contains(0.5d))
   }
 
+  test("majorityLabel picks the modal label with deterministic ties") {
+    val d = df("k BIGINT, lab STRING", Seq(
+      Row(1L, "b"), Row(1L, "b"), Row(1L, "a"),
+      Row(2L, "z"), Row(2L, "a"),          // tie → smallest label
+      Row(3L, "x")))
+    val out = Quality.majorityLabel(d, Seq("k"), "lab")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Long]("n_votes"), r.getAs[Long]("n_total")))
+      .toMap
+    assert(out == Map(
+      1L -> ("b", 2L, 3L), 2L -> ("a", 1L, 2L), 3L -> ("x", 1L, 1L)))
+  }
+
+  test("topMassPerGroup keeps the minimal prefix reaching p of the mass") {
+    // group g: weights 50, 30, 20 (total 100): p=.5 → ceil 50 → keep 50
+    // only (exclusive cum 0 < 50; next row cum 50 not < 50); p=.51 → 50+30
+    val d = df("g STRING, id BIGINT, w BIGINT", Seq(
+      Row("g", 1L, 30L), Row("g", 2L, 50L), Row("g", 3L, 20L),
+      Row("h", 4L, 1L)))
+    def kept(p: Double) =
+      Quality.topMassPerGroup(d, Seq("g"), "w", p, "id")
+        .filter(col("g") === "g")
+        .collect().map(r => (r.getLong(1), r.getAs[Long]("cum_weight"))).toSet
+    assert(kept(0.5) == Set((2L, 50L)))
+    assert(kept(0.51) == Set((2L, 50L), (1L, 80L)))
+    assert(kept(1.0) == Set((2L, 50L), (1L, 80L), (3L, 100L)))
+    // singleton group always keeps its row
+    assert(Quality.topMassPerGroup(d, Seq("g"), "w", 0.5, "id")
+      .filter(col("g") === "h").count() == 1L)
+  }
+
   test("Quality.check evaluates all constraints in one pass") {
     val d = df("id BIGINT, s STRING, x DOUBLE", Seq(
       Row(1L, "ok", 5.0), Row(1L, "ok", 50.0), Row(2L, null, -1.0),
