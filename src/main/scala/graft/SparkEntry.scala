@@ -1166,6 +1166,16 @@ object SparkEntry {
           window = 16, threshold = 3, tieCol = "event_id")
         .select("user_id", "event_id", "z", "is_anomaly")
     },
+    "q_psi_drift" -> { (s, dir) =>
+      // distribution drift between the even- and odd-event halves of
+      // events.value: 20 bins on [0, 500) plus under/overflow; the
+      // Laplace-smoothed shares make every bin's ln well-defined
+      val e = t(s, dir, "events").select("event_id", "value")
+      graft.ops.Profile.psiDrift(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 =!= 0),
+        "value", lo = 0.0, hi = 500.0, bins = 20)
+    },
     "q_mad_outliers" -> { (s, dir) =>
       // per-event-type robust outliers: discrete medians are actual data
       // values and the deviations single IEEE subtractions, so every
@@ -2910,6 +2920,36 @@ object SparkEntry {
         |            / sqrt(CAST(n * ss - s * s AS DOUBLE)) END AS z,
         |  (c * n - s) * (c * n - s) > 9 * (n * ss - s * s) AS is_anomaly
         |FROM w""".stripMargin,
+    // q_psi_drift: bin = floor((value−lo)/width) clamped; shares Laplace-
+    // smoothed by (n+1)/(N+22); psi term parenthesized exactly as the
+    // operator: (1e6 · (p−q)) · ln(p/q)
+    "q_psi_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), -1), 20) AS BIGINT) AS bin,
+        |    count(*) AS n_base
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), -1), 20) AS BIGINT) AS bin,
+        |    count(*) AS n_cur
+        |  FROM events WHERE event_id % 2 <> 0 AND value IS NOT NULL GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(b.bin, c.bin) AS bin,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM b FULL OUTER JOIN c ON b.bin = c.bin
+        |), t AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |         CAST(sum(n_cur) AS BIGINT) AS tc FROM j
+        |), s AS (
+        |  SELECT bin, n_base, n_cur,
+        |    (CAST(n_base AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + 22.0) AS p,
+        |    (CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + 22.0) AS q
+        |  FROM j CROSS JOIN t
+        |)
+        |SELECT bin, n_base, n_cur,
+        |  CAST(round(1000000.0 * p, 0) AS BIGINT) AS p_ppm,
+        |  CAST(round(1000000.0 * q, 0) AS BIGINT) AS q_ppm,
+        |  CAST(round(1000000.0 * (p - q) * ln(p / q), 0) AS BIGINT) AS psi_term_ppm
+        |FROM s""".stripMargin,
     // q_mad_outliers: quantile_disc(0.5) is exactly the operator's
     // discrete median (smallest value with cumulative count >= ceil(n/2))
     "q_mad_outliers" ->

@@ -189,6 +189,55 @@ object Profile {
       .select(df.columns.map(df(_)) :+ col(outCol): _*)
   }
 
+  /** Population-stability drift report between two snapshots of a numeric
+    * column — the standard monitor for "did my corpus mix shift": fixed
+    * equi-width bins on [lo, hi) plus under/overflow bins, Laplace-
+    * smoothed shares p, q = (n + 1)/(N + B), and the per-bin PSI term
+    * (p − q)·ln(p/q) in ppm (sum the column for the total PSI·1e6;
+    * < 0.1 stable, > 0.25 shifted by the usual rule of thumb).
+    *
+    * Every number replays across engines: bin ids are floor() of
+    * deterministic IEEE arithmetic, shares are divisions of exact
+    * integers, and the single `ln` per bin is ppm-rounded with bins few
+    * enough that rounding boundaries stay far away (the BM25 discipline).
+    * Shape: one narrow bin map + count aggregate per side, a union, and a
+    * 1-row broadcast of the totals — the snapshots are scanned once each.
+    */
+  def psiDrift(
+      base: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    require(lo < hi, "need lo < hi")
+    val width = (hi - lo) / bins
+    // bin −1 = underflow, `bins` = overflow; nulls are excluded
+    def binOf(c: Column): Column =
+      least(greatest(floor((c.cast("double") - lit(lo)) / lit(width))
+        .cast("long"), lit(-1L)), lit(bins.toLong))
+    def sideCounts(df: DataFrame, out: String): DataFrame = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(binOf(col(valueCol)).as("bin"))
+      .agg(count(lit(1)).as(out))
+    val joined = sideCounts(base, "n_base")
+      .join(sideCounts(current, "n_cur"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val tot = joined.agg(sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"))
+    val b = lit((bins + 2).toDouble) // smoothing denominator: all bins
+    val p = (col("n_base").cast("double") + lit(1.0)) /
+      (col("__tb").cast("double") + b)
+    val q = (col("n_cur").cast("double") + lit(1.0)) /
+      (col("__tc").cast("double") + b)
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(lit(1000000.0) * p, 0).cast("long").as("p_ppm"),
+        round(lit(1000000.0) * q, 0).cast("long").as("q_ppm"),
+        round(lit(1000000.0) * (p - q) * log(p / q), 0).cast("long")
+          .as("psi_term_ppm"))
+  }
+
   /** Per-group robust outlier flagging by median absolute deviation: a row
     * is an outlier when |x − median| > k · MAD, with both the median and
     * the MAD taken as exact DISCRETE medians (the smallest value whose

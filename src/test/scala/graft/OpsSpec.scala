@@ -1030,6 +1030,26 @@ class OpsSpec extends SharedSpark {
     assert(fast.nonEmpty)
   }
 
+  test("psiDrift bins, smooths, and reports near-zero for identical sides") {
+    val side = df("v DOUBLE",
+      (0 until 100).map(i => Row(i.toDouble)) :+ Row(null) :+ Row(-5.0)
+        :+ Row(999.0))
+    val out = Profile.psiDrift(side, side, "v", 0.0, 100.0, 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("psi_term_ppm"))).toMap
+    // identical sides → every psi term exactly 0; null excluded, the
+    // -5 underflows to bin -1 and 999 overflows to bin 10
+    assert(out.values.forall(t => t._1 == t._2 && t._3 == 0L))
+    assert(out(-1L)._1 == 1L && out(10L)._1 == 1L)
+    assert((0L until 10L).forall(b => out(b)._1 == 10L))
+    // a shifted current side produces a positive total PSI
+    val shifted = df("v DOUBLE", (0 until 100).map(i => Row(i / 2.0)))
+    val psi = Profile.psiDrift(side, shifted, "v", 0.0, 100.0, 10)
+      .agg(sum(col("psi_term_ppm"))).head().getLong(0)
+    assert(psi > 250000L, s"psi=$psi") // >0.25: clearly shifted
+  }
+
   test("madOutliers flags by discrete median absolute deviation") {
     // group a: 1..9 plus a wild 1000 → med = 5 (10 values, index 4),
     // devs sorted [0,1,1,2,2,3,3,4,4,995] → MAD = 2 (index 4);
