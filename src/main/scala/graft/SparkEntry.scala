@@ -1379,6 +1379,13 @@ object SparkEntry {
         shingleSize = 3, jaccardThreshold = 0.5, maxDocFreq = 20)
         .select("left_id", "right_id")
     },
+    "q_bucket_batches" -> { (s, dir) =>
+      // padding-efficient batching: length buckets at 200/500/1000 chars,
+      // 16 docs per batch, ranks and batches fully deterministic
+      graft.ops.Pack.bucketBatches(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", Seq(200L, 500L, 1000L), batchSize = 16)
+    },
     "q_majority_label" -> { (s, dir) =>
       // annotation reconciliation shape: each user's most frequent event
       // type, ties to the lexicographically smallest
@@ -3832,6 +3839,22 @@ object SparkEntry {
         |SELECT l AS left_id, r AS right_id FROM inter
         |JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
         |WHERE CAST(i AS DOUBLE) / (sl.n + sr.n - i) >= 0.5""".stripMargin,
+    "q_bucket_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST((CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, bucket,
+        |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS BIGINT)
+        |      AS rank_in_bucket
+        |  FROM t
+        |)
+        |SELECT doc_id, bucket, rank_in_bucket,
+        |  rank_in_bucket // 16 AS batch
+        |FROM r""".stripMargin,
     "q_majority_label" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS n_votes

@@ -135,6 +135,45 @@ object Pack {
       .drop("__pid", "__local", "__off")
   }
 
+  /** Length-bucketed batch assignment — the batching layout that keeps
+    * padding waste down when sequences of similar length train together:
+    * rows fall into the bucket counting how many ascending `bounds` their
+    * `lenCol` reaches (bucket 0 = below the first bound), are ranked
+    * 0-based inside their bucket by `idCol`, and grouped `batchSize` at a
+    * time. Emits `(idCol, bucket, rank_in_bucket, batch)` — deterministic,
+    * so every epoch and every engine derives the same batches.
+    *
+    * Scale shape: ONE [[globalRank]] over the (bucket, id) total order
+    * (range partition + per-partition window + one-row-per-partition
+    * driver prefix — a huge bucket never becomes a single sort task);
+    * per-bucket ranks subtract the bucket's start offset, recovered as
+    * min(global rank) per bucket and broadcast back (buckets are few).
+    */
+  def bucketBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      bounds: Seq[Long],
+      batchSize: Int
+  ): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    require(bounds.nonEmpty && bounds == bounds.sorted && bounds.distinct == bounds,
+      "bounds must be non-empty, ascending, distinct")
+    val bucket = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col("__len0") >= b, lit(1L)).otherwise(lit(0L))
+    }
+    val ranked = globalRank(
+      df.select(col(idCol).as("__id"), col(lenCol).as("__len0"))
+        .withColumn("bucket", bucket),
+      Seq(col("bucket"), col("__id"))).persist()
+    val starts = ranked.groupBy(col("bucket"))
+      .agg(min(col("__rank")).as("__b0"))
+    ranked.join(broadcast(starts), Seq("bucket"))
+      .withColumn("rank_in_bucket", col("__rank") - col("__b0"))
+      .select(col("__id").as(idCol), col("bucket"), col("rank_in_bucket"),
+        expr(s"rank_in_bucket div ${batchSize}L").as("batch"))
+  }
+
   /** Exact global 0-based rank under `orderCols` (a total order):
     * [[globalCumBefore]] with unit lengths — a row's rank is the count of
     * rows before it, computed without any single global-sort task.

@@ -1030,6 +1030,27 @@ class OpsSpec extends SharedSpark {
     assert(fast.nonEmpty)
   }
 
+  test("bucketBatches assigns deterministic per-bucket ranks and batches") {
+    val d = df("id BIGINT, len BIGINT",
+      Seq(Row(1L, 50L), Row(2L, 250L), Row(3L, 40L), Row(4L, 900L),
+        Row(5L, 210L), Row(6L, 1500L)))
+    val out = Pack.bucketBatches(d, "id", "len", Seq(200L, 500L, 1000L), 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("rank_in_bucket"),
+          r.getAs[Long]("batch"))).toMap
+    assert(out(1L) == (0L, 0L, 0L) && out(3L) == (0L, 1L, 0L))
+    assert(out(2L) == (1L, 0L, 0L) && out(5L) == (1L, 1L, 0L))
+    assert(out(4L) == (2L, 0L, 0L))
+    assert(out(6L) == (3L, 0L, 0L))
+    // a third member of a bucket opens batch 1
+    val more = df("id BIGINT, len BIGINT", Seq(Row(7L, 60L)))
+    val out2 = Pack.bucketBatches(d.unionByName(more), "id", "len",
+      Seq(200L, 500L, 1000L), 2)
+      .filter(col("bucket") === 0L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("batch")).toMap
+    assert(out2 == Map(1L -> 0L, 3L -> 0L, 7L -> 1L))
+  }
+
   test("psiDrift bins, smooths, and reports near-zero for identical sides") {
     val side = df("v DOUBLE",
       (0 until 100).map(i => Row(i.toDouble)) :+ Row(null) :+ Row(-5.0)
