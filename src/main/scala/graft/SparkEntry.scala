@@ -1415,6 +1415,17 @@ object SparkEntry {
       graft.ops.Dedup.sortedNeighborPairs(
         t(s, dir, "documents"), "doc_id", "n_chars", window = 3)
     },
+    "q_jaro_pairs" -> { (s, dir) =>
+      // entity-resolution verify: Jaro-Winkler (native codegen'd
+      // expression) over the name-sorted neighborhood of parts; scores
+      // verified bitwise against DuckDB's jaro_winkler_similarity
+      val pairs = graft.ops.Dedup.sortedNeighborPairs(
+        t(s, dir, "part").select("p_partkey", "p_name"),
+        "p_partkey", "p_name", window = 3)
+      pairs.select(col("left_id"), col("right_id"),
+        graft.plans.JaroWinkler.jaroWinkler(
+          col("left_key"), col("right_key")).as("jw"))
+    },
     "q_containment" -> { (s, dir) =>
       // asymmetric quote/subset detection: a doc whose shingles are mostly
       // inside another doc (containment scores are exact-integer divisions,
@@ -3902,6 +3913,18 @@ object SparkEntry {
         |SELECT anchor_id, CAST(j AS BIGINT) AS j, p.vec_id AS neg_id
         |FROM probes JOIN pool p USING (idx)
         |WHERE p.vec_id <> anchor_id""".stripMargin,
+    // q_jaro_pairs: DuckDB's jaro_winkler_similarity is value-identical
+    // to the native expression (integer-halved transpositions, 0.7 boost
+    // threshold, prefix cap 4) — pinned bitwise over this entry's corpus
+    "q_jaro_pairs" ->
+      """WITH r AS (
+        |  SELECT p_partkey, p_name,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rank
+        |  FROM part
+        |)
+        |SELECT a.p_partkey AS left_id, b.p_partkey AS right_id,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM r a JOIN r b ON b.rank BETWEEN a.rank + 1 AND a.rank + 3""".stripMargin,
     "q_sorted_neighbors" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,

@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dpQuantile)
     ext.injectFunction(GraftFunctions.dpPartitionCount)
     ext.injectFunction(GraftFunctions.heavyHitters)
+    ext.injectFunction(GraftFunctions.jaroWinklerFn)
   }
 }
 
@@ -474,9 +475,25 @@ object GraftFunctions {
   /** Register into an existing session (the extensions class does this for
     * sessions built with `spark.sql.extensions`).
     */
+  /** `jaro_winkler(s1, s2)` — the native [[JaroWinkler]] expression. */
+  val jaroWinklerFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(
+      classOf[JaroWinkler].getName,
+      null,
+      "jaro_winkler",
+      "jaro_winkler(s1, s2) - Jaro-Winkler similarity in [0, 1]",
+      "jaro_winkler('martha', 'marhta')"
+    ),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "jaro_winkler(s1, s2) takes 2 arguments")
+      JaroWinkler.build(children(0), children(1))
+    }
+  )
+
   def register(spark: SparkSession): Unit = {
     Seq(dpNoise, dpCount, dpCountDistinct, dpSum, dpAvg, dpVar, dpStddev,
-        dpQuantile, dpPartitionCount, heavyHitters).foreach {
+        dpQuantile, dpPartitionCount, heavyHitters, jaroWinklerFn).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

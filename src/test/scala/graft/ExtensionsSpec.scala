@@ -2,6 +2,7 @@ package graft
 
 import graft.plans.GraftFunctions
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.lit
 
 class ExtensionsSpec extends SharedSpark {
 
@@ -173,6 +174,32 @@ class ExtensionsSpec extends SharedSpark {
       spark.sql("SELECT dp_noise(n, K, 1.0) FROM ext_bad").collect())
     assertThrows[Exception](
       spark.sql("SELECT dp_noise(n) FROM ext_bad").collect())
+  }
+
+  test("jaro_winkler matches known values from SQL and the Column API") {
+    GraftFunctions.register(spark)
+    import graft.plans.JaroWinkler
+    // textbook pairs (Winkler 1990 values under the 0.7-boost convention)
+    assert(JaroWinkler.similarity("martha", "marhta") == 0.9611111111111111)
+    assert(JaroWinkler.similarity("dwayne", "duane") == 0.8400000000000001)
+    assert(JaroWinkler.similarity("same", "same") == 1.0)
+    assert(JaroWinkler.similarity("", "") == 1.0)
+    assert(JaroWinkler.similarity("abc", "") == 0.0)
+    assert(JaroWinkler.similarity("abc", "xyz") == 0.0)
+    // low-similarity pairs skip the prefix boost (0.7 threshold) and odd
+    // mismatch counts halve by integer division — the DuckDB conventions
+    assert(JaroWinkler.similarity("new widget", "old anvil") ==
+      (3.0 / 10 + 3.0 / 9 + 2.0 / 3) / 3.0)
+    // SQL and Column routes agree with the direct computation
+    val viaSql = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS s")
+      .head().getDouble(0)
+    assert(viaSql == 0.9611111111111111)
+    val viaCol = spark.range(1)
+      .select(JaroWinkler.jaroWinkler(lit("dwayne"), lit("duane")).as("s"))
+      .head().getDouble(0)
+    assert(viaCol == 0.8400000000000001)
+    // null-safe
+    assert(spark.sql("SELECT jaro_winkler(NULL, 'x') AS s").head().isNullAt(0))
   }
 
   test("session built with the extensions class has dp_noise") {
