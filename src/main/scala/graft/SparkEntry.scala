@@ -1176,6 +1176,13 @@ object SparkEntry {
         e.filter(col("event_id") % 2 =!= 0),
         "value", lo = 0.0, hi = 500.0, bins = 20)
     },
+    "q_psi_drift_cat" -> { (s, dir) =>
+      // language-mix drift between document halves (categorical PSI)
+      val d = t(s, dir, "documents").select("doc_id", "lang")
+      graft.ops.Profile.psiDriftCategorical(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 =!= 0), "lang")
+    },
     "q_mad_outliers" -> { (s, dir) =>
       // per-event-type robust outliers: discrete medians are actual data
       // values and the deviations single IEEE subtractions, so every
@@ -2964,6 +2971,35 @@ object SparkEntry {
         |  FROM j CROSS JOIN t
         |)
         |SELECT bin, n_base, n_cur,
+        |  CAST(round(1000000.0 * p, 0) AS BIGINT) AS p_ppm,
+        |  CAST(round(1000000.0 * q, 0) AS BIGINT) AS q_ppm,
+        |  CAST(round(1000000.0 * (p - q) * ln(p / q), 0) AS BIGINT) AS psi_term_ppm
+        |FROM s""".stripMargin,
+    // q_psi_drift_cat: B = observed categories + 1 in the smoothing
+    "q_psi_drift_cat" ->
+      """WITH b AS (
+        |  SELECT CAST(lang AS VARCHAR) AS value, count(*) AS n_base
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+        |), c AS (
+        |  SELECT CAST(lang AS VARCHAR) AS value, count(*) AS n_cur
+        |  FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(b.value, c.value) AS value,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM b FULL OUTER JOIN c ON b.value IS NOT DISTINCT FROM c.value
+        |), t AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |         CAST(sum(n_cur) AS BIGINT) AS tc,
+        |         count(*) AS ncat FROM j
+        |), s AS (
+        |  SELECT value, n_base, n_cur,
+        |    (CAST(n_base AS DOUBLE) + 1.0)
+        |      / (CAST(tb AS DOUBLE) + (CAST(ncat AS DOUBLE) + 1.0)) AS p,
+        |    (CAST(n_cur AS DOUBLE) + 1.0)
+        |      / (CAST(tc AS DOUBLE) + (CAST(ncat AS DOUBLE) + 1.0)) AS q
+        |  FROM j CROSS JOIN t
+        |)
+        |SELECT value, n_base, n_cur,
         |  CAST(round(1000000.0 * p, 0) AS BIGINT) AS p_ppm,
         |  CAST(round(1000000.0 * q, 0) AS BIGINT) AS q_ppm,
         |  CAST(round(1000000.0 * (p - q) * ln(p / q), 0) AS BIGINT) AS psi_term_ppm

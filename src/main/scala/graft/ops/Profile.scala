@@ -238,6 +238,41 @@ object Profile {
           .as("psi_term_ppm"))
   }
 
+  /** Categorical counterpart of [[psiDrift]]: one row per observed
+    * category of `valueCol` (a null category is matched null-safely, not
+    * split) with the same Laplace smoothing over B = observed categories
+    * + 1 — the +1 plays the role of the numeric version's overflow bins,
+    * keeping an unseen category's share well-defined. Same determinism
+    * discipline: integer counts, exact-int divisions, one ppm-rounded
+    * `ln` per category.
+    */
+  def psiDriftCategorical(
+      base: DataFrame,
+      current: DataFrame,
+      valueCol: String): DataFrame = {
+    val b = base.groupBy(col(valueCol).cast("string").as("value"))
+      .agg(count(lit(1)).as("n_base"))
+    val c = current.groupBy(col(valueCol).cast("string").as("__cv"))
+      .agg(count(lit(1)).as("n_cur"))
+    val joined = b.join(c, b("value") <=> c("__cv"), "full_outer")
+      .select(coalesce(b("value"), c("__cv")).as("value"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum(col("n_base")).as("__tb"),
+      sum(col("n_cur")).as("__tc"), count(lit(1)).as("__ncat"))
+    val bs = col("__ncat").cast("double") + lit(1.0)
+    val p = (col("n_base").cast("double") + lit(1.0)) /
+      (col("__tb").cast("double") + bs)
+    val q = (col("n_cur").cast("double") + lit(1.0)) /
+      (col("__tc").cast("double") + bs)
+    joined.crossJoin(broadcast(tot))
+      .select(col("value"), col("n_base"), col("n_cur"),
+        round(lit(1000000.0) * p, 0).cast("long").as("p_ppm"),
+        round(lit(1000000.0) * q, 0).cast("long").as("q_ppm"),
+        round(lit(1000000.0) * (p - q) * log(p / q), 0).cast("long")
+          .as("psi_term_ppm"))
+  }
+
   /** Per-group robust outlier flagging by median absolute deviation: a row
     * is an outlier when |x − median| > k · MAD, with both the median and
     * the MAD taken as exact DISCRETE medians (the smallest value whose

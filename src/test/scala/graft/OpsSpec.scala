@@ -1071,6 +1071,22 @@ class OpsSpec extends SharedSpark {
     assert(psi > 250000L, s"psi=$psi") // >0.25: clearly shifted
   }
 
+  test("psiDriftCategorical tracks category swings, null-safe") {
+    val b = df("v STRING", Seq(Row("en"), Row("en"), Row("de"), Row(null)))
+    val c = df("v STRING", Seq(Row("en"), Row("zh"), Row(null), Row(null)))
+    val out = Profile.psiDriftCategorical(b, c, "v")
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_cur"))).toMap
+    // null is ONE category; de and zh appear with a zero side
+    assert(out == Map(
+      Some("en") -> (2L, 1L), Some("de") -> (1L, 0L),
+      Some("zh") -> (0L, 1L), None -> (1L, 2L)))
+    // identical sides → all psi terms zero
+    val same = Profile.psiDriftCategorical(b, b, "v")
+      .agg(sum(abs(col("psi_term_ppm")))).head().getLong(0)
+    assert(same == 0L)
+  }
+
   test("madOutliers flags by discrete median absolute deviation") {
     // group a: 1..9 plus a wild 1000 → med = 5 (10 values, index 4),
     // devs sorted [0,1,1,2,2,3,3,4,4,995] → MAD = 2 (index 4);
