@@ -2032,6 +2032,47 @@ object SparkEntry {
           concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
         .distinct()
       graft.ops.Graph.degrees(e0)
+    },
+    "q_assoc_rules" -> { (s, dir) =>
+      // support/confidence/lift over (order, part) baskets; the pair
+      // explosion is bounded by the deterministic basket cap before the
+      // self-join, and all ratios are integer ppm from exact counts
+      graft.ops.Market.associationRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 3L, maxBasketSize = 16)
+    },
+    "q_triangles" -> { (s, dir) =>
+      // co-purchase graph (part pairs sharing >= 2 orders), triangle
+      // count under degree-ordered orientation — the wedge join is
+      // bounded by orientation out-degree, not hub degree
+      val edges = graft.ops.Market.frequentPairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 2L, maxBasketSize = 16)
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+      graft.ops.Graph.triangleCount(edges)
+    },
+    "q_weighted_median" -> { (s, dir) =>
+      // quantity-weighted price median per flag/status; weights are
+      // integral so the cumulative sums are exact BIGINTs
+      graft.ops.Olap.weightedMedianByGroup(
+        t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        col("l_extendedprice"), col("l_quantity"))
+    },
+    "q_ab_welch" -> { (s, dir) =>
+      // daily Welch t between click and view on value; every double is
+      // derived from exact integer cent sums by the same expression
+      // tree the oracle spells, so the stats replay bit-identically
+      graft.ops.Stats.welchT(
+        t(s, dir, "events").withColumn("day", col("ts").cast("date")),
+        Seq("day"), col("event_type"), col("value"),
+        variantA = "click", variantB = "view")
+    },
+    "q_chi2_assoc" -> { (s, dir) =>
+      // lang x source contingency with per-cell ppm contributions;
+      // zero-observed cells of the label cross emitted too
+      graft.ops.Stats.chi2Contingency(
+        t(s, dir, "documents"), col("lang"), col("source"))
     }
   )
 
@@ -4471,6 +4512,129 @@ object SparkEntry {
         |FROM (SELECT src AS id, count(*) AS out_deg FROM e0 GROUP BY 1) o
         |FULL OUTER JOIN
         |  (SELECT dst AS id, count(*) AS in_deg FROM e0 GROUP BY 1) i
-        |ON o.id = i.id""".stripMargin
+        |ON o.id = i.id""".stripMargin,
+    // q_assoc_rules: ppm ratios written as the same left-associated
+    // double expressions the Scala operator builds, from exact counts
+    "q_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+        |    l_partkey AS item FROM lineitem),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+        |itn AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, c.item AS item_b,
+        |    count(*) AS pair_n
+        |  FROM b a JOIN b c
+        |    ON a.basket = c.basket AND a.item < c.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |d AS (SELECT item_a AS antecedent, item_b AS consequent, pair_n
+        |    FROM p
+        |  UNION ALL
+        |  SELECT item_b, item_a, pair_n FROM p)
+        |SELECT d.antecedent, d.consequent, d.pair_n,
+        |  ia.n_item AS n_ante, ic.n_item AS n_cons,
+        |  CAST(round(1000000.0 * d.pair_n / nb.n_baskets) AS BIGINT)
+        |    AS support_ppm,
+        |  CAST(round(1000000.0 * d.pair_n / ia.n_item) AS BIGINT)
+        |    AS conf_ppm,
+        |  CAST(round(1000000.0 * d.pair_n * nb.n_baskets
+        |    / (ia.n_item * ic.n_item)) AS BIGINT) AS lift_ppm
+        |FROM d JOIN itn ia ON d.antecedent = ia.item
+        |JOIN itn ic ON d.consequent = ic.item
+        |CROSS JOIN nb""".stripMargin,
+    // q_triangles: same degree-ordered orientation as Graph.triangleCount
+    // (u < v always, so du <= dv encodes the (deg, id) tiebreak)
+    "q_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+        |    l_partkey AS item FROM lineitem),
+        |p AS (SELECT a.item AS u, c.item AS v, count(*) AS pair_n
+        |  FROM b a JOIN b c
+        |    ON a.basket = c.basket AND a.item < c.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |    SELECT u AS id FROM p UNION ALL SELECT v FROM p)
+        |  GROUP BY 1),
+        |e AS (SELECT
+        |    CASE WHEN du.deg <= dv.deg THEN p.u ELSE p.v END AS src,
+        |    CASE WHEN du.deg <= dv.deg THEN p.v ELSE p.u END AS dst,
+        |    CASE WHEN du.deg <= dv.deg THEN dv.deg ELSE du.deg END AS ddeg
+        |  FROM p JOIN deg du ON p.u = du.id JOIN deg dv ON p.v = dv.id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM e x JOIN e y ON x.src = y.src
+        |  AND (x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst))
+        |JOIN e z ON z.src = x.dst AND z.dst = y.dst""".stripMargin,
+    // q_weighted_median: integral quantities -> exact BIGINT cumulative
+    // weights; ties in price cannot move the selected value
+    "q_weighted_median" ->
+      """WITH t AS (SELECT l_returnflag, l_linestatus,
+        |    l_extendedprice AS v,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag, l_linestatus) AS tw
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, min(v) AS weighted_median
+        |FROM t WHERE cw * 2 >= tw GROUP BY 1, 2""".stripMargin,
+    // q_ab_welch: all doubles derived from exact integer cent sums by
+    // the identical expression trees Stats.welchT builds
+    "q_ab_welch" ->
+      """WITH q AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |s AS (SELECT day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END)
+        |      AS BIGINT) AS s1_a,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END)
+        |      AS BIGINT) AS s2_a,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END)
+        |      AS BIGINT) AS s1_b,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END)
+        |      AS BIGINT) AS s2_b
+        |  FROM q GROUP BY 1),
+        |f AS (SELECT * FROM s WHERE n_a >= 2 AND n_b >= 2),
+        |mo AS (SELECT day, n_a, n_b,
+        |    s1_a / 100.0 / n_a AS mean_a,
+        |    s1_b / 100.0 / n_b AS mean_b,
+        |    (s2_a / 100.0 / 100.0
+        |      - s1_a / 100.0 * (s1_a / 100.0) / n_a) / (n_a - 1) AS var_a,
+        |    (s2_b / 100.0 / 100.0
+        |      - s1_b / 100.0 * (s1_b / 100.0) / n_b) / (n_b - 1) AS var_b
+        |  FROM f)
+        |SELECT day, n_a, n_b, mean_a, mean_b, var_a, var_b,
+        |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+        |  (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+        |    / (var_a / n_a * (var_a / n_a) / (n_a - 1)
+        |      + var_b / n_b * (var_b / n_b) / (n_b - 1)) AS dof
+        |FROM mo""".stripMargin,
+    // q_chi2_assoc: expected_m is exactly integral here (n divides
+    // 1000*rt*ct), contributions replay from the same double tree
+    "q_chi2_assoc" ->
+      """WITH cells AS (SELECT lang AS row_label, source AS col_label,
+        |    count(*) AS n_obs
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT row_label, CAST(sum(n_obs) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT col_label, CAST(sum(n_obs) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cells),
+        |fl AS (SELECT r.row_label, c.col_label, r.rt, c.ct, tot.n,
+        |    coalesce(cells.n_obs, 0) AS n_obs
+        |  FROM rt r CROSS JOIN ct c CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.row_label = r.row_label
+        |    AND cells.col_label = c.col_label)
+        |SELECT row_label, col_label, n_obs,
+        |  CAST(round(1000.0 * rt * ct / n) AS BIGINT) AS expected_m,
+        |  CAST(round(1000000.0
+        |    * ((n_obs - CAST(rt * ct AS DOUBLE) / n)
+        |      * (n_obs - CAST(rt * ct AS DOUBLE) / n))
+        |    / (CAST(rt * ct AS DOUBLE) / n)) AS BIGINT)
+        |    AS chi2_contrib_ppm
+        |FROM fl""".stripMargin
   )
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining: frequent item pairs and
+  * support/confidence/lift association rules.
+  *
+  * The reference engine has no co-occurrence surface (its operator set
+  * stops at DP aggregation — SURVEY.md §2.7); this layer serves the
+  * training-data side of the house: co-occurrence statistics over
+  * (document, entity) or (session, item) tables are the standard raw
+  * material for negative-sampling tables, related-item retrieval, and
+  * curriculum mixing.
+  *
+  * Scale design. The only quadratic step is the per-basket pair
+  * explosion, and it is bounded BEFORE the join: baskets are capped at
+  * `maxBasketSize` items (deterministically — the k smallest item ids
+  * survive, so reruns and engine replays agree), which bounds the
+  * per-basket fan-out at k(k-1)/2 regardless of skew. Both join legs
+  * share one shuffle layout (same distinct projection, partitioned by
+  * basket), so the self-join reuses the exchange; pair counts and item
+  * counts are ordinary combinable aggregations. Nothing is collected to
+  * the driver except the single basket-count scalar, which rides a
+  * broadcast cross join.
+  *
+  * Determinism discipline (the DuckDB-oracle contract used across this
+  * repo): all ratios are emitted as integer ppm computed by the exact
+  * same left-associated double expression in both engines, from exact
+  * integer counts — so the driver's hash compare is bit-stable.
+  */
+object Market {
+
+  /** Distinct unordered item pairs per basket with co-occurrence counts.
+    * Output: (item_a, item_b, pair_n) with item_a < item_b,
+    * pair_n >= minPairCount. `maxBasketSize <= 0` disables the cap.
+    */
+  def frequentPairs(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minPairCount: Long = 2L,
+      maxBasketSize: Int = 64): DataFrame =
+    pairsOf(cappedBaskets(df, basketCol, itemCol, maxBasketSize))
+      .filter(col("pair_n") >= minPairCount)
+
+  /** Association rules in both directions from the frequent pairs:
+    * (antecedent, consequent, pair_n, n_ante, n_cons,
+    *  support_ppm, conf_ppm, lift_ppm).
+    *
+    * support = pair_n / n_baskets, confidence = pair_n / n_ante,
+    * lift = pair_n * n_baskets / (n_ante * n_cons); each reported as
+    * round(1e6 * ratio) in a BIGINT column.
+    */
+  def associationRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minPairCount: Long = 2L,
+      maxBasketSize: Int = 64): DataFrame = {
+    val baskets = cappedBaskets(df, basketCol, itemCol, maxBasketSize)
+      .persist()
+    val pairs = pairsOf(baskets).filter(col("pair_n") >= minPairCount)
+    // per-item basket count and the global basket count; rows are
+    // (item, count) — tiny next to the pair table, broadcast-friendly
+    val itemN = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val nB = baskets.select(countDistinct(col("basket")).as("n_baskets"))
+    val directed = pairs.select(
+        col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("pair_n"))
+      .unionByName(pairs.select(
+        col("item_b").as("antecedent"), col("item_a").as("consequent"),
+        col("pair_n")))
+    val joined = directed
+      .join(itemN.select(col("item").as("antecedent"),
+        col("n_item").as("n_ante")), Seq("antecedent"))
+      .join(itemN.select(col("item").as("consequent"),
+        col("n_item").as("n_cons")), Seq("consequent"))
+      .crossJoin(broadcast(nB))
+    val out = joined.select(
+      col("antecedent"), col("consequent"), col("pair_n"),
+      col("n_ante"), col("n_cons"),
+      round(lit(1000000.0) * col("pair_n") / col("n_baskets"))
+        .cast("long").as("support_ppm"),
+      round(lit(1000000.0) * col("pair_n") / col("n_ante"))
+        .cast("long").as("conf_ppm"),
+      round(lit(1000000.0) * col("pair_n") * col("n_baskets")
+        / (col("n_ante") * col("n_cons")))
+        .cast("long").as("lift_ppm"))
+    baskets.unpersist()
+    out
+  }
+
+  /** Distinct (basket, item), capped at the k smallest items per basket
+    * so the downstream pair explosion is bounded under basket skew. */
+  private def cappedBaskets(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasketSize: Int): DataFrame = {
+    val b0 = df
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    if (maxBasketSize <= 0) b0
+    else {
+      val w = Window.partitionBy(col("basket")).orderBy(col("item"))
+      b0.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxBasketSize)
+        .drop("__rn")
+    }
+  }
+
+  private def pairsOf(baskets: DataFrame): DataFrame =
+    baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("pair_n"))
+}

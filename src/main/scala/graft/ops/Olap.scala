@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -156,5 +157,38 @@ object Olap {
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", lit(lo) + col("bin").cast("double") * lit(w))
       .select(col("bin"), col("bin_lo"), col("n"))
+  }
+
+  /** Exact lower weighted median per group: the smallest `value` whose
+    * cumulative weight reaches half the group's total weight. The
+    * quality-weighted analog of a plain median — token-weighted document
+    * length cut-offs, quantity-weighted price points.
+    *
+    * Weights are cast to BIGINT (caller supplies integral weights), so
+    * the running and total sums are exact integers and the selection is
+    * independent of partitioning and of tie order within equal values:
+    * whichever permutation the sort produces among equal values, the
+    * first row whose doubled cumulative weight reaches the total lies at
+    * the same `value`. One shuffle + one in-partition sort (a single
+    * WindowExec computes both the running and the total sum over the
+    * same partition layout), then a combinable min — no second pass.
+    */
+  def weightedMedianByGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      value: Column,
+      weight: Column,
+      name: String = "weighted_median"): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*)
+    val run = part.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(value.isNotNull)
+      .select(keys.map(col) :+ value.as("__v") :+
+        weight.cast(LongType).as("__w"): _*)
+      .withColumn("__cw", sum(col("__w")).over(run))
+      .withColumn("__tw", sum(col("__w")).over(part))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("__v")).as(name))
   }
 }

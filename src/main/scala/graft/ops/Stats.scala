@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inferential statistics over grouped data: Welch's unequal-variance
+  * t-test for A/B comparisons and the chi-square statistic over a
+  * contingency table for categorical association.
+  *
+  * The reference engine's statistical surface is DP aggregation only
+  * (SURVEY.md §2.5-2.6); these are the non-private companions an
+  * experimentation or data-drift pipeline runs next to it. Both are
+  * single-aggregation-pass shapes: the t-test is one conditional hash
+  * aggregate per key (six integer sums), the chi-square is one count
+  * aggregate plus two margin aggregates re-joined on the (tiny) label
+  * sets — nothing here scans the data twice or sorts it.
+  *
+  * Determinism discipline (the repo's DuckDB-oracle contract): all
+  * floating-point statistics are derived from EXACT integer sums — the
+  * metric is quantized to an integer grid (`scale` units per 1.0) before
+  * summation, so the partial-merge sums are order-free, and every double
+  * is then computed by the same left-associated expression the oracle
+  * SQL spells, making results bit-stable across engines and partitioned
+  * re-runs.
+  */
+object Stats {
+
+  /** Welch's two-sample t-test of `value` between `variantA` and
+    * `variantB` rows, per `keys` group. Output per key:
+    * (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, dof) — unbiased
+    * sample variances, Welch-Satterthwaite degrees of freedom. Keys
+    * where either side has < 2 observations are dropped (the statistic
+    * is undefined there).
+    *
+    * `scale`: integer quantization grid for exactness — value counts in
+    * units of 1/scale (e.g. 100 = cents for currency-like metrics).
+    */
+  def welchT(
+      df: DataFrame,
+      keys: Seq[String],
+      variant: Column,
+      value: Column,
+      variantA: String,
+      variantB: String,
+      scale: Int = 100): DataFrame = {
+    val c = round(value * lit(scale)).cast("long")
+    def side(v: String, tag: String) = Seq(
+      sum(when(variant === lit(v), lit(1L)).otherwise(lit(0L)))
+        .as(s"n_$tag"),
+      sum(when(variant === lit(v), c).otherwise(lit(0L))).as(s"s1_$tag"),
+      sum(when(variant === lit(v), c * c).otherwise(lit(0L)))
+        .as(s"s2_$tag"))
+    val aggs = side(variantA, "a") ++ side(variantB, "b")
+    val sums = df.filter(variant.isin(variantA, variantB))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    val sc = lit(scale.toDouble)
+    def mean(tag: String) = col(s"s1_$tag") / sc / col(s"n_$tag")
+    // unbiased: (sum(x^2) - sum(x)^2/n) / (n-1), in metric units
+    def variance(tag: String) =
+      ((col(s"s2_$tag") / sc / sc
+        - col(s"s1_$tag") / sc * (col(s"s1_$tag") / sc) / col(s"n_$tag"))
+        / (col(s"n_$tag") - lit(1L)))
+    val withMoments = sums.select(
+      keys.map(col) ++ Seq(
+        col("n_a"), col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        variance("a").as("var_a"), variance("b").as("var_b")): _*)
+    val sea = col("var_a") / col("n_a")
+    val seb = col("var_b") / col("n_b")
+    val se2 = sea + seb
+    withMoments.select(
+      keys.map(col) ++ Seq(
+        col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("var_a"), col("var_b"),
+        ((col("mean_a") - col("mean_b")) / sqrt(se2)).as("t_stat"),
+        (se2 * se2 / (sea * sea / (col("n_a") - lit(1L))
+          + seb * seb / (col("n_b") - lit(1L)))).as("dof")): _*)
+  }
+
+  /** Per-cell chi-square contribution table for the `rowLabel` ×
+    * `colLabel` contingency: (row_label, col_label, n_obs, expected_m,
+    * chi2_contrib_ppm). The full cross product of observed labels is
+    * emitted — zero-observed cells included, since they still contribute
+    * their expected mass. `expected_m` is round(1000·expected) and
+    * `chi2_contrib_ppm` is round(1e6·(obs-e)²/e), both BIGINT, so the
+    * statistic (sum of contributions / 1e6) reassembles exactly from
+    * integer addition in any order.
+    *
+    * Plan: one count aggregate over the data, margins reduced from the
+    * (label-sized) cell table, full cross of the two margin tables —
+    * every post-aggregation relation is label-cardinality-sized, so the
+    * crosses and joins are broadcasts at any data scale.
+    */
+  def chi2Contingency(
+      df: DataFrame,
+      rowLabel: Column,
+      colLabel: Column): DataFrame = {
+    val cells = df
+      .filter(rowLabel.isNotNull && colLabel.isNotNull)
+      .groupBy(rowLabel.as("row_label"), colLabel.as("col_label"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rowTot = cells.groupBy("row_label").agg(sum("n_obs").as("rt"))
+    val colTot = cells.groupBy("col_label").agg(sum("n_obs").as("ct"))
+    val total = cells.select(sum("n_obs").as("n"))
+    val full = rowTot.crossJoin(colTot).crossJoin(broadcast(total))
+      .join(cells, Seq("row_label", "col_label"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    full.select(
+      col("row_label"), col("col_label"), col("n_obs"),
+      round(lit(1000.0) * col("rt") * col("ct") / col("n"))
+        .cast("long").as("expected_m"),
+      round(lit(1000000.0)
+        * ((col("n_obs") - e) * (col("n_obs") - e)) / e)
+        .cast("long").as("chi2_contrib_ppm"))
+  }
+
+  /** The chi-square statistic itself (ppm-scaled BIGINT) with its
+    * degrees of freedom, reassembled from the per-cell table by exact
+    * integer summation. */
+  def chi2Statistic(
+      df: DataFrame,
+      rowLabel: Column,
+      colLabel: Column): DataFrame =
+    chi2Contingency(df, rowLabel, colLabel)
+      .agg(
+        sum(col("chi2_contrib_ppm")).as("chi2_ppm"),
+        ((countDistinct(col("row_label")) - lit(1L))
+          * (countDistinct(col("col_label")) - lit(1L))).as("dof"))
+}

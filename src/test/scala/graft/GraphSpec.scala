@@ -76,4 +76,25 @@ class GraphSpec extends SharedSpark {
         Graph.pageRank(sym, 1, 0.85, roundDigits = 9, initial = rounded))
     }
   }
+
+  private def triangles(pairs: (String, String)*): Long =
+    Graph.triangleCount(edges(pairs: _*)).collect().head.getLong(0)
+
+  test("triangleCount on canonical small graphs") {
+    assert(triangles("a" -> "b", "b" -> "c", "a" -> "c") == 1L)
+    // K4 has 4 triangles
+    assert(triangles("a" -> "b", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d") == 4L)
+    // star and path have none
+    assert(triangles("a" -> "b", "a" -> "c", "a" -> "d") == 0L)
+    assert(triangles("a" -> "b", "b" -> "c", "c" -> "d") == 0L)
+    // bowtie: two triangles sharing a node
+    assert(triangles("a" -> "b", "a" -> "c", "b" -> "c",
+      "a" -> "d", "a" -> "e", "d" -> "e") == 2L)
+  }
+
+  test("triangleCount ignores self-loops, multi-edges, and direction") {
+    assert(triangles("a" -> "b", "b" -> "c", "a" -> "c",
+      "a" -> "a", "b" -> "a", "c" -> "a", "a" -> "b") == 1L)
+  }
 }

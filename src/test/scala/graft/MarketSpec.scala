@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Market
+import org.apache.spark.sql.Row
+
+/** Market-basket mining: pair counts, the deterministic basket cap, and
+  * the ppm rule arithmetic on a hand-computed example. */
+class MarketSpec extends SharedSpark {
+
+  private def baskets(rows: (Long, Long)*) =
+    df("basket BIGINT, item BIGINT", rows.map(r => Row(r._1, r._2)))
+
+  // b1:{1,2,3} b2:{1,2} b3:{1,2,4} b4:{3}
+  private val fixture = baskets(
+    1L -> 1L, 1L -> 2L, 1L -> 3L,
+    2L -> 1L, 2L -> 2L,
+    3L -> 1L, 3L -> 2L, 3L -> 4L,
+    4L -> 3L)
+
+  test("frequentPairs counts distinct co-occurrences above threshold") {
+    val out = Market.frequentPairs(fixture, "basket", "item",
+      minPairCount = 2L, maxBasketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L)))
+    val all = Market.frequentPairs(fixture, "basket", "item",
+      minPairCount = 1L, maxBasketSize = 0).collect()
+    assert(all.length == 5) // (1,2) (1,3) (2,3) (1,4) (2,4)
+  }
+
+  test("duplicate (basket, item) rows do not inflate pair counts") {
+    val dup = baskets(1L -> 1L, 1L -> 1L, 1L -> 2L, 1L -> 2L)
+    val out = Market.frequentPairs(dup, "basket", "item",
+      minPairCount = 1L, maxBasketSize = 0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  test("basket cap keeps the k smallest items — bounded and deterministic") {
+    val wide = baskets((1L to 5L).map(i => 1L -> i): _*)
+    val out = Market.frequentPairs(wide, "basket", "item",
+      minPairCount = 1L, maxBasketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // only items {1,2,3} survive the cap -> exactly their 3 pairs
+    assert(out.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("associationRules ppm arithmetic on the hand-computed example") {
+    val out = Market.associationRules(fixture, "basket", "item",
+      minPairCount = 2L, maxBasketSize = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))
+      .toMap
+    // pair (1,2): n=3 of 4 baskets; item counts 3 and 3
+    // support = 3/4, conf = 3/3, lift = 3*4/(3*3) = 4/3
+    val expect = (3L, 3L, 3L, 750000L, 1000000L, 1333333L)
+    assert(out((1L, 2L)) == expect)
+    assert(out((2L, 1L)) == expect)
+    assert(out.size == 2)
+  }
+}

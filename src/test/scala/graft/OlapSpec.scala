@@ -97,4 +97,29 @@ class OlapSpec extends SharedSpark {
     assert(out(1L) == ((10.0, 1L)))
     assert(out(2L) == ((20.0, 2L))) // 25, 99 clamped; null dropped
   }
+
+  test("weightedMedianByGroup picks the lower weighted median") {
+    val d = df("g STRING, v DOUBLE, w DOUBLE", Seq(
+      // unit weights: plain lower median of {1,2,3} = 2
+      Row("u", 1.0, 1.0), Row("u", 2.0, 1.0), Row("u", 3.0, 1.0),
+      // heavy small value dominates: {1 w5, 10 w1} -> 1
+      Row("h", 1.0, 5.0), Row("h", 10.0, 1.0),
+      // even split takes the lower value: {1 w1, 2 w1} -> 1
+      Row("e", 1.0, 1.0), Row("e", 2.0, 1.0)))
+    val out = Olap.weightedMedianByGroup(d, Seq("g"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("u" -> 2.0, "h" -> 1.0, "e" -> 1.0))
+  }
+
+  test("weightedMedianByGroup is invariant to partitioning and ties") {
+    val rows = (1 to 500).map { i =>
+      Row("g", (i % 25).toDouble, (i % 7 + 1).toDouble)
+    }
+    val base = df("g STRING, v DOUBLE, w DOUBLE", rows)
+    val a = Olap.weightedMedianByGroup(
+      base.repartition(1), Seq("g"), col("v"), col("w"))
+    val b = Olap.weightedMedianByGroup(
+      base.repartition(13), Seq("g"), col("v"), col("w"))
+    assertSameRows(a, b)
+  }
 }
