@@ -2073,6 +2073,35 @@ object SparkEntry {
       // zero-observed cells of the label cross emitted too
       graft.ops.Stats.chi2Contingency(
         t(s, dir, "documents"), col("lang"), col("source"))
+    },
+    "q_collocations" -> { (s, dir) =>
+      // corpus-wide PMI collocations; counts-to-counts, ln guard band
+      // pinned in the suite (same discipline as q_bm25)
+      graft.ops.TextAnalysis.collocations(
+        t(s, dir, "documents"), "text", minPairCount = 10L)
+    },
+    "q_transitions" -> { (s, dir) =>
+      // per-user first-order event transitions ordered by (ts,
+      // event_id) — the unique tiebreak makes the lag deterministic
+      graft.ops.TimeSeries.transitionMatrix(
+        t(s, dir, "events"), col("user_id"), col("event_type"),
+        Seq(col("ts"), col("event_id")))
+    },
+    "q_benford" -> { (s, dir) =>
+      // leading-digit audit of prices on the integer-cents grid; digit
+      // extraction is string-based, no log10 on the data path
+      graft.ops.Quality.benfordAudit(
+        t(s, dir, "lineitem"), col("l_extendedprice"))
+    },
+    "q_trend" -> { (s, dir) =>
+      // per-type OLS drift of value over seconds-since-2024-01-01;
+      // six exact integer sums, doubles derived by the oracle's trees
+      graft.ops.Stats.linearTrendByGroup(
+        t(s, dir, "events"),
+        Seq("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+          - lit(1704067200L),
+        col("value"))
     }
   )
 
@@ -4635,6 +4664,103 @@ object SparkEntry {
         |      * (n_obs - CAST(rt * ct AS DOUBLE) / n))
         |    / (CAST(rt * ct AS DOUBLE) / n)) AS BIGINT)
         |    AS chi2_contrib_ppm
-        |FROM fl""".stripMargin
+        |FROM fl""".stripMargin,
+    // q_collocations: same tokenizer as q_bigram_lm; PMI from the same
+    // single ln expression tree Spark builds
+    "q_collocations" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), b AS (
+        |  SELECT t[pos+1] AS w1, t[pos+2] AS w2
+        |  FROM (SELECT unnest(range(len(t) - 1)) AS pos, t
+        |    FROM tk WHERE len(t) >= 2)
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS pair_n FROM b GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT w, count(*) AS cu
+        |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1
+        |), n1 AS (SELECT CAST(sum(cu) AS BIGINT) AS n1 FROM uni),
+        |n2 AS (SELECT CAST(sum(pair_n) AS BIGINT) AS n2 FROM c2)
+        |SELECT c2.w1, c2.w2, c2.pair_n,
+        |  u1.cu AS n_w1, u2.cu AS n_w2,
+        |  CAST(round(1000000.0 * ln(
+        |    (CAST(c2.pair_n AS DOUBLE) / n2.n2)
+        |    / (CAST(u1.cu AS DOUBLE) / n1.n1
+        |      * (CAST(u2.cu AS DOUBLE) / n1.n1)))) AS BIGINT) AS pmi_ppm
+        |FROM c2 JOIN uni u1 ON c2.w1 = u1.w
+        |JOIN uni u2 ON c2.w2 = u2.w
+        |CROSS JOIN n1 CROSS JOIN n2
+        |WHERE c2.pair_n >= 10""".stripMargin,
+    "q_transitions" ->
+      """WITH sq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS from_state
+        |  FROM events),
+        |c AS (SELECT from_state, event_type AS to_state,
+        |    count(*) AS n_trans
+        |  FROM sq WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_state, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n_trans, f.n_from,
+        |  CAST(round(1000000.0 * c.n_trans / f.n_from) AS BIGINT)
+        |    AS prob_ppm
+        |FROM c JOIN f USING (from_state)""".stripMargin,
+    // q_benford: digit via integer-cents string head — exact in both
+    // engines; the Benford table is the shared literal constant set
+    "q_benford" ->
+      """WITH c AS (SELECT
+        |    CAST(round(abs(l_extendedprice) * 100) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit
+        |  FROM c WHERE c > 0),
+        |cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cnt),
+        |ben(digit, benford_ppm) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+        |  (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |fl AS (SELECT CAST(b.digit AS BIGINT) AS digit,
+        |    coalesce(cnt.n, 0) AS n,
+        |    CAST(b.benford_ppm AS BIGINT) AS benford_ppm
+        |  FROM ben b LEFT JOIN cnt ON b.digit = cnt.digit)
+        |SELECT digit, n,
+        |  CAST(round(1000000.0 * n / tot.tot) AS BIGINT) AS share_ppm,
+        |  benford_ppm,
+        |  CAST(round(1000000.0 * n / tot.tot) AS BIGINT) - benford_ppm
+        |    AS dev_ppm
+        |FROM fl CROSS JOIN tot""".stripMargin,
+    // q_trend: x = epoch seconds since 2024-01-01 by exact integer
+    // division; every double from the six exact sums
+    "q_trend" ->
+      """WITH q AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * c) AS BIGINT) AS sxy,
+        |    CAST(sum(c * c) AS BIGINT) AS syy
+        |  FROM q GROUP BY 1),
+        |f AS (SELECT * FROM s WHERE n >= 2
+        |  AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0.0
+        |  AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0.0),
+        |g AS (SELECT event_type, n, sx, sy,
+        |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        |      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+        |      / 100.0 AS slope,
+        |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        |      * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        |      / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+        |        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+        |      AS r2
+        |  FROM f)
+        |SELECT event_type, n, slope,
+        |  CAST(sy AS DOUBLE) / 100.0 / n - slope
+        |    * (CAST(sx AS DOUBLE) / n) AS intercept,
+        |  r2
+        |FROM g""".stripMargin
   )
 }

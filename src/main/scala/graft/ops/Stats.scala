@@ -129,4 +129,60 @@ object Stats {
         sum(col("chi2_contrib_ppm")).as("chi2_ppm"),
         ((countDistinct(col("row_label")) - lit(1L))
           * (countDistinct(col("col_label")) - lit(1L))).as("dof"))
+
+  /** Per-group ordinary-least-squares trend of `value` against an
+    * integer regressor `x` (e.g. seconds since a fixed origin): output
+    * (keys..., n, slope, intercept, r2) with slope in metric units per
+    * x-unit. The drift detector for metrics-over-time — one conditional
+    * hash aggregate computing six exact integer sums, no window, no
+    * second pass.
+    *
+    * Exactness: `x` must already be integral; `value` is quantized to
+    * the `scale` grid. Keep |x| ≤ ~2.6e6 and |value·scale| ≤ ~5e4 at
+    * ~1e4 rows per group so x², x·y and y² sums stay inside Long (the
+    * caller picks the x origin to make that true — the point of the
+    * `x` contract). The double-typed outputs are then derived from
+    * those exact sums by fixed expression trees, so results replay
+    * bit-identically across engines and partitionings.
+    *
+    * Groups with n < 2 or zero x-variance are dropped (undefined
+    * slope).
+    */
+  def linearTrendByGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      x: Column,
+      value: Column,
+      scale: Int = 100): DataFrame = {
+    val xi = x.cast("long")
+    val c = round(value * lit(scale)).cast("long")
+    val sums = df.filter(value.isNotNull && x.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xi).as("sx"), sum(c).as("sy"),
+        sum(xi * xi).as("sxx"), sum(xi * c).as("sxy"),
+        sum(c * c).as("syy"))
+    // NB: each expression stays inside one set of parentheses — a bare
+    // leading `-` on a continuation line is a separate statement to the
+    // Scala parser and silently drops the subtrahend
+    val cov = (col("n") * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy"))
+    val varx = (col("n") * col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx"))
+    val vary = (col("n") * col("syy").cast("double")
+      - col("sy").cast("double") * col("sy"))
+    val withSlope = sums
+      .filter(col("n") >= 2)
+      .filter(varx > lit(0.0) && vary > lit(0.0))
+      .withColumn("slope", cov / varx / lit(scale.toDouble))
+      .withColumn("r2", cov * cov / (varx * vary))
+    withSlope.select(
+      keys.map(col) ++ Seq(
+        col("n"), col("slope"),
+        (col("sy").cast("double") / lit(scale.toDouble) / col("n")
+          - col("slope") * (col("sx").cast("double") / col("n")))
+          .as("intercept"),
+        col("r2")): _*)
+  }
 }

@@ -408,6 +408,62 @@ object TextAnalysis {
     df.join(scores.select(col("__id").as(idCol), col(out)), Seq(idCol), "left")
   }
 
+  /** PMI collocations: adjacent-bigram pointwise mutual information over
+    * the whole corpus — the classic collocation-extraction statistic
+    * (Church & Hanks 1990), used in curation to find boilerplate phrases
+    * and template artifacts that per-document signals miss.
+    *
+    * pmi = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p(w1,w2) from adjacent
+    * bigram counts (N2 total bigrams) and p(w) from unigram counts (N1
+    * total tokens). Output (w1, w2, pair_n, n_w1, n_w2, pmi_ppm) for
+    * pairs with pair_n >= minPairCount.
+    *
+    * Scale: counts-to-counts throughout — bigram and unigram tables are
+    * aggregated before any join, the two corpus totals ride broadcast
+    * cross joins, and the per-distinct-pair PMI is one codegen'd
+    * expression. The ppm quantization is hash-stable across engines
+    * provided values keep a guard band from rounding boundaries (a 1-ulp
+    * `ln` difference moves the ppm value by ~1e-9); the suite pins the
+    * band on the entry fixture, as with BM25.
+    */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minPairCount: Long = 5L
+  ): DataFrame = {
+    val toks =
+      filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val base = df.select(toks.as("__t"))
+    val bigrams = base
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__t")) - 2),
+        i => struct(
+          element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_n"))
+    val uni = base.select(explode(col("__t")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
+    val n1 = uni.agg(sum(col("__cu")).as("n1"))
+    val n2 = c2.agg(sum(col("pair_n")).as("n2"))
+    c2.filter(col("pair_n") >= minPairCount)
+      .join(uni.select(col("__w").as("w1"), col("__cu").as("n_w1")),
+        Seq("w1"))
+      .join(uni.select(col("__w").as("w2"), col("__cu").as("n_w2")),
+        Seq("w2"))
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("pair_n"), col("n_w1"),
+        col("n_w2"),
+        round(lit(1000000.0) * log(
+          (col("pair_n").cast("double") / col("n2"))
+            / (col("n_w1").cast("double") / col("n1")
+              * (col("n_w2").cast("double") / col("n1")))))
+          .cast("long").as("pmi_ppm"))
+  }
+
   /** Split documents into fixed-size whitespace-token chunks with overlap
     * — the context-window packing precursor (and the RAG indexing shape):
     * chunk i covers tokens `[i·stride, i·stride + maxTokens)` with

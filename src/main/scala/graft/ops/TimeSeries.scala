@@ -687,4 +687,44 @@ object TimeSeries {
       .filter(col("valid_from") <= ts &&
         (col("valid_to").isNull || ts < col("valid_to")))
       .drop("valid_from", "valid_to", "is_current")
+
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: for each entity (`key`), order its events by `orderBy`
+    * (include a unique tiebreak column — timestamps alone may collide)
+    * and count consecutive state transitions. Output
+    * (from_state, to_state, n_trans, n_from, prob_ppm) where prob is the
+    * row-normalized transition probability as round(1e6·n/n_from).
+    *
+    * The behavioral-cloning / funnel-mining companion to `sessionize`:
+    * the transition table is the input to next-event prediction
+    * baselines and to detecting bot-like deterministic loops.
+    *
+    * One window pass laid out by (key, order) — the same shuffle a
+    * sessionization already pays — then counts-to-counts aggregation;
+    * the state-pair table is tiny (|states|²) so the normalizing join
+    * is a broadcast at any scale.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      key: Column,
+      state: Column,
+      orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(
+      (0 until orderBy.size).map(i => col(s"__o$i")): _*)
+    val seq0 = df.select(
+      key.as("__k") +: state.as("to_state") +:
+        orderBy.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val pairs = seq0
+      .withColumn("from_state", lag(col("to_state"), 1).over(w))
+      .filter(col("from_state").isNotNull)
+    val counts = pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTot = counts.groupBy(col("from_state"))
+      .agg(sum(col("n_trans")).as("n_from"))
+    counts.join(fromTot, Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n_trans"),
+        col("n_from"),
+        round(lit(1000000.0) * col("n_trans") / col("n_from"))
+          .cast("long").as("prob_ppm"))
+  }
 }

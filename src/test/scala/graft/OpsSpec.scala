@@ -1618,4 +1618,97 @@ class OpsSpec extends SharedSpark {
       .collect()
     assert(got.length == 1 && got.head.getLong(2) == 1L)
   }
+
+  test("collocations computes adjacent-bigram PMI over the corpus") {
+    val d = df("text STRING", Seq(Row("a b a b"), Row("a b")))
+    val out = TextAnalysis.collocations(d, "text", minPairCount = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // unigrams a:3 b:3 (N1=6); bigrams (a,b):3 (b,a):1 (N2=4)
+    // PMI(a,b) = ln((3/4)/(1/4)) = ln 3; PMI(b,a) = ln 1 = 0
+    assert(out(("a", "b")) == ((3L, 3L, 3L, 1098612L)))
+    assert(out(("b", "a")) == ((1L, 3L, 3L, 0L)))
+    assert(out.size == 2)
+  }
+
+  test("collocations normalizes case/whitespace and applies the threshold") {
+    val d = df("text STRING",
+      Seq(Row("  Foo   BAR  "), Row("foo bar"), Row(null), Row("solo")))
+    val out = TextAnalysis.collocations(d, "text", minPairCount = 2L)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "foo" && out.head.getString(1) == "bar")
+    assert(out.head.getLong(2) == 2L)
+  }
+
+  test("collocations entry fixture preserves its ppm hash guard band") {
+    // same discipline as the BM25/TF-IDF guard-band tests: every raw
+    // 1e6·pmi value must sit far from a .5 rounding boundary relative to
+    // the ~1e-9 drift a 1-ulp ln() difference can cause, so the driver
+    // hash of q_collocations cannot flip on an engine's libm.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => t =!= "")
+    val base = docs.select(toks.as("__t"))
+    val bigrams = base.filter(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_n"))
+    val uni = base.select(explode(col("__t")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
+    val n1 = uni.agg(sum(col("__cu")).as("n1"))
+    val n2 = c2.agg(sum(col("pair_n")).as("n2"))
+    val raw = c2.filter(col("pair_n") >= 10)
+      .join(uni.select(col("__w").as("w1"), col("__cu").as("n_w1")),
+        Seq("w1"))
+      .join(uni.select(col("__w").as("w2"), col("__cu").as("n_w2")),
+        Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select((lit(1000000.0) * log(
+        (col("pair_n").cast("double") / col("n2"))
+          / (col("n_w1").cast("double") / col("n1")
+            * (col("n_w2").cast("double") / col("n1"))))).as("raw"))
+    val margin = raw
+      .select(min(abs(col("raw") - floor(col("raw")) - lit(0.5))).as("m"))
+      .head().getDouble(0)
+    // 1-ulp ln drift is ~1e-9 on this magnitude; demand 1e5× headroom
+    assert(margin > 1e-4,
+      f"collocation ppm margin $margin%.2e too tight for the hash gate")
+  }
+
+  test("benfordAudit emits all nine digits with exact ppm shares") {
+    val d = df("v DOUBLE", Seq(
+      Row(1.0), Row(1.5), Row(-2.0), // |.|: digits 1, 1, 2
+      Row(0.0), Row(null))) // excluded
+    val out = Quality.benfordAudit(d, col("v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.size == 9)
+    assert(out(1L) == ((2L, 666667L, 301030L, 365637L)))
+    assert(out(2L) == ((1L, 333333L, 176091L, 157242L)))
+    (3L to 9L).foreach { dgt =>
+      val (n, share, ben, dev) = out(dgt)
+      assert(n == 0L && share == 0L && dev == -ben)
+    }
+    // the Benford table itself sums to exactly one million ppm
+    assert(out.values.map(_._3).sum == 1000000L)
+  }
+
+  test("benfordAudit reads the leading digit from the cents grid") {
+    // 0.95 -> 95 cents -> digit 9 (not 0.95's integer part)
+    val d = df("v DOUBLE", Seq(Row(0.95)))
+    val out = Quality.benfordAudit(d, col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(9L) == 1L && out(1L) == 0L)
+  }
 }

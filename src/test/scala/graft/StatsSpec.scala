@@ -58,6 +58,24 @@ class StatsSpec extends SharedSpark {
     assert(stat.getLong(0) == 10000000L && stat.getLong(1) == 1L)
   }
 
+  test("linearTrendByGroup recovers an exact line and drops degenerates") {
+    val rows =
+      // g: y = 2 + 0.5x at x = 0..4 (exact on the cents grid)
+      (0 to 4).map(i => Row("g", i.toLong, 2.0 + 0.5 * i)) ++ Seq(
+        Row("single", 1L, 5.0), // n < 2: dropped
+        Row("flat", 1L, 3.0), Row("flat", 2L, 3.0), // vary = 0: dropped
+        Row("novar", 5L, 1.0), Row("novar", 5L, 2.0)) // varx = 0: dropped
+    val out = Stats.linearTrendByGroup(
+      df("k STRING, x BIGINT, y DOUBLE", rows), Seq("k"), col("x"),
+      col("y")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "g" && r.getLong(1) == 5L)
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+  }
+
   test("welchT sums are partition-order independent") {
     val rows = (1 to 400).map { i =>
       Row("g", if (i % 2 == 0) "A" else "B", i * 0.37)

@@ -500,4 +500,31 @@ class TimeSeriesSpec extends SharedSpark {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
+
+  test("transitionMatrix counts consecutive per-entity transitions") {
+    val d = df("u STRING, s STRING, t BIGINT, id BIGINT", Seq(
+      Row("u1", "A", 1L, 1L), Row("u1", "B", 2L, 2L),
+      Row("u1", "A", 3L, 3L), Row("u1", "B", 4L, 4L),
+      Row("u2", "A", 1L, 5L), Row("u2", "A", 2L, 6L)))
+    val out = TimeSeries.transitionMatrix(
+      d, col("u"), col("s"), Seq(col("t"), col("id")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(("A", "B")) == ((2L, 3L, 666667L)))
+    assert(out(("A", "A")) == ((1L, 3L, 333333L)))
+    assert(out(("B", "A")) == ((1L, 1L, 1000000L)))
+    assert(out.size == 3)
+  }
+
+  test("transitionMatrix uses the tiebreak column on equal timestamps") {
+    val d = df("u STRING, s STRING, t BIGINT, id BIGINT", Seq(
+      Row("u", "X", 1L, 2L), Row("u", "Y", 1L, 1L)))
+    val out = TimeSeries.transitionMatrix(
+      d, col("u"), col("s"), Seq(col("t"), col("id"))).collect()
+    // id order makes the sequence Y -> X deterministically
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "Y" && out.head.getString(1) == "X")
+  }
 }
