@@ -2102,6 +2102,33 @@ object SparkEntry {
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
           - lit(1704067200L),
         col("value"))
+    },
+    "q_mi_assoc" -> { (s, dir) =>
+      // per-cell mutual information of lang x source (nats, ppm);
+      // observed cells only — empty cells contribute 0 by convention
+      graft.ops.Stats.miContingency(
+        t(s, dir, "documents"), col("lang"), col("source"))
+    },
+    "q_cramers_v" -> { (s, dir) =>
+      // effect size of the q_chi2_assoc association, from the exact
+      // per-cell ppm sum
+      graft.ops.Stats.cramersV(
+        t(s, dir, "documents"), col("lang"), col("source"))
+    },
+    "q_auc" -> { (s, dir) =>
+      // daily exact ROC-AUC of value predicting purchase via the
+      // rank-sum identity; doubled ranks keep every term integral
+      graft.ops.Stats.aucByGroup(
+        t(s, dir, "events").withColumn("day", col("ts").cast("date")),
+        Seq("day"), col("value"), col("event_type") === "purchase")
+    },
+    "q_prec_at_k" -> { (s, dir) =>
+      // daily precision/recall of the top-20 by value, event_id
+      // tiebreak pins the cut deterministically
+      graft.ops.Stats.precisionAtK(
+        t(s, dir, "events").withColumn("day", col("ts").cast("date")),
+        Seq("day"), col("value"), col("event_type") === "purchase",
+        k = 20, tie = col("event_id"))
     }
   )
 
@@ -4761,6 +4788,106 @@ object SparkEntry {
         |  CAST(sy AS DOUBLE) / 100.0 / n - slope
         |    * (CAST(sx AS DOUBLE) / n) AS intercept,
         |  r2
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // q_mi_assoc: (c/n)·ln(c/e) per observed cell, same tree as Spark
+    "q_mi_assoc" ->
+      """WITH cells AS (SELECT lang AS row_label, source AS col_label,
+        |    count(*) AS n_obs
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT row_label, CAST(sum(n_obs) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT col_label, CAST(sum(n_obs) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cells)
+        |SELECT c.row_label, c.col_label, c.n_obs,
+        |  CAST(round(1000000.0
+        |    * (CAST(c.n_obs AS DOUBLE) / tot.n)
+        |    * ln(CAST(c.n_obs AS DOUBLE)
+        |      / (CAST(r.rt * t2.ct AS DOUBLE) / tot.n))) AS BIGINT)
+        |    AS mi_contrib_ppm
+        |FROM cells c JOIN rt r USING (row_label)
+        |JOIN ct t2 USING (col_label) CROSS JOIN tot""".stripMargin,
+    // q_cramers_v: aggregates over the full chi2 per-cell cross
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT lang AS row_label, source AS col_label,
+        |    count(*) AS n_obs
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT row_label, CAST(sum(n_obs) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT col_label, CAST(sum(n_obs) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cells),
+        |fl AS (SELECT r.row_label, c.col_label, r.rt, c.ct, tot.n,
+        |    coalesce(cells.n_obs, 0) AS n_obs
+        |  FROM rt r CROSS JOIN ct c CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.row_label = r.row_label
+        |    AND cells.col_label = c.col_label),
+        |pc AS (SELECT row_label, col_label, n_obs,
+        |    CAST(round(1000000.0
+        |      * ((n_obs - CAST(rt * ct AS DOUBLE) / n)
+        |        * (n_obs - CAST(rt * ct AS DOUBLE) / n))
+        |      / (CAST(rt * ct AS DOUBLE) / n)) AS BIGINT)
+        |      AS chi2_contrib_ppm
+        |  FROM fl),
+        |ag AS (SELECT
+        |    CAST(sum(chi2_contrib_ppm) AS BIGINT) AS chi2_ppm,
+        |    CAST((count(DISTINCT row_label) - 1)
+        |      * (count(DISTINCT col_label) - 1) AS BIGINT) AS dof,
+        |    CAST(sum(n_obs) AS BIGINT) AS n,
+        |    CAST(least(count(DISTINCT row_label) - 1,
+        |      count(DISTINCT col_label) - 1) AS BIGINT) AS m
+        |  FROM pc)
+        |SELECT chi2_ppm, dof, n,
+        |  CAST(round(1000000.0 * sqrt(
+        |    chi2_ppm / 1000000.0 / (n * m))) AS BIGINT) AS v_ppm
+        |FROM ag""".stripMargin,
+    // q_auc: Mann-Whitney rank-sum with doubled-rank tie correction —
+    // every intermediate is an exact integer
+    "q_auc" ->
+      """WITH b AS (SELECT CAST(ts AS DATE) AS day, value AS s,
+        |    (event_type = 'purchase') AS p
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT day, p,
+        |    rank() OVER (PARTITION BY day ORDER BY s) AS rk,
+        |    count(*) OVER (PARTITION BY day, s) AS tc
+        |  FROM b),
+        |s AS (SELECT day,
+        |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg,
+        |    CAST(sum(CASE WHEN p THEN 2 * rk + tc - 1 ELSE 0 END)
+        |      AS BIGINT) AS s2
+        |  FROM r GROUP BY 1)
+        |SELECT day, n_pos, n_neg,
+        |  CAST(round(1000000.0 * (s2 - n_pos * (n_pos + 1))
+        |    / (2 * n_pos * n_neg)) AS BIGINT) AS auc_ppm
+        |FROM s WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+    "q_prec_at_k" ->
+      """WITH b AS (SELECT CAST(ts AS DATE) AS day, value AS s,
+        |    event_id AS t, (event_type = 'purchase') AS p
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |tk AS (SELECT day, CAST(count(*) AS BIGINT) AS n_top,
+        |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos_top
+        |  FROM (SELECT day, p, row_number() OVER (
+        |      PARTITION BY day ORDER BY s DESC, t ASC) AS rn FROM b)
+        |  WHERE rn <= 20 GROUP BY 1),
+        |ap AS (SELECT day,
+        |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos_all
+        |  FROM b GROUP BY 1
+        |  HAVING sum(CASE WHEN p THEN 1 ELSE 0 END) > 0)
+        |SELECT tk.day, tk.n_top, tk.n_pos_top, ap.n_pos_all,
+        |  CAST(round(1000000.0 * n_pos_top / n_top) AS BIGINT)
+        |    AS prec_ppm,
+        |  CAST(round(1000000.0 * n_pos_top / n_pos_all) AS BIGINT)
+        |    AS recall_ppm
+        |FROM tk JOIN ap USING (day)""".stripMargin
   )
 }

@@ -1,11 +1,13 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Inferential statistics over grouped data: Welch's unequal-variance
-  * t-test for A/B comparisons and the chi-square statistic over a
-  * contingency table for categorical association.
+  * t-test for A/B comparisons, chi-square / mutual-information /
+  * Cramér's-V categorical association, exact rank-sum ROC-AUC and
+  * precision/recall@k, and per-group OLS trends.
   *
   * The reference engine's statistical surface is DP aggregation only
   * (SURVEY.md §2.5-2.6); these are the non-private companions an
@@ -129,6 +131,156 @@ object Stats {
         sum(col("chi2_contrib_ppm")).as("chi2_ppm"),
         ((countDistinct(col("row_label")) - lit(1L))
           * (countDistinct(col("col_label")) - lit(1L))).as("dof"))
+
+  /** Per-cell mutual-information contributions for the `rowLabel` ×
+    * `colLabel` contingency: (row_label, col_label, n_obs,
+    * mi_contrib_ppm) with contrib = (c/n)·ln(c/e) in nats, e the
+    * expected count rt·ct/n. Only observed cells are emitted — an empty
+    * cell's contribution is 0 by the p·ln p convention. The feature-
+    * selection companion to [[chi2Contingency]], same one-aggregate
+    * plan; the ln guard band is suite-pinned on the entry fixture.
+    */
+  def miContingency(
+      df: DataFrame,
+      rowLabel: Column,
+      colLabel: Column): DataFrame = {
+    val cells = df
+      .filter(rowLabel.isNotNull && colLabel.isNotNull)
+      .groupBy(rowLabel.as("row_label"), colLabel.as("col_label"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rowTot = cells.groupBy("row_label").agg(sum("n_obs").as("rt"))
+    val colTot = cells.groupBy("col_label").agg(sum("n_obs").as("ct"))
+    val total = cells.select(sum("n_obs").as("n"))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    cells
+      .join(rowTot, Seq("row_label"))
+      .join(colTot, Seq("col_label"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("row_label"), col("col_label"), col("n_obs"),
+        round(lit(1000000.0)
+          * (col("n_obs").cast("double") / col("n"))
+          * log(col("n_obs").cast("double") / e))
+          .cast("long").as("mi_contrib_ppm"))
+  }
+
+  /** Total mutual information (ppm nats) between two categorical
+    * columns, reassembled from [[miContingency]] by exact integer
+    * summation. */
+  def miStatistic(
+      df: DataFrame,
+      rowLabel: Column,
+      colLabel: Column): DataFrame =
+    miContingency(df, rowLabel, colLabel)
+      .agg(sum(col("mi_contrib_ppm")).as("mi_ppm"))
+
+  /** Cramér's V — the [0, 1]-normalized effect size of the chi-square
+    * association: V = sqrt(chi2 / (n·min(r−1, c−1))). Single row
+    * (chi2_ppm, dof, n, v_ppm); derived from the exact per-cell ppm sum
+    * so it replays bit-identically.
+    */
+  def cramersV(
+      df: DataFrame,
+      rowLabel: Column,
+      colLabel: Column): DataFrame = {
+    val base = chi2Contingency(df, rowLabel, colLabel)
+    base.agg(
+      sum(col("chi2_contrib_ppm")).as("chi2_ppm"),
+      ((countDistinct(col("row_label")) - lit(1L))
+        * (countDistinct(col("col_label")) - lit(1L))).as("dof"),
+      sum(col("n_obs")).as("n"),
+      least(countDistinct(col("row_label")) - lit(1L),
+        countDistinct(col("col_label")) - lit(1L)).as("__m"))
+      .select(col("chi2_ppm"), col("dof"), col("n"),
+        round(lit(1000000.0) * sqrt(
+          col("chi2_ppm") / lit(1000000.0) / (col("n") * col("__m"))))
+          .cast("long").as("v_ppm"))
+  }
+
+  /** Exact ROC-AUC per group via the rank-sum (Mann-Whitney) identity
+    * with average-rank tie correction: AUC = (R⁺ − n⁺(n⁺+1)/2) /
+    * (n⁺·n⁻), where R⁺ sums the ascending average ranks of the
+    * positives. Doubled ranks (2·rank + tieCount − 1) keep every
+    * intermediate an exact integer, so auc_ppm replays bit-identically.
+    * Rows with a null label are excluded BEFORE ranking (they must not
+    * shift the ranks of labeled rows). Groups with no positives or no
+    * negatives are dropped (AUC undefined).
+    *
+    * One shuffle + in-partition sort (both windows share the group
+    * layout), then a combinable aggregate — the standard way to get
+    * exact AUC without collecting scores.
+    */
+  def aucByGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      score: Column,
+      positive: Column): DataFrame = {
+    val base = df
+      .filter(score.isNotNull && positive.isNotNull)
+      .select(keys.map(col) :+ score.as("__s") :+
+        positive.cast("boolean").as("__p"): _*)
+    val wRank = Window.partitionBy(keys.map(col): _*).orderBy(col("__s"))
+    val wTie = Window.partitionBy((keys :+ "__s").map(col): _*)
+    val ranked = base
+      .withColumn("__r", rank().over(wRank))
+      .withColumn("__c", count(lit(1)).over(wTie))
+    ranked.groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("__p"), lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(when(!col("__p"), lit(1L)).otherwise(lit(0L))).as("n_neg"),
+        sum(when(col("__p"),
+          lit(2L) * col("__r") + col("__c") - lit(1L))
+          .otherwise(lit(0L))).as("__s2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(keys.map(col) ++ Seq(
+        col("n_pos"), col("n_neg"),
+        round(lit(1000000.0)
+          * (col("__s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+          / (lit(2L) * col("n_pos") * col("n_neg")))
+          .cast("long").as("auc_ppm")): _*)
+  }
+
+  /** Precision and recall at k per group: rank by (score desc, tie asc)
+    * — the tiebreak column makes the cut deterministic — and report the
+    * positive fraction of the top k against the group's positive total.
+    * Output (keys..., n_top, n_pos_top, n_pos_all, prec_ppm,
+    * recall_ppm); groups with no positives are dropped. The row_number
+    * filter is a Partial WindowGroupLimit — per-partition top-k
+    * pre-pruning, no full per-group sort at scale.
+    */
+  def precisionAtK(
+      df: DataFrame,
+      keys: Seq[String],
+      score: Column,
+      positive: Column,
+      k: Int,
+      tie: Column): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = df
+      .filter(score.isNotNull && positive.isNotNull)
+      .select(keys.map(col) :+ score.as("__s") :+ tie.as("__t") :+
+        positive.cast("boolean").as("__p"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__s").desc, col("__t").asc)
+    val top = base
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_top"),
+        sum(when(col("__p"), lit(1L)).otherwise(lit(0L)))
+          .as("n_pos_top"))
+    val allPos = base.groupBy(keys.map(col): _*)
+      .agg(sum(when(col("__p"), lit(1L)).otherwise(lit(0L)))
+        .as("n_pos_all"))
+      .filter(col("n_pos_all") > 0)
+    top.join(allPos, keys)
+      .select(keys.map(col) ++ Seq(
+        col("n_top"), col("n_pos_top"), col("n_pos_all"),
+        round(lit(1000000.0) * col("n_pos_top") / col("n_top"))
+          .cast("long").as("prec_ppm"),
+        round(lit(1000000.0) * col("n_pos_top") / col("n_pos_all"))
+          .cast("long").as("recall_ppm")): _*)
+  }
 
   /** Per-group ordinary-least-squares trend of `value` against an
     * integer regressor `x` (e.g. seconds since a fixed origin): output

@@ -58,6 +58,102 @@ class StatsSpec extends SharedSpark {
     assert(stat.getLong(0) == 10000000L && stat.getLong(1) == 1L)
   }
 
+  test("miContingency: ln2 on perfect association, zero on independence") {
+    val perfect = df("r STRING, c STRING",
+      Seq.fill(5)(Row("r1", "c1")) ++ Seq.fill(5)(Row("r2", "c2")))
+    val cells = Stats.miContingency(perfect, col("r"), col("c"))
+      .collect()
+    // each cell: (5/10)·ln(5/2.5) = 0.5·ln2 -> 346574 ppm
+    assert(cells.length == 2 && cells.forall(_.getLong(3) == 346574L))
+    val mi = Stats.miStatistic(perfect, col("r"), col("c"))
+      .collect().head.getLong(0)
+    assert(mi == 693148L) // 2·346574, = ln 2 ppm up to per-cell rounding
+    val indep = df("r STRING, c STRING",
+      Seq(("r1", "c1", 10), ("r1", "c2", 20), ("r2", "c1", 30),
+        ("r2", "c2", 60)).flatMap { case (r, c, n) =>
+        Seq.fill(n)(Row(r, c))
+      })
+    assert(Stats.miContingency(indep, col("r"), col("c")).collect()
+      .forall(_.getLong(3) == 0L))
+  }
+
+  test("cramersV is 1 on perfect association") {
+    val perfect = df("r STRING, c STRING",
+      Seq.fill(5)(Row("r1", "c1")) ++ Seq.fill(5)(Row("r2", "c2")))
+    val v = Stats.cramersV(perfect, col("r"), col("c")).collect().head
+    assert(v.getLong(0) == 10000000L) // chi2 = n
+    assert(v.getLong(1) == 1L && v.getLong(2) == 10L)
+    assert(v.getLong(3) == 1000000L)
+  }
+
+  test("aucByGroup: separation, inversion mix, ties, null exclusion") {
+    def auc(rows: Seq[Row]): Long =
+      Stats.aucByGroup(df("g STRING, s DOUBLE, p BOOLEAN", rows),
+        Seq("g"), col("s"), col("p")).collect().head.getLong(3)
+    val sep = Seq(Row("g", 1.0, false), Row("g", 2.0, false),
+      Row("g", 3.0, true), Row("g", 4.0, true))
+    assert(auc(sep) == 1000000L)
+    val mix = Seq(Row("g", 1.0, true), Row("g", 2.0, false),
+      Row("g", 3.0, true), Row("g", 4.0, false))
+    assert(auc(mix) == 250000L)
+    val tie = Seq(Row("g", 2.0, true), Row("g", 2.0, false))
+    assert(auc(tie) == 500000L)
+    // a null-label row must not shift the ranks of labeled rows
+    val withNull = sep :+ Row("g", 10.0, null)
+    assert(auc(withNull) == 1000000L)
+    // one-class groups are dropped
+    val oneClass = Seq(Row("h", 1.0, true), Row("h", 2.0, true))
+    assert(Stats.aucByGroup(
+      df("g STRING, s DOUBLE, p BOOLEAN", oneClass),
+      Seq("g"), col("s"), col("p")).count() == 0)
+  }
+
+  test("precisionAtK reports the deterministic top-k cut") {
+    val rows = Seq(
+      Row("g", 5.0, 1L, true), Row("g", 4.0, 2L, false),
+      Row("g", 3.0, 3L, true), Row("g", 2.0, 4L, false),
+      Row("g", 1.0, 5L, true))
+    val r = Stats.precisionAtK(
+      df("g STRING, s DOUBLE, id BIGINT, p BOOLEAN", rows),
+      Seq("g"), col("s"), col("p"), k = 2, tie = col("id"))
+      .collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 333333L)
+    // tie on score: the smaller tie column wins the cut
+    val tied = Seq(
+      Row("g", 5.0, 2L, false), Row("g", 5.0, 1L, true))
+    val r2 = Stats.precisionAtK(
+      df("g STRING, s DOUBLE, id BIGINT, p BOOLEAN", tied),
+      Seq("g"), col("s"), col("p"), k = 1, tie = col("id"))
+      .collect().head
+    assert(r2.getLong(2) == 1L) // the id=1 positive row made the top-1
+  }
+
+  test("q_mi_assoc fixture preserves its ppm hash guard band") {
+    // raw 1e6·(c/n)·ln(c/e) must sit far from .5 boundaries (1-ulp ln
+    // drift is ~1e-10 at this magnitude)
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cells = docs
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .groupBy(col("lang").as("row_label"), col("source").as("col_label"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rt = cells.groupBy("row_label").agg(sum("n_obs").as("rt"))
+    val ct = cells.groupBy("col_label").agg(sum("n_obs").as("ct"))
+    val tot = cells.select(sum("n_obs").as("n"))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    val raw = cells.join(rt, Seq("row_label")).join(ct, Seq("col_label"))
+      .crossJoin(broadcast(tot))
+      .select((lit(1000000.0) * (col("n_obs").cast("double") / col("n"))
+        * log(col("n_obs").cast("double") / e)).as("raw"))
+    val margin = raw
+      .select(min(abs(col("raw") - floor(col("raw")) - lit(0.5))).as("m"))
+      .head().getDouble(0)
+    assert(margin > 1e-4,
+      f"mi ppm margin $margin%.2e too tight for the hash gate")
+  }
+
   test("linearTrendByGroup recovers an exact line and drops degenerates") {
     val rows =
       // g: y = 2 + 0.5x at x = 0..4 (exact on the cents grid)
