@@ -2129,6 +2129,18 @@ object SparkEntry {
         t(s, dir, "events").withColumn("day", col("ts").cast("date")),
         Seq("day"), col("value"), col("event_type") === "purchase",
         k = 20, tie = col("event_id"))
+    },
+    "q_overlap" -> { (s, dir) =>
+      // audience-overlap matrix: which event streams share users; the
+      // self-join explodes per element by label-degree only
+      graft.ops.Similarity.setOverlapMatrix(
+        t(s, dir, "events"), col("event_type"), col("user_id"))
+    },
+    "q_event_gaps" -> { (s, dir) =>
+      // per-user cadence profile on exact microsecond gaps
+      graft.ops.TimeSeries.interEventStats(
+        t(s, dir, "events"), col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))"), col("event_id"))
     }
   )
 
@@ -4888,6 +4900,35 @@ object SparkEntry {
         |    AS prec_ppm,
         |  CAST(round(1000000.0 * n_pos_top / n_pos_all) AS BIGINT)
         |    AS recall_ppm
-        |FROM tk JOIN ap USING (day)""".stripMargin
+        |FROM tk JOIN ap USING (day)""".stripMargin,
+    "q_overlap" ->
+      """WITH b AS (SELECT DISTINCT event_type AS label, user_id AS el
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |sz AS (SELECT label, count(*) AS n FROM b GROUP BY 1),
+        |p AS (SELECT a.label AS label_a, c.label AS label_b,
+        |    count(*) AS n_common
+        |  FROM b a JOIN b c ON a.el = c.el AND a.label < c.label
+        |  GROUP BY 1, 2)
+        |SELECT p.label_a, p.label_b, sa.n AS n_a, sb.n AS n_b,
+        |  p.n_common,
+        |  CAST(round(1000000.0 * p.n_common
+        |    / (sa.n + sb.n - p.n_common)) AS BIGINT) AS jaccard_ppm,
+        |  CAST(round(1000000.0 * p.n_common / least(sa.n, sb.n))
+        |    AS BIGINT) AS containment_ppm
+        |FROM p JOIN sz sa ON p.label_a = sa.label
+        |JOIN sz sb ON p.label_b = sb.label""".stripMargin,
+    "q_event_gaps" ->
+      """WITH b AS (SELECT user_id AS "key", epoch_us(ts) AS t,
+        |    event_id AS tie
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT "key",
+        |    t - lag(t) OVER (PARTITION BY "key" ORDER BY t, tie) AS gap
+        |  FROM b)
+        |SELECT "key", CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |  CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap_us
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
   )
 }

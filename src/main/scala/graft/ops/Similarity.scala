@@ -786,4 +786,43 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("left_id"), col("right_id"), col("cosine"))
   }
+
+  /** Pairwise exact set overlap between labeled element sets: for every
+    * unordered label pair (a < b), the Jaccard and containment of their
+    * distinct-element sets as integer ppm. The audience-overlap /
+    * cross-source-contamination matrix — e.g. how many users two event
+    * streams share, or how many shingles two corpus sources share.
+    *
+    * Plan: one distinct on (label, element), then a self-equi-join on
+    * the ELEMENT — the explosion per element is its label-degree
+    * squared, bounded by the (small) label count, never by data volume;
+    * the per-label sizes re-join on the label-pair table, which has at
+    * most |labels|² rows. No label-side cross join, no collect.
+    */
+  def setOverlapMatrix(
+      df: DataFrame,
+      label: Column,
+      element: Column): DataFrame = {
+    val b = df.filter(label.isNotNull && element.isNotNull)
+      .select(label.as("label"), element.as("el")).distinct()
+    val sizes = b.groupBy("label").agg(count(lit(1)).as("n"))
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.el") === col("b.el") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("label").as("label_a"), col("n").as("n_a")),
+        Seq("label_a"))
+      .join(sizes.select(col("label").as("label_b"), col("n").as("n_b")),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(lit(1000000.0) * col("n_common")
+          / (col("n_a") + col("n_b") - col("n_common")))
+          .cast("long").as("jaccard_ppm"),
+        round(lit(1000000.0) * col("n_common")
+          / least(col("n_a"), col("n_b")))
+          .cast("long").as("containment_ppm"))
+  }
 }

@@ -727,4 +727,38 @@ object TimeSeries {
         round(lit(1000000.0) * col("n_trans") / col("n_from"))
           .cast("long").as("prob_ppm"))
   }
+
+  /** Per-entity inter-event gap statistics: order each entity's events
+    * by (`tsMicros`, `tie`) — the unique tiebreak pins equal timestamps
+    * — difference consecutive microsecond stamps, and report
+    * (key, n_gaps, min_gap_us, max_gap_us, mean_gap_us). The cadence
+    * profile behind bot detection (impossibly regular gaps) and session
+    * tuning (the gap histogram picks the sessionization threshold).
+    * Entities with a single event are dropped (no gaps).
+    *
+    * Gaps are exact microsecond longs, so the sums are order-free and
+    * `mean_gap_us` (the one double) derives from them deterministically.
+    * One window pass + one combinable aggregate on the same layout.
+    */
+  def interEventStats(
+      df: DataFrame,
+      key: Column,
+      tsMicros: Column,
+      tie: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__t"))
+    df.select(key.as("__k"), tsMicros.cast("long").as("__ts"),
+        tie.as("__t"))
+      .filter(col("__ts").isNotNull) // null stamps would sort
+      // differently across engines (Spark NULLS FIRST vs ANSI LAST)
+      .withColumn("__prev", lag(col("__ts"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__k"), (col("__ts") - col("__prev")).as("__gap"))
+      .groupBy(col("__k").as("key"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("__gap")).as("min_gap_us"),
+        max(col("__gap")).as("max_gap_us"),
+        (sum(col("__gap")).cast("double") / count(lit(1)))
+          .as("mean_gap_us"))
+  }
 }

@@ -111,6 +111,16 @@ class OlapSpec extends SharedSpark {
     assert(out == Map("u" -> 2.0, "h" -> 1.0, "e" -> 1.0))
   }
 
+  test("weightedMedianByGroup plans one exchange for windows and agg") {
+    val rows = (1 to 200).map(i =>
+      Row(s"g${i % 3}", (i % 25).toDouble, (i % 7 + 1).toDouble))
+    val plan = Olap.weightedMedianByGroup(
+      df("g STRING, v DOUBLE, w DOUBLE", rows), Seq("g"), col("v"),
+      col("w")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("weightedMedianByGroup is invariant to partitioning and ties") {
     val rows = (1 to 500).map { i =>
       Row("g", (i % 25).toDouble, (i % 7 + 1).toDouble)

@@ -1684,6 +1684,21 @@ class OpsSpec extends SharedSpark {
       f"collocation ppm margin $margin%.2e too tight for the hash gate")
   }
 
+  test("setOverlapMatrix computes exact Jaccard/containment per pair") {
+    val d = df("l STRING, e BIGINT", Seq(
+      Row("A", 1L), Row("A", 2L), Row("A", 3L), Row("A", 3L), // dup
+      Row("B", 2L), Row("B", 3L), Row("B", 4L),
+      Row("C", 9L))) // disjoint: no row against A or B
+    val out = Similarity.setOverlapMatrix(d, col("l"), col("e"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 2L)
+    assert(r.getLong(5) == 500000L) // 2 / (3+3-2)
+    assert(r.getLong(6) == 666667L) // 2 / 3
+  }
+
   test("benfordAudit emits all nine digits with exact ppm shares") {
     val d = df("v DOUBLE", Seq(
       Row(1.0), Row(1.5), Row(-2.0), // |.|: digits 1, 1, 2

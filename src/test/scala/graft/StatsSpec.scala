@@ -172,6 +172,30 @@ class StatsSpec extends SharedSpark {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("aucByGroup plans one exchange: windows and aggregate share it") {
+    val rows = (1 to 200).map(i =>
+      Row(s"g${i % 3}", i * 0.7, i % 2 == 0))
+    val plan = Stats.aucByGroup(
+      df("g STRING, s DOUBLE, p BOOLEAN", rows),
+      Seq("g"), col("s"), col("p"))
+      .queryExecution.executedPlan.toString
+    // hashpartitioning(g) satisfies the (g, s) tie window's clustering
+    // and the final aggregate's distribution — one shuffle total
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("precisionAtK plans a WindowGroupLimit top-k pre-prune") {
+    val rows = (1 to 200).map(i =>
+      Row(s"g${i % 3}", i * 0.7, i.toLong, i % 2 == 0))
+    val plan = Stats.precisionAtK(
+      df("g STRING, s DOUBLE, id BIGINT, p BOOLEAN", rows),
+      Seq("g"), col("s"), col("p"), k = 5, tie = col("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number top-k filter should pre-prune per partition:\n$plan")
+  }
+
   test("welchT sums are partition-order independent") {
     val rows = (1 to 400).map { i =>
       Row("g", if (i % 2 == 0) "A" else "B", i * 0.37)

@@ -518,6 +518,28 @@ class TimeSeriesSpec extends SharedSpark {
     assert(out.size == 3)
   }
 
+  test("interEventStats computes exact microsecond gap profiles") {
+    val d = df("u STRING, t BIGINT, id BIGINT", Seq(
+      Row("u", 100L, 1L), Row("u", 300L, 2L), Row("u", 1000L, 3L),
+      Row("solo", 5L, 4L))) // single event: no gaps, dropped
+    val out = TimeSeries.interEventStats(
+      d, col("u"), col("t"), col("id")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "u" && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 200L && r.getLong(3) == 700L)
+    assert(r.getDouble(4) == 450.0)
+  }
+
+  test("interEventStats breaks timestamp ties by the tie column") {
+    val d = df("u STRING, t BIGINT, id BIGINT", Seq(
+      Row("u", 100L, 2L), Row("u", 100L, 1L), Row("u", 150L, 3L)))
+    val r = TimeSeries.interEventStats(
+      d, col("u"), col("t"), col("id")).collect().head
+    // order (100,1) (100,2) (150,3): gaps 0 and 50
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getLong(3) == 50L)
+  }
+
   test("transitionMatrix uses the tiebreak column on equal timestamps") {
     val d = df("u STRING, s STRING, t BIGINT, id BIGINT", Seq(
       Row("u", "X", 1L, 2L), Row("u", "Y", 1L, 1L)))
