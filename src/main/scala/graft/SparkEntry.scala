@@ -2141,6 +2141,14 @@ object SparkEntry {
       graft.ops.TimeSeries.interEventStats(
         t(s, dir, "events"), col("user_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP))"), col("event_id"))
+    },
+    "q_twa" -> { (s, dir) =>
+      // duration-weighted mean of the value gauge per user; exact
+      // cent·µs products, one window + one combinable aggregate
+      graft.ops.TimeSeries.timeWeightedAvg(
+        t(s, dir, "events"), col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))"), col("value"),
+        col("event_id"))
     }
   )
 
@@ -4929,6 +4937,22 @@ object SparkEntry {
         |  CAST(min(gap) AS BIGINT) AS min_gap_us,
         |  CAST(max(gap) AS BIGINT) AS max_gap_us,
         |  CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap_us
-        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+    "q_twa" ->
+      """WITH b AS (SELECT user_id AS "key", epoch_us(ts) AS t,
+        |    event_id AS tie,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT "key", c,
+        |    lead(t) OVER (PARTITION BY "key" ORDER BY t, tie) - t AS gap
+        |  FROM b),
+        |s AS (SELECT "key", CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(gap) AS BIGINT) AS span_us,
+        |    CAST(sum(c * gap) AS BIGINT) AS sw
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+        |  HAVING CAST(sum(gap) AS BIGINT) > 0)
+        |SELECT "key", n_segments, span_us,
+        |  CAST(sw AS DOUBLE) / span_us / 100.0 AS twa
+        |FROM s""".stripMargin
   )
 }

@@ -761,4 +761,45 @@ object TimeSeries {
         (sum(col("__gap")).cast("double") / count(lit(1)))
           .as("mean_gap_us"))
   }
+
+  /** Time-weighted average of a step series per entity: each observation
+    * holds its value until the next one, so the mean weights each value
+    * by its holding duration — the correct average for sampled gauges
+    * (sensor readings, account balances, prices), where the arithmetic
+    * mean over-weights bursts.
+    *
+    * twa = Σ cᵢ·gapᵢ / Σ gapᵢ / scale over consecutive (ts, tie)-ordered
+    * segments, with cᵢ the value on the `scale` integer grid and gapᵢ
+    * exact microseconds — both sums exact longs (caller keeps
+    * value·span within Long range, ~5e4 cents over a month of µs is
+    * fine), so the one double replays identically. The final
+    * observation carries no duration and is excluded, as are entities
+    * with a single observation or zero total span.
+    */
+  def timeWeightedAvg(
+      df: DataFrame,
+      key: Column,
+      tsMicros: Column,
+      value: Column,
+      tie: Column,
+      scale: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__t"))
+    df.select(key.as("__k"), tsMicros.cast("long").as("__ts"),
+        tie.as("__t"),
+        round(value * lit(scale)).cast("long").as("__c"))
+      .filter(col("__ts").isNotNull && col("__c").isNotNull)
+      .withColumn("__next", lead(col("__ts"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col("__k"), col("__c"),
+        (col("__next") - col("__ts")).as("__gap"))
+      .groupBy(col("__k").as("key"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("__gap")).as("span_us"),
+        sum(col("__c") * col("__gap")).as("__sw"))
+      .filter(col("span_us") > 0)
+      .select(col("key"), col("n_segments"), col("span_us"),
+        (col("__sw").cast("double") / col("span_us")
+          / lit(scale.toDouble)).as("twa"))
+  }
 }

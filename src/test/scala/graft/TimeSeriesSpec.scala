@@ -540,6 +540,22 @@ class TimeSeriesSpec extends SharedSpark {
     assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getLong(3) == 50L)
   }
 
+  test("timeWeightedAvg weights each value by its holding duration") {
+    val d = df("u STRING, t BIGINT, id BIGINT, v DOUBLE", Seq(
+      Row("u", 0L, 1L, 1.0), Row("u", 100L, 2L, 3.0),
+      Row("u", 300L, 3L, 5.0), // final observation: no duration
+      Row("solo", 9L, 4L, 7.0), // one event: dropped
+      Row("z", 5L, 5L, 1.0), Row("z", 5L, 6L, 2.0))) // zero span: dropped
+    val out = TimeSeries.timeWeightedAvg(
+      d, col("u"), col("t"), col("v"), col("id")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "u" && r.getLong(1) == 2L
+      && r.getLong(2) == 300L)
+    // (100·100 + 300·200) / 300 / 100 = 7/3
+    assert(math.abs(r.getDouble(3) - 7.0 / 3.0) < 1e-12)
+  }
+
   test("transitionMatrix uses the tiebreak column on equal timestamps") {
     val d = df("u STRING, s STRING, t BIGINT, id BIGINT", Seq(
       Row("u", "X", 1L, 2L), Row("u", "Y", 1L, 1L)))
