@@ -2149,6 +2149,21 @@ object SparkEntry {
         t(s, dir, "events"), col("user_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP))"), col("value"),
         col("event_id"))
+    },
+    "q_minhash_states" -> { (s, dir) =>
+      // incremental per-source MinHash signatures: states built from
+      // the 4/5 corpus, then the 1/5 delta folded in — min is
+      // idempotent, so the merge must equal from-scratch (the oracle)
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+      val base = graft.ops.Incremental.minhashStates(
+        sh.filter(col("doc_id") % 5 =!= 0).select("source", "sh"),
+        Seq("source"), "sh", numHashes = 8)
+      graft.ops.Incremental.mergeMinhashStates(
+        base,
+        sh.filter(col("doc_id") % 5 === 0).select("source", "sh"),
+        Seq("source"), "sh", numHashes = 8)
     }
   )
 
@@ -4953,6 +4968,28 @@ object SparkEntry {
         |  HAVING CAST(sum(gap) AS BIGINT) > 0)
         |SELECT "key", n_segments, span_us,
         |  CAST(sw AS DOUBLE) / span_us / 100.0 AS twa
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // q_minhash_states: from-scratch signatures over ALL documents —
+    // the entry's incremental merge must land on exactly these
+    "q_minhash_states" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT source, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS sh
+        |  FROM t
+        |), e AS (
+        |  SELECT source, sh, unnest(range(8)) AS hash_id FROM sh
+        |)
+        |SELECT source, CAST(hash_id AS BIGINT) AS hash_id,
+        |  min(('0x' || substr(sha256(
+        |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
+        |    AS min_hash
+        |FROM e GROUP BY 1, 2""".stripMargin
   )
 }

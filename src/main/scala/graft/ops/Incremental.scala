@@ -211,4 +211,59 @@ object Incremental {
           .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) /
             col("__hk").cast("double"))
           .as("n_distinct_est"): _*)
+
+  /** Mergeable MinHash signature states: per key, `numHashes` rows
+    * (keys..., hash_id, min_hash) where min_hash is the minimum portable
+    * 60-bit SHA-derived hash of the key's elements under that hash
+    * index. min is associative, commutative, AND idempotent, so folding
+    * deltas in any order — even with overlapping or duplicate elements —
+    * equals the from-scratch signature exactly: the streaming near-dup
+    * index maintenance primitive (LSH banding reads straight off these
+    * states; signature Jaccard estimates set Jaccard).
+    *
+    * Plan: one narrow explode (×numHashes, no pre-distinct — the min
+    * aggregate absorbs duplicates map-side, which beats paying a
+    * distinct shuffle first) and one combinable aggregate of
+    * keys×numHashes rows.
+    */
+  def minhashStates(
+      df: DataFrame,
+      keyCols: Seq[String],
+      elementCol: String,
+      numHashes: Int,
+      salt: Long = 7L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(numHashes >= 1, "numHashes must be >= 1")
+    val h = conv(
+      substring(
+        sha2(concat_ws("|", lit(salt.toString),
+          col("hash_id").cast("string"),
+          col(elementCol).cast("string")), 256),
+        1, 15),
+      16, 10).cast("long")
+    df.select((keyCols :+ elementCol).map(col): _*)
+      .filter(col(elementCol).isNotNull)
+      .withColumn("hash_id",
+        explode(sequence(lit(0L), lit((numHashes - 1).toLong))))
+      .groupBy((keyCols :+ "hash_id").map(col): _*)
+      .agg(min(h).as("min_hash"))
+  }
+
+  /** Fold a delta of raw rows into saved MinHash states: sketch the
+    * delta and take the per-(key, hash_id) min of both. Exactly equals
+    * [[minhashStates]] over the full history, regardless of how the
+    * history was split. */
+  def mergeMinhashStates(
+      states: DataFrame,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      elementCol: String,
+      numHashes: Int,
+      salt: Long = 7L): DataFrame =
+    states
+      .select((keyCols :+ "hash_id" :+ "min_hash").map(col): _*)
+      .unionByName(
+        minhashStates(delta, keyCols, elementCol, numHashes, salt))
+      .groupBy((keyCols :+ "hash_id").map(col): _*)
+      .agg(min(col("min_hash")).as("min_hash"))
 }

@@ -99,4 +99,31 @@ object Layout {
         expr(s"(__cb * $numBins) div __n").as(binCol))
     df.join(bins, Seq(valueCol), "left")
   }
+
+  /** Write `df` as a bucketed + sorted table: `buckets` hash buckets on
+    * `keys`, rows sorted by `keys` inside each bucket file. Joins and
+    * aggregations between tables bucketed the same way on the same keys
+    * then run WITHOUT a shuffle (and without a sort, when the sort
+    * columns match) — the pre-partitioning strategy for the fact tables
+    * a pipeline joins repeatedly at 100 TB, where re-shuffling the big
+    * side per query is the dominant cost. LayoutSpec pins the contract:
+    * a bucketed-bucketed equi-join plans zero exchanges.
+    *
+    * Bucketed output requires the table catalog (`saveAsTable`): plain
+    * `.parquet(path)` writes carry no bucket metadata Spark can trust.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(buckets > 0, "buckets must be positive")
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
 }

@@ -59,6 +59,12 @@ object Market {
       itemCol: String,
       minPairCount: Long = 2L,
       maxBasketSize: Int = 64): DataFrame = {
+    // persisted because four branches consume it (both self-join legs,
+    // the item counts, the basket count); the cache fills on the first
+    // action and is shared by the rest of the same DAG. Deliberately NOT
+    // unpersisted here — the returned frame is lazy, so an eager
+    // unpersist at build time would silently defeat the cache; callers
+    // (and the verify/bench harnesses) clear caches between queries.
     val baskets = cappedBaskets(df, basketCol, itemCol, maxBasketSize)
       .persist()
     val pairs = pairsOf(baskets).filter(col("pair_n") >= minPairCount)
@@ -88,7 +94,6 @@ object Market {
       round(lit(1000000.0) * col("pair_n") * col("n_baskets")
         / (col("n_ante") * col("n_cons")))
         .cast("long").as("lift_ppm"))
-    baskets.unpersist()
     out
   }
 

@@ -155,4 +155,36 @@ class IncrementalSpec extends SharedSpark {
     val us = e.select(unix_micros(col("ts").cast("timestamp")).as("us"))
     assert(us.filter(col("us").isNull).count() == 0)
   }
+
+  test("minhash states merge equals from-scratch on any split") {
+    val rows = (1 to 60).map(i =>
+      Row(s"k${i % 4}", s"el${i % 17}"))
+    val all = df("k STRING, e STRING", rows)
+    val scratch = Incremental.minhashStates(all, Seq("k"), "e", 8)
+    // split unevenly AND overlap the delta with the base — min is
+    // idempotent, so overlap must not perturb the signature
+    val base = df("k STRING, e STRING", rows.take(40))
+    val delta = df("k STRING, e STRING", rows.drop(25))
+    val merged = Incremental.mergeMinhashStates(
+      Incremental.minhashStates(base, Seq("k"), "e", 8),
+      delta, Seq("k"), "e", 8)
+    assertSameRows(merged, scratch)
+    assert(scratch.count() == 4 * 8)
+  }
+
+  test("minhash signature similarity tracks set similarity") {
+    // identical element sets -> identical signatures; disjoint sets ->
+    // (overwhelmingly) different signatures
+    val a = (1 to 30).map(i => Row("a", s"x$i"))
+    val b = (1 to 30).map(i => Row("b", s"x$i"))
+    val c = (1 to 30).map(i => Row("c", s"y$i"))
+    val st = Incremental.minhashStates(
+      df("k STRING, e STRING", a ++ b ++ c), Seq("k"), "e", 8)
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap)
+      .toMap
+    assert(st("a") == st("b"))
+    assert((0L to 7L).count(i => st("a")(i) == st("c")(i)) <= 2)
+  }
 }

@@ -87,4 +87,34 @@ class LayoutSpec extends SharedSpark {
     assert(out.filter(col("v") === 5L).select("bin").distinct().count() == 1)
     assert(out.filter(col("v") === 9L).head().getAs[Long]("bin") == 3L) // 90*4/100
   }
+
+  test("bucketed-bucketed equi-join plans zero exchanges") {
+    val left = df("k BIGINT, v BIGINT",
+      (1L to 500L).map(i => Row(i % 50, i)))
+    val right = df("k BIGINT, w BIGINT",
+      (1L to 200L).map(i => Row(i % 50, i * 7)))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force a non-broadcast join so the test proves BUCKETING (a
+      // broadcast join has no exchange either, trivially)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Layout.writeBucketed(left, "lay_bkt_l", buckets = 4, keys = Seq("k"))
+      Layout.writeBucketed(right, "lay_bkt_r", buckets = 4, keys = Seq("k"))
+      val joined = spark.table("lay_bkt_l")
+        .join(spark.table("lay_bkt_r"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and the result is still the plain join result
+      assert(joined.count() ==
+        left.join(right, Seq("k")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS lay_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS lay_bkt_r")
+    }
+  }
 }
