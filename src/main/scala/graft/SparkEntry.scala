@@ -2164,6 +2164,16 @@ object SparkEntry {
         base,
         sh.filter(col("doc_id") % 5 === 0).select("source", "sh"),
         Seq("source"), "sh", numHashes = 8)
+    },
+    "q_ks_drift" -> { (s, dir) =>
+      // exact binning-free KS between the month's halves on the cents
+      // grid — integer numerator end to end, no ln, no guard bands
+      val ev = t(s, dir, "events")
+        .withColumn("c", round(col("value") * lit(100)).cast("long"))
+        .withColumn("d", dayofmonth(col("ts")))
+      graft.ops.Profile.ksDrift(
+        ev.filter(col("d") <= 15).select("c"),
+        ev.filter(col("d") > 15).select("c"), "c")
     }
   )
 
@@ -4990,6 +5000,29 @@ object SparkEntry {
         |  min(('0x' || substr(sha256(
         |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
         |    AS min_hash
-        |FROM e GROUP BY 1, 2""".stripMargin
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_ks_drift" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    day(ts) AS d
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT c AS v, count(*) AS na FROM e WHERE d <= 15
+        |  GROUP BY 1),
+        |b AS (SELECT c AS v, count(*) AS nb FROM e WHERE d > 15
+        |  GROUP BY 1),
+        |j AS (SELECT coalesce(a.v, b.v) AS v, coalesce(na, 0) AS na,
+        |    coalesce(nb, 0) AS nb
+        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |r AS (SELECT v, sum(na) OVER w AS ca, sum(nb) OVER w AS cb,
+        |    sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+        |  FROM j WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT CAST(max(ta) AS BIGINT) AS n_base,
+        |    CAST(max(tb) AS BIGINT) AS n_cur,
+        |    CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num
+        |  FROM r)
+        |SELECT n_base, n_cur, ks_num,
+        |  CAST(round(1000000.0 * ks_num / (n_base * n_cur)) AS BIGINT)
+        |    AS ks_ppm
+        |FROM s WHERE n_base > 0 AND n_cur > 0""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -271,6 +272,53 @@ object Profile {
         round(lit(1000000.0) * q, 0).cast("long").as("q_ppm"),
         round(lit(1000000.0) * (p - q) * log(p / q), 0).cast("long")
           .as("psi_term_ppm"))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov drift statistic between two
+    * snapshots of `valueCol`: D = max over values of |F_base − F_cur|,
+    * emitted as a single row (n_base, n_cur, ks_num, ks_ppm) where
+    * ks_num = max |cumBase·n_cur − cumCur·n_base| is the EXACT integer
+    * numerator (D = ks_num / (n_base·n_cur)) and ks_ppm its ppm
+    * rounding. Unlike the binned [[psiDrift]], KS is binning-free and
+    * integer-exact end to end — no ln, no guard bands.
+    *
+    * Shape: per-side value-count aggregates collapse the data to its
+    * distinct-value histograms; the merged histogram takes ONE
+    * single-partition window for the cumulative sums — the same
+    * distinct-bounded caller contract as `Layout.equiDepthBins`
+    * (pre-round raw ids to a grid first). Both snapshots are scanned
+    * once.
+    */
+  def ksDrift(
+      base: DataFrame,
+      current: DataFrame,
+      valueCol: String): DataFrame = {
+    def sideCounts(df: DataFrame, out: String): DataFrame = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as(out))
+    val joined = sideCounts(base, "__a")
+      .join(sideCounts(current, "__b"), Seq("__v"), "full_outer")
+      .na.fill(0L, Seq("__a", "__b"))
+    val wRun = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("__ca", sum(col("__a")).over(wRun))
+      .withColumn("__cb", sum(col("__b")).over(wRun))
+      .withColumn("__na", sum(col("__a")).over(wAll))
+      .withColumn("__nb", sum(col("__b")).over(wAll))
+      .agg(
+        max(col("__na")).as("n_base"),
+        max(col("__nb")).as("n_cur"),
+        max(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+          .as("ks_num"))
+      .filter(col("n_base") > 0 && col("n_cur") > 0)
+      .select(col("n_base"), col("n_cur"), col("ks_num"),
+        round(lit(1000000.0) * col("ks_num")
+          / (col("n_base") * col("n_cur")))
+          .cast("long").as("ks_ppm"))
   }
 
   /** Per-group robust outlier flagging by median absolute deviation: a row

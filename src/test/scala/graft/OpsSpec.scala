@@ -1684,6 +1684,19 @@ class OpsSpec extends SharedSpark {
       f"collocation ppm margin $margin%.2e too tight for the hash gate")
   }
 
+  test("ksDrift is integer-exact: hand case, identity, empty side") {
+    def d(vs: Long*) = df("c BIGINT", vs.map(Row(_)))
+    val r = Profile.ksDrift(d(1L, 2L, 3L), d(3L, 4L, 5L), "c")
+      .collect().head
+    // D peaks at 2/3 (after v=2: F_base=2/3, F_cur=0): num = 6 of 9
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 6L && r.getLong(3) == 666667L)
+    val same = Profile.ksDrift(d(1L, 2L, 2L), d(2L, 1L, 2L), "c")
+      .collect().head
+    assert(same.getLong(2) == 0L && same.getLong(3) == 0L)
+    assert(Profile.ksDrift(d(), d(1L), "c").count() == 0)
+  }
+
   test("setOverlapMatrix computes exact Jaccard/containment per pair") {
     val d = df("l STRING, e BIGINT", Seq(
       Row("A", 1L), Row("A", 2L), Row("A", 3L), Row("A", 3L), // dup
