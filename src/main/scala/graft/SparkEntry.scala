@@ -2174,6 +2174,54 @@ object SparkEntry {
       graft.ops.Profile.ksDrift(
         ev.filter(col("d") <= 15).select("c"),
         ev.filter(col("d") > 15).select("c"), "c")
+    },
+    "q_bucketed_join" -> { (s, dir) =>
+      // end-to-end bucketed-layout path (the q_write_shards pattern:
+      // side effect inside, deterministic relation out): write both
+      // sides bucketed+sorted on the join key as external tables under
+      // tmp, then join THROUGH the catalog — co-located scan-to-scan,
+      // no exchange on either side (plan pinned in LayoutSpec) — and
+      // aggregate revenue per priority; the oracle replays the plain
+      // join + aggregate
+      val stamp = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir))
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$stamp"
+      def save(df: DataFrame, name: String): Unit =
+        df.write.mode("overwrite").format("parquet")
+          .option("path", s"$base/$name")
+          .bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey")
+          .saveAsTable(name)
+      save(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        s"bkt_orders_$stamp")
+      save(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        s"bkt_lineitem_$stamp")
+      s.table(s"bkt_orders_$stamp")
+        .join(s.table(s"bkt_lineitem_$stamp"), Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice")
+            * (lit(1.0) - col("l_discount")) * lit(100))
+            .cast("long")).as("revenue_c"))
+    },
+    "q_sql_bounds" -> { (s, dir) =>
+      // the SQL face of the bounds measurement at the deterministic
+      // epsilon=inf path: power-of-two-bin SVT scan, DuckDB-replayable
+      graft.plans.GraftFunctions.register(s)
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .createOrReplaceTempView("lineitem_sql_bounds")
+      s.sql("""
+        SELECT l_returnflag, b.lower AS lo, b.upper AS hi FROM (
+          SELECT l_returnflag,
+            dp_bounds(l_quantity, CAST('Infinity' AS DOUBLE)) AS b
+          FROM lineitem_sql_bounds GROUP BY 1)
+      """)
     }
   )
 
@@ -5023,6 +5071,37 @@ object SparkEntry {
         |SELECT n_base, n_cur, ks_num,
         |  CAST(round(1000000.0 * ks_num / (n_base * n_cur)) AS BIGINT)
         |    AS ks_ppm
-        |FROM s WHERE n_base > 0 AND n_cur > 0""".stripMargin
+        |FROM s WHERE n_base > 0 AND n_cur > 0""".stripMargin,
+    // q_bucketed_join: the bucketed catalog round-trip must produce the
+    // plain join + aggregate, bit-for-bit (integer cents)
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(
+        |    l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_c
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    // q_sql_bounds: deterministic SVT replay — power-of-two bins via
+    // exact binary-string bitlength, floor(0.95 n) threshold, first
+    // crossing in bin order (fallback: largest occupied bin)
+    "q_sql_bounds" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+        |    length(bin(CAST(floor(greatest(abs(l_quantity), 1.0))
+        |      AS BIGINT))) AS b
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |c AS (SELECT g, b, count(*) AS n FROM v GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS total
+        |  FROM c GROUP BY 1),
+        |r AS (SELECT c.g, c.b,
+        |    sum(c.n) OVER (PARTITION BY c.g ORDER BY c.b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    CAST(floor(0.95 * tot.total) AS BIGINT) AS thr
+        |  FROM c JOIN tot ON c.g = tot.g),
+        |sel AS (SELECT g,
+        |    coalesce(min(CASE WHEN cum >= thr THEN b END), max(b)) AS s
+        |  FROM r GROUP BY 1)
+        |SELECT g AS l_returnflag, -power(2.0, s) AS lo,
+        |  power(2.0, s) AS hi
+        |FROM sel""".stripMargin
   )
 }

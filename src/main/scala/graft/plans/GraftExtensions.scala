@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dpPartitionCount)
     ext.injectFunction(GraftFunctions.heavyHitters)
     ext.injectFunction(GraftFunctions.jaroWinklerFn)
+    ext.injectFunction(GraftFunctions.dpBounds)
   }
 }
 
@@ -387,6 +388,39 @@ object GraftFunctions {
     }
   )
 
+  /** `dp_bounds(value, epsilon)` — DP magnitude bounds as
+    * `STRUCT<lower, upper>` via the power-of-two-bin SVT scan
+    * ([[graft.plans.DpBoundsAgg]], the SQL face of
+    * createBoundsMeasurement, reference `aggregations.py:2059`).
+    * Infinite epsilon selects the deterministic noise-free scan. */
+  val dpBounds: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("dp_bounds"),
+    new ExpressionInfo(
+      classOf[DpBoundsAgg].getName,
+      null,
+      "dp_bounds",
+      "dp_bounds(value, epsilon) - DP magnitude bounds struct(lower, upper)",
+      "dp_bounds(x, 1.0)"
+    ),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "dp_bounds(value, epsilon) takes 2 arguments")
+      val Seq(value, epsE) = children
+      require(epsE.foldable, "dp_bounds epsilon must be a literal")
+      val eps = epsE.eval() match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case d: java.math.BigDecimal               => d.doubleValue()
+        case n: java.lang.Number                   => n.doubleValue()
+        case other => throw new IllegalArgumentException(s"bad epsilon: $other")
+      }
+      val epsilon = if (eps.isPosInfinity) None else Some(eps)
+      DpBoundsAgg(
+        Cast(value, DoubleType), epsilon,
+        graft.random.RandomSource.secureSeed()
+      ).toAggregateExpression()
+    }
+  )
+
   /** `dp_partition_count(alpha, threshold)` — the SQL face of
     * createPartitionSelectionMeasurement (reference `aggregations.py:1993`,
     * mechanism `spark_measurements.py:367-587`): a COUNT(*) with two-sided
@@ -493,7 +527,8 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     Seq(dpNoise, dpCount, dpCountDistinct, dpSum, dpAvg, dpVar, dpStddev,
-        dpQuantile, dpPartitionCount, heavyHitters, jaroWinklerFn).foreach {
+        dpQuantile, dpPartitionCount, heavyHitters, jaroWinklerFn,
+        dpBounds).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

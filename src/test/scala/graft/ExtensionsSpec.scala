@@ -210,4 +210,37 @@ class ExtensionsSpec extends SharedSpark {
     // registration into the live session already proved the builder works
     succeed
   }
+
+  test("dp_bounds: deterministic scan, partition invariance, noisy shape") {
+    graft.plans.GraftFunctions.register(spark)
+    // bins for 1..10: b1:{1} b2:{2,3} b3:{4..7} b4:{8,9,10}; thr =
+    // floor(0.95*10) = 9; cum 1,3,7,10 -> first crossing at b4 -> ±16
+    df("g STRING, x DOUBLE", (1 to 10).map(i => Row("a", i.toDouble)))
+      .createOrReplaceTempView("dpb")
+    def run(): (Double, Double) = {
+      val r = spark.sql(
+        """SELECT b.lower, b.upper FROM (
+          |  SELECT g, dp_bounds(x, CAST('Infinity' AS DOUBLE)) AS b
+          |  FROM dpb GROUP BY g)""".stripMargin).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    assert(run() == ((-16.0, 16.0)))
+    // merge path: many partitions must give the identical answer
+    df("g STRING, x DOUBLE", (1 to 10).map(i => Row("a", i.toDouble)))
+      .repartition(7).createOrReplaceTempView("dpb")
+    assert(run() == ((-16.0, 16.0)))
+    // noisy path: still a ± power of two
+    val noisy = spark.sql(
+      """SELECT b.lower, b.upper FROM (
+        |  SELECT g, dp_bounds(x, 1.0) AS b FROM dpb GROUP BY g)"""
+        .stripMargin).head()
+    val up = noisy.getDouble(1)
+    assert(noisy.getDouble(0) == -up)
+    assert(math.log(up) / math.log(2.0) == math.floor(
+      math.log(up) / math.log(2.0)))
+    // negative magnitudes clamp through abs; empty-ish: null label rows
+    df("g STRING, x DOUBLE", Seq(Row("a", -5.0), Row("a", null)))
+      .createOrReplaceTempView("dpb")
+    assert(run() == ((-8.0, 8.0))) // |-5| -> bin 3 -> 2^3
+  }
 }
