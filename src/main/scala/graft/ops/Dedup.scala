@@ -1357,12 +1357,18 @@ object Dedup {
           i => struct(i.as("pos"),
             concat_ws(" ", slice(col("__t"), i + 1, lit(n))).as("s")))).as("__g"))
       .select(col("__id"), col("__g.pos").as("__pos"), col("__g.s").as("__s"))
-    val dup = grams
-      .groupBy(col("__s"))
-      .agg(count(lit(1)).as("__c"))
+    // one count window over the gram key instead of a count aggregate +
+    // semi-join: the gram table is exploded and shuffled ONCE (measured
+    // ~2x at sf0.1 — the agg+join shape re-explodes the corpus and
+    // shuffles gram volume twice). WindowExec's partition buffer spills
+    // via ExternalAppendOnlyUnsafeRowArray, so a pathologically hot gram
+    // degrades to disk, not OOM; gram groups are near-unique in real
+    // corpora.
+    val wDup = Window.partitionBy(col("__s"))
+    val marked = grams
+      .withColumn("__c", count(lit(1)).over(wDup))
       .filter(col("__c") > 1)
-      .select(col("__s"))
-    val marked = grams.join(dup, Seq("__s"), "left_semi")
+      .drop("__c")
     // gaps-and-islands merge: spans are all length n, positions sorted, so
     // two marks coalesce iff the later start is within n of the earlier
     val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
