@@ -99,13 +99,22 @@ object Graph {
     * Multi-edges and self-loops are dropped first (distinct + u<v).
     */
   def triangleCount(edges: DataFrame): DataFrame = {
+    // persisted: the canonical edge set is read three times (degree
+    // aggregate + both endpoint joins) and the oriented table three
+    // times (wedge legs x/y + closure z). Without the caches the whole
+    // upstream — including the caller's edge derivation — re-executes
+    // per leg (a probed entry plan carried 122 exchanges; with the
+    // caches it is one). Deliberately not unpersisted here (the result
+    // is lazy); callers / harnesses clear caches after their action.
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val deg = und.select(col("u").as("id"))
-      .unionByName(und.select(col("v").as("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one scan: explode both endpoints instead of a two-scan union
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val withDeg = und
       .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
@@ -117,6 +126,7 @@ object Graph {
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"),
       when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wedgeOrder =
       col("x.ddeg") < col("y.ddeg") ||
         (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))

@@ -72,12 +72,16 @@ object Market {
     // (item, count) — tiny next to the pair table, broadcast-friendly
     val itemN = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     val nB = baskets.select(countDistinct(col("basket")).as("n_baskets"))
-    val directed = pairs.select(
-        col("item_a").as("antecedent"), col("item_b").as("consequent"),
-        col("pair_n"))
-      .unionByName(pairs.select(
-        col("item_b").as("antecedent"), col("item_a").as("consequent"),
-        col("pair_n")))
+    // one scan of the pair aggregate: explode both rule directions from
+    // each pair row (a two-branch union would re-run the self-join agg)
+    val directed = pairs.select(explode(array(
+        struct(col("item_a").as("antecedent"),
+          col("item_b").as("consequent"), col("pair_n")),
+        struct(col("item_b").as("antecedent"),
+          col("item_a").as("consequent"), col("pair_n")))).as("__d"))
+      .select(col("__d.antecedent").as("antecedent"),
+        col("__d.consequent").as("consequent"),
+        col("__d.pair_n").as("pair_n"))
     val joined = directed
       .join(itemN.select(col("item").as("antecedent"),
         col("n_item").as("n_ante")), Seq("antecedent"))
