@@ -231,12 +231,15 @@ object Quality {
     // round(1e6 * log10(1 + 1/d)) for d = 1..9; sums to exactly 1e6
     val benfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
       66947L, 57992L, 51153L, 45757L)
+    // persisted: the 9-row digit-count table is read twice (the total
+    // and the digit join) — uncached, each read is a full input scan
     val counts = df.filter(value.isNotNull)
       .select(round(abs(value) * lit(scale)).cast("long").as("__c"))
       .filter(col("__c") > 0)
       .select(substring(col("__c").cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .persist()
     val tot = counts.agg(sum(col("n")).as("__tot"))
     val digits = df.sparkSession.range(1, 10)
       .select(col("id").as("digit"),

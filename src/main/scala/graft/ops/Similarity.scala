@@ -803,8 +803,11 @@ object Similarity {
       df: DataFrame,
       label: Column,
       element: Column): DataFrame = {
+    // persisted: the distinct (label, element) set feeds the size
+    // aggregate and both self-join legs — three scans uncached
     val b = df.filter(label.isNotNull && element.isNotNull)
       .select(label.as("label"), element.as("el")).distinct()
+      .persist()
     val sizes = b.groupBy("label").agg(count(lit(1)).as("n"))
     val pairs = b.as("a")
       .join(b.as("b"),

@@ -99,10 +99,15 @@ object Stats {
       df: DataFrame,
       rowLabel: Column,
       colLabel: Column): DataFrame = {
+    // persisted: the label²-sized cell table feeds four consumers (both
+    // margins, the total, the final join); uncached, each one re-scans
+    // the full input. Lazily filled on first action; callers/harnesses
+    // clear caches (the lazy-return contract, see Market).
     val cells = df
       .filter(rowLabel.isNotNull && colLabel.isNotNull)
       .groupBy(rowLabel.as("row_label"), colLabel.as("col_label"))
       .agg(count(lit(1)).as("n_obs"))
+      .persist()
     val rowTot = cells.groupBy("row_label").agg(sum("n_obs").as("rt"))
     val colTot = cells.groupBy("col_label").agg(sum("n_obs").as("ct"))
     val total = cells.select(sum("n_obs").as("n"))
@@ -144,10 +149,12 @@ object Stats {
       df: DataFrame,
       rowLabel: Column,
       colLabel: Column): DataFrame = {
+    // persisted for the same four-consumer reason as [[chi2Contingency]]
     val cells = df
       .filter(rowLabel.isNotNull && colLabel.isNotNull)
       .groupBy(rowLabel.as("row_label"), colLabel.as("col_label"))
       .agg(count(lit(1)).as("n_obs"))
+      .persist()
     val rowTot = cells.groupBy("row_label").agg(sum("n_obs").as("rt"))
     val colTot = cells.groupBy("col_label").agg(sum("n_obs").as("ct"))
     val total = cells.select(sum("n_obs").as("n"))

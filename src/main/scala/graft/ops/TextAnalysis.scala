@@ -442,10 +442,15 @@ object TextAnalysis {
           element_at(col("__t"), i + 1).as("w1"),
           element_at(col("__t"), i + 2).as("w2")))).as("__bg"))
       .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    // persisted: the bigram-count table is read twice (total + filtered
+    // join) and the unigram table three times (total + both word joins)
+    // — uncached, every extra read re-tokenizes the corpus
     val c2 = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("pair_n"))
+      .persist()
     val uni = base.select(explode(col("__t")).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__cu"))
+      .persist()
     val n1 = uni.agg(sum(col("__cu")).as("n1"))
     val n2 = c2.agg(sum(col("pair_n")).as("n2"))
     c2.filter(col("pair_n") >= minPairCount)

@@ -717,8 +717,12 @@ object TimeSeries {
     val pairs = seq0
       .withColumn("from_state", lag(col("to_state"), 1).over(w))
       .filter(col("from_state").isNotNull)
+    // persisted: the |states|²-sized transition table is read twice (the
+    // row normalizer and the final join); uncached, the second read
+    // re-runs the full window + aggregate over the input
     val counts = pairs.groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n_trans"))
+      .persist()
     val fromTot = counts.groupBy(col("from_state"))
       .agg(sum(col("n_trans")).as("n_from"))
     counts.join(fromTot, Seq("from_state"))
