@@ -2209,6 +2209,67 @@ object SparkEntry {
             * (lit(1.0) - col("l_discount")) * lit(100))
             .cast("long")).as("revenue_c"))
     },
+    "q_gini" -> { (s, dir) =>
+      // price-mass inequality per return flag; every term an exact
+      // integer, tie permutations provably don't move the rank sum
+      graft.ops.Stats.giniByGroup(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_extendedprice"))
+    },
+    "q_minhash_stream" -> { (s, dir) =>
+      // TRUE micro-batch maintenance of the per-source MinHash
+      // signature states: foreachBatch folds each trigger's shingle
+      // files via mergeMinhashStates. min-merge is idempotent and
+      // order-insensitive, so the drained states must equal the
+      // from-scratch signature over all documents — the q_minhash_states
+      // oracle verbatim — whatever the file arrival order.
+      import org.apache.spark.sql.streaming.Trigger
+      val sh = t(s, dir, "documents").select(col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+      val stamp = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(
+          dir + "|" + sh.schema.catalogString))
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mhs_$stamp"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rmrf)
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(s"$base/chk"))
+      val srcDone = new java.io.File(s"$base/src/_SUCCESS")
+      if (!srcDone.isFile) {
+        rmrf(new java.io.File(s"$base/src"))
+        sh.repartition(8).write.parquet(s"$base/src")
+      }
+      var state: DataFrame = null
+      val q = s.readStream
+        .schema(sh.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$base/src")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.select("source", "sh")
+          state =
+            (if (state == null)
+               graft.ops.Incremental.minhashStates(
+                 b, Seq("source"), "sh", numHashes = 8)
+             else
+               graft.ops.Incremental.mergeMinhashStates(
+                 state, b, Seq("source"), "sh", numHashes = 8))
+              .localCheckpoint() // keys×hashes-sized; cut lineage
+          ()
+        }
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      state
+    },
+    "q_hhi" -> { (s, dir) =>
+      // user-concentration index per event stream; two combinable aggs
+      graft.ops.Stats.herfindahlByGroup(
+        t(s, dir, "events"), Seq("event_type"), col("user_id"))
+    },
     "q_sql_bounds" -> { (s, dir) =>
       // the SQL face of the bounds measurement at the deterministic
       // epsilon=inf path: power-of-two-bin SVT scan, DuckDB-replayable
@@ -5027,6 +5088,28 @@ object SparkEntry {
         |SELECT "key", n_segments, span_us,
         |  CAST(sw AS DOUBLE) / span_us / 100.0 AS twa
         |FROM s""".stripMargin,
+    // q_minhash_stream: the drained micro-batch states must equal the
+    // same from-scratch signatures as q_minhash_states
+    "q_minhash_stream" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT source, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS sh
+        |  FROM t
+        |), e AS (
+        |  SELECT source, sh, unnest(range(8)) AS hash_id FROM sh
+        |)
+        |SELECT source, CAST(hash_id AS BIGINT) AS hash_id,
+        |  min(('0x' || substr(sha256(
+        |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
+        |    AS min_hash
+        |FROM e GROUP BY 1, 2""".stripMargin,
     // q_minhash_states: from-scratch signatures over ALL documents —
     // the entry's incremental merge must land on exactly these
     "q_minhash_states" ->
@@ -5081,6 +5164,32 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_c
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_gini" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |f AS (SELECT g, c FROM v WHERE c >= 0),
+        |r AS (SELECT g, c,
+        |    row_number() OVER (PARTITION BY g ORDER BY c) AS i FROM f),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sx,
+        |    CAST(sum(i * c) AS BIGINT) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT g AS l_returnflag, n, sx AS sum_c,
+        |  CAST(round(1000000.0 * (2 * six - (n + 1) * sx) / (n * sx))
+        |    AS BIGINT) AS gini_ppm
+        |FROM s WHERE sx > 0""".stripMargin,
+    "q_hhi" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_entities,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(sum(c * c) AS BIGINT) AS c2
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_entities, n_rows,
+        |  CAST(round(1000000.0 * c2 / (n_rows * n_rows)) AS BIGINT)
+        |    AS hhi_ppm
+        |FROM s""".stripMargin,
     // q_sql_bounds: deterministic SVT replay — power-of-two bins via
     // exact binary-string bitlength, floor(0.95 n) threshold, first
     // crossing in bin order (fallback: largest occupied bin)

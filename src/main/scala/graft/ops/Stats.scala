@@ -289,6 +289,68 @@ object Stats {
           .cast("long").as("recall_ppm")): _*)
   }
 
+  /** Exact Gini coefficient per group over an integer-quantized value:
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending and i the
+    * 1-based rank. Within a tie block every permutation yields the same
+    * Σ i·xᵢ (equal x), so the statistic is deterministic without a
+    * tiebreak; all terms are exact integers and gini_ppm replays
+    * bit-identically. Rows with null or negative values are excluded
+    * (Gini is defined on non-negative quantities); groups with zero
+    * total are dropped. One window + one combinable aggregate.
+    *
+    * The inequality lens on corpus/source concentration: revenue
+    * concentration per market, token-mass concentration per source.
+    */
+  def giniByGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      value: Column,
+      scale: Int = 100): DataFrame = {
+    val c = round(value * lit(scale)).cast("long")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__c"))
+    df.filter(value.isNotNull)
+      .select(keys.map(col) :+ c.as("__c"): _*)
+      .filter(col("__c") >= 0)
+      .withColumn("__i", row_number().over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__c")).as("__sx"),
+        sum(col("__i") * col("__c")).as("__six"))
+      .filter(col("__sx") > 0)
+      .select(keys.map(col) ++ Seq(
+        col("n"),
+        col("__sx").as("sum_c"),
+        round(lit(1000000.0)
+          * (lit(2L) * col("__six") - (col("n") + lit(1L)) * col("__sx"))
+          / (col("n") * col("__sx")))
+          .cast("long").as("gini_ppm")): _*)
+  }
+
+  /** Exact Herfindahl-Hirschman concentration index per group:
+    * HHI = Σ sᵢ² over entity shares sᵢ = cᵢ/Σc, reported as
+    * round(1e6·Σcᵢ²/(Σc)²) from exact integer counts — 1e6/k for k
+    * equal entities, 1e6 for a monopoly. Two combinable aggregates
+    * (entity counts, then share squares); nothing scans the data twice.
+    */
+  def herfindahlByGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      entity: Column): DataFrame =
+    df.filter(entity.isNotNull)
+      .groupBy(keys.map(col) :+ entity.as("__e"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(col("__c")).as("n_rows"),
+        sum(col("__c") * col("__c")).as("__c2"))
+      .select(keys.map(col) ++ Seq(
+        col("n_entities"), col("n_rows"),
+        round(lit(1000000.0) * col("__c2")
+          / (col("n_rows") * col("n_rows")))
+          .cast("long").as("hhi_ppm")): _*)
+
   /** Per-group ordinary-least-squares trend of `value` against an
     * integer regressor `x` (e.g. seconds since a fixed origin): output
     * (keys..., n, slope, intercept, r2) with slope in metric units per

@@ -154,6 +154,35 @@ class StatsSpec extends SharedSpark {
       f"mi ppm margin $margin%.2e too tight for the hash gate")
   }
 
+  test("giniByGroup: equality, concentration, tie invariance") {
+    val d = df("g STRING, v DOUBLE", Seq(
+      Row("eq", 1.0), Row("eq", 1.0), Row("eq", 1.0), Row("eq", 1.0),
+      Row("top", 0.0), Row("top", 0.0), Row("top", 0.0), Row("top", 4.0),
+      Row("neg", -1.0), Row("neg", 2.0))) // negative row excluded
+    val out = Stats.giniByGroup(d, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("eq") == 0L)
+    assert(out("top") == 750000L) // (2·16 − 5·4)/(4·4)
+    assert(out("neg") == 0L) // single remaining row
+    // equal values: any tie permutation gives the same rank sum
+    val ties = df("g STRING, v DOUBLE",
+      (1 to 100).map(i => Row("t", (i % 5).toDouble)))
+    val a = Stats.giniByGroup(ties.repartition(1), Seq("g"), col("v"))
+    val b = Stats.giniByGroup(ties.repartition(11), Seq("g"), col("v"))
+    assertSameRows(a, b)
+  }
+
+  test("herfindahlByGroup: monopoly 1e6, k equal entities 1e6/k") {
+    val d = df("g STRING, e STRING", Seq(
+      Row("mono", "a"), Row("mono", "a"), Row("mono", "a"),
+      Row("uni", "a"), Row("uni", "b"), Row("uni", "c")))
+    val out = Stats.herfindahlByGroup(d, Seq("g"), col("e"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("mono") == ((1L, 3L, 1000000L)))
+    assert(out("uni") == ((3L, 3L, 333333L)))
+  }
+
   test("linearTrendByGroup recovers an exact line and drops degenerates") {
     val rows =
       // g: y = 2 + 0.5x at x = 0..4 (exact on the cents grid)
