@@ -2270,6 +2270,22 @@ object SparkEntry {
       graft.ops.Stats.herfindahlByGroup(
         t(s, dir, "events"), Seq("event_type"), col("user_id"))
     },
+    "q_incr_quantile" -> { (s, dir) =>
+      // self-maintainable grid quantiles: histogram states from the
+      // first half of the month, second half folded in — the disjoint
+      // count-merge must read off the same p50/p90/p99 as from-scratch
+      val ev = t(s, dir, "events")
+        .withColumn("d", dayofmonth(col("ts")))
+      val base = graft.ops.Incremental.histStates(
+        ev.filter(col("d") <= 15), Seq("event_type"), col("value"),
+        0.0, 500.0, 1000)
+      val merged = graft.ops.Incremental.mergeHistStates(
+        base, ev.filter(col("d") > 15), Seq("event_type"),
+        col("value"), 0.0, 500.0, 1000)
+      graft.ops.Incremental.quantileFromHist(
+        merged, Seq("event_type"), 0.0, 500.0, 1000,
+        Seq((0.5, "p50"), (0.9, "p90"), (0.99, "p99")))
+    },
     "q_sql_bounds" -> { (s, dir) =>
       // the SQL face of the bounds measurement at the deterministic
       // epsilon=inf path: power-of-two-bin SVT scan, DuckDB-replayable
@@ -5179,6 +5195,26 @@ object SparkEntry {
         |  CAST(round(1000000.0 * (2 * six - (n + 1) * sx) / (n * sx))
         |    AS BIGINT) AS gini_ppm
         |FROM s WHERE sx > 0""".stripMargin,
+    // q_incr_quantile: from-scratch grid quantiles over the whole month
+    "q_incr_quantile" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(least(greatest(floor((value - 0.0) / 0.5), 0.0), 999.0)
+        |      AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+        |r AS (SELECT event_type, bin,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM c)
+        |SELECT event_type,
+        |  0.0 + CAST(min(CASE WHEN cum >= ceil(0.5 * tot) THEN bin END)
+        |    AS DOUBLE) * 0.5 AS p50,
+        |  0.0 + CAST(min(CASE WHEN cum >= ceil(0.9 * tot) THEN bin END)
+        |    AS DOUBLE) * 0.5 AS p90,
+        |  0.0 + CAST(min(CASE WHEN cum >= ceil(0.99 * tot) THEN bin END)
+        |    AS DOUBLE) * 0.5 AS p99
+        |FROM r GROUP BY 1""".stripMargin,
     "q_hhi" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS c
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -266,4 +267,77 @@ object Incremental {
         minhashStates(delta, keyCols, elementCol, numHashes, salt))
       .groupBy((keyCols :+ "hash_id").map(col): _*)
       .agg(min(col("min_hash")).as("min_hash"))
+
+  /** Mergeable fixed-grid histogram states for incremental quantile
+    * maintenance: per key, bin counts over `bins` equal-width buckets on
+    * `[lo, hi)` (out-of-range values clamped into the edge bins, the
+    * `Olap.histogramFixed` convention). Merge is count addition, so
+    * folding DISJOINT deltas in any order (counts add — unlike the
+    * idempotent min-merge, an overlapping delta double-counts) equals
+    * the from-scratch histogram and
+    * the grid quantiles read off it ([[quantileFromHist]]) are exact
+    * functions of the union — the self-maintainable quantile monitor
+    * for streaming/batch ingestion (the state is `keys × bins` rows,
+    * never data-sized).
+    */
+  def histStates(
+      df: DataFrame,
+      keyCols: Seq[String],
+      value: Column,
+      lo: Double,
+      hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val w = (hi - lo) / bins
+    val bin = least(
+      greatest(floor((value.cast("double") - lit(lo)) / lit(w)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.filter(value.isNotNull)
+      .groupBy(keyCols.map(col) :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Fold a delta of raw rows into saved histogram states; exactly
+    * equals [[histStates]] over the full history. */
+  def mergeHistStates(
+      states: DataFrame,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      value: Column,
+      lo: Double,
+      hi: Double,
+      bins: Int): DataFrame =
+    states.select((keyCols :+ "bin" :+ "n").map(col): _*)
+      .unionByName(histStates(delta, keyCols, value, lo, hi, bins))
+      .groupBy((keyCols :+ "bin").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** Grid quantiles from histogram states: for each requested
+    * (p, name), the LOWER EDGE of the smallest bin whose cumulative
+    * count reaches ⌈p·n⌉ — a discrete, integer-decided statistic (no
+    * interpolation), deterministic on any engine. One window over the
+    * (keys × bins)-sized state table, then a combinable aggregate. */
+  def quantileFromHist(
+      states: DataFrame,
+      keyCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one quantile")
+    val w = (hi - lo) / bins
+    val win = Window.partitionBy(keyCols.map(col): _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(keyCols.map(col): _*)
+    val cum = states
+      .withColumn("__cum", sum(col("n")).over(win))
+      .withColumn("__tot", sum(col("n")).over(tot))
+    val aggs = ps.map { case (p, name) =>
+      (lit(lo) + min(when(
+        col("__cum") >= ceil(lit(p) * col("__tot")), col("bin")))
+        .cast("double") * lit(w)).as(name)
+    }
+    cum.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -156,6 +156,24 @@ class IncrementalSpec extends SharedSpark {
     assert(us.filter(col("us").isNull).count() == 0)
   }
 
+  test("histogram states: grid quantiles and disjoint merge") {
+    val rows = (1 to 10).map(i => Row("g", i.toDouble))
+    val all = df("k STRING, v DOUBLE", rows)
+    val scratch = Incremental.histStates(all, Seq("k"), col("v"), 0.0, 10.0, 10)
+    val q = Incremental.quantileFromHist(
+      scratch, Seq("k"), 0.0, 10.0, 10,
+      Seq((0.5, "p50"), (0.9, "p90"))).collect().head
+    // bins = floor(v) clamped to 9 (10 joins 9): p50 -> bin 5, p90 -> bin 9
+    assert(q.getDouble(1) == 5.0 && q.getDouble(2) == 9.0)
+    val merged = Incremental.mergeHistStates(
+      Incremental.histStates(
+        df("k STRING, v DOUBLE", rows.take(4)), Seq("k"), col("v"),
+        0.0, 10.0, 10),
+      df("k STRING, v DOUBLE", rows.drop(4)), Seq("k"), col("v"),
+      0.0, 10.0, 10)
+    assertSameRows(merged, scratch)
+  }
+
   test("minhash states merge equals from-scratch on any split") {
     val rows = (1 to 60).map(i =>
       Row(s"k${i % 4}", s"el${i % 17}"))
