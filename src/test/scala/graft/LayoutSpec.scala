@@ -88,6 +88,26 @@ class LayoutSpec extends SharedSpark {
     assert(out.filter(col("v") === 9L).head().getAs[Long]("bin") == 3L) // 90*4/100
   }
 
+  test("parquet scans carry pushed filters and pruned read schemas") {
+    // the 100-TB contract for every entry reading the fixtures: a
+    // predicate on a scanned column must reach the parquet reader
+    // (PushedFilters) and the scan must read ONLY the projected columns
+    // (ReadSchema) — a scan fetching all columns for a 2-column
+    // projection re-reads the corpus for nothing
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists)
+    val plan = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 10.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"),
+      s"filter did not reach the scan:\n$plan")
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(schema.contains("l_orderkey") && schema.contains("l_quantity")
+      && !schema.contains("l_extendedprice"),
+      s"scan reads more than the projection: $schema")
+  }
+
   test("bucketed-bucketed equi-join plans zero exchanges") {
     val left = df("k BIGINT, v BIGINT",
       (1L to 500L).map(i => Row(i % 50, i)))
