@@ -2270,6 +2270,12 @@ object SparkEntry {
       graft.ops.Stats.herfindahlByGroup(
         t(s, dir, "events"), Seq("event_type"), col("user_id"))
     },
+    "q_new_users" -> { (s, dir) =>
+      // daily growth accounting: active/new/returning users and the
+      // exact cumulative distinct-to-date (= running sum of first-seen)
+      graft.ops.TimeSeries.newVsReturning(
+        t(s, dir, "events"), col("user_id"), col("ts").cast("date"))
+    },
     "q_incr_quantile" -> { (s, dir) =>
       // self-maintainable grid quantiles: histogram states from the
       // first half of the month, second half folded in — the disjoint
@@ -5195,6 +5201,23 @@ object SparkEntry {
         |  CAST(round(1000000.0 * (2 * six - (n + 1) * sx) / (n * sx))
         |    AS BIGINT) AS gini_ppm
         |FROM s WHERE sx > 0""".stripMargin,
+    "q_new_users" ->
+      """WITH p AS (SELECT DISTINCT user_id AS e, CAST(ts AS DATE)
+        |    AS period
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT period, count(*) AS n_active FROM p GROUP BY 1),
+        |fs AS (SELECT period, count(*) AS n_new FROM (
+        |    SELECT e, min(period) AS period FROM p GROUP BY 1)
+        |  GROUP BY 1),
+        |j AS (SELECT a.period, CAST(a.n_active AS BIGINT) AS n_active,
+        |    CAST(coalesce(fs.n_new, 0) AS BIGINT) AS n_new
+        |  FROM a LEFT JOIN fs USING (period))
+        |SELECT period, n_active, n_new,
+        |  n_active - n_new AS n_returning,
+        |  CAST(sum(n_new) OVER (ORDER BY period
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_entities
+        |FROM j""".stripMargin,
     // q_incr_quantile: from-scratch grid quantiles over the whole month
     "q_incr_quantile" ->
       """WITH b AS (SELECT event_type,

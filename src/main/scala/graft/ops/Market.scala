@@ -101,6 +101,31 @@ object Market {
     out
   }
 
+  /** Observability for the basket cap (the repo's drops-observable
+    * discipline): one row — (n_baskets, n_capped_baskets,
+    * n_items_dropped) — quantifying what `maxBasketSize` excluded from
+    * pair mining. Run it alongside [[frequentPairs]] whenever the cap is
+    * active; a non-trivial n_items_dropped means support counts
+    * undercount the capped baskets. */
+  def basketCapReport(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasketSize: Int): DataFrame = {
+    require(maxBasketSize > 0, "maxBasketSize must be positive")
+    df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .groupBy(col("basket"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        count(lit(1)).as("n_baskets"),
+        sum(when(col("__n") > maxBasketSize, 1L).otherwise(0L))
+          .as("n_capped_baskets"),
+        sum(when(col("__n") > maxBasketSize,
+          col("__n") - maxBasketSize).otherwise(0L))
+          .as("n_items_dropped"))
+  }
+
   /** Distinct (basket, item), capped at the k smallest items per basket
     * so the downstream pair explosion is bounded under basket skew. */
   private def cappedBaskets(

@@ -766,6 +766,42 @@ object TimeSeries {
           .as("mean_gap_us"))
   }
 
+  /** New-vs-returning entity report per period: for each `period` (the
+    * caller truncates the timestamp — day, week), the distinct active
+    * entities, how many were seen for the FIRST time, the returning
+    * remainder, and the running total of distinct entities to date.
+    * The growth-accounting table every ingestion/engagement dashboard
+    * opens with; cumulative distinct counts fall out exactly because
+    * Σ first-seen = distinct-to-date — no distinct-over-window needed.
+    *
+    * Shape: one distinct on (entity, period), one min-aggregate per
+    * entity (both combinable), two period-sized aggregates and one
+    * window over the period table (periods-count rows — tiny). Exact
+    * integers throughout.
+    */
+  def newVsReturning(
+      df: DataFrame,
+      entity: Column,
+      period: Column): DataFrame = {
+    val pairs = df
+      .filter(entity.isNotNull && period.isNotNull)
+      .select(entity.as("__e"), period.as("period"))
+      .distinct()
+      .persist() // read twice: activity counts + first-seen aggregate
+    val active = pairs.groupBy(col("period"))
+      .agg(count(lit(1)).as("n_active"))
+    val firstSeen = pairs.groupBy(col("__e"))
+      .agg(min(col("period")).as("period"))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstSeen, Seq("period"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("cum_entities", sum(col("n_new")).over(w))
+  }
+
   /** Time-weighted average of a step series per entity: each observation
     * holds its value until the next one, so the mean weights each value
     * by its holding duration — the correct average for sampled gauges

@@ -44,6 +44,16 @@ class MarketSpec extends SharedSpark {
     assert(out.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("basketCapReport quantifies what the cap excludes") {
+    val wide = baskets(
+      (1L to 5L).map(i => 1L -> i) ++ Seq(2L -> 1L, 2L -> 2L): _*)
+    val r = Market.basketCapReport(wide, "basket", "item", 3)
+      .collect().head
+    assert(r.getLong(0) == 2L) // baskets
+    assert(r.getLong(1) == 1L) // only the 5-item basket is capped
+    assert(r.getLong(2) == 2L) // it loses 5 - 3 items
+  }
+
   test("associationRules ppm arithmetic on the hand-computed example") {
     val out = Market.associationRules(fixture, "basket", "item",
       minPairCount = 2L, maxBasketSize = 0)

@@ -540,6 +540,18 @@ class TimeSeriesSpec extends SharedSpark {
     assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getLong(3) == 50L)
   }
 
+  test("newVsReturning: growth accounting with exact cumulative distinct") {
+    val d = df("u STRING, p BIGINT", Seq(
+      Row("u1", 1L), Row("u1", 2L), Row("u1", 2L), // dup activity row
+      Row("u2", 2L), Row("u3", 3L)))
+    val out = TimeSeries.newVsReturning(d, col("u"), col("p"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((1L, 1L, 0L, 1L)))
+    assert(out(2L) == ((2L, 1L, 1L, 2L))) // u1 returns, u2 new
+    assert(out(3L) == ((1L, 1L, 0L, 3L)))
+  }
+
   test("timeWeightedAvg weights each value by its holding duration") {
     val d = df("u STRING, t BIGINT, id BIGINT, v DOUBLE", Seq(
       Row("u", 0L, 1L, 1.0), Row("u", 100L, 2L, 3.0),
