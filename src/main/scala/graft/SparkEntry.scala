@@ -2276,6 +2276,21 @@ object SparkEntry {
       graft.ops.TimeSeries.newVsReturning(
         t(s, dir, "events"), col("user_id"), col("ts").cast("date"))
     },
+    "q_ndcg" -> { (s, dir) =>
+      // daily NDCG@20 of ranking by value against purchase relevance;
+      // the position-discount table is one JVM computation shared as
+      // literals by this plan AND the oracle SQL — no runtime log2
+      graft.ops.Stats.ndcgAtK(
+        t(s, dir, "events").withColumn("day", col("ts").cast("date")),
+        Seq("day"), col("value"), col("event_type") === "purchase",
+        k = 20, tie = col("event_id"))
+    },
+    "q_top_paths" -> { (s, dir) =>
+      // first-3-event paths per user with exact ppm shares
+      graft.ops.TimeSeries.topPaths(
+        t(s, dir, "events"), col("user_id"), col("event_type"),
+        Seq(col("ts"), col("event_id")), depth = 3)
+    },
     "q_incr_quantile" -> { (s, dir) =>
       // self-maintainable grid quantiles: histogram states from the
       // first half of the month, second half folded in — the disjoint
@@ -5201,6 +5216,54 @@ object SparkEntry {
         |  CAST(round(1000000.0 * (2 * six - (n + 1) * sx) / (n * sx))
         |    AS BIGINT) AS gini_ppm
         |FROM s WHERE sx > 0""".stripMargin,
+    // q_ndcg: the discount table is interpolated from the SAME
+    // Stats.ndcgWeights computation the Spark plan embeds as literals
+    "q_ndcg" -> {
+      val k = 20
+      val w = graft.ops.Stats.ndcgWeights(k)
+      val cum = w.scanLeft(0L)(_ + _).tail
+      val wtRows = (1 to k).map(i => s"($i, ${w(i - 1)})").mkString(", ")
+      val cwRows = (1 to k).map(j => s"($j, ${cum(j - 1)})").mkString(", ")
+      s"""WITH b AS (SELECT CAST(ts AS DATE) AS day, value AS s,
+         |    event_id AS t, (event_type = 'purchase') AS p
+         |  FROM events
+         |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (SELECT day, p, row_number() OVER (
+         |    PARTITION BY day ORDER BY s DESC, t ASC) AS rn FROM b),
+         |wt(i, w) AS (VALUES $wtRows),
+         |cw(j, c) AS (VALUES $cwRows),
+         |d AS (SELECT day,
+         |    CAST(sum(CASE WHEN p THEN wt.w ELSE 0 END) AS BIGINT)
+         |      AS dcg_ppm
+         |  FROM r JOIN wt ON r.rn = wt.i WHERE r.rn <= $k GROUP BY 1),
+         |ap AS (SELECT day,
+         |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos_all
+         |  FROM b GROUP BY 1
+         |  HAVING sum(CASE WHEN p THEN 1 ELSE 0 END) > 0),
+         |j AS (SELECT ap.day, ap.n_pos_all,
+         |    CAST(coalesce(d.dcg_ppm, 0) AS BIGINT) AS dcg_ppm
+         |  FROM ap LEFT JOIN d USING (day)),
+         |f AS (SELECT j.day, j.n_pos_all, j.dcg_ppm,
+         |    CAST(cw.c AS BIGINT) AS idcg_ppm
+         |  FROM j JOIN cw ON cw.j = least(j.n_pos_all, $k))
+         |SELECT day, n_pos_all, dcg_ppm, idcg_ppm,
+         |  CAST(round(1000000.0 * dcg_ppm / idcg_ppm) AS BIGINT)
+         |    AS ndcg_ppm
+         |FROM f""".stripMargin
+    },
+    "q_top_paths" ->
+      """WITH r AS (SELECT user_id AS k, event_type AS s,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT k, string_agg(s, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1),
+        |c AS (SELECT path, count(*) AS n FROM p GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT path, n,
+        |  CAST(round(1000000.0 * n / tot.tot) AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN tot""".stripMargin,
     "q_new_users" ->
       """WITH p AS (SELECT DISTINCT user_id AS e, CAST(ts AS DATE)
         |    AS period

@@ -289,6 +289,62 @@ object Stats {
           .cast("long").as("recall_ppm")): _*)
   }
 
+  /** Position-discount weight table for [[ndcgAtK]]: w(i) =
+    * round(1e6 / log2(i+1)), computed ONCE on the JVM and embedded as
+    * literals in both the Spark plan and (via the entry builder) the
+    * oracle SQL — no runtime libm call can diverge. */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.round(1000000.0 * math.log(2.0) / math.log(i + 1.0)))
+
+  /** NDCG@k per group with binary relevance: rank by (score desc, tie
+    * asc), DCG = Σ w(i) over the positive rows of the top k with the
+    * [[ndcgWeights]] ppm table, IDCG = the weight prefix sum at
+    * min(n_pos, k) (all positives ranked first), and
+    * ndcg_ppm = round(1e6·DCG/IDCG). DCG and IDCG are exact integer
+    * sums of shared literals, so the statistic replays bit-identically
+    * with no guard bands. Groups without positives are dropped. Same
+    * two-scan shape as [[precisionAtK]] (WindowGroupLimit top-k + one
+    * combinable aggregate).
+    */
+  def ndcgAtK(
+      df: DataFrame,
+      keys: Seq[String],
+      score: Column,
+      positive: Column,
+      k: Int,
+      tie: Column): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = ndcgWeights(k)
+    val cum = w.scanLeft(0L)(_ + _).tail // cum(j) = w(1)+..+w(j)
+    val base = df
+      .filter(score.isNotNull && positive.isNotNull)
+      .select(keys.map(col) :+ score.as("__s") :+ tie.as("__t") :+
+        positive.cast("boolean").as("__p"): _*)
+    val win = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__s").desc, col("__t").asc)
+    val dcg = base
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(col("__p"),
+        element_at(array(w.map(lit): _*), col("__rn").cast("int")))
+        .otherwise(lit(0L))).as("dcg_ppm"))
+    val allPos = base.groupBy(keys.map(col): _*)
+      .agg(sum(when(col("__p"), lit(1L)).otherwise(lit(0L)))
+        .as("n_pos_all"))
+      .filter(col("n_pos_all") > 0)
+    allPos.join(dcg, keys, "left")
+      .withColumn("dcg_ppm", coalesce(col("dcg_ppm"), lit(0L)))
+      .withColumn("idcg_ppm",
+        element_at(array(cum.map(lit): _*),
+          least(col("n_pos_all"), lit(k.toLong)).cast("int")))
+      .select(keys.map(col) ++ Seq(
+        col("n_pos_all"), col("dcg_ppm"), col("idcg_ppm"),
+        round(lit(1000000.0) * col("dcg_ppm") / col("idcg_ppm"))
+          .cast("long").as("ndcg_ppm")): _*)
+  }
+
   /** Exact Gini coefficient per group over an integer-quantized value:
     * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending and i the
     * 1-based rank. Within a tie block every permutation yields the same

@@ -766,6 +766,44 @@ object TimeSeries {
           .as("mean_gap_us"))
   }
 
+  /** Top initial event paths: each entity's first `depth` states in
+    * (`orderBy`) order joined with ">", counted across entities and
+    * reported with exact ppm shares — the where-do-users-go-first table
+    * behind onboarding and bot triage. The per-entity collect is bounded
+    * by `depth` (the WindowGroupLimit filter prunes before the
+    * aggregate), and the path table is at most |states|^depth rows.
+    */
+  def topPaths(
+      df: DataFrame,
+      key: Column,
+      state: Column,
+      orderBy: Seq[Column],
+      depth: Int = 3): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    val w = Window.partitionBy(col("__k")).orderBy(
+      (0 until orderBy.size).map(i => col(s"__o$i")): _*)
+    val seq0 = df.select(
+      key.as("__k") +: state.as("__s") +:
+        orderBy.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val paths = seq0
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= depth)
+      .groupBy(col("__k"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rn").as("r"),
+            col("__s").as("s")))),
+          x => x.getField("s")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // read twice: the total and the final share projection
+    val tot = paths.agg(sum(col("n")).as("__tot"))
+    paths.crossJoin(broadcast(tot))
+      .select(col("path"), col("n"),
+        round(lit(1000000.0) * col("n") / col("__tot"))
+          .cast("long").as("share_ppm"))
+  }
+
   /** New-vs-returning entity report per period: for each `period` (the
     * caller truncates the timestamp — day, week), the distinct active
     * entities, how many were seen for the FIRST time, the returning

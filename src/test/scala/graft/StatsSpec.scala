@@ -154,6 +154,32 @@ class StatsSpec extends SharedSpark {
       f"mi ppm margin $margin%.2e too tight for the hash gate")
   }
 
+  test("ndcgAtK: hand case with shared literal discount table") {
+    val w = Stats.ndcgWeights(3)
+    assert(w == Seq(1000000L, 630930L, 500000L))
+    val rows = Seq(
+      Row("g", 4.0, 1L, true), Row("g", 3.0, 2L, false),
+      Row("g", 2.0, 3L, true), Row("g", 1.0, 4L, true))
+    val r = Stats.ndcgAtK(
+      df("g STRING, s DOUBLE, id BIGINT, p BOOLEAN", rows),
+      Seq("g"), col("s"), col("p"), k = 3, tie = col("id"))
+      .collect().head
+    assert(r.getLong(1) == 3L) // positives overall
+    assert(r.getLong(2) == 1500000L) // ranks 1 and 3 in the top-3
+    assert(r.getLong(3) == 2130930L) // ideal: w1+w2+w3 (3 positives)
+    assert(r.getLong(4) ==
+      math.round(1000000.0 * 1500000L / 2130930L))
+    // perfect ranking scores exactly 1e6
+    val perfect = Seq(
+      Row("h", 4.0, 1L, true), Row("h", 3.0, 2L, true),
+      Row("h", 2.0, 3L, false))
+    val rp = Stats.ndcgAtK(
+      df("g STRING, s DOUBLE, id BIGINT, p BOOLEAN", perfect),
+      Seq("g"), col("s"), col("p"), k = 3, tie = col("id"))
+      .collect().head
+    assert(rp.getLong(4) == 1000000L)
+  }
+
   test("giniByGroup: equality, concentration, tie invariance") {
     val d = df("g STRING, v DOUBLE", Seq(
       Row("eq", 1.0), Row("eq", 1.0), Row("eq", 1.0), Row("eq", 1.0),

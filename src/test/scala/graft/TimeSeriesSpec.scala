@@ -540,6 +540,20 @@ class TimeSeriesSpec extends SharedSpark {
     assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.getLong(3) == 50L)
   }
 
+  test("topPaths joins each entity's first events deterministically") {
+    val d = df("u STRING, s STRING, t BIGINT, id BIGINT", Seq(
+      Row("u1", "a", 1L, 1L), Row("u1", "b", 2L, 2L),
+      Row("u1", "c", 3L, 3L), Row("u1", "d", 4L, 4L),
+      Row("u2", "a", 1L, 5L), Row("u2", "b", 2L, 6L)))
+    val out = TimeSeries.topPaths(
+      d, col("u"), col("s"), Seq(col("t"), col("id")), depth = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a>b>c") == ((1L, 500000L)))
+    assert(out("a>b") == ((1L, 500000L)))
+    assert(out.size == 2)
+  }
+
   test("newVsReturning: growth accounting with exact cumulative distinct") {
     val d = df("u STRING, p BIGINT", Seq(
       Row("u1", 1L), Row("u1", 2L), Row("u1", 2L), // dup activity row
