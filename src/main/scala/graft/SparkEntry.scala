@@ -2165,6 +2165,17 @@ object SparkEntry {
         sh.filter(col("doc_id") % 5 === 0).select("source", "sh"),
         Seq("source"), "sh", numHashes = 8)
     },
+    "q_source_sim" -> { (s, dir) =>
+      // source-pair similarity read off the MinHash signature STATES
+      // (not the corpus): agreeing hash slots -> Jaccard estimate;
+      // the index-driven companion to the exact q_overlap matrix
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+      val states = graft.ops.Incremental.minhashStates(
+        sh, Seq("source"), "sh", numHashes = 8)
+      graft.ops.Similarity.signatureSimilarity(states, "source", 8)
+    },
     "q_ks_drift" -> { (s, dir) =>
       // exact binning-free KS between the month's halves on the cents
       // grid — integer numerator end to end, no ln, no guard bands
@@ -5169,6 +5180,36 @@ object SparkEntry {
         |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
         |    AS min_hash
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_source_sim" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT source, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS sh
+        |  FROM t
+        |), e AS (
+        |  SELECT source, sh, unnest(range(8)) AS hash_id FROM sh
+        |), st AS (
+        |  SELECT source, hash_id,
+        |    min(('0x' || substr(sha256(
+        |      '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
+        |      AS min_hash
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT a.source AS key_a, b.source AS key_b,
+        |  CAST(sum(CASE WHEN a.min_hash = b.min_hash THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_match,
+        |  CAST(round(1000000.0
+        |    * sum(CASE WHEN a.min_hash = b.min_hash THEN 1 ELSE 0 END)
+        |    / 8) AS BIGINT) AS est_jaccard_ppm
+        |FROM st a JOIN st b
+        |  ON a.hash_id = b.hash_id AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "q_ks_drift" ->
       """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
         |    day(ts) AS d

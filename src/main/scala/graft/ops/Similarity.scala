@@ -787,6 +787,35 @@ object Similarity {
       .select(col("left_id"), col("right_id"), col("cosine"))
   }
 
+  /** Pairwise signature similarity from MinHash states
+    * (`Incremental.minhashStates` rows: keys, hash_id, min_hash): for
+    * every unordered key pair, the number of agreeing hash slots and
+    * the implied Jaccard estimate n_match/numHashes as ppm. The
+    * standing-index companion to [[setOverlapMatrix]]: the exact matrix
+    * re-scans both element sets, this one reads only the
+    * |keys|·numHashes state table — the point of maintaining the states
+    * incrementally. Output size is |keys|²·numHashes/2 intermediate
+    * rows — bounded by key cardinality, never by corpus size.
+    */
+  def signatureSimilarity(
+      states: DataFrame,
+      keyCol: String,
+      numHashes: Int): DataFrame = {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    val a = states.select(col(keyCol).as("key_a"),
+      col("hash_id"), col("min_hash").as("__ha"))
+    val b = states.select(col(keyCol).as("key_b"),
+      col("hash_id"), col("min_hash").as("__hb"))
+    a.join(b, Seq("hash_id"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(sum(when(col("__ha") === col("__hb"), lit(1L))
+        .otherwise(lit(0L))).as("n_match"))
+      .select(col("key_a"), col("key_b"), col("n_match"),
+        round(lit(1000000.0) * col("n_match") / lit(numHashes))
+          .cast("long").as("est_jaccard_ppm"))
+  }
+
   /** Pairwise exact set overlap between labeled element sets: for every
     * unordered label pair (a < b), the Jaccard and containment of their
     * distinct-element sets as integer ppm. The audience-overlap /

@@ -190,6 +190,21 @@ class IncrementalSpec extends SharedSpark {
     assert(scratch.count() == 4 * 8)
   }
 
+  test("signatureSimilarity reads Jaccard estimates off the states") {
+    val a = (1 to 30).map(i => Row("a", s"x$i"))
+    val b = (1 to 30).map(i => Row("b", s"x$i")) // identical to a
+    val c = (1 to 30).map(i => Row("c", s"y$i")) // disjoint
+    val st = Incremental.minhashStates(
+      df("k STRING, e STRING", a ++ b ++ c), Seq("k"), "e", 8)
+    val sim = graft.ops.Similarity.signatureSimilarity(st, "k", 8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(sim(("a", "b")) == ((8L, 1000000L)))
+    assert(sim(("a", "c"))._1 <= 2L)
+    assert(sim.size == 3)
+  }
+
   test("minhash signature similarity tracks set similarity") {
     // identical element sets -> identical signatures; disjoint sets ->
     // (overwhelmingly) different signatures
