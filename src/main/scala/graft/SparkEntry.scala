@@ -2165,6 +2165,12 @@ object SparkEntry {
         sh.filter(col("doc_id") % 5 === 0).select("source", "sh"),
         Seq("source"), "sh", numHashes = 8)
     },
+    "q_anova" -> { (s, dir) =>
+      // variance in value explained by event type; the one cross-group
+      // double reduction is folded in category order (order-pinned)
+      graft.ops.Stats.anovaEta(
+        t(s, dir, "events"), col("event_type"), col("value"))
+    },
     "q_source_sim" -> { (s, dir) =>
       // source-pair similarity read off the MinHash signature STATES
       // (not the corpus): agreeing hash slots -> Jaccard estimate;
@@ -5180,6 +5186,30 @@ object SparkEntry {
         |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
         |    AS min_hash
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_anova" ->
+      """WITH q AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c * c) AS BIGINT) AS ssq FROM q),
+        |gg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(c) AS BIGINT) AS sg FROM q GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    list_aggregate(
+        |      list(CAST(sg * sg AS DOUBLE) / ng ORDER BY g), 'sum')
+        |      AS aa
+        |  FROM gg)
+        |SELECT t.n, a.k,
+        |  (a.aa - CAST(t.s * t.s AS DOUBLE) / t.n)
+        |    / (t.ssq - CAST(t.s * t.s AS DOUBLE) / t.n) AS eta2,
+        |  (a.aa - CAST(t.s * t.s AS DOUBLE) / t.n) / (a.k - 1)
+        |    / ((t.ssq - CAST(t.s * t.s AS DOUBLE) / t.n
+        |      - (a.aa - CAST(t.s * t.s AS DOUBLE) / t.n))
+        |      / (t.n - a.k)) AS f_stat
+        |FROM a CROSS JOIN t
+        |WHERE a.k >= 2 AND t.n > a.k""".stripMargin,
     "q_source_sim" ->
       """WITH t AS (
         |  SELECT source,

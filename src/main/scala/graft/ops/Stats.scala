@@ -4,18 +4,20 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Inferential statistics over grouped data: Welch's unequal-variance
-  * t-test for A/B comparisons, chi-square / mutual-information /
-  * Cramér's-V categorical association, exact rank-sum ROC-AUC and
-  * precision/recall@k, and per-group OLS trends.
+/** Inferential and evaluation statistics over grouped data: Welch's
+  * unequal-variance t-test for A/B comparisons; chi-square /
+  * mutual-information / Cramér's-V categorical association and one-way
+  * ANOVA (η², F) for category→numeric; exact rank-sum ROC-AUC,
+  * precision/recall@k and NDCG@k for ranking evaluation; Gini and
+  * Herfindahl concentration indices; and per-group OLS trends.
   *
   * The reference engine's statistical surface is DP aggregation only
   * (SURVEY.md §2.5-2.6); these are the non-private companions an
-  * experimentation or data-drift pipeline runs next to it. Both are
-  * single-aggregation-pass shapes: the t-test is one conditional hash
-  * aggregate per key (six integer sums), the chi-square is one count
-  * aggregate plus two margin aggregates re-joined on the (tiny) label
-  * sets — nothing here scans the data twice or sorts it.
+  * experimentation or data-drift pipeline runs next to it. Everything
+  * is built from hash aggregates over exact integer sums plus at most
+  * one group-layout window (AUC's ranks, the top-k cuts) — no
+  * driver-side math, no unbounded collects (the one collect_list, in
+  * [[anovaEta]], is category-cardinality-bounded).
   *
   * Determinism discipline (the repo's DuckDB-oracle contract): all
   * floating-point statistics are derived from EXACT integer sums — the
@@ -287,6 +289,54 @@ object Stats {
           .cast("long").as("prec_ppm"),
         round(lit(1000000.0) * col("n_pos_top") / col("n_pos_all"))
           .cast("long").as("recall_ppm")): _*)
+  }
+
+  /** One-way ANOVA of `value` across the categories of `cat`: a single
+    * row (n, k, eta2, f_stat) where eta² = SS_between/SS_total is the
+    * variance explained by the category and F its significance
+    * statistic. All sums-of-squares derive from exact integer sums on
+    * the `scale` grid; the one cross-group reduction of per-category
+    * double terms (Σ s_g²/n_g) is folded in CATEGORY ORDER over a
+    * sorted collected array — the order-pinned-fold discipline
+    * (`bigramLogProb`) — so the doubles replay bit-identically. The
+    * per-category table is category-cardinality-sized; its collect_list
+    * is bounded by construction.
+    *
+    * The cat→numeric association lens completing chi2/MI (cat→cat) and
+    * the correlation matrix (numeric→numeric).
+    */
+  def anovaEta(
+      df: DataFrame,
+      cat: Column,
+      value: Column,
+      scale: Int = 100): DataFrame = {
+    val c = round(value * lit(scale)).cast("long")
+    val base = df.filter(cat.isNotNull && value.isNotNull)
+    val tot = base.agg(
+      count(lit(1)).as("n"),
+      sum(c).as("__s"),
+      sum(c * c).as("__ssq"))
+    val groups = base
+      .groupBy(cat.as("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(c).as("__sg"))
+      .select(col("__g"),
+        ((col("__sg") * col("__sg")).cast("double") / col("__ng"))
+          .as("__t"))
+    val folded = groups.agg(
+      count(lit(1)).as("k"),
+      aggregate(
+        array_sort(collect_list(struct(col("__g").as("g"),
+          col("__t").as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("__a"))
+    val x = (col("__s") * col("__s")).cast("double") / col("n")
+    val ssb = col("__a") - x
+    val sst = col("__ssq") - x
+    folded.crossJoin(broadcast(tot))
+      .filter(col("k") >= 2 && col("n") > col("k"))
+      .select(col("n"), col("k"),
+        (ssb / sst).as("eta2"),
+        (ssb / (col("k") - lit(1L))
+          / ((sst - ssb) / (col("n") - col("k")))).as("f_stat"))
   }
 
   /** Position-discount weight table for [[ndcgAtK]]: w(i) =

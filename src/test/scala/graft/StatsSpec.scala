@@ -154,6 +154,22 @@ class StatsSpec extends SharedSpark {
       f"mi ppm margin $margin%.2e too tight for the hash gate")
   }
 
+  test("anovaEta matches the hand computation and is fold-order pinned") {
+    val d = df("g STRING, v DOUBLE", Seq(
+      Row("A", 1.0), Row("A", 3.0), Row("B", 5.0), Row("B", 7.0)))
+    val r = Stats.anovaEta(d, col("g"), col("v")).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    // SSB = 160000 c², SST = 200000 c² -> eta² = 0.8, F = 8
+    assert(math.abs(r.getDouble(2) - 0.8) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 8.0) < 1e-12)
+    // partitioning must not move the folded doubles
+    val rows = (1 to 300).map(i => Row(s"g${i % 4}", i * 0.73))
+    val big = df("g STRING, v DOUBLE", rows)
+    assertSameRows(
+      Stats.anovaEta(big.repartition(1), col("g"), col("v")),
+      Stats.anovaEta(big.repartition(13), col("g"), col("v")))
+  }
+
   test("ndcgAtK: hand case with shared literal discount table") {
     val w = Stats.ndcgWeights(3)
     assert(w == Seq(1000000L, 630930L, 500000L))
