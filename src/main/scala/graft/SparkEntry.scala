@@ -2165,6 +2165,29 @@ object SparkEntry {
         sh.filter(col("doc_id") % 5 === 0).select("source", "sh"),
         Seq("source"), "sh", numHashes = 8)
     },
+    "q_ks_drift_by" -> { (s, dir) =>
+      // per-stream KS between the month's halves — keyed windows, no
+      // single-partition stage at all
+      val ev = t(s, dir, "events")
+        .withColumn("c", round(col("value") * lit(100)).cast("long"))
+        .withColumn("d", dayofmonth(col("ts")))
+      graft.ops.Profile.ksDriftByGroup(
+        ev.filter(col("d") <= 15).select("event_type", "c"),
+        ev.filter(col("d") > 15).select("event_type", "c"),
+        Seq("event_type"), "c")
+    },
+    "q_blocklist" -> { (s, dir) =>
+      // C4-style banned-word gate; narrow literal-array filter
+      graft.ops.TextAnalysis.dropBlocklisted(
+        t(s, dir, "documents"), "text", Seq("slow", "merge", "vector"))
+        .select("doc_id", "n_chars")
+    },
+    "q_blocklist_report" -> { (s, dir) =>
+      // drops-observable evidence per banned word (zero rows included)
+      graft.ops.TextAnalysis.blocklistReport(
+        t(s, dir, "documents"), "text",
+        Seq("slow", "merge", "vector", "zzznevermatches"))
+    },
     "q_anova" -> { (s, dir) =>
       // variance in value explained by event type; the one cross-group
       // double reduction is folded in category order (order-pinned)
@@ -5186,6 +5209,54 @@ object SparkEntry {
         |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
         |    AS min_hash
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_ks_drift_by" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c, day(ts) AS d
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT event_type, c AS v, count(*) AS na FROM e
+        |  WHERE d <= 15 GROUP BY 1, 2),
+        |b AS (SELECT event_type, c AS v, count(*) AS nb FROM e
+        |  WHERE d > 15 GROUP BY 1, 2),
+        |j AS (SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |    coalesce(a.v, b.v) AS v,
+        |    coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM a FULL OUTER JOIN b
+        |    ON a.event_type = b.event_type AND a.v = b.v),
+        |r AS (SELECT event_type, v,
+        |    sum(na) OVER w AS ca, sum(nb) OVER w AS cb,
+        |    sum(na) OVER (PARTITION BY event_type) AS ta,
+        |    sum(nb) OVER (PARTITION BY event_type) AS tb
+        |  FROM j WINDOW w AS (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, CAST(max(ta) AS BIGINT) AS n_base,
+        |    CAST(max(tb) AS BIGINT) AS n_cur,
+        |    CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_base, n_cur, ks_num,
+        |  CAST(round(1000000.0 * ks_num / (n_base * n_cur)) AS BIGINT)
+        |    AS ks_ppm
+        |FROM s WHERE n_base > 0 AND n_cur > 0""".stripMargin,
+    "q_blocklist" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE text IS NULL OR len(list_intersect(
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> ''),
+        |  ['slow', 'merge', 'vector'])) = 0""".stripMargin,
+    "q_blocklist_report" ->
+      """WITH w(word) AS (VALUES ('slow'), ('merge'), ('vector'),
+        |  ('zzznevermatches')),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT w.word, tk.doc_id,
+        |    len(list_filter(tk.t, x -> x = w.word)) AS n
+        |  FROM w JOIN tk ON list_contains(tk.t, w.word)),
+        |c AS (SELECT word, count(*) AS n_docs, sum(n) AS n_tokens
+        |  FROM m GROUP BY 1)
+        |SELECT w.word, CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens
+        |FROM w LEFT JOIN c USING (word)""".stripMargin,
     "q_anova" ->
       """WITH q AS (SELECT event_type AS g,
         |    CAST(round(value * 100) AS BIGINT) AS c

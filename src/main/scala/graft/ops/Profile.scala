@@ -321,6 +321,49 @@ object Profile {
           .cast("long").as("ks_ppm"))
   }
 
+  /** Per-group [[ksDrift]]: one row (keys..., n_base, n_cur, ks_num,
+    * ks_ppm) per key — the per-feature / per-segment drift monitor.
+    * Unlike the global variant there is no single-partition window at
+    * all: the cumulative sums partition by the keys, so the op scales
+    * with the keyed distinct-value histograms. Keys present in only one
+    * snapshot are dropped (KS undefined).
+    */
+  def ksDriftByGroup(
+      base: DataFrame,
+      current: DataFrame,
+      keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    def sideCounts(df: DataFrame, out: String): DataFrame = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as(out))
+    val joined = sideCounts(base, "__a")
+      .join(sideCounts(current, "__b"), keys :+ valueCol, "full_outer")
+      .na.fill(0L, Seq("__a", "__b"))
+    val kcols = keys.map(col)
+    val wRun = Window.partitionBy(kcols: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(kcols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("__ca", sum(col("__a")).over(wRun))
+      .withColumn("__cb", sum(col("__b")).over(wRun))
+      .withColumn("__na", sum(col("__a")).over(wAll))
+      .withColumn("__nb", sum(col("__b")).over(wAll))
+      .groupBy(kcols: _*)
+      .agg(
+        max(col("__na")).as("n_base"),
+        max(col("__nb")).as("n_cur"),
+        max(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+          .as("ks_num"))
+      .filter(col("n_base") > 0 && col("n_cur") > 0)
+      .select(kcols ++ Seq(col("n_base"), col("n_cur"), col("ks_num"),
+        round(lit(1000000.0) * col("ks_num")
+          / (col("n_base") * col("n_cur")))
+          .cast("long").as("ks_ppm")): _*)
+  }
+
   /** Per-group robust outlier flagging by median absolute deviation: a row
     * is an outlier when |x − median| > k · MAD, with both the median and
     * the MAD taken as exact DISCRETE medians (the smallest value whose

@@ -408,6 +408,55 @@ object TextAnalysis {
     df.join(scores.select(col("__id").as(idCol), col(out)), Seq(idCol), "left")
   }
 
+  /** Blocklist gate (the C4 banned-word discipline): drop documents
+    * whose lowercased whitespace tokens intersect `words`. A narrow
+    * per-row filter — the blocklist rides the closure as a literal
+    * array, no join, no shuffle; pair with [[blocklistReport]] so the
+    * removals stay observable.
+    */
+  def dropBlocklisted(
+      df: DataFrame,
+      textCol: String,
+      words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= "")
+    val bad = array(words.map(w => lit(w.toLowerCase)): _*)
+    df.filter(col(textCol).isNull ||
+      size(array_intersect(toks, bad)) === 0)
+  }
+
+  /** Drops-observable companion of [[dropBlocklisted]]: per blocklist
+    * word, how many documents it matches and how many tokens it
+    * accounts for — the evidence table for tuning a banned-word list
+    * (overly broad words surface immediately). One narrow explode of
+    * matching tokens only, one |words|-sized aggregate; words with no
+    * matches are emitted at zero. */
+  def blocklistReport(
+      df: DataFrame,
+      textCol: String,
+      words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= "")
+    val bad = array(words.map(w => lit(w.toLowerCase)): _*)
+    val matches = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(array_intersect(toks, bad)).as("word"),
+        toks.as("__t"))
+      .select(col("word"),
+        size(filter(col("__t"), t => t === col("word")))
+          .cast("long").as("__n"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    val all = df.sparkSession.createDataFrame(
+      words.map(w => Tuple1(w.toLowerCase)).distinct).toDF("word")
+    all.join(matches, Seq("word"), "left")
+      .select(col("word"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   /** PMI collocations: adjacent-bigram pointwise mutual information over
     * the whole corpus — the classic collocation-extraction statistic
     * (Church & Hanks 1990), used in curation to find boilerplate phrases

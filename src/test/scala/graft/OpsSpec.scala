@@ -1697,6 +1697,39 @@ class OpsSpec extends SharedSpark {
     assert(Profile.ksDrift(d(), d(1L), "c").count() == 0)
   }
 
+  test("ksDriftByGroup: per-key statistic, one-sided keys dropped") {
+    val base = df("g STRING, c BIGINT", Seq(
+      Row("x", 1L), Row("x", 2L), Row("x", 3L), // vs disjoint
+      Row("y", 5L), Row("y", 5L), // vs identical
+      Row("only", 9L)))
+    val cur = df("g STRING, c BIGINT", Seq(
+      Row("x", 3L), Row("x", 4L), Row("x", 5L),
+      Row("y", 5L), Row("y", 5L)))
+    val out = Profile.ksDriftByGroup(base, cur, Seq("g"), "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(out("x") == ((6L, 666667L)))
+    assert(out("y") == ((0L, 0L)))
+    assert(!out.contains("only"))
+  }
+
+  test("blocklist gate drops matching docs; report stays observable") {
+    val d = df("id BIGINT, text STRING", Seq(
+      Row(1L, "clean words only"),
+      Row(2L, "the BAD word"),
+      Row(3L, "bad bad again"),
+      Row(4L, null)))
+    val kept = TextAnalysis.dropBlocklisted(d, "text", Seq("bad"))
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L)) // null text passes the gate
+    val rep = TextAnalysis.blocklistReport(
+      d, "text", Seq("bad", "absent"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("bad") == ((2L, 3L))) // 2 docs, 3 token occurrences
+    assert(rep("absent") == ((0L, 0L)))
+  }
+
   test("setOverlapMatrix computes exact Jaccard/containment per pair") {
     val d = df("l STRING, e BIGINT", Seq(
       Row("A", 1L), Row("A", 2L), Row("A", 3L), Row("A", 3L), // dup
