@@ -2165,6 +2165,14 @@ object SparkEntry {
         sh.filter(col("doc_id") % 5 === 0).select("source", "sh"),
         Seq("source"), "sh", numHashes = 8)
     },
+    "q_mix_proportions" -> { (s, dir) =>
+      // max-volume 3:2:1 mix over three sources; quotas are integer
+      // divisions of exact counts, selection by portable hash rank
+      graft.ops.Dedup.sampleToProportions(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id",
+        Map("src0" -> 3L, "src1" -> 2L, "src2" -> 1L))
+    },
     "q_ks_drift_by" -> { (s, dir) =>
       // per-stream KS between the month's halves — keyed windows, no
       // single-partition stage at all
@@ -5209,6 +5217,23 @@ object SparkEntry {
         |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
         |    AS min_hash
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_mix_proportions" ->
+      """WITH w(src, wt) AS (VALUES ('src0', 3), ('src1', 2),
+        |  ('src2', 1)),
+        |d AS (SELECT doc_id, source FROM documents
+        |  JOIN w ON source = w.src),
+        |q AS (SELECT d.source, w.wt, count(*) AS n
+        |  FROM d JOIN w ON d.source = w.src GROUP BY 1, 2),
+        |t AS (SELECT min(n * 6 // wt) AS t FROM q),
+        |k AS (SELECT q.source, q.wt * t.t // 6 AS k
+        |  FROM q CROSS JOIN t),
+        |r AS (SELECT d.doc_id, d.source,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY
+        |      ('0x' || substr(sha256('0|' || CAST(d.doc_id AS VARCHAR)),
+        |        1, 15))::BIGINT ASC, d.doc_id ASC) AS rk
+        |  FROM d)
+        |SELECT r.doc_id, r.source
+        |FROM r JOIN k ON r.source = k.source WHERE r.rk <= k.k""".stripMargin,
     "q_ks_drift_by" ->
       """WITH e AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS c, day(ts) AS d

@@ -201,6 +201,55 @@ object Dedup {
       .drop("__rk")
   }
 
+  /** Max-volume proportional downsampling — the corpus-mixing quota
+    * solver: given integer target weights w_s per source (proportions
+    * w_s/ΣW), keep the LARGEST total T the corpus can supply at those
+    * proportions and exactly k_s = ⌊w_s·T/W⌋ rows per source, chosen by
+    * portable hash rank (engine-replayable, entity-stable).
+    *
+    * T = min_s ⌊n_s·W/w_s⌋ — the binding source is the one that runs
+    * out first — and every quota is integer division of exact counts,
+    * so the sample replays bit-identically on any engine. Sources
+    * absent from `weights` are dropped. The feasibility computation is
+    * one |sources|-sized aggregate cross-joined back (broadcast); the
+    * selection is the [[sampleKPerGroup]] rank window.
+    *
+    * Unlike [[repeatByWeightPortable]] (epoch UPsampling by repeats)
+    * this is the downsampling face of mixing: no duplication, exact
+    * proportions, maximal volume.
+    */
+  def sampleToProportions(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      weights: Map[String, Long],
+      salt: Long = 0L
+  ): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val bigW = weights.values.sum
+    val wExpr = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val in = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .withColumn("__w", wExpr)
+      .persist() // read twice: quota aggregate + ranked selection
+    val quotas = in.groupBy(col(sourceCol).as("__src"), col("__w"))
+      .agg(count(lit(1)).as("__n"))
+    val t = quotas
+      .select(expr(s"min(__n * $bigW div __w)").as("__t"))
+    val ks = quotas.crossJoin(broadcast(t))
+      .select(col("__src"),
+        expr(s"__w * __t div $bigW").as("__k"))
+    val h = portableHash(col(keyCol), salt)
+    val win = Window.partitionBy(col(sourceCol))
+      .orderBy(h.asc, col(keyCol).asc)
+    in.withColumn("__rk", row_number().over(win))
+      .join(broadcast(ks), col(sourceCol) === col("__src"))
+      .filter(col("__rk") <= col("__k"))
+      .drop("__rk", "__src", "__k", "__w")
+  }
+
   /** Corpus version diff — the dataset-versioning primitive: classify
     * every id across two corpus snapshots as `added` (only in `next`),
     * `removed` (only in `prev`), `changed` (both, different normalized

@@ -54,6 +54,25 @@ class MarketSpec extends SharedSpark {
     assert(r.getLong(2) == 2L) // it loses 5 - 3 items
   }
 
+  test("sampleToProportions: binding source caps the max-volume mix") {
+    val d = df("id BIGINT, src STRING",
+      (1L to 6L).map(i => Row(i, "A")) ++
+        Seq(Row(7L, "B"), Row(8L, "B")) ++
+        Seq(Row(9L, "C"))) // C not in weights: dropped
+    val out = graft.ops.Dedup.sampleToProportions(
+      d, "src", "id", Map("A" -> 1L, "B" -> 1L))
+      .collect().map(r => r.getString(1)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    // W=2; T = min(6*2/1, 2*2/1) = 4; k_A = k_B = 4/2 = 2
+    assert(out == Map("A" -> 2, "B" -> 2))
+    // determinism: same selection on re-run and repartition
+    val a = graft.ops.Dedup.sampleToProportions(
+      d.repartition(1), "src", "id", Map("A" -> 1L, "B" -> 1L))
+    val b = graft.ops.Dedup.sampleToProportions(
+      d.repartition(5), "src", "id", Map("A" -> 1L, "B" -> 1L))
+    assertSameRows(a, b)
+  }
+
   test("associationRules ppm arithmetic on the hand-computed example") {
     val out = Market.associationRules(fixture, "basket", "item",
       minPairCount = 2L, maxBasketSize = 0)
