@@ -2165,6 +2165,12 @@ object SparkEntry {
         sh.filter(col("doc_id") % 5 === 0).select("source", "sh"),
         Seq("source"), "sh", numHashes = 8)
     },
+    "q_moments" -> { (s, dir) =>
+      // distribution-shape profile per stream from four exact power
+      // sums; sqrt (exactly rounded) instead of pow(x, 1.5)
+      graft.ops.Stats.momentsByGroup(
+        t(s, dir, "events"), Seq("event_type"), col("value"), scale = 1)
+    },
     "q_mix_proportions" -> { (s, dir) =>
       // max-volume 3:2:1 mix over three sources; quotas are integer
       // divisions of exact counts, selection by portable hash rank
@@ -5217,6 +5223,34 @@ object SparkEntry {
         |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
         |    AS min_hash
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // q_moments: mu and the central moments defined once (CTE) so both
+    // engines evaluate the identical double trees from exact sums
+    "q_moments" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(round(value * 1) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2,
+        |    CAST(sum(c * c * c) AS BIGINT) AS s3,
+        |    CAST(sum(c * c * c * c) AS BIGINT) AS s4
+        |  FROM q GROUP BY 1 HAVING count(*) >= 2),
+        |m0 AS (SELECT event_type, n, s2, s3, s4,
+        |    CAST(s1 AS DOUBLE) / n AS mu
+        |  FROM s),
+        |m AS (SELECT event_type, n, mu,
+        |    CAST(s2 AS DOUBLE) / n - mu * mu AS m2,
+        |    CAST(s3 AS DOUBLE) / n - 3.0 * mu * (CAST(s2 AS DOUBLE) / n)
+        |      + 2.0 * mu * mu * mu AS m3,
+        |    CAST(s4 AS DOUBLE) / n - 4.0 * mu * (CAST(s3 AS DOUBLE) / n)
+        |      + 6.0 * mu * mu * (CAST(s2 AS DOUBLE) / n)
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m0)
+        |SELECT event_type, n, mu / 1.0 AS mean,
+        |  m2 / 1.0 / 1.0 AS variance,
+        |  m3 / (m2 * sqrt(m2)) AS skewness,
+        |  m4 / (m2 * m2) - 3.0 AS kurtosis
+        |FROM m WHERE m2 > 0""".stripMargin,
     "q_mix_proportions" ->
       """WITH w(src, wt) AS (VALUES ('src0', 3), ('src1', 2),
         |  ('src2', 1)),

@@ -395,6 +395,56 @@ object Stats {
           .cast("long").as("ndcg_ppm")): _*)
   }
 
+  /** Per-group distribution moments — mean, population variance,
+    * skewness, excess kurtosis — from four exact integer power sums in
+    * ONE hash aggregate. The shape detector behind drift triage (a
+    * mean-stable feature whose skew flips is still drifting).
+    *
+    * `scale` bounds the contract: Σc⁴ must fit a Long, so pick the
+    * coarsest grid the metric tolerates (scale=1 supports |value| ≤
+    * ~2500 at 10⁹ rows per group). Skewness uses m₃/(m₂·√m₂) — sqrt,
+    * not pow(·, 1.5), because IEEE sqrt is exactly rounded on every
+    * engine while pow is not. Degenerate groups (n < 2 or zero
+    * variance) are dropped.
+    */
+  def momentsByGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      value: Column,
+      scale: Int = 1): DataFrame = {
+    val c = round(value * lit(scale)).cast("long")
+    val sums = df.filter(value.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(c).as("__s1"), sum(c * c).as("__s2"),
+        sum(c * c * c).as("__s3"), sum(c * c * c * c).as("__s4"))
+      .filter(col("n") >= 2)
+    val sc = lit(scale.toDouble)
+    val withMu = sums.withColumn("__mu",
+      col("__s1").cast("double") / col("n"))
+    def p(s: String) = col(s).cast("double") / col("n")
+    val mu = col("__mu")
+    val withM = withMu
+      .withColumn("__m2", p("__s2") - mu * mu)
+      .withColumn("__m3",
+        p("__s3") - lit(3.0) * mu * p("__s2") + lit(2.0) * mu * mu * mu)
+      .withColumn("__m4",
+        p("__s4") - lit(4.0) * mu * p("__s3")
+          + lit(6.0) * mu * mu * p("__s2")
+          - lit(3.0) * mu * mu * mu * mu)
+      .filter(col("__m2") > 0)
+    withM.select(
+      keys.map(col) ++ Seq(
+        col("n"),
+        (mu / sc).as("mean"),
+        (col("__m2") / sc / sc).as("variance"),
+        (col("__m3") / (col("__m2") * sqrt(col("__m2"))))
+          .as("skewness"),
+        (col("__m4") / (col("__m2") * col("__m2")) - lit(3.0))
+          .as("kurtosis")): _*)
+  }
+
   /** Exact Gini coefficient per group over an integer-quantized value:
     * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending and i the
     * 1-based rank. Within a tie block every permutation yields the same

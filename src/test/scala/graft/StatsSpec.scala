@@ -154,6 +154,29 @@ class StatsSpec extends SharedSpark {
       f"mi ppm margin $margin%.2e too tight for the hash gate")
   }
 
+  test("momentsByGroup: symmetric flat, right-skewed, degenerate drops") {
+    val d = df("g STRING, v DOUBLE", Seq(
+      // uniform {1..4}: mean 2.5, var 1.25, skew 0, kurt -1.36
+      Row("u", 1.0), Row("u", 2.0), Row("u", 3.0), Row("u", 4.0),
+      // right-skewed {0,0,0,4}
+      Row("r", 0.0), Row("r", 0.0), Row("r", 0.0), Row("r", 4.0),
+      Row("flat", 7.0), Row("flat", 7.0), // zero variance: dropped
+      Row("one", 3.0))) // n < 2: dropped
+    val out = Stats.momentsByGroup(d, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet == Set("u", "r"))
+    val (mu, v2, sk, ku) = out("u")
+    assert(mu == 2.5 && v2 == 1.25)
+    assert(math.abs(sk) < 1e-12)
+    assert(math.abs(ku - (-1.36)) < 1e-12)
+    // {0,0,0,4}: mu 1, m2 3, m3 6/sqrt(27)... skew = 2/sqrt(3)
+    val (mur, v2r, skr, _) = out("r")
+    assert(mur == 1.0 && v2r == 3.0)
+    assert(math.abs(skr - 2.0 / math.sqrt(3.0)) < 1e-12)
+  }
+
   test("anovaEta matches the hand computation and is fold-order pinned") {
     val d = df("g STRING, v DOUBLE", Seq(
       Row("A", 1.0), Row("A", 3.0), Row("B", 5.0), Row("B", 7.0)))
