@@ -2165,6 +2165,14 @@ object SparkEntry {
         sh.filter(col("doc_id") % 5 === 0).select("source", "sh"),
         Seq("source"), "sh", numHashes = 8)
     },
+    "q_pack_report" -> { (s, dir) =>
+      // per-bin fill/waste KPIs over the greedy next-fit packing
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+      val packed = graft.ops.Pack.packGreedyNextFit(
+        docs, "doc_id", "n_chars", budget = 4096L, numShards = 8)
+      graft.ops.Pack.packingReport(
+        packed, docs, "doc_id", "n_chars", budget = 4096L)
+    },
     "q_moments" -> { (s, dir) =>
       // distribution-shape profile per stream from four exact power
       // sums; sqrt (exactly rounded) instead of pow(x, 1.5)
@@ -5223,6 +5231,34 @@ object SparkEntry {
         |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
         |    AS min_hash
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // q_pack_report: the q_pack_greedy recursive replay, aggregated to
+    // per-bin fill/waste KPIs
+    "q_pack_report" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+        |    CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents
+        |), rec AS (
+        |  SELECT doc_id, shard, rn, CAST(0 AS BIGINT) AS bin,
+        |    len AS fill
+        |  FROM p WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.doc_id, p.shard, p.rn,
+        |    CASE WHEN rec.fill > 0 AND rec.fill + p.len <= 4096
+        |         THEN rec.bin ELSE rec.bin + 1 END,
+        |    CASE WHEN rec.fill > 0 AND rec.fill + p.len <= 4096
+        |         THEN rec.fill + p.len ELSE p.len END
+        |  FROM rec JOIN p ON p.shard = rec.shard AND p.rn = rec.rn + 1
+        |), g AS (
+        |  SELECT rec.shard, rec.bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(p.len) AS BIGINT) AS used
+        |  FROM rec JOIN p ON p.doc_id = rec.doc_id GROUP BY 1, 2
+        |)
+        |SELECT shard, bin, n_docs, used, 4096 - used AS waste,
+        |  CAST(round(1000000.0 * used / 4096) AS BIGINT) AS fill_ppm
+        |FROM g""".stripMargin,
     // q_moments: mu and the central moments defined once (CTE) so both
     // engines evaluate the identical double trees from exact sums
     "q_moments" ->

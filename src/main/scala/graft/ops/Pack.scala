@@ -251,6 +251,27 @@ object Pack {
       .toDF(idCol, "shard", "bin")
   }
 
+  /** Packing-efficiency report for a non-splitting packer
+    * ([[packGreedyNextFit]] output): per (shard, bin) — document count,
+    * used units, tail waste against `budget`, and fill ppm. The KPI
+    * table that decides whether a packer or a bigger budget is worth
+    * it; bins are budget-bounded so the report is bins-sized. */
+  def packingReport(
+      packed: DataFrame,
+      lens: DataFrame,
+      idCol: String,
+      lenCol: String,
+      budget: Long): DataFrame =
+    packed
+      .join(lens.select(col(idCol),
+        col(lenCol).cast("long").as("__len")), Seq(idCol))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__len")).as("used"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("used"),
+        (lit(budget) - col("used")).as("waste"),
+        round(lit(1000000.0) * col("used") / lit(budget))
+          .cast("long").as("fill_ppm"))
+
   /** Materialize a packed corpus as training shard files: one
     * `<binCol>=<v>/` directory per bin, exactly ONE file inside each, rows
     * sorted by `sortCols` within the file — the layout a training reader

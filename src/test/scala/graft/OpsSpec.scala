@@ -1697,6 +1697,22 @@ class OpsSpec extends SharedSpark {
     assert(Profile.ksDrift(d(), d(1L), "c").count() == 0)
   }
 
+  test("packingReport accounts every bin's fill and waste") {
+    val docs = df("id BIGINT, len BIGINT", Seq(
+      Row(0L, 6L), Row(2L, 3L), Row(4L, 5L))) // one shard, budget 8
+    val packed = Pack.packGreedyNextFit(docs, "id", "len",
+      budget = 8L, numShards = 2)
+    val rep = Pack.packingReport(packed, docs, "id", "len", 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // shard 0 in id order: 6 -> bin0; 3 doesn't fit -> bin1; 5 fits
+    // with 3 (8) -> bin1
+    assert(rep((0L, 0L)) == ((1L, 6L, 2L, 750000L)))
+    assert(rep((0L, 1L)) == ((2L, 8L, 0L, 1000000L)))
+    // totals reconcile: used sums to the corpus length
+    assert(rep.values.map(_._2).sum == 14L)
+  }
+
   test("ksDriftByGroup: per-key statistic, one-sided keys dropped") {
     val base = df("g STRING, c BIGINT", Seq(
       Row("x", 1L), Row("x", 2L), Row("x", 3L), // vs disjoint
