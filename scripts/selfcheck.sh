@@ -25,7 +25,35 @@ python3 scripts/compare.py --lint-only "$SF" "$OUT/oracle_sql.json"
 
 if [[ "${SELFCHECK_BENCH:-0}" == "1" ]]; then
   echo "== 4/4 bench (sf0.1) =="
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+    | tee /tmp/graft_bench_out.log
+  # Skew gate: the honest (untrimmed) per-run max is always PRINTED, but
+  # the gate fails only when the TRIMMED max breaches the 2x bar — the
+  # honest max over full-suite runs includes invocation-wide GC/load
+  # (attributed via gc_sec in bench_full.json), not plan skew.
+  python3 - <<'PYEOF'
+import json, sys
+line = None
+for l in open('/tmp/graft_bench_out.log'):
+    l = l.strip()
+    if l.startswith('[info] '):
+        l = l[len('[info] '):]
+    if l.startswith('{"metric"'):
+        line = l
+if line is None:
+    print('FAIL: no bench JSON line found'); sys.exit(1)
+qs = json.loads(line).get('queries', {})
+bad = []
+for k in sorted(qs):
+    if k.endswith('_ratio_max_trim'):
+        trim, honest = qs[k], qs.get(k[:-len('_trim')])
+        print(f'skew {k[:-len("_ratio_max_trim")]}: trim={trim} honest_max={honest}')
+        if trim > 2.0:
+            bad.append(k)
+if bad:
+    print(f'FAIL: trimmed skew ratio breached the 2x bar: {bad}'); sys.exit(1)
+print('skew gate OK (trim <= 2x; honest max reported above)')
+PYEOF
 else
   echo "== 4/4 bench skipped (set SELFCHECK_BENCH=1 to run) =="
 fi

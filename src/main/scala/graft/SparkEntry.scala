@@ -2880,22 +2880,36 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_noisy_count_total" -> "SELECT count(*) AS count FROM lineitem",
     "q_persist_identity" -> "SELECT r_regionkey, r_name FROM region",
+    // q_bounds: reference binning — rank = clamp(ceil(log2(|x|)), -100, 100)
+    // with x=0 -> -100 (float domain); exact via a two-sided power-of-two
+    // fix-up on the log2 candidate. All 201 bins are materialized, so a
+    // threshold of 0 (tiny groups) selects bin -100; otherwise the first
+    // occupied bin whose cumulative count crosses floor(0.95 n).
     "q_bounds" ->
-      """WITH b AS (
+      """WITH v AS (
+        |  SELECT event_type, abs(value) AS mag,
+        |    CASE WHEN abs(value) > 0
+        |      THEN CAST(ceil(log2(abs(value))) AS BIGINT) END AS r0
+        |  FROM events WHERE value IS NOT NULL),
+        |rk AS (
         |  SELECT event_type,
-        |    CAST(length(printf('%b',
-        |      CAST(floor(greatest(abs(value), 1)) AS BIGINT))) AS BIGINT) AS rank,
-        |    count(*) AS c
-        |  FROM events GROUP BY 1, 2),
-        |t AS (SELECT event_type, CAST(floor(sum(c) * 0.95) AS BIGINT) AS thr,
-        |        max(rank) AS maxrank
-        |      FROM b GROUP BY 1),
-        |p AS (SELECT b.event_type, rank,
-        |        sum(c) OVER (PARTITION BY b.event_type ORDER BY rank) AS prefix
-        |      FROM b),
-        |sel AS (SELECT p.event_type,
-        |          coalesce(min(CASE WHEN prefix >= thr THEN rank END), max(t.maxrank)) AS r
-        |        FROM p JOIN t USING (event_type) GROUP BY 1)
+        |    CASE WHEN mag = 0 THEN -100
+        |      ELSE least(greatest(
+        |        CASE WHEN power(2.0, r0 - 1) >= mag THEN r0 - 1
+        |             WHEN power(2.0, r0) < mag THEN r0 + 1
+        |             ELSE r0 END, -100), 100) END AS rank
+        |  FROM v),
+        |c AS (SELECT event_type, rank, count(*) AS n FROM rk GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(floor(sum(n) * 0.95) AS BIGINT) AS thr
+        |      FROM c GROUP BY 1),
+        |p AS (SELECT c.event_type, rank,
+        |        sum(n) OVER (PARTITION BY c.event_type ORDER BY rank) AS cum,
+        |        thr
+        |      FROM c JOIN t USING (event_type)),
+        |sel AS (SELECT event_type,
+        |          CASE WHEN max(thr) <= 0 THEN -100
+        |            ELSE min(CASE WHEN cum >= thr THEN rank END) END AS r
+        |        FROM p GROUP BY 1)
         |SELECT event_type, power(2.0, r) AS upper, -power(2.0, r) AS lower
         |FROM sel""".stripMargin,
     "q_window_counts" ->
@@ -4823,10 +4837,18 @@ object SparkEntry {
         |  (SELECT dst AS id, count(*) AS in_deg FROM e0 GROUP BY 1) i
         |ON o.id = i.id""".stripMargin,
     // q_assoc_rules: ppm ratios written as the same left-associated
-    // double expressions the Scala operator builds, from exact counts
+    // double expressions the Scala operator builds, from exact counts.
+    // The rn <= 16 CTE replays Market.cappedBaskets(maxBasketSize = 16)
+    // — k smallest item ids survive — so the cap is an explicit part of
+    // the contract (TPC-H baskets are smaller, but a fixture or cap
+    // change must not silently diverge).
     "q_assoc_rules" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+      """WITH b0 AS (SELECT DISTINCT l_orderkey AS basket,
         |    l_partkey AS item FROM lineitem),
+        |b AS (SELECT basket, item FROM (
+        |    SELECT basket, item,
+        |      row_number() OVER (PARTITION BY basket ORDER BY item) AS rn
+        |    FROM b0) WHERE rn <= 16),
         |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
         |itn AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
         |p AS (SELECT a.item AS item_a, c.item AS item_b,
@@ -4850,10 +4872,16 @@ object SparkEntry {
         |JOIN itn ic ON d.consequent = ic.item
         |CROSS JOIN nb""".stripMargin,
     // q_triangles: same degree-ordered orientation as Graph.triangleCount
-    // (u < v always, so du <= dv encodes the (deg, id) tiebreak)
+    // (u < v always, so du <= dv encodes the (deg, id) tiebreak). The
+    // rn <= 16 CTE replays Market.cappedBaskets(maxBasketSize = 16) so
+    // the cap is explicit in the oracle contract.
     "q_triangles" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+      """WITH b0 AS (SELECT DISTINCT l_orderkey AS basket,
         |    l_partkey AS item FROM lineitem),
+        |b AS (SELECT basket, item FROM (
+        |    SELECT basket, item,
+        |      row_number() OVER (PARTITION BY basket ORDER BY item) AS rn
+        |    FROM b0) WHERE rn <= 16),
         |p AS (SELECT a.item AS u, c.item AS v, count(*) AS pair_n
         |  FROM b a JOIN b c
         |    ON a.basket = c.basket AND a.item < c.item
@@ -4889,7 +4917,8 @@ object SparkEntry {
     "q_ab_welch" ->
       """WITH q AS (SELECT CAST(ts AS DATE) AS day, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS c
-        |  FROM events WHERE event_type IN ('click', 'view')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
         |s AS (SELECT day,
         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_a,
@@ -5206,7 +5235,8 @@ object SparkEntry {
         |)
         |SELECT source, CAST(hash_id AS BIGINT) AS hash_id,
         |  min(('0x' || substr(sha256(
-        |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
+        |    '7|' || CAST(hash_id // 4 AS VARCHAR) || '|' || sh),
+        |    1 + 15 * (hash_id % 4), 15))::BIGINT)
         |    AS min_hash
         |FROM e GROUP BY 1, 2""".stripMargin,
     // q_minhash_states: from-scratch signatures over ALL documents —
@@ -5228,7 +5258,8 @@ object SparkEntry {
         |)
         |SELECT source, CAST(hash_id AS BIGINT) AS hash_id,
         |  min(('0x' || substr(sha256(
-        |    '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
+        |    '7|' || CAST(hash_id // 4 AS VARCHAR) || '|' || sh),
+        |    1 + 15 * (hash_id % 4), 15))::BIGINT)
         |    AS min_hash
         |FROM e GROUP BY 1, 2""".stripMargin,
     // q_pack_report: the q_pack_greedy recursive replay, aggregated to
@@ -5393,7 +5424,8 @@ object SparkEntry {
         |), st AS (
         |  SELECT source, hash_id,
         |    min(('0x' || substr(sha256(
-        |      '7|' || CAST(hash_id AS VARCHAR) || '|' || sh), 1, 15))::BIGINT)
+        |      '7|' || CAST(hash_id // 4 AS VARCHAR) || '|' || sh),
+        |      1 + 15 * (hash_id % 4), 15))::BIGINT)
         |      AS min_hash
         |  FROM e GROUP BY 1, 2
         |)
@@ -5549,24 +5581,33 @@ object SparkEntry {
         |  CAST(round(1000000.0 * c2 / (n_rows * n_rows)) AS BIGINT)
         |    AS hhi_ppm
         |FROM s""".stripMargin,
-    // q_sql_bounds: deterministic SVT replay — power-of-two bins via
-    // exact binary-string bitlength, floor(0.95 n) threshold, first
-    // crossing in bin order (fallback: largest occupied bin)
+    // q_sql_bounds: deterministic SVT replay with the reference binning —
+    // rank = clamp(ceil(log2(|x|)), -100, 100), exact via the two-sided
+    // power-of-two fix-up; all 201 bins materialized so threshold 0 picks
+    // bin -100, else the first crossing of floor(0.95 n) in rank order
     "q_sql_bounds" ->
-      """WITH v AS (SELECT l_returnflag AS g,
-        |    length(bin(CAST(floor(greatest(abs(l_quantity), 1.0))
-        |      AS BIGINT))) AS b
+      """WITH v AS (SELECT l_returnflag AS g, abs(l_quantity) AS mag,
+        |    CASE WHEN abs(l_quantity) > 0
+        |      THEN CAST(ceil(log2(abs(l_quantity))) AS BIGINT) END AS r0
         |  FROM lineitem WHERE l_quantity IS NOT NULL),
-        |c AS (SELECT g, b, count(*) AS n FROM v GROUP BY 1, 2),
-        |tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS total
+        |rk AS (SELECT g,
+        |    CASE WHEN mag = 0 THEN -100
+        |      ELSE least(greatest(
+        |        CASE WHEN power(2.0, r0 - 1) >= mag THEN r0 - 1
+        |             WHEN power(2.0, r0) < mag THEN r0 + 1
+        |             ELSE r0 END, -100), 100) END AS b
+        |  FROM v),
+        |c AS (SELECT g, b, count(*) AS n FROM rk GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(floor(sum(n) * 0.95) AS BIGINT) AS thr
         |  FROM c GROUP BY 1),
         |r AS (SELECT c.g, c.b,
         |    sum(c.n) OVER (PARTITION BY c.g ORDER BY c.b
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    CAST(floor(0.95 * tot.total) AS BIGINT) AS thr
+        |    thr
         |  FROM c JOIN tot ON c.g = tot.g),
         |sel AS (SELECT g,
-        |    coalesce(min(CASE WHEN cum >= thr THEN b END), max(b)) AS s
+        |    CASE WHEN max(thr) <= 0 THEN -100
+        |      ELSE min(CASE WHEN cum >= thr THEN b END) END AS s
         |  FROM r GROUP BY 1)
         |SELECT g AS l_returnflag, -power(2.0, s) AS lo,
         |  power(2.0, s) AS hi

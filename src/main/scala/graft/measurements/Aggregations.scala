@@ -444,8 +444,18 @@ object Aggregations {
     * powers of two, run sparse-vector above-threshold over the per-bin
     * prefix sums, return symmetric bounds ±2^selected per group.
     *
-    * Binning is integer-exact (binary digit length of floor(|x|)), not
-    * float log2 — identical across engines and monotone in |x|.
+    * Bin index follows the reference exactly (`aggregations.py:2216-2226`):
+    * rank = ceil(log2(|x|)) clamped to [0, 100] for integer columns and
+    * [-100, 100] for float columns, with x = 0 mapping to the clamp floor.
+    * The rank is computed exactly — a log2 candidate with a two-sided
+    * power-of-two fix-up — so an exact power 2^k bins to k, never k+1.
+    * Before the SVT scan, EVERY bin in the domain's bucket range is
+    * materialized with a zero count (the reference's outer-joined bucket
+    * group keys, `aggregations.py:2205-2212,2283-2296`): the noisy scan
+    * draws noise for empty bins too and can select one, and its fallback
+    * is the global top bin. Integer ranks above the bucket range
+    * (size-2, e.g. 62 for BIGINT) fall outside the materialized keys and
+    * are dropped, as in the reference.
     */
   def createBoundsMeasurement(
       inputDomain: DataFrameDomain,
@@ -472,6 +482,17 @@ object Aggregations {
       svtDomain, groupColumns, "rank", "count", alpha, "__sel")
     val inDomain0: Domain = inputDomain
     val inMetric0: Metric = inputMetric
+    // bucket range: integer columns get [0, size-2], floats [-100, 100]
+    // (reference aggregations.py:2205-2212)
+    val measureType = inputDomain(measureColumn).dataType
+    val isIntColumn =
+      measureType == org.apache.spark.sql.types.LongType ||
+        measureType == org.apache.spark.sql.types.IntegerType
+    val (binLo, binHi) =
+      if (measureType == org.apache.spark.sql.types.IntegerType) (0L, 30L)
+      else if (measureType == org.apache.spark.sql.types.LongType) (0L, 62L)
+      else (-100L, 100L)
+    val clampLo = if (isIntColumn) 0L else -100L
     val prep = new graft.core.Transformation {
       def inputDomain: Domain = inDomain0
       def outputDomain: Domain = svtDomain
@@ -480,12 +501,32 @@ object Aggregations {
       def stabilityFunction(d: ExactNum): ExactNum = d
       def apply(data: Any): Any = {
         val df = data.asInstanceOf[DataFrame]
-        val mag = greatest(abs(col(measureColumn)).cast("double"), lit(1.0))
-        val bin = length(conv(floor(mag).cast("long").cast("string"), 10, 2))
-          .cast("long")
-        df.withColumn("rank", bin)
+        val mag = abs(col(measureColumn).cast("double"))
+        // exact ceil(log2(mag)): float log2 candidate, then a two-sided
+        // power-of-two fix-up (2^k is exact in doubles for |k| <= 1023)
+        val r0 = ceil(log2(mag)).cast("long")
+        val rExact = when(pow(lit(2.0), (r0 - 1).cast("double")) >= mag, r0 - 1)
+          .when(pow(lit(2.0), r0.cast("double")) < mag, r0 + 1)
+          .otherwise(r0)
+        val rank = when(mag === 0.0, lit(clampLo))
+          .otherwise(least(greatest(rExact, lit(clampLo)), lit(100L)))
+        val counts = df
+          .withColumn("rank", rank)
           .groupBy((groupColumns.map(col) :+ col("rank")): _*)
           .agg(count(lit(1)).as("count"))
+        // materialize the full bucket range per group with zero counts —
+        // ranks outside [binLo, binHi] (int ranks above size-2) drop out
+        val spark = df.sparkSession
+        val bins = spark.range(binLo, binHi + 1L).toDF("rank")
+        val full =
+          if (groupColumns.isEmpty) {
+            bins.join(counts, Seq("rank"), "left")
+          } else {
+            df.select(groupColumns.map(col): _*).distinct()
+              .crossJoin(broadcast(bins))
+              .join(counts, groupColumns :+ "rank", "left")
+          }
+        full.na.fill(0L, Seq("count"))
       }
     }
     PostProcess(

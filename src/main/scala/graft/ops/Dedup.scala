@@ -210,9 +210,13 @@ object Dedup {
     * T = min_s ⌊n_s·W/w_s⌋ — the binding source is the one that runs
     * out first — and every quota is integer division of exact counts,
     * so the sample replays bit-identically on any engine. Sources
-    * absent from `weights` are dropped. The feasibility computation is
-    * one |sources|-sized aggregate cross-joined back (broadcast); the
-    * selection is the [[sampleKPerGroup]] rank window.
+    * absent from `weights` are dropped; a weighted source absent from
+    * the DATA binds the min at n_s = 0, so T = 0 and the output is
+    * empty — the corpus genuinely cannot supply those proportions (the
+    * weight map is left-joined against the per-source counts, never
+    * silently dropped from the constraint). The feasibility computation
+    * is one |sources|-sized aggregate cross-joined back (broadcast);
+    * the selection is the [[sampleKPerGroup]] rank window.
     *
     * Unlike [[repeatByWeightPortable]] (epoch UPsampling by repeats)
     * this is the downsampling face of mixing: no duplication, exact
@@ -234,8 +238,16 @@ object Dedup {
     val in = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
       .withColumn("__w", wExpr)
       .persist() // read twice: quota aggregate + ranked selection
-    val quotas = in.groupBy(col(sourceCol).as("__src"), col("__w"))
+    // the weight map is the left side of the quota constraint: a weighted
+    // source with zero data rows must still bind the min (n = 0 -> T = 0)
+    val wdf = df.sparkSession
+      .createDataFrame(weights.toSeq)
+      .toDF("__src", "__w")
+    val counts = in.groupBy(col(sourceCol).as("__src"))
       .agg(count(lit(1)).as("__n"))
+    val quotas = wdf
+      .join(counts, Seq("__src"), "left")
+      .na.fill(0L, Seq("__n"))
     val t = quotas
       .select(expr(s"min(__n * $bigW div __w)").as("__t"))
     val ks = quotas.crossJoin(broadcast(t))

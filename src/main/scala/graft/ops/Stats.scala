@@ -55,7 +55,10 @@ object Stats {
       sum(when(variant === lit(v), c * c).otherwise(lit(0L)))
         .as(s"s2_$tag"))
     val aggs = side(variantA, "a") ++ side(variantB, "b")
-    val sums = df.filter(variant.isin(variantA, variantB))
+    // null metric rows carry no information: without this filter they
+    // would count toward n_a/n_b while contributing nothing to the sums,
+    // silently biasing every derived moment
+    val sums = df.filter(variant.isin(variantA, variantB) && value.isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .filter(col("n_a") >= 2 && col("n_b") >= 2)

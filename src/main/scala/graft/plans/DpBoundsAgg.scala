@@ -14,19 +14,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType
   * face of `Aggregations.createBoundsMeasurement` (reference
   * `aggregations.py:2059`, mechanism `spark_measurements.py:590-874`).
   *
-  * Semantics mirror the factory exactly: each |value| (clamped to ≥ 1)
-  * lands in power-of-two bin b = bitlength(⌊max(|x|,1)⌋); the SVT scan
-  * takes one noisy threshold ⌊0.95·n⌋ + Geom(α/2) per group, adds
-  * Geom(α) to each OCCUPIED bin's prefix count in bin order, and selects
-  * the first crossing (falling back to the largest occupied bin); the
-  * released bounds are ±2^selected. α = 4/ε as in the factory at
-  * d_in = 1; an infinite ε is the deterministic noise-free path (the
-  * DuckDB-oracled contract).
+  * Semantics mirror the factory's float-domain path: each value lands in
+  * bin b = clamp(ceil(log2(|x|)), -100, 100), with x = 0 mapping to bin
+  * -100 (reference `aggregations.py:2216-2226`); the SVT scan takes one
+  * noisy threshold ⌊0.95·n⌋ + Geom(α/2) per group, adds Geom(α) to
+  * EVERY bin's prefix count in bin order — empty bins included, exactly
+  * as the reference materializes all 201 bins through the outer-joined
+  * bucket group keys — and selects the first crossing, falling back to
+  * the TOP bin (+100) when nothing crosses. The released bounds are
+  * ±2^selected. α = 4/ε as in the factory at d_in = 1; an infinite ε is
+  * the deterministic noise-free path (the DuckDB-oracled contract). Note
+  * that under a tiny group (n = 1 ⇒ threshold 0) the noise-free scan
+  * legitimately selects bin -100 — prefix 0 ≥ threshold 0 at the very
+  * first bin — matching the reference mechanism's output exactly.
   *
-  * Unlike the value-buffering quantile aggregate, the state here is a
-  * FIXED 64-slot bin-count array — merge is elementwise addition — so
-  * the aggregate is safe for unbounded groups at 100 TB: partial
-  * aggregation combines map-side and only 64 longs per group shuffle.
+  * ceil(log2(|x|)) is computed exactly from the IEEE exponent (not via a
+  * float log), so binning never drifts at exact powers of two; the
+  * DuckDB oracle replays it with a log2 + two-sided power-of-two fix-up
+  * that is likewise exact.
+  *
+  * The state is a FIXED 201-slot bin-count array — merge is elementwise
+  * addition — so the aggregate is safe for unbounded groups at 100 TB:
+  * partial aggregation combines map-side and only 201 longs per group
+  * shuffle.
   *
   * Noise independence across groups follows the [[DpQuantileAgg]]
   * pattern: one SplitMix stream per (plan seed, task partition),
@@ -44,8 +54,10 @@ case class DpBoundsAgg(
   epsilon.foreach(e =>
     require(e > 0, s"dp_bounds epsilon must be positive (or infinite), got $e"))
 
-  // bins 1..64 used; slot 0 unused (|x| clamped to >= 1 so bitlength >= 1)
-  private val NumBins = 65
+  // ranks -100..100 inclusive; slot i holds rank i - 100
+  private val MinRank = -100
+  private val MaxRank = 100
+  private val NumBins = MaxRank - MinRank + 1
 
   override def dataType: DataType = StructType(Seq(
     StructField("lower", DoubleType, nullable = false),
@@ -67,15 +79,25 @@ case class DpBoundsAgg(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](NumBins)
 
+  /** Exact clamp(ceil(log2(mag)), -100, 100) for mag > 0: the IEEE
+    * exponent is floor(log2) for normal doubles, bumped unless mag is an
+    * exact power of two. Subnormals mis-report the exponent but clamp to
+    * -100 regardless (2^-100 is far above the subnormal range).
+    */
+  private def rankOf(mag: Double): Int = {
+    if (mag == 0.0) MinRank
+    else {
+      val e = java.lang.Math.getExponent(mag)
+      val r = if (mag == math.pow(2.0, e)) e else e + 1
+      math.max(MinRank, math.min(MaxRank, r))
+    }
+  }
+
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val mag = math.max(math.abs(v.asInstanceOf[Double]), 1.0)
-      val f = math.floor(mag)
-      val bin =
-        if (f >= Long.MaxValue.toDouble) 63
-        else 64 - java.lang.Long.numberOfLeadingZeros(f.toLong)
-      buffer(bin) += 1L
+      val mag = math.abs(v.asInstanceOf[Double])
+      buffer(rankOf(mag) - MinRank) += 1L
     }
     buffer
   }
@@ -88,31 +110,28 @@ case class DpBoundsAgg(
 
   override def eval(buffer: Array[Long]): Any = {
     var total = 0L
-    var maxOccupied = -1
     var i = 0
-    while (i < NumBins) {
-      if (buffer(i) > 0) { total += buffer(i); maxOccupied = i }
-      i += 1
-    }
-    if (maxOccupied < 0) null
+    while (i < NumBins) { total += buffer(i); i += 1 }
+    if (total == 0L) null // all-null group: reference domain forbids nulls
     else {
       val halfAlpha = alpha / Rational(2)
       val threshold = NoiseGen.addLong(
         GeometricMechanism(halfAlpha), rng,
         math.floor(0.95 * total).toLong)
+      // every bin gets a noise draw and a crossing test, empty or not —
+      // the reference adds Geom(alpha) to all materialized bins and an
+      // empty bin CAN be selected (spark_measurements.py:843-874)
       var prefix = 0L
-      var selected = -1
+      var selected = Int.MinValue
       i = 0
-      while (i < NumBins && selected < 0) {
-        if (buffer(i) > 0) {
-          prefix += buffer(i)
-          val noisyPrefix =
-            NoiseGen.addLong(GeometricMechanism(alpha), rng, prefix)
-          if (noisyPrefix >= threshold) selected = i
-        }
+      while (i < NumBins && selected == Int.MinValue) {
+        prefix += buffer(i)
+        val noisyPrefix =
+          NoiseGen.addLong(GeometricMechanism(alpha), rng, prefix)
+        if (noisyPrefix >= threshold) selected = i + MinRank
         i += 1
       }
-      if (selected < 0) selected = maxOccupied
+      if (selected == Int.MinValue) selected = MaxRank // reference: max rank
       val upper = math.pow(2.0, selected)
       InternalRow(-upper, upper)
     }

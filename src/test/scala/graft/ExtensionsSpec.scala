@@ -213,8 +213,8 @@ class ExtensionsSpec extends SharedSpark {
 
   test("dp_bounds: deterministic scan, partition invariance, noisy shape") {
     graft.plans.GraftFunctions.register(spark)
-    // bins for 1..10: b1:{1} b2:{2,3} b3:{4..7} b4:{8,9,10}; thr =
-    // floor(0.95*10) = 9; cum 1,3,7,10 -> first crossing at b4 -> ±16
+    // ranks for 1..10 (ceil log2): 0,1,2,2,3,3,3,3,4,4; thr =
+    // floor(0.95*10) = 9; cum 1,2,4,8,10 -> first crossing at rank 4 -> ±16
     df("g STRING, x DOUBLE", (1 to 10).map(i => Row("a", i.toDouble)))
       .createOrReplaceTempView("dpb")
     def run(): (Double, Double) = {
@@ -238,9 +238,23 @@ class ExtensionsSpec extends SharedSpark {
     assert(noisy.getDouble(0) == -up)
     assert(math.log(up) / math.log(2.0) == math.floor(
       math.log(up) / math.log(2.0)))
-    // negative magnitudes clamp through abs; empty-ish: null label rows
+    // exact power of two bins to its own exponent (reference
+    // ceil(log2(8)) = 3 -> ±8, NOT the next bin up): 20 copies, thr 19,
+    // cum at rank 3 = 20 >= 19
+    df("g STRING, x DOUBLE", Seq.fill(20)(Row("a", 8.0)))
+      .createOrReplaceTempView("dpb")
+    assert(run() == ((-8.0, 8.0)))
+    // magnitudes below 1 reach negative ranks (reference float domain
+    // goes down to 2^-100): ceil(log2(0.3)) = -1 -> ±0.5
+    df("g STRING, x DOUBLE", Seq.fill(20)(Row("a", 0.3)))
+      .createOrReplaceTempView("dpb")
+    assert(run() == ((-0.5, 0.5)))
+    // tiny group: total 1 -> threshold 0 -> the all-bins scan crosses at
+    // the very first materialized bin, -100 (reference mechanism quirk);
+    // null measure rows are ignored
     df("g STRING, x DOUBLE", Seq(Row("a", -5.0), Row("a", null)))
       .createOrReplaceTempView("dpb")
-    assert(run() == ((-8.0, 8.0))) // |-5| -> bin 3 -> 2^3
+    val tiny = run()
+    assert(tiny._2 == math.pow(2.0, -100) && tiny._1 == -tiny._2)
   }
 }

@@ -190,6 +190,26 @@ class IncrementalSpec extends SharedSpark {
     assert(scratch.count() == 4 * 8)
   }
 
+  test("minhash lane recipe matches an independent digest computation") {
+    // pins the portable contract: hash_i(x) = 60-bit lane i%4 of
+    // sha256("salt|i/4|x") — the DuckDB oracles spell this exact
+    // substring arithmetic, so a recipe drift must fail here first
+    val rows = Seq(Row("k", "alpha"), Row("k", "beta"), Row("k", "gamma"))
+    val st = Incremental.minhashStates(
+      df("k STRING, e STRING", rows), Seq("k"), "e", 8, salt = 7L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hash(i: Long, e: String): Long = {
+      val hex = md.digest(s"7|${i / 4}|$e".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val off = (15 * (i % 4)).toInt
+      java.lang.Long.parseLong(hex.substring(off, off + 15), 16)
+    }
+    assert(st.size == 8)
+    for (i <- 0L to 7L)
+      assert(st(i) == Seq("alpha", "beta", "gamma").map(hash(i, _)).min)
+  }
+
   test("signatureSimilarity reads Jaccard estimates off the states") {
     val a = (1 to 30).map(i => Row("a", s"x$i"))
     val b = (1 to 30).map(i => Row("b", s"x$i")) // identical to a

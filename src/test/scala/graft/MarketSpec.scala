@@ -73,6 +73,16 @@ class MarketSpec extends SharedSpark {
     assertSameRows(a, b)
   }
 
+  test("sampleToProportions: a weighted source absent from the data binds T = 0") {
+    val d = df("id BIGINT, src STRING",
+      (1L to 6L).map(i => Row(i, "A")))
+    // B is in the weight map but supplies zero rows: the corpus cannot
+    // realize a 1:1 A:B mix at any volume, so the output must be empty
+    // (not "A at full quota")
+    assert(graft.ops.Dedup.sampleToProportions(
+      d, "src", "id", Map("A" -> 1L, "B" -> 1L)).count() == 0L)
+  }
+
   test("associationRules ppm arithmetic on the hand-computed example") {
     val out = Market.associationRules(fixture, "basket", "item",
       minPairCount = 2L, maxBasketSize = 0)

@@ -26,6 +26,18 @@ class StatsSpec extends SharedSpark {
     assert(math.abs(row.getDouble(8) - 32.0 / 19.0) < 1e-12)
   }
 
+  test("welchT ignores null metric rows entirely (counts and moments)") {
+    val data = df("k STRING, v STRING, x DOUBLE", Seq(
+      Row("g", "A", 1.0), Row("g", "A", 2.0), Row("g", "A", 3.0),
+      Row("g", "A", null), // must not count toward n_a or shift moments
+      Row("g", "B", 2.0), Row("g", "B", 4.0), Row("g", "B", null)))
+    val row = Stats.welchT(data, Seq("k"), col("v"), col("x"), "A", "B")
+      .collect().head
+    assert(row.getLong(1) == 3L && row.getLong(2) == 2L)
+    assert(row.getDouble(3) == 2.0 && row.getDouble(4) == 3.0)
+    assert(row.getDouble(5) == 1.0 && row.getDouble(6) == 2.0)
+  }
+
   test("welchT drops keys with fewer than two observations per side") {
     val data = df("k STRING, v STRING, x DOUBLE", Seq(
       Row("one", "A", 1.0), Row("one", "B", 2.0), Row("one", "B", 3.0)))
