@@ -419,7 +419,11 @@ object Aggregations {
   }
 
   /** DP key discovery (reference `aggregations.py:1993-2058`): α = d_in/ε,
-    * threshold = smallest τ with δ(τ) ≤ target δ.
+    * threshold τ = inverse-CMF(1 − δ', α) + 2 where δ' = δ (d_in = 1) or
+    * δ/(d_in·e^ε) (d_in > 1) — the reference's exact inversion
+    * (`distributions.py:184-203`: for δ' < 1/2,
+    * τ = ⌈−α·ln((e^{1/α}+1)·δ')⌉ + 2), evaluated at 50 significant
+    * digits with an upward pad so the ceiling never lands one too low.
     */
   def createPartitionSelectionMeasurement(
       inputDomain: DataFrameDomain,
@@ -429,14 +433,26 @@ object Aggregations {
       countColumn: String = "count"
   ): GeometricPartitionSelection = {
     require(epsilon > 0 && delta > 0 && delta < 1)
-    val d = dIn.toRational.toDouble
-    val alpha = Rational.fromDouble(d / epsilon)
-    val p = math.exp(-epsilon / d)
-    // invert δ = d·p^(τ−d)/(1+p): τ = d + ln(δ(1+p)/d)/ln p, rounded up
-    val tau = math.max(
-      1L,
-      math.ceil(d + math.log(delta * (1 + p) / d) / math.log(p)).toLong
-    )
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    val W = 50
+    val mc = new MathContext(W, RoundingMode.HALF_EVEN)
+    val dR = dIn.toRational
+    val alpha = Rational.fromDouble(dR.toDouble / epsilon)
+    val invA = alpha.reciprocal
+    val one = JBD.ONE
+    val deltaPrime: JBD =
+      if (dR <= Rational(1)) new JBD(delta)
+      else new JBD(delta).divide(
+        dR.toBigDecimal(mc).multiply(
+          graft.random.IvMath.expPoint(new JBD(epsilon), W), mc), mc)
+    val e1 = graft.random.IvMath.expPoint(invA.toBigDecimal(mc), W)
+    val arg = e1.add(one, mc).multiply(deltaPrime, mc)
+    // δ' ≥ 1/2 would mean a trivial threshold; the ln formula still gives
+    // a sound (≤) τ there, and δ < 1 keeps arg > 0
+    val lnArg = graft.random.IvMath.lnPoint(arg, W)
+    val kBD = alpha.toBigDecimal(mc).negate().multiply(lnArg, mc)
+    val tau = kBD.add(new JBD("1e-35"))
+      .setScale(0, RoundingMode.CEILING).longValueExact() + 2L
     GeometricPartitionSelection(inputDomain, alpha, tau, countColumn)
   }
 

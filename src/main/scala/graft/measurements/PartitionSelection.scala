@@ -33,27 +33,17 @@ final case class GeometricPartitionSelection(
 
   def privacyFunction(dIn: ExactNum): PrivacyBudget = {
     if (dIn.isZero) ApproxDPBudget(ExactNum.zero, ExactNum.zero)
-    else if (alpha.isZero) ApproxDPBudget(ExactNum.PosInf, ExactNum.one)
+    else if (alpha.isZero) ApproxDPBudget(ExactNum.PosInf, ExactNum.zero)
     else {
+      // Reference formula (spark_measurements.py:538-570):
+      //   δ₁ = 1 − CMF(τ−2)   (two-sided geometric CMF at scale α)
+      //   δ_d = min(1, d·e^{d/α}·δ₁)   for d > 1
+      // evaluated at 50 significant digits with an upward pad and a
+      // round-up double conversion, so the reported δ equals the
+      // reference's exact value printed via to_float(round_up=True).
       val eps = dIn / ExactNum(alpha)
-      // δ: chance any individual's ≤ d_in rows survive thresholding — a
-      // group holding only their count c ≤ d is released iff noise
-      // X ≥ τ − c, worst at c = d. P(X ≥ k) for two-sided geometric,
-      // k ≥ 1: p^k/(1+p), p = e^(−1/α); for k ≤ 0 bound by 1.
-      // Conservative union bound δ = d_in · P(X ≥ τ − d_in).
-      val d = dIn.toRational.toDouble
-      val tau = threshold.toDouble
-      val p = math.exp(-1.0 / alpha.toDouble)
-      val k = tau - d
-      val tail = if (k < 1.0) 1.0 else math.pow(p, k) / (1.0 + p)
-      // exp/pow/multiply round to nearest, so the computed tail can sit
-      // several ulps BELOW the true CMF tail for large k. Widen by a relative
-      // 1e-9 margin (same policy as Aggregations.withApproxDP) plus one
-      // subnormal step so even an underflowed product stays an upper bound —
-      // a single nextUp only compensates one ulp.
-      val delta = math.min(
-        1.0,
-        d * tail * (1.0 + 1e-9) + java.lang.Double.MIN_VALUE)
+      val delta = GeometricPartitionSelection
+        .deltaUpper(dIn.toRational, threshold, alpha)
       ApproxDPBudget(eps, ExactNum.fromDouble(delta))
     }
   }
@@ -69,6 +59,72 @@ final case class GeometricPartitionSelection(
       AddNoise(col(countColumn), GeometricMechanism(alpha))
     )
     Sanitize(noised.filter(col(countColumn) >= threshold))
+  }
+}
+
+object GeometricPartitionSelection {
+  import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+
+  private val W = 50
+  private val mc = new MathContext(W, RoundingMode.HALF_EVEN)
+  // relative pad dominating the ~10^-47 arithmetic error of the 50-digit
+  // evaluation, far below double precision — keeps the conversion an
+  // upper bound without moving any printed digit
+  private val pad = new JBD("1." + "0" * 39 + "1")
+
+  private def expBD(q: graft.exact.Rational): JBD =
+    graft.random.IvMath.expPoint(q.toBigDecimal(mc), W)
+
+  /** Smallest double ≥ v (v > 0). */
+  private def roundUpToDouble(v: JBD): Double = {
+    val d = v.doubleValue()
+    if (d.isInfinite) Double.MaxValue
+    else if (d <= 0.0) java.lang.Double.MIN_VALUE
+    else if (new JBD(d).compareTo(v) < 0) Math.nextUp(d) else d
+  }
+
+  /** Upper bound on the reference δ — exact to well past double
+    * precision inside the representable range, with SOUND clamps (to 1
+    * or to the smallest positive double) outside it.
+    */
+  private[measurements] def deltaUpper(
+      d: graft.exact.Rational,
+      tau: Long,
+      alpha: graft.exact.Rational): Double = {
+    import graft.exact.Rational
+    val one = JBD.ONE
+    val invA = alpha.reciprocal
+    val e1d = invA.toDouble
+    val k = tau - 2
+    val isAmplified = d > Rational(1)
+    val m: Rational = if (isAmplified) d else Rational(1) // leading factor
+    val lnM = math.log(math.max(m.toDouble, 1.0))
+    if (e1d > 1e5) return 1.0 // pathological α → sound clamp at 1
+    val v: JBD =
+      if (k <= 0) {
+        // δ₁ = 1 − e^{(1+k)/α}/(e^{1/α}+1), then ×(d·e^{d/α}) if d > 1
+        val u = expBD(Rational(1 + k) * invA)
+        val denom = expBD(invA).add(one, mc)
+        val d1 = one.subtract(u.divide(denom, mc), mc)
+        if (!isAmplified) d1
+        else {
+          val qd = (d * invA).toDouble
+          if (qd > 1e5) return 1.0 // e^{1e5}·δ₁ ≥ 1 (δ₁ ≥ 1/(e^{1/α}+1) here)
+          m.toBigDecimal(mc).multiply(expBD(d * invA), mc).multiply(d1, mc)
+        }
+      } else {
+        // δ_d = m·e^{q}/(e^{1/α}+1), q = (d−k)/α for d > 1, −k/α for d = 1:
+        // one combined exponent so amplification and tail never over/
+        // underflow separately
+        val q = (if (isAmplified) (d - Rational(k)) else Rational(-k)) * invA
+        val qd = q.toDouble
+        if (qd + lnM < -1e5) return java.lang.Double.MIN_VALUE // δ ≪ 2^-1074
+        if (qd - e1d >= 1.0) return 1.0 // m·e^q/(e^{1/α}+1) ≥ e^{q−1/α}/2 ≥ e/2
+        if (math.abs(qd) > 1e5) return 1.0 // out of expPoint range: sound clamp
+        m.toBigDecimal(mc).multiply(expBD(q), mc)
+          .divide(expBD(invA).add(one, mc), mc)
+      }
+    math.min(1.0, roundUpToDouble(v.multiply(pad, mc)))
   }
 }
 

@@ -343,6 +343,29 @@ class MeasurementsSpec extends SharedSpark {
     assert(delta(5) < 1.0)
   }
 
+  test("partition selection delta matches the reference exact CMF to printed precision") {
+    // reference: δ₁ = 1 − CMF(τ−2) with the exact two-sided geometric
+    // CMF, δ_d = d·e^{d/α}·δ₁; pinned against the doubles the reference
+    // prints via to_float(round_up=True)
+    val d = DataFrameDomain(Seq("U" -> longCol))
+    def budget(alpha: Rational, tau: Long, dIn: Long): (Double, Double) =
+      GeometricPartitionSelection(d, alpha, tau)
+        .privacyFunction(ExactNum(dIn)) match {
+        case ApproxDPBudget(e, dd) => (e.toDouble, dd.toDouble)
+        case b                     => fail(s"unexpected $b")
+      }
+    // reference doctest (spark_measurements.py:448-466): alpha=1, tau=50
+    assert(budget(Rational(1), 50L, 1L) == ((1.0, 3.8328565409781243e-22)))
+    assert(budget(Rational(1), 50L, 2L)._2 == 5.664238400088129e-21)
+    // reference unit test (test_spark_measurements.py:386-404): alpha=3,
+    // tau=100 — base and the amplified d_in = 3
+    assert(budget(Rational(3), 100L, 1L)._2 == 2.7141282634373037e-15)
+    val (e3, dd3) = budget(Rational(3), 100L, 3L)
+    assert(e3 == 1.0 && dd3 == 2.213329661582618e-14)
+    // the k <= 0 branch: tau = 1 leaves better-than-even survival odds
+    assert(budget(Rational(1), 1L, 1L)._2 > 0.5)
+  }
+
   test("SparseVectorPrefixSums noise-free picks the 95th-percentile bin") {
     // one group, bins 1..10 with count 10 each; total 100, threshold 95
     val rows = (1 to 10).map(b => Row("g", b.toLong, 10L))
