@@ -420,10 +420,13 @@ object Aggregations {
 
   /** DP key discovery (reference `aggregations.py:1993-2058`): α = d_in/ε,
     * threshold τ = inverse-CMF(1 − δ', α) + 2 where δ' = δ (d_in = 1) or
-    * δ/(d_in·e^ε) (d_in > 1) — the reference's exact inversion
-    * (`distributions.py:184-203`: for δ' < 1/2,
-    * τ = ⌈−α·ln((e^{1/α}+1)·δ')⌉ + 2), evaluated at 50 significant
-    * digits with an upward pad so the ceiling never lands one too low.
+    * δ/(d_in·e^{d_in/α}) (d_in > 1) — the reference's exact inversion
+    * (`distributions.py:184-203`). The inverse CMF is decided EXACTLY:
+    * δ' and the CMF inequalities live in ExactNum's `c·√s·e^q` closure,
+    * so "smallest k with CMF(k) ≥ 1 − δ'" is a handful of exact sign
+    * tests around a double-precision log-space candidate — no rounding
+    * pad, the ceiling can neither land low (unsound δ) nor high (wasted
+    * utility).
     */
   def createPartitionSelectionMeasurement(
       inputDomain: DataFrameDomain,
@@ -433,27 +436,33 @@ object Aggregations {
       countColumn: String = "count"
   ): GeometricPartitionSelection = {
     require(epsilon > 0 && delta > 0 && delta < 1)
-    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
-    val W = 50
-    val mc = new MathContext(W, RoundingMode.HALF_EVEN)
     val dR = dIn.toRational
     val alpha = Rational.fromDouble(dR.toDouble / epsilon)
     val invA = alpha.reciprocal
-    val one = JBD.ONE
-    val deltaPrime: JBD =
-      if (dR <= Rational(1)) new JBD(delta)
-      else new JBD(delta).divide(
-        dR.toBigDecimal(mc).multiply(
-          graft.random.IvMath.expPoint(new JBD(epsilon), W), mc), mc)
-    val e1 = graft.random.IvMath.expPoint(invA.toBigDecimal(mc), W)
-    val arg = e1.add(one, mc).multiply(deltaPrime, mc)
-    // δ' ≥ 1/2 would mean a trivial threshold; the ln formula still gives
-    // a sound (≤) τ there, and δ < 1 keeps arg > 0
-    val lnArg = graft.random.IvMath.lnPoint(arg, W)
-    val kBD = alpha.toBigDecimal(mc).negate().multiply(lnArg, mc)
-    val tau = kBD.add(new JBD("1e-35"))
-      .setScale(0, RoundingMode.CEILING).longValueExact() + 2L
-    GeometricPartitionSelection(inputDomain, alpha, tau, countColumn)
+    val one = ExactNum.one
+    val deltaPrime: ExactNum =
+      if (dR <= Rational(1)) ExactNum(Rational.fromDouble(delta))
+      else ExactNum(Rational.fromDouble(delta) / dR) *
+        ExactNum.expOf(-(dR * invA))
+    val e1p1 = ExactNum.expOf(invA) + one // e^{1/α} + 1
+    // CMF(k) ≥ 1 − δ' exactly (distributions.py:121-142):
+    //   k > 0: e^{−k/α} ≤ δ'·(e^{1/α}+1)
+    //   k ≤ 0: e^{(k+1)/α} ≥ (1−δ')·(e^{1/α}+1)
+    val argHi = deltaPrime * e1p1
+    val argLo = (one - deltaPrime) * e1p1
+    def ok(k: Long): Boolean =
+      if (k > 0) (argHi - ExactNum.expOf(-(Rational(k) * invA))).signum >= 0
+      else (ExactNum.expOf(Rational(k + 1) * invA) - argLo).signum >= 0
+    // log-space double candidate (underflow-safe), then exact adjustment
+    val e1d = invA.toDouble
+    val lnDeltaPrime = math.log(delta) - math.log(dR.toDouble) -
+      (if (dR <= Rational(1)) 0.0 else (dR * invA).toDouble)
+    val lnE1p1 = e1d + math.log1p(math.exp(-e1d))
+    var k = math.ceil(-(lnDeltaPrime + lnE1p1) * alpha.toDouble).toLong
+    var guard = 0
+    while (!ok(k) && guard < 64) { k += 1; guard += 1 }
+    while (ok(k - 1) && guard < 128) { k -= 1; guard += 1 }
+    GeometricPartitionSelection(inputDomain, alpha, k + 2L, countColumn)
   }
 
   /** DP bounds finding (reference `aggregations.py:2059-2332`): bin |x| by

@@ -139,6 +139,75 @@ object ArkSafety {
   }
 }
 
+/** Named [[TransformValue]] wrappers mirroring the reference's
+  * `add_remove_keys.py:159-1009` classes (`FilterValue`,
+  * `PublicJoinValue`, `LimitRowsPerGroupValue`, ...): each builds the
+  * generic [[TransformValue]] with the matching key-preserving inner
+  * transformation, so the [[ArkSafety]] allowlist admits it by
+  * construction and the AddRemoveKeys key-column mapping on the output
+  * dict is tracked automatically. The reference ships 17 named classes;
+  * this object names the commonly-used subset — any other key-preserving
+  * inner goes through `TransformValue` directly (same functional
+  * surface, checked structurally instead of nominally).
+  */
+object Ark {
+  private def dfDomain(d: DictDomain, key: String): DataFrameDomain =
+    d.elements(key) match {
+      case dd: DataFrameDomain => dd
+      case other => throw new IllegalArgumentException(
+        s"value at $key is not a DataFrame domain: $other")
+    }
+  private def keyCol(m: AddRemoveKeys, key: String): String = m.keyColumns(key)
+
+  /** reference `FilterValue` */
+  def filterValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, filterExpr: String): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      Filter(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference), filterExpr))
+
+  /** reference `SelectValue` — the key column must survive the projection */
+  def selectValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, columns: Seq[String]): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      Select(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference), columns))
+
+  /** reference `RenameValue` — the output key column is tracked through
+    * the mapping */
+  def renameValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, mapping: Map[String, String]): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      Rename(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference), mapping))
+
+  /** reference `PublicJoinValue` — the join must be ON the key column,
+    * otherwise one entity's rows could fan across join keys */
+  def publicJoinValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, publicDf: DataFrame,
+      on: Seq[String], how: String = "inner"): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      PublicJoin(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference),
+        publicDf, on, how))
+
+  /** reference `LimitRowsPerGroupValue` — truncation grouped on the key
+    * column itself */
+  def limitRowsPerGroupValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, threshold: Int): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      LimitRowsPerGroup(dfDomain(inputDomain, key),
+        keyCol(metric, key), threshold))
+
+  /** reference `LimitKeysPerGroupValue` */
+  def limitKeysPerGroupValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, groupColumn: String, threshold: Int,
+      useL2: Boolean = false): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      LimitKeysPerGroup(dfDomain(inputDomain, key), groupColumn,
+        keyCol(metric, key), threshold, useL2))
+}
+
 /** Run an inner transformation on one dict value, adding the result under a
   * new key (reference `dictionary.py:109-220` and the `TransformValue`
   * family, `add_remove_keys.py:159-1009`).

@@ -118,6 +118,42 @@ class DictSpec extends SharedSpark {
     assert(err.getMessage.contains("key-preserving"))
   }
 
+  test("named ARK wrappers build admitted TransformValues (reference named API)") {
+    // the reference's FilterValue / PublicJoinValue / LimitRowsPerGroupValue
+    // named classes (add_remove_keys.py:159-1009), as thin constructors
+    // over the generic TransformValue + ArkSafety check
+    val dictDom = DictDomain(Map("start" -> abDomain))
+    val ark = AddRemoveKeys(Map("start" -> "A"))
+
+    val filt = Ark.filterValue(dictDom, ark, "start", "f", "B <> '2'")
+    assert(filt.outputMetric == AddRemoveKeys(Map("start" -> "A", "f" -> "A")))
+    assert(filt.stabilityFunction(ExactNum.one) == ExactNum.one)
+    val fOut = filt(Map("start" -> abDf)).asInstanceOf[Map[String, DataFrame]]
+    assert(fOut("f").count() == 2)
+
+    val ren = Ark.renameValue(dictDom, ark, "start", "r", Map("A" -> "C"))
+    assert(ren.outputMetric == AddRemoveKeys(Map("start" -> "A", "r" -> "C")))
+
+    val pub = df("A STRING, P STRING", Seq(Row("a", "x"), Row("b", "y")))
+    val pj = Ark.publicJoinValue(dictDom, ark, "start", "j", pub, Seq("A"))
+    assert(pj.outputMetric == AddRemoveKeys(Map("start" -> "A", "j" -> "A")))
+    val jOut = pj(Map("start" -> abDf)).asInstanceOf[Map[String, DataFrame]]
+    assert(jOut("j").columns.contains("P") && jOut("j").count() == 2)
+
+    val lim = Ark.limitRowsPerGroupValue(dictDom, ark, "start", "t", 1)
+    assert(lim.outputMetric == AddRemoveKeys(Map("start" -> "A", "t" -> "A")))
+    assert(lim(Map("start" -> abDf))
+      .asInstanceOf[Map[String, DataFrame]]("t").count() == 3)
+
+    // a join NOT on the key column is a key fan-out: must be refused
+    val bad = df("B STRING, P STRING", Seq(Row("1", "x")))
+    val err = intercept[IllegalArgumentException] {
+      Ark.publicJoinValue(dictDom, ark, "start", "bad", bad, Seq("B"))
+        .outputMetric
+    }
+    assert(err.getMessage.contains("key-preserving"))
+  }
+
   test("TransformValue under ARK tracks a renamed key column") {
     val dictDom = DictDomain(Map("start" -> abDomain))
     val ark = AddRemoveKeys(Map("start" -> "A"))

@@ -81,4 +81,34 @@ class ExactNumSpec extends AnyFunSuite {
     assert(x.isZero)
     assert(x.signum == 0)
   }
+
+  test("exp closure: identities, conversion, and the amplification form") {
+    val e1 = ExactNum.expOf(Rational(1))
+    assert(e1.toDouble == Math.E)
+    assert((ExactNum.expOf(Rational(-1)) * e1) == ExactNum.one)
+    assert(ExactNum(0L).exp == ExactNum.one)
+    assert(ExactNum.PosInf.exp == ExactNum.PosInf)
+    assert(ExactNum.NegInf.exp == ExactNum.zero)
+    // the reference's ApproxDP amplification factor d·e^{d·ε} stays exact
+    // through budget algebra: 3·e^1 − 3·e^1 cancels symbolically
+    val amp = ExactNum(3L) * e1
+    assert((amp - amp).isZero)
+    // and compares exactly against a near-tie dyadic: 3e vs its nearest
+    // double are distinguishable symbolically
+    assert((amp - ExactNum.fromDouble(3.0 * Math.E)).signum != 0)
+    // exp distributes over the radical part of the closure
+    val mixed = ExactNum(2L).sqrt * ExactNum.expOf(Rational(1, 2))
+    assert(mixed.pow2 == ExactNum(2L) * e1)
+    assert(mixed == (ExactNum(2L) * e1).sqrt)
+  }
+
+  test("exp closure: cross-exponent sums stay independent (no false zeros)") {
+    // e^{1/2} + e^{1/3} − e^{1/2} leaves exactly e^{1/3}
+    val x = ExactNum.expOf(Rational(1, 2)) + ExactNum.expOf(Rational(1, 3)) -
+      ExactNum.expOf(Rational(1, 2))
+    assert(x == ExactNum.expOf(Rational(1, 3)))
+    // a sum of distinct exponentials is not rational and sign-evaluates
+    val s = ExactNum.expOf(Rational(1, 2)) - ExactNum.expOf(Rational(1, 3))
+    assert(s.signum == 1 && !s.isRational)
+  }
 }

@@ -78,6 +78,56 @@ object ExactProps extends Properties("exact") {
       s * s == ea + eb + ExactNum(Rational(2)) * (ea * eb).sqrt
     }
 
+  // exponents kept small so interval evaluation stays fast and e^q is
+  // comfortably inside double range
+  private val expRat: Gen[Rational] = for {
+    n <- Gen.chooseNum(-40L, 40L)
+    d <- Gen.chooseNum(1L, 12L)
+  } yield Rational(n, d)
+
+  property("exp homomorphism: exp(a)·exp(b) == exp(a+b), decided symbolically") =
+    forAll(expRat, expRat) { (a, b) =>
+      ExactNum.expOf(a) * ExactNum.expOf(b) == ExactNum.expOf(a + b)
+    }
+
+  property("exp(0) is one; reciprocal negates the exponent") =
+    forAll(expRat) { q =>
+      ExactNum.expOf(Rational.zero) == ExactNum.one &&
+        ExactNum.one / ExactNum.expOf(q) == ExactNum.expOf(-q)
+    }
+
+  property("exp is strictly monotone under the exact order (log-bound compare)") =
+    forAll(expRat, expRat) { (a, b) =>
+      ExactNum.expOf(a).compare(ExactNum.expOf(b)).signum ==
+        a.compare(b).signum
+    }
+
+  property("sqrt of an exponential halves the exponent") =
+    forAll(expRat) { q =>
+      ExactNum.expOf(q).sqrt == ExactNum.expOf(q / Rational(2))
+    }
+
+  property("radical and exponential factors combine through products") =
+    forAll(expRat) { q =>
+      val x = ExactNum(Rational(2)).sqrt * ExactNum.expOf(q)
+      x * x == ExactNum(Rational(2)) * ExactNum.expOf(q * Rational(2))
+    }
+
+  property("e^q is never a dyadic rational (q ≠ 0): compare is decisive") =
+    forAll(expRat.suchThat(!_.isZero)) { q =>
+      val e = ExactNum.expOf(q)
+      val nearest = ExactNum.fromDouble(math.exp(q.toDouble))
+      (e - nearest).signum != 0
+    }
+
+  property("exp directed toDouble brackets tightly") =
+    forAll(expRat) { q =>
+      val e = ExactNum.expOf(q)
+      val lo = e.toDouble(roundUp = false)
+      val hi = e.toDouble(roundUp = true)
+      lo <= hi && hi / lo - 1.0 < 1e-12
+    }
+
   property("infinities absorb finite addition and dominate order") =
     forAll(rat) { a =>
       val e = ExactNum(a)

@@ -236,8 +236,12 @@ class ExtensionsSpec extends SharedSpark {
         .stripMargin).head()
     val up = noisy.getDouble(1)
     assert(noisy.getDouble(0) == -up)
-    assert(math.log(up) / math.log(2.0) == math.floor(
-      math.log(up) / math.log(2.0)))
+    // a ± power of two with a possibly NEGATIVE exponent (the all-bins
+    // scan can select an empty low bin): float log division is not exact
+    // at negative exponents, so compare against the rounded exponent
+    val log2up = math.log(up) / math.log(2.0)
+    assert(math.abs(log2up - math.rint(log2up)) < 1e-9)
+    assert(up == math.pow(2.0, math.rint(log2up)))
     // exact power of two bins to its own exponent (reference
     // ceil(log2(8)) = 3 -> ±8, NOT the next bin up): 20 copies, thr 19,
     // cum at rank 3 = 20 >= 19
