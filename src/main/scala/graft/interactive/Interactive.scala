@@ -328,25 +328,76 @@ final class PrivacyAccountant private (
     kids
   }
 
-  def retire(): Unit = {
-    if (state == Retired) return
-    // retire any remaining children first
-    children.foreach(_.retire())
-    state = Retired
-    parent.foreach(_.onChildRetired(this))
+  /** Reference `interactive_measurements.py:1615-1643`: make this
+    * accountant ACTIVE. WAITING_FOR_SIBLING retires every preceding
+    * sibling (and their descendants); WAITING_FOR_CHILDREN retires all
+    * of this accountant's descendants (via the last child's forced
+    * retire, which cascades left); RETIRED refuses. Any transformations
+    * queued while waiting are applied on activation.
+    */
+  def forceActivate(): Unit = state match {
+    case Active => ()
+    case Retired =>
+      throw new IllegalStateException("cannot activate a RETIRED accountant")
+    case WaitingForChildren =>
+      children.last.retire(force = true) // cascades: activateNext flips us
+    case WaitingForSibling =>
+      parent.foreach(_.retirePrecedingSiblings(this))
+      state = Active
+      flushQueued()
   }
 
-  private def onChildRetired(child: PrivacyAccountant): Unit = {
+  /** Reference `interactive_measurements.py:1645-1698`: RETIRED is
+    * terminal and idempotent. A WAITING_FOR_CHILDREN accountant refuses
+    * unless `force` (retiring a parent out from under live children must
+    * be explicit); a WAITING_FOR_SIBLING accountant first retires all
+    * PRECEDING siblings and their descendants (its turn never comes, so
+    * theirs is over); then the parent activates the next unretired
+    * sibling, or itself when this was the last.
+    */
+  def retire(force: Boolean = false): Unit = {
+    if (state == Retired) return
+    if (state == WaitingForChildren && !force)
+      throw new IllegalStateException(
+        "cannot retire a WAITING_FOR_CHILDREN accountant; " +
+          "retire(force = true) retires it and all its descendants")
+    if (state != Active) forceActivate()
+    state = Retired
+    parent.foreach(_.activateNext(this))
+  }
+
+  /** Retire this subtree without the activation chaining — used when an
+    * out-of-turn sibling takes over and the skipped siblings' turns are
+    * simply over.
+    */
+  private def retireSubtree(): Unit = {
+    if (state == Retired) return
+    children.foreach(_.retireSubtree())
+    state = Retired
+  }
+
+  private def retirePrecedingSiblings(child: PrivacyAccountant): Unit = {
     val idx = children.indexOf(child)
-    // activate next sibling, or reactivate parent when all children retired
+    children.take(math.max(idx, 0)).foreach(_.retireSubtree())
+  }
+
+  private def activateNext(child: PrivacyAccountant): Unit = {
+    // activate the next unretired sibling, or reactivate this parent when
+    // all children are retired
     if (children.forall(_.state == Retired)) {
       // parallel composition: the parent keeps the componentwise minimum of
       // the children's remaining budgets (covers() is not a total order for
       // (ε,δ) pairs, so take the meet explicitly)
       remaining = children.map(_.remaining).reduce(PrivacyAccountant.meet)
       state = Active
-    } else if (idx >= 0 && idx + 1 < children.size) {
-      children(idx + 1).state = Active
+      flushQueued()
+    } else {
+      val idx = children.indexOf(child)
+      children.drop(math.max(idx + 1, 0)).find(_.state != Retired).foreach {
+        next =>
+          next.state = Active
+          next.flushQueued()
+      }
     }
   }
 }

@@ -120,6 +120,112 @@ class InteractiveSpec extends SharedSpark {
     assert(acct.remainingBudget == PureDPBudget(ExactNum(2)))
   }
 
+  test("nested split-within-split: retirement cascades level by level") {
+    // reference system/unit scenarios: a child accountant splits again;
+    // grandchildren retire in order to reactivate the child, children
+    // retire in order to reactivate the root
+    val comp = SequentialComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum.PosInf))
+    val acct = PrivacyAccountant.launch(comp, data)
+    val partition = PartitionByKeys(
+      domain, SymmetricDifference, Seq("A"), Seq(Seq("a"), Seq("b")))
+    val kids = acct.split(partition)
+    assert(acct.currentState == AccountantState.WaitingForChildren)
+    val grandkids = kids(0).split(partition)
+    assert(kids(0).currentState == AccountantState.WaitingForChildren)
+    assert(kids(1).currentState == AccountantState.WaitingForSibling)
+    assert(grandkids(0).currentState == AccountantState.Active)
+    grandkids(0).measure(countM(1))
+    grandkids(0).retire()
+    assert(grandkids(1).currentState == AccountantState.Active)
+    grandkids(1).retire()
+    // all grandchildren retired -> the CHILD reactivates, root still waits
+    assert(kids(0).currentState == AccountantState.Active)
+    assert(acct.currentState == AccountantState.WaitingForChildren)
+    kids(0).retire()
+    assert(kids(1).currentState == AccountantState.Active)
+    kids(1).retire()
+    assert(acct.currentState == AccountantState.Active)
+  }
+
+  test("out-of-order access is rejected; out-of-turn retire skips prior siblings") {
+    val comp = SequentialComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum.PosInf))
+    val acct = PrivacyAccountant.launch(comp, data)
+    val partition = PartitionByKeys(
+      domain, SymmetricDifference, Seq("A"),
+      Seq(Seq("a"), Seq("b"), Seq("c"), Seq("d")))
+    val kids = acct.split(partition)
+    // measuring a WAITING_FOR_SIBLING child out of order is refused
+    assertThrows[IllegalStateException](kids(1).measure(countM(1)))
+    // a WAITING_FOR_CHILDREN parent refuses a plain retire (force required)
+    assertThrows[IllegalStateException](acct.retire())
+    // retiring an unused later sibling retires ALL prior siblings (their
+    // turn is over) and activates the NEXT one
+    // (reference test_retire_accountant_waiting_for_sibling)
+    kids(2).retire()
+    assert(kids.take(3).forall(_.currentState == AccountantState.Retired))
+    assert(kids(3).currentState == AccountantState.Active)
+    // prior siblings are terminally retired
+    assertThrows[IllegalStateException](kids(0).measure(countM(1)))
+    kids(3).retire()
+    assert(acct.currentState == AccountantState.Active)
+  }
+
+  test("forceActivate: waiting sibling takes over; parent force-retires descendants") {
+    val comp = SequentialComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum.PosInf))
+    val acct = PrivacyAccountant.launch(comp, data)
+    val partition = PartitionByKeys(
+      domain, SymmetricDifference, Seq("A"),
+      Seq(Seq("a"), Seq("b"), Seq("c"), Seq("d")))
+    val kids = acct.split(partition)
+    // reference test_force_activate_waiting_for_siblings: child 2 takes
+    // over -> 0,1 retired, 2 active, 3 still waiting, parent still waiting
+    kids(2).forceActivate()
+    assert(kids(0).currentState == AccountantState.Retired)
+    assert(kids(1).currentState == AccountantState.Retired)
+    assert(kids(2).currentState == AccountantState.Active)
+    assert(kids(3).currentState == AccountantState.WaitingForSibling)
+    assert(acct.currentState == AccountantState.WaitingForChildren)
+    // parent force-activates: remaining descendants retire, parent active
+    acct.forceActivate()
+    assert(kids.forall(_.currentState == AccountantState.Retired))
+    assert(acct.currentState == AccountantState.Active)
+    // RETIRED accountants refuse activation
+    assertThrows[IllegalStateException](kids(0).forceActivate())
+  }
+
+  test("queue-flush ordering: queued transformations apply on reactivation") {
+    // reference system test test_queue_transformation_on_inactive_accountant:
+    // queue on a WAITING parent updates visible metadata immediately; when
+    // the last child retires the parent reactivates with the
+    // transformation applied (observable through the next measurement)
+    val comp = SequentialComposition(
+      domain, SymmetricDifference, PureDP, ExactNum(1),
+      PureDPBudget(ExactNum.PosInf))
+    val acct = PrivacyAccountant.launch(comp, data)
+    val partition = PartitionByKeys(
+      domain, SymmetricDifference, Seq("A"), Seq(Seq("a"), Seq("b")))
+    val kids = acct.split(partition)
+    val f1 = Filter(domain, SymmetricDifference, "A = 'a'")
+    val f2 = Filter(domain, SymmetricDifference, "A IS NOT NULL")
+    acct.queueTransformation(f1)
+    acct.queueTransformation(f2) // queue ORDER must be preserved on flush
+    assert(acct.distance == ExactNum(1))
+    // an out-of-turn sibling retire flushes the whole chain on reactivation
+    kids(1).retire()
+    assert(acct.currentState == AccountantState.Active)
+    val counts = acct.measure(countM(1000))
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // noisy at eps=1000 -> within ±1 of (a -> 2, b -> 0) with prob ~1
+    assert(math.abs(counts("a") - 2L) <= 1L && math.abs(counts("b")) <= 1L)
+  }
+
   test("queueTransformation is allowed while WAITING; transformInPlace is not") {
     val comp = SequentialComposition(
       domain, SymmetricDifference, PureDP, ExactNum(1),
