@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof bench: measures the most expensive entries at the bench SF
+  * AND at a 10× fixture, and reports per-query scaling factors — the
+  * direct evidence for "this plan survives a scale-up" (a near-linear
+  * factor means the work grows with the data; a super-linear one names a
+  * plan that would melt first on a real cluster).
+  *
+  * The 10× fixture is DERIVED deterministically from the bench fixture
+  * (seeded column hashes, no RNG) into SPARK_GRAFT_SCALE_DIR, once:
+  *  - documents ×10: copies with shifted doc_id; every copy > 0 has ~20%
+  *    of tokens rewritten by a hash draw from the SAME 31-word vocabulary,
+  *    so copies are NOT near-duplicates (3-shingle survival 0.8³ ≈ 0.5 ⇒
+  *    Jaccard ≈ 0.34, far under the 0.8 dedup threshold) and the
+  *    duplicate RATE stays at the base fixture's, while the vocabulary —
+  *    which drives the tfidf/cosine candidate structure — is unchanged.
+  *  - embeddings ×10: shifted vec_id, each component perturbed ±0.025 by
+  *    a hash draw — cluster geometry (label centers) is preserved.
+  *  - orders/lineitem ×10: shifted order/customer/supplier keys — ten
+  *    disjoint copies of the interaction graph, the same node/edge growth
+  *    a larger TPC-H SF produces.
+  * The three synthetic sweep shapes (countsum 640k groups, private-join
+  * skew, limit-keys skew) scale by parameter: ×10 rows and groups.
+  *
+  * Output: a markdown table on stdout plus one `SCALE_JSON {...}` line
+  * (base/big seconds = min of SPARK_GRAFT_SCALE_RUNS runs — min, not
+  * median, because the question here is intrinsic plan cost, not
+  * machine-load variance). Results are committed to SCALING.md.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/testdata_sf1")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    ensureFixture(spark, base, big, scale)
+
+    def consume(df: DataFrame): Unit = { df.queryExecution.toRdd.count(): Unit }
+    def timeOnce(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      dt
+    }
+    def best(body: => Unit): Double = (1 to runs).map(_ => timeOnce(body)).min
+
+    // dev convenience: SPARK_GRAFT_SCALE_ONLY=q_a,q_b restricts the set
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def enabled(name: String): Boolean = only.forall(_.contains(name))
+
+    val entryQueries = Seq("q_tfidf", "q_cosine_text", "q_dedup_cluster",
+      "q_pagerank", "q_semdedup", "q_minhash_states", "q_source_sim")
+      .filter(enabled)
+
+    // codegen warmup at the smallest SF so neither side absorbs JIT cost
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    entryQueries.foreach { q =>
+      try consume(SparkEntry.queries(q)(spark, warmDir))
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    // page-cache warm of both fixtures
+    Seq(base, big).foreach { dir =>
+      Seq("orders", "lineitem", "documents", "embeddings").foreach { t =>
+        try spark.read.parquet(s"$dir/$t.parquet")
+          .select(expr("bit_xor(xxhash64(struct(*)))")).collect()
+        catch { case _: Throwable => () }
+      }
+    }
+    System.gc()
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    entryQueries.foreach { q =>
+      val fn = SparkEntry.queries(q)
+      val tBase = best(consume(fn(spark, base)))
+      val tBig = best(consume(fn(spark, big)))
+      rows += ((q, tBase, tBig))
+      System.err.println(f"done $q%-18s base=$tBase%7.2fs big=$tBig%7.2fs x${tBig / tBase}%5.2f")
+    }
+
+    // synthetic sweep shapes ×1 and ×scale (bodies mirror Bench.scala)
+    syntheticShapes(spark, scale).filter(s => enabled(s._1)).foreach {
+      case (name, bodyBase, bodyBig) =>
+      // fresh plans: one untimed warmup each so codegen compile lands
+      // outside the timed runs (same discipline as Bench.timeMedianPair)
+      timeOnce(bodyBase()); timeOnce(bodyBig())
+      val tBase = best(bodyBase())
+      val tBig = best(bodyBig())
+      rows += ((name, tBase, tBig))
+      System.err.println(f"done $name%-18s base=$tBase%7.2fs big=$tBig%7.2fs x${tBig / tBase}%5.2f")
+    }
+
+    println(s"| query | ${"sf-base (s)"} | ${scale}x (s) | factor |")
+    println("|---|---|---|---|")
+    rows.foreach { case (q, a, b) =>
+      println(f"| $q | $a%.2f | $b%.2f | ${b / a}%.2f |")
+    }
+    val qs = rows.map { case (q, a, b) =>
+      f""""$q":{"base":$a%.3f,"big":$b%.3f,"factor":${b / a}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""SCALE_JSON {"scale":$scale,"runs":$runs,"queries":$qs}""")
+    spark.stop()
+  }
+
+  /** The three synthetic reference-envelope shapes, parameterized by scale:
+    * (name, base body, scaled body). Bodies rebuild their plans per run
+    * exactly like Bench.scala's sweeps.
+    */
+  private def syntheticShapes(spark: SparkSession, scale: Int)
+      : Seq[(String, () => Unit, () => Unit)] = {
+    import graft.domains.{ColumnDescriptor, DataFrameDomain}
+    import graft.exact.{ExactNum, Rational}
+    import graft.measures.PureDPBudget
+    import graft.measurements.{Aggregations, NoiseKind}
+    import graft.metrics.SymmetricDifference
+    import graft.transformations.{PrivateJoin, TruncationStrategy, Truncation}
+
+    def countsum(n: Long): Unit = {
+      val keys = spark.range(n).select(col("id").as("A"))
+      val data = spark.range(n)
+        .select(col("id").as("A"), (col("id") % 97).as("X"))
+      val dom = DataFrameDomain(
+        Seq("A" -> ColumnDescriptor.long, "X" -> ColumnDescriptor.long))
+      val mCount = Aggregations.createCountMeasurement(
+        dom, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+        PureDPBudget(ExactNum(1)), Some(keys))
+      mCount(data).asInstanceOf[DataFrame].count()
+      val mSum = Aggregations.createSumMeasurement(
+        dom, SymmetricDifference, NoiseKind.Geometric, ExactNum(1),
+        PureDPBudget(ExactNum(1)), "X", Rational(0), Rational(97),
+        Some(keys))
+      mSum(data).asInstanceOf[DataFrame].count(): Unit
+    }
+    def pjoinSkew(groups: Long): Unit = {
+      val key = when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
+      val left = spark.range(groups * 10)
+        .select(key.as("K"), (col("id") % 97).as("V"))
+      val right = spark.range(groups)
+        .select(col("id").as("K"), (col("id") % 7).as("W"))
+      val domL = DataFrameDomain(
+        Seq("K" -> ColumnDescriptor.long, "V" -> ColumnDescriptor.long))
+      val domR = DataFrameDomain(
+        Seq("K" -> ColumnDescriptor.long, "W" -> ColumnDescriptor.long))
+      PrivateJoin(domL, domR, on = Seq("K"),
+        leftStrategy = TruncationStrategy.Truncate, leftThreshold = 5,
+        rightStrategy = TruncationStrategy.Truncate, rightThreshold = 5)(
+        Map("left" -> left, "right" -> right))
+        .asInstanceOf[DataFrame].count(): Unit
+    }
+    def limitKeysSkew(groups: Long): Unit = {
+      val g = when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
+      val data = spark.range(groups * 100)
+        .select(g.as("G"), (col("id") % 997).as("K"))
+      Truncation.limitKeysPerGroup(data, Seq("G"), Seq("K"), 5).count(): Unit
+    }
+    Seq(
+      ("q_countsum_640000g",
+        () => countsum(640000L), () => countsum(640000L * scale)),
+      ("q_pjoin_skew",
+        () => pjoinSkew(640000L), () => pjoinSkew(640000L * scale)),
+      ("q_limitkeys_skew",
+        () => limitKeysSkew(64000L), () => limitKeysSkew(64000L * scale)))
+  }
+
+  /** Derive the scaled fixture once (skipped when `_SUCCESS` markers exist). */
+  private def ensureFixture(
+      spark: SparkSession, base: String, big: String, scale: Int): Unit = {
+    val done = new java.io.File(s"$big/lineitem.parquet/_SUCCESS")
+    if (done.isFile) return
+    System.err.println(s"generating ${scale}x fixture at $big ...")
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted
+    val vocabArr = array(vocab.map(lit(_)): _*)
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val docCopies = (0 until scale).map { i =>
+      if (i == 0) docs
+      else {
+        val shifted = docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * maxDoc))
+        val mutated = concat_ws(" ",
+          transform(split(col("text"), " "), (w, pos) =>
+            when(pmod(hash(col("doc_id"), pos, lit(i)), lit(5)) === 0,
+              element_at(vocabArr,
+                (pmod(hash(col("doc_id"), pos, lit(i + 7919)),
+                  lit(vocab.length)) + 1).cast("int")))
+              .otherwise(w)))
+        shifted
+          .withColumn("text", mutated)
+          .withColumn("n_chars", length(col("text")))
+      }
+    }.reduce(_ unionByName _)
+    docCopies.repartition(32)
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val embCopies = (0 until scale).map { i =>
+      if (i == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * maxVec))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            (x + (pmod(hash(col("vec_id"), j, lit(i)), lit(1000))
+              .cast("double") / 1000.0 - 0.5) * 0.05).cast("float")))
+    }.reduce(_ unionByName _)
+    embCopies.repartition(32)
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val maxOrder = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0) + 1L
+    val maxSupp = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1L
+    val orderCopies = (0 until scale).map { i =>
+      orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * maxOrder))
+        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * maxCust))
+    }.reduce(_ unionByName _)
+    orderCopies.repartition(32)
+      .write.mode("overwrite").parquet(s"$big/orders.parquet")
+    val liCopies = (0 until scale).map { i =>
+      li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * maxOrder))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * maxSupp))
+    }.reduce(_ unionByName _)
+    liCopies.repartition(32)
+      .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    System.err.println("fixture ready")
+  }
+}

@@ -33,6 +33,22 @@ object SparkEntry {
       (spark, s"$dir/$name.parquet"),
       key => key._1.read.parquet(key._2))
 
+  /** `t` plus a conditional rebalance for entries whose heavy per-row work
+    * (shingling, hashing, vector math, pair explosion) is MAP-SIDE of the
+    * first shuffle: a single-row-group parquet file scans as ONE partition
+    * — parquet cannot split inside a row group — which serializes that
+    * whole stage on one core (the driver fixtures are single-row-group;
+    * q_minhash_states measured 4.4 s single-threaded vs 1.4 s spread). The
+    * exchange is only inserted when the scan cannot feed half the
+    * cluster's slots; at real input sizes (thousands of row groups) this
+    * is a no-op, so the rebalance never costs a shuffle at scale.
+    */
+  private def tp(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val slots = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= slots) df.repartition(slots) else df
+  }
+
   private def dom(df: DataFrame): DataFrameDomain =
     DataFrameDomain.fromSparkSchema(df.schema)
 
@@ -552,7 +568,7 @@ object SparkEntry {
       // top-5 TF-IDF keywords per document; same ppm discipline as q_bm25
       // (one round per (doc, term), integer ranking afterwards)
       graft.ops.TextAnalysis.tfidfTopTerms(
-        t(s, dir, "documents"), "doc_id", "text", k = 5)
+        tp(s, dir, "documents"), "doc_id", "text", k = 5)
     },
     "q_cosine_text" -> { (s, dir) =>
       // exact all-pairs TF-IDF cosine join (lossless prefix filtering);
@@ -563,7 +579,7 @@ object SparkEntry {
       // doc_id slice — the suite's sf0.01 losslessness test covers the
       // full corpus
       graft.ops.Similarity.tfidfCosinePairs(
-        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0),
+        tp(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0),
         "doc_id", "text", threshold = 0.7)
     },
     "q_paragraph_dedup" -> { (s, dir) =>
@@ -728,7 +744,7 @@ object SparkEntry {
       // signature, so at threshold 0.95 (natural max cosine ~0.49) the
       // surviving set provably equals the global earlier-neighbor rule
       // DuckDB replays — independent of the clustering
-      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val e = tp(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e
         .filter(col("vec_id") % 40 === 0)
         .select(
@@ -736,7 +752,7 @@ object SparkEntry {
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       graft.ops.Similarity.semDeDup(
         e.unionByName(planted), "vec_id", "embedding",
-        threshold = 0.95, nlist = 16, refineIterations = 2)
+        threshold = 0.95, nlist = 0, refineIterations = 2)
         .select("vec_id")
     },
     "q_repetition" -> { (s, dir) =>
@@ -810,7 +826,7 @@ object SparkEntry {
         .select("left_id", "right_id")
     },
     "q_dedup_cluster" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       graft.ops.Dedup.dropNearDuplicates(d, "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
         .select("doc_id")
@@ -1210,7 +1226,7 @@ object SparkEntry {
       // hashed-linear classifier inference: integer weights from the
       // portable hash chain make score and label exact on any engine
       graft.ops.TextAnalysis.scoreHashedLinear(
-        t(s, dir, "documents").select("doc_id", "text"),
+        tp(s, dir, "documents").select("doc_id", "text"),
         "text", dim = 4096, range = 1000,
         bucketSalt = 3L, weightSalt = 7L)
         .select("doc_id", "score", "score_label")
@@ -1368,7 +1384,7 @@ object SparkEntry {
       // multiset (hence the SimHash signature) unchanged, so recall for
       // the planted pairs is exactly 1 and the verified output equals the
       // engine-independent equal-multiset pair set — the DuckDB oracle
-      val d = t(s, dir, "documents").select("doc_id", "text")
+      val d = tp(s, dir, "documents").select("doc_id", "text")
       val planted = d
         .filter(col("doc_id") % 40 === 0)
         .select(
@@ -2046,7 +2062,7 @@ object SparkEntry {
       // count under degree-ordered orientation — the wedge join is
       // bounded by orientation out-degree, not hub degree
       val edges = graft.ops.Market.frequentPairs(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        tp(s, dir, "lineitem"), "l_orderkey", "l_partkey",
         minPairCount = 2L, maxBasketSize = 16)
         .select(col("item_a").as("src"), col("item_b").as("dst"))
       graft.ops.Graph.triangleCount(edges)
@@ -2154,7 +2170,7 @@ object SparkEntry {
       // incremental per-source MinHash signatures: states built from
       // the 4/5 corpus, then the 1/5 delta folded in — min is
       // idempotent, so the merge must equal from-scratch (the oracle)
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val sh = docs.select(col("doc_id"), col("source"),
         explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
       val base = graft.ops.Incremental.minhashStates(
@@ -2220,7 +2236,7 @@ object SparkEntry {
       // source-pair similarity read off the MinHash signature STATES
       // (not the corpus): agreeing hash slots -> Jaccard estimate;
       // the index-driven companion to the exact q_overlap matrix
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val sh = docs.select(col("source"),
         explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
       val states = graft.ops.Incremental.minhashStates(

@@ -233,7 +233,14 @@ object Incremental {
     * Plan: one narrow explode (×⌈numHashes/4⌉ digests, each fanned to
     * its 4 lanes in-row; no pre-distinct — the min aggregate absorbs
     * duplicates map-side, which beats paying a distinct shuffle first)
-    * and one combinable aggregate of keys×numHashes rows.
+    * and one combinable aggregate of keys×numHashes rows. Because ALL
+    * the digest work is map-side of the first shuffle, the stage's
+    * parallelism is the SCAN's — a small single-row-group parquet input
+    * would serialize the whole hashing on one core (measured 4.4 s vs
+    * 1.4 s on the bench fixture) — so when the input has fewer than half
+    * the cluster's slots in partitions, a cheap pre-explode rebalance of
+    * the raw (keys, element) rows spreads it; at real input sizes the
+    * scan already exceeds the slot count and no exchange is added.
     */
   def minhashStates(
       df: DataFrame,
@@ -251,8 +258,12 @@ object Incremental {
       conv(substring(col("__digest"), 1 + 15 * lane, 15), 16, 10)
         .cast("long")
     }: _*)
-    df.select((keyCols :+ elementCol).map(col): _*)
+    val in = df.select((keyCols :+ elementCol).map(col): _*)
       .filter(col(elementCol).isNotNull)
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (in.rdd.getNumPartitions * 2 <= slots) in.repartition(slots) else in
+    balanced
       .withColumn("digest_id",
         explode(sequence(lit(0L), lit((numDigests - 1).toLong))))
       .withColumn("__digest", digest)

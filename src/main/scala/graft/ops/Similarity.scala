@@ -406,11 +406,21 @@ object Similarity {
     // (float or double embeddings both work)
     val base = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
+    // nlist <= 0 requests AUTO sizing: within-cell pairing is quadratic in
+    // cell size, so a FIXED nlist makes candidate volume grow as n²/nlist
+    // (measured 8-11× wall-clock at a 10× corpus). Auto targets a constant
+    // ~250-vector cell — pair volume then grows LINEARLY in n — clamped to
+    // [16, 4096]; past the clamp the oversize-cell hyperplane split below
+    // takes over as the scale path (cells above maxBucketSize re-bucket by
+    // signature), so no regime pairs a cell quadratically unbounded.
+    val nlistEff =
+      if (nlist > 0) nlist
+      else math.max(16, math.min(4096, (base.count() / 250L).toInt))
     val sampled: Array[Array[Double]] = base
       .select(col("__id"), col("__v").as("__vd"))
       .withColumn("__h", xxhash64(col("__id")))
       .orderBy(col("__h"))
-      .limit(nlist)
+      .limit(nlistEff)
       .collect()
       .map(_.getSeq[Double](1).toArray)
     require(sampled.nonEmpty, "empty corpus")
