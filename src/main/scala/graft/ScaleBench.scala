@@ -63,8 +63,13 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).toSet)
     def enabled(name: String): Boolean = only.forall(_.contains(name))
 
-    val entryQueries = Seq("q_tfidf", "q_cosine_text", "q_dedup_cluster",
-      "q_pagerank", "q_semdedup", "q_minhash_states", "q_source_sim")
+    // cheap-to-heavy order: the 10x runs of the memory-heavy queries
+    // (semdedup's verify join, cosine's pair explosion) leave enough JVM
+    // debris to inflate whatever runs after them by 3-4x (measured on
+    // q_minhash_states: 2.4s clean vs 10.6s after a 50s semdedup run), so
+    // they go LAST
+    val entryQueries = Seq("q_tfidf", "q_minhash_states", "q_source_sim",
+      "q_dedup_cluster", "q_pagerank", "q_cosine_text", "q_semdedup")
       .filter(enabled)
 
     // codegen warmup at the smallest SF so neither side absorbs JIT cost
