@@ -135,6 +135,16 @@ object ArkSafety {
     case LimitKeysPerGroup(_, _, _, _, _)       => Some(key)
     case LimitRowsPerKeyPerGroup(_, _, _, _)    => Some(key)
     case PublicJoin(_, _, _, on, _, _) => if (on.contains(key)) Some(key) else None
+    // augmenting maps append produced columns to the UNCHANGED input row,
+    // so every output row carries its source row's key value — exactly the
+    // claim the reference's MapValue/FlatMapValue wrappers make
+    // (add_remove_keys.py:543-618, which construct Map/FlatMap under
+    // IfGroupedBy(keyColumn) and therefore force augment)
+    case MapTransformation(_, rt) if rt.augment     => Some(key)
+    case FlatMapTransformation(_, rt, _) if rt.augment => Some(key)
+    // FlatMapByKey regroups by its metric column and re-attaches it; key
+    // values pass through iff that column IS the key
+    case FlatMapByKey(IfGroupedBy(c, _), _) if c == key => Some(key)
     case _                          => None
   }
 }
@@ -145,10 +155,13 @@ object ArkSafety {
   * generic [[TransformValue]] with the matching key-preserving inner
   * transformation, so the [[ArkSafety]] allowlist admits it by
   * construction and the AddRemoveKeys key-column mapping on the output
-  * dict is tracked automatically. The reference ships 17 named classes;
-  * this object names the commonly-used subset — any other key-preserving
-  * inner goes through `TransformValue` directly (same functional
-  * surface, checked structurally instead of nominally).
+  * dict is tracked automatically. Every named class the reference ships
+  * has a constructor here (Filter/Select/Rename/PublicJoin/Map/FlatMap/
+  * FlatMapByKey/LimitRowsPerGroup/LimitKeysPerGroup/
+  * LimitRowsPerKeyPerGroup/DropInfs/DropNaNs/DropNulls/ReplaceInfs/
+  * ReplaceNaNs/ReplaceNulls/Persist/Unpersist/SparkAction `...Value`);
+  * any other key-preserving inner goes through `TransformValue` directly
+  * (same functional surface, checked structurally instead of nominally).
   */
 object Ark {
   private def dfDomain(d: DictDomain, key: String): DataFrameDomain =
@@ -206,6 +219,96 @@ object Ark {
     TransformValue(inputDomain, metric, key, newKey,
       LimitKeysPerGroup(dfDomain(inputDomain, key), groupColumn,
         keyCol(metric, key), threshold, useL2))
+
+  /** reference `LimitRowsPerKeyPerGroupValue` */
+  def limitRowsPerKeyPerGroupValue(inputDomain: DictDomain,
+      metric: AddRemoveKeys, key: String, newKey: String,
+      groupColumn: String, threshold: Int): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      LimitRowsPerKeyPerGroup(dfDomain(inputDomain, key), groupColumn,
+        keyCol(metric, key), threshold))
+
+  /** reference `MapValue` — the row transformer must AUGMENT (output rows
+    * carry the unchanged input row, key column included) */
+  def mapValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, rowTransformer: RowToRowTransformation)
+      : TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      MapTransformation(
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference),
+        rowTransformer))
+
+  /** reference `FlatMapValue` — augmenting row transformer, row cap */
+  def flatMapValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, rowTransformer: RowToRowsTransformation,
+      maxNumRows: Option[Int]): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      FlatMapTransformation(
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference),
+        rowTransformer, maxNumRows))
+
+  /** reference `FlatMapByKeyValue` — per-key rows→rows on the key column */
+  def flatMapByKeyValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, rowTransformer: RowsToRowsTransformation)
+      : TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      FlatMapByKey(
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference),
+        rowTransformer))
+
+  /** reference `DropInfsValue` / `DropNaNsValue` / `DropNullsValue` */
+  def dropInfsValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, columns: Seq[String]): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      DropInfs(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference), columns))
+  def dropNaNsValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, columns: Seq[String]): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      DropNaNs(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference), columns))
+  def dropNullsValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, columns: Seq[String]): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      DropNulls(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference), columns))
+
+  /** reference `ReplaceInfsValue` / `ReplaceNaNsValue` / `ReplaceNullsValue`
+    * — replacing IN the key column is a key redefinition and is rejected
+    * by the ArkSafety check, as in the reference */
+  def replaceInfsValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String,
+      replace: Map[String, (Double, Double)]): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      ReplaceInfs(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference), replace))
+  def replaceNaNsValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, replace: Map[String, Double]): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      ReplaceNaNs(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference), replace))
+  def replaceNullsValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String, replace: Map[String, Any]): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      ReplaceNulls(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference), replace))
+
+  /** reference `PersistValue` / `UnpersistValue` / `SparkActionValue` */
+  def persistValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      Persist(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference)))
+  def unpersistValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      Unpersist(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference)))
+  def sparkActionValue(inputDomain: DictDomain, metric: AddRemoveKeys,
+      key: String, newKey: String): TransformValue =
+    TransformValue(inputDomain, metric, key, newKey,
+      SparkAction(dfDomain(inputDomain, key),
+        IfGroupedBy(keyCol(metric, key), SymmetricDifference)))
 }
 
 /** Run an inner transformation on one dict value, adding the result under a

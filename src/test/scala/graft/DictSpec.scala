@@ -154,6 +154,47 @@ class DictSpec extends SharedSpark {
     assert(err.getMessage.contains("key-preserving"))
   }
 
+  test("ARK map/flatMap wrappers: augmenting passes, key-rewriting rejected") {
+    val dictDom = DictDomain(Map("start" -> abDomain))
+    val ark = AddRemoveKeys(Map("start" -> "A"))
+    val lenDom = DataFrameDomain(Seq("blen" -> ColumnDescriptor.int))
+    // augmenting map: output row = input row ++ produced columns, so the
+    // key column survives structurally — the reference MapValue claim
+    val aug = RowToRowTransformation(abDomain, lenDom,
+      r => Row(r.getString(1).length), augment = true)
+    val mv = Ark.mapValue(dictDom, ark, "start", "m", aug)
+    assert(mv.outputMetric == AddRemoveKeys(Map("start" -> "A", "m" -> "A")))
+    val out = mv(Map("start" -> abDf)).asInstanceOf[Map[String, DataFrame]]
+    assert(out("m").columns.toSeq == Seq("A", "B", "blen"))
+    assert(out("m").count() == 3)
+    // flatMap with a row cap, augmenting: admitted, stability still d_in
+    val augN = RowToRowsTransformation(abDomain, lenDom,
+      r => Seq(Row(1), Row(2)), augment = true)
+    val fv = Ark.flatMapValue(dictDom, ark, "start", "f", augN, Some(2))
+    assert(fv.outputMetric == AddRemoveKeys(Map("start" -> "A", "f" -> "A")))
+    assert(fv.stabilityFunction(ExactNum.one) == ExactNum.one)
+    // a NON-augmenting map rewrites rows wholesale (could redefine the
+    // key): the wrapper must refuse — MapTransformation's own
+    // IfGroupedBy-requires-augment guard fires at construction
+    val bare = RowToRowTransformation(abDomain, abDomain,
+      r => Row("x", r.getString(1)), augment = false)
+    assertThrows[IllegalArgumentException](
+      Ark.mapValue(dictDom, ark, "start", "bad", bare))
+    // replacing nulls IN the key column is a key redefinition: rejected
+    val err = intercept[IllegalArgumentException] {
+      Ark.replaceNullsValue(dictDom, ark, "start", "bad",
+        Map("A" -> "filled")).outputMetric
+    }
+    assert(err.getMessage.contains("key-preserving"))
+    // replace on a NON-key column is admitted
+    assert(Ark.replaceNullsValue(dictDom, ark, "start", "ok",
+      Map("B" -> "filled")).outputMetric ==
+      AddRemoveKeys(Map("start" -> "A", "ok" -> "A")))
+    // the no-op wrappers track the key unchanged
+    assert(Ark.persistValue(dictDom, ark, "start", "p").outputMetric ==
+      AddRemoveKeys(Map("start" -> "A", "p" -> "A")))
+  }
+
   test("TransformValue under ARK tracks a renamed key column") {
     val dictDom = DictDomain(Map("start" -> abDomain))
     val ark = AddRemoveKeys(Map("start" -> "A"))
