@@ -69,7 +69,9 @@ object ScaleBench {
     // q_minhash_states: 2.4s clean vs 10.6s after a 50s semdedup run), so
     // they go LAST
     val entryQueries = Seq("q_tfidf", "q_minhash_states", "q_source_sim",
-      "q_dedup_cluster", "q_pagerank", "q_cosine_text", "q_semdedup")
+      "q_repetition", "q_ngram_jaccard", "q_keep_best", "q_minhash_dedup",
+      "q_assoc_rules", "q_dedup_cluster", "q_join_nullsafe", "q_triangles",
+      "q_pagerank", "q_containment", "q_cosine_text", "q_semdedup")
       .filter(enabled)
 
     // codegen warmup at the smallest SF so neither side absorbs JIT cost
@@ -81,7 +83,8 @@ object ScaleBench {
     }
     // page-cache warm of both fixtures
     Seq(base, big).foreach { dir =>
-      Seq("orders", "lineitem", "documents", "embeddings").foreach { t =>
+      Seq("orders", "lineitem", "documents", "embeddings", "customer",
+        "events").foreach { t =>
         try spark.read.parquet(s"$dir/$t.parquet")
           .select(expr("bit_xor(xxhash64(struct(*)))")).collect()
         catch { case _: Throwable => () }
@@ -182,10 +185,12 @@ object ScaleBench {
         () => limitKeysSkew(64000L), () => limitKeysSkew(64000L * scale)))
   }
 
-  /** Derive the scaled fixture once (skipped when `_SUCCESS` markers exist). */
+  /** Derive the scaled fixture once (skipped when the last-written
+    * table's `_SUCCESS` marker exists).
+    */
   private def ensureFixture(
       spark: SparkSession, base: String, big: String, scale: Int): Unit = {
-    val done = new java.io.File(s"$big/lineitem.parquet/_SUCCESS")
+    val done = new java.io.File(s"$big/events.parquet/_SUCCESS")
     if (done.isFile) return
     System.err.println(s"generating ${scale}x fixture at $big ...")
 
@@ -232,8 +237,11 @@ object ScaleBench {
 
     val orders = spark.read.parquet(s"$base/orders.parquet")
     val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val cust = spark.read.parquet(s"$base/customer.parquet")
     val maxOrder = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
-    val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0) + 1L
+    // the CUSTOMER dimension defines the custkey shift so the orders FK
+    // stays consistent across copies (c_custkey range ⊇ o_custkey range)
+    val maxCust = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1L
     val maxSupp = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1L
     val orderCopies = (0 until scale).map { i =>
       orders
@@ -249,6 +257,21 @@ object ScaleBench {
     }.reduce(_ unionByName _)
     liCopies.repartition(32)
       .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    val custCopies = (0 until scale).map { i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * maxCust))
+    }.reduce(_ unionByName _)
+    custCopies.repartition(32)
+      .write.mode("overwrite").parquet(s"$big/customer.parquet")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val maxEvent = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+    val evCopies = (0 until scale).map { i =>
+      ev
+        .withColumn("event_id", col("event_id") + lit(i.toLong * maxEvent))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * maxUser))
+    }.reduce(_ unionByName _)
+    evCopies.repartition(32)
+      .write.mode("overwrite").parquet(s"$big/events.parquet")
     System.err.println("fixture ready")
   }
 }

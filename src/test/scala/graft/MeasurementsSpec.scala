@@ -366,6 +366,33 @@ class MeasurementsSpec extends SharedSpark {
     assert(budget(Rational(1), 1L, 1L)._2 > 0.5)
   }
 
+  test("partition selection threshold inversion matches the exact inverse CMF") {
+    // reference: tau = ceil(-alpha*ln((e^{1/alpha}+1)*delta')) + 2 with
+    // delta' = delta/(d*e^eps) for d > 1; expected values computed with a
+    // 60-digit decimal replica of the reference's symbolic inversion
+    val d = DataFrameDomain(Seq("U" -> longCol))
+    def tau(eps: Double, delta: Double, dIn: Long): Long =
+      Aggregations.createPartitionSelectionMeasurement(
+        d, eps, delta, ExactNum(dIn)).threshold
+    assert(tau(1.0, 1e-10, 1L) == 24L)
+    assert(tau(0.5, 1e-6, 1L) == 28L)
+    assert(tau(3.0, 1e-9, 2L) == 18L)
+    // soundness half: the measurement's own delta at the chosen tau must
+    // not exceed the request (already swept in DpSoundnessSpec; spot-pin)
+    val m = Aggregations.createPartitionSelectionMeasurement(
+      d, 1.0, 1e-10, ExactNum.one)
+    m.privacyFunction(ExactNum.one) match {
+      case ApproxDPBudget(_, dd) => assert(dd.toDouble <= 1e-10)
+      case b                     => fail(s"unexpected $b")
+    }
+    // and tightness: one bin lower would overshoot the requested delta
+    GeometricPartitionSelection(d, m.alpha, m.threshold - 1)
+      .privacyFunction(ExactNum.one) match {
+      case ApproxDPBudget(_, dd) => assert(dd.toDouble > 1e-10)
+      case b                     => fail(s"unexpected $b")
+    }
+  }
+
   test("SparseVectorPrefixSums noise-free picks the 95th-percentile bin") {
     // one group, bins 1..10 with count 10 each; total 100, threshold 95
     val rows = (1 to 10).map(b => Row("g", b.toLong, 10L))
