@@ -759,7 +759,7 @@ object SparkEntry {
       // documents are single-line, so plant a repeated line plus a
       // 3-way-shared note to exercise the line-level signals; the token
       // n-gram signals are nontrivial on the natural word-soup text
-      val d = t(s, dir, "documents").select(
+      val d = tp(s, dir, "documents").select(
         col("doc_id"),
         concat_ws("\n",
           col("text"),
