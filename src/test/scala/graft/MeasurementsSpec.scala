@@ -377,6 +377,10 @@ class MeasurementsSpec extends SharedSpark {
     assert(tau(1.0, 1e-10, 1L) == 24L)
     assert(tau(0.5, 1e-6, 1L) == 28L)
     assert(tau(3.0, 1e-9, 2L) == 18L)
+    // large delta drives the inverse into the k <= 0 CMF branch
+    assert(tau(1.0, 0.9, 1L) == 1L)
+    assert(tau(1.0, 0.5, 1L) == 2L)
+    assert(tau(2.0, 0.75, 1L) == 2L)
     // soundness half: the measurement's own delta at the chosen tau must
     // not exceed the request (already swept in DpSoundnessSpec; spot-pin)
     val m = Aggregations.createPartitionSelectionMeasurement(
