@@ -49,6 +49,26 @@ object SparkEntry {
     if (df.rdd.getNumPartitions * 2 <= slots) df.repartition(slots) else df
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered.
+    * Stateful streaming queries create one state-store instance per
+    * shuffle partition PER stateful operator PER micro-batch (a
+    * stream-stream join keeps four stores per partition), so at bench
+    * state volumes (hundreds of keys) the session's 32 partitions are
+    * almost entirely store-commit overhead. The override is scoped to the
+    * entry and restored afterwards; checkpoints are recreated per run, so
+    * the state partitioning is self-consistent. At real state volumes the
+    * session default (or a larger explicit setting) governs — this knob
+    * sizes state partitions to state, the same decision a production job
+    * makes via config.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body
+    finally s.conf.set(key, old)
+  }
+
   private def dom(df: DataFrame): DataFrameDomain =
     DataFrameDomain.fromSparkSchema(df.schema)
 
@@ -673,7 +693,7 @@ object SparkEntry {
         shingleSize = 5, numHashes = 64, bands = 16, jaccardThreshold = 1.0)
         .select("doc_id")
     },
-    "q_dedup_stream_corpus" -> { (s, dir) =>
+    "q_dedup_stream_corpus" -> { (s, dir) => withShufflePartitions(s, 8) {
       // batch path of the stream-vs-static-corpus ingestion dedup: same
       // 7/3 split; planted copies are whitespace+case shifted so their
       // normalized md5 fingerprints equal the corpus partner's
@@ -693,7 +713,7 @@ object SparkEntry {
       graft.streaming.Streams
         .dedupStreamAgainstCorpus(batch, "text", corpus, "text")
         .select("doc_id")
-    },
+    }},
     "q_mix_epochs" -> { (s, dir) =>
       // training-mix weighting: en 2.5 epochs, de 1.0, zh 1.2, others 0.5 —
       // integer part repeats every doc, the fractional remainder repeats
@@ -1311,7 +1331,7 @@ object SparkEntry {
           col("window_start").cast(LongType).as("ws"),
           col("event_type"), col("count"))
     },
-    "q_noisy_window_stream" -> { (s, dir) =>
+    "q_noisy_window_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
       // TRUE micro-batch execution of the same DP streaming release: the
       // events table is staged as an 8-file directory, streamed 2 files
       // per trigger (4 micro-batches accumulating windowed state), through
@@ -1366,7 +1386,7 @@ object SparkEntry {
         .select(
           col("window_start").cast(LongType).as("ws"),
           col("event_type"), col("count"))
-    },
+    }},
 
     // ---------- scale extensions: remaining ----------
     "q_subword_count" -> { (s, dir) =>
@@ -1515,7 +1535,7 @@ object SparkEntry {
         nlist = 16, nprobe = 4, refineIterations = 2)
         .select("query_id", "neighbor_id")
     },
-    "q_dedup_stream" -> { (s, dir) =>
+    "q_dedup_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
       // batch path of the streaming dedup: plant duplicates by unioning the
       // events table with itself — dropDuplicates over (keys, ts) must
       // return exactly the distinct (user, type, ts) set
@@ -1526,7 +1546,7 @@ object SparkEntry {
         // epoch micros, the exact stored precision on both engines
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"))
-    },
+    }},
     "q_interactive" -> { (s, dir) =>
       // end-to-end PrivacyAccountant session on the ∞-budget deterministic
       // path (reference test/system/measurements/test_interactive_measurements.py):
@@ -1656,7 +1676,7 @@ object SparkEntry {
       graft.ops.Layout.equiDepthBins(o, "v", numBins = 16)
         .select(col("o_orderkey"), col("bin"))
     },
-    "q_interval_join_stream" -> { (s, dir) =>
+    "q_interval_join_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
       // TRUE micro-batch stream-stream interval join: both sides stream
       // the staged 8-file events directory 2 files per trigger and
       // inner-join on (user_id, ±15 min). The staged files are NOT
@@ -1706,7 +1726,7 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(sinkName)
-    },
+    }},
     "q_scd2_snapshot" -> { (s, dir) =>
       // time-travel: the SCD2 history of q_scd2 reconstructed as of
       // 2024-01-16T00:00:00Z — equals the per-user latest band at that
@@ -1845,7 +1865,7 @@ object SparkEntry {
         Seq("o_custkey"), "o_orderpriority")
       graft.ops.Incremental.estimateDistinct(merged, Seq("o_custkey"))
     },
-    "q_running_counts_stream" -> { (s, dir) =>
+    "q_running_counts_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
       // TRUE micro-batch execution of the mapGroupsWithState running
       // counter: 4 AvailableNow triggers over the staged source, update
       // mode into a memory sink. Counts per key are monotone across
@@ -1885,9 +1905,9 @@ object SparkEntry {
       s.table(sinkName)
         .groupBy("event_type")
         .agg(max(col("cnt")).as("cnt"))
-    },
+    }},
 
-    "q_sample_bottomk_stream" -> { (s, dir) =>
+    "q_sample_bottomk_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
       // TRUE micro-batch maintenance of the bottom-k (KMV) sample states:
       // foreachBatch folds each trigger's files into the carried states
       // via mergeSampleStates. Bottom-k merge is lossless and
@@ -1933,7 +1953,7 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       state
-    },
+    }},
 
     // ---------- scale extensions: OLAP / warehouse reshaping ----------
     "q_rollup" -> { (s, dir) =>
@@ -2294,7 +2314,7 @@ object SparkEntry {
         t(s, dir, "lineitem"), Seq("l_returnflag"),
         col("l_extendedprice"))
     },
-    "q_minhash_stream" -> { (s, dir) =>
+    "q_minhash_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
       // TRUE micro-batch maintenance of the per-source MinHash
       // signature states: foreachBatch folds each trigger's shingle
       // files via mergeMinhashStates. min-merge is idempotent and
@@ -2342,7 +2362,7 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       state
-    },
+    }},
     "q_hhi" -> { (s, dir) =>
       // user-concentration index per event stream; two combinable aggs
       graft.ops.Stats.herfindahlByGroup(
