@@ -403,9 +403,16 @@ object Similarity {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     // cast once up front so every row read below is type-agnostic
-    // (float or double embeddings both work)
+    // (float or double embeddings both work). Persisted: read by the
+    // auto-nlist count, the centroid sample, each k-means refinement
+    // pass, the cell assignment, and both sides of the verify join —
+    // without the cache every one of those re-evaluates the caller's
+    // upstream (scan + any rebalance) per job. Deliberately NOT
+    // unpersisted here (lazy result; harnesses clear caches between
+    // queries).
     val base = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
+      .persist()
     // nlist <= 0 requests AUTO sizing: within-cell pairing is quadratic in
     // cell size, so a FIXED nlist makes candidate volume grow as n²/nlist
     // (measured 8-11× wall-clock at a 10× corpus). Auto targets a constant
