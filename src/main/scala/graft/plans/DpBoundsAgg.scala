@@ -79,25 +79,11 @@ case class DpBoundsAgg(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](NumBins)
 
-  /** Exact clamp(ceil(log2(mag)), -100, 100) for mag > 0: the IEEE
-    * exponent is floor(log2) for normal doubles, bumped unless mag is an
-    * exact power of two. Subnormals mis-report the exponent but clamp to
-    * -100 regardless (2^-100 is far above the subnormal range).
-    */
-  private def rankOf(mag: Double): Int = {
-    if (mag == 0.0) MinRank
-    else {
-      val e = java.lang.Math.getExponent(mag)
-      val r = if (mag == math.pow(2.0, e)) e else e + 1
-      math.max(MinRank, math.min(MaxRank, r))
-    }
-  }
-
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val mag = math.abs(v.asInstanceOf[Double])
-      buffer(rankOf(mag) - MinRank) += 1L
+      buffer(DpBoundsAgg.rankOf(mag) - MinRank) += 1L
     }
     buffer
   }
@@ -157,4 +143,21 @@ case class DpBoundsAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): DpBoundsAgg =
     copy(child = newChild)
+}
+
+object DpBoundsAgg {
+  /** Exact clamp(ceil(log2(mag)), -100, 100) for mag > 0: the IEEE
+    * exponent is floor(log2) for normal doubles, bumped unless mag is an
+    * exact power of two. Subnormals mis-report the exponent but clamp to
+    * -100 regardless (2^-100 is far above the subnormal range). Exposed
+    * for the property suite (pinned against a BigDecimal replay).
+    */
+  private[graft] def rankOf(mag: Double): Int = {
+    if (mag == 0.0) -100
+    else {
+      val e = java.lang.Math.getExponent(mag)
+      val r = if (mag == math.pow(2.0, e)) e else e + 1
+      math.max(-100, math.min(100, r))
+    }
+  }
 }

@@ -143,6 +143,31 @@ object ExactProps extends Properties("exact") {
         math.abs(da - db) < 1e-9 // double rounding may flip near-ties
     }
 
+  property("dp_bounds rank is the exact clamped ceil(log2(|x|))") = {
+    // BigDecimal replay: smallest k in [-100, 100] with 2^k >= mag
+    def exact(mag: Double): Int = {
+      if (mag == 0.0) -100
+      else {
+        val m = new java.math.BigDecimal(mag) // exact binary value
+        def pow2(k: Int): java.math.BigDecimal =
+          if (k >= 0) new java.math.BigDecimal(2).pow(k)
+          else java.math.BigDecimal.ONE.divide(new java.math.BigDecimal(2).pow(-k))
+        var k = -100
+        while (k < 100 && pow2(k).compareTo(m) < 0) k += 1
+        k
+      }
+    }
+    val interesting: Gen[Double] = Gen.oneOf(
+      Gen.chooseNum(-60, 60).map(e => math.pow(2.0, e)), // exact powers
+      Gen.chooseNum(-60, 60).map(e => Math.nextUp(math.pow(2.0, e))),
+      Gen.chooseNum(-60, 60).map(e => Math.nextDown(math.pow(2.0, e))),
+      Gen.chooseNum(1e-35, 1e35),
+      Gen.chooseNum(0.0, 1.0))
+    forAll(interesting) { x =>
+      graft.plans.DpBoundsAgg.rankOf(math.abs(x)) == exact(math.abs(x))
+    }
+  }
+
   property("ndcg weights are positive, monotone, and start at 1e6") =
     forAll(Gen.chooseNum(1, 64)) { k =>
       val w = graft.ops.Stats.ndcgWeights(k)
