@@ -68,9 +68,11 @@ object GraftFunctions {
       val scale = scaleExpr.eval() match {
         case d: java.lang.Double  => Rational.fromDouble(d)
         case f: java.lang.Float   => Rational.fromDouble(f.toDouble)
-        case n: java.lang.Number  => Rational(n.longValue())
+        // BigDecimal IS a java.lang.Number: it must match BEFORE the
+        // integral catch-all or a fractional scale would truncate
         case d: java.math.BigDecimal => Rational.fromDouble(d.doubleValue())
         case d: org.apache.spark.sql.types.Decimal => Rational.fromDouble(d.toDouble)
+        case n: java.lang.Number  => Rational(n.longValue())
         case other => throw new IllegalArgumentException(s"bad scale: $other")
       }
       val mechanism: NoiseMechanism = mechName match {
@@ -100,9 +102,11 @@ object GraftFunctions {
     val scale = scaleExpr.eval() match {
       case d: java.lang.Double     => Rational.fromDouble(d)
       case f: java.lang.Float      => Rational.fromDouble(f.toDouble)
-      case n: java.lang.Number     => Rational(n.longValue())
+      // BigDecimal IS a java.lang.Number: match before the integral
+      // catch-all or a fractional scale would truncate
       case d: java.math.BigDecimal => Rational.fromDouble(d.doubleValue())
       case d: org.apache.spark.sql.types.Decimal => Rational.fromDouble(d.toDouble)
+      case n: java.lang.Number     => Rational(n.longValue())
       case other => throw new IllegalArgumentException(s"bad scale: $other")
     }
     mechName match {
