@@ -199,7 +199,7 @@ object ScaleBench {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "").distinct()
       .collect().map(_.getString(0)).sorted
-    val vocabArr = array(vocab.map(lit(_)): _*)
+    val vocabArr = array(vocab.toIndexedSeq.map(lit(_)): _*)
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val docCopies = (0 until scale).map { i =>
       if (i == 0) docs

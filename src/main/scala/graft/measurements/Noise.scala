@@ -108,7 +108,7 @@ object Sanitize {
       .withColumn("__rand", rand())
       .repartition(col("__rand"))
       .drop("__rand")
-      .sortWithinPartitions(df.columns.map(col): _*)
+      .sortWithinPartitions(df.columns.toIndexedSeq.map(col): _*)
     if (durable) {
       val spark = df.sparkSession
       val dir = java.nio.file.Files
