@@ -33,7 +33,11 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/repo/testdata_sf1")
+    // prefer a driver-provided sf1 fixture when one exists; else derive one
+    val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      if (new java.io.File("/root/testdata/sf1/lineitem.parquet").exists())
+        "/root/testdata/sf1"
+      else "/root/repo/testdata_sf1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
