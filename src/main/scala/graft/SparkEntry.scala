@@ -2043,8 +2043,8 @@ object SparkEntry {
       // symmetrized customer<->supplier interaction graph (no dangling
       // mass); 3 damped iterations from uniform — deterministic, so the
       // DuckDB CTE-chain oracle replays it exactly
-      val e0 = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
+      val e0 = tp(s, dir, "orders")
+        .join(tp(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(
           concat(lit("c"), col("o_custkey").cast("string")).as("src"),
