@@ -396,7 +396,22 @@ object Bench {
     val compact = ((topEntries ++ ratioEntries).map { case (k, v) =>
       s"\"$k\":${fmt(v)}"
     } :+ s"\"total_entry_queries\":${fmt(total)}").mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","n_queries":${ordered.size},"full":"bench_full.json"}""")
+    val summaryLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","n_queries":${ordered.size},"full":"bench_full.json"}"""
+    // The driver's parser has missed the bare tail line two rounds in a
+    // row (BENCH_r07/r08 "parsed": null) — emit the compact summary with
+    // the same marker discipline as BENCH_FULL_JSON, mirror it to a file,
+    // and STILL finish with the bare JSON as the very last stdout line so
+    // a tail-line parser also succeeds.
+    try {
+      val sw = new java.io.FileWriter(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+          "/root/repo/bench_summary.json"))
+      sw.write(summaryLine + "\n")
+      sw.close()
+    } catch { case _: Throwable => () }
+    println(s"BENCH_JSON $summaryLine")
+    println(summaryLine)
     spark.stop()
   }
 }

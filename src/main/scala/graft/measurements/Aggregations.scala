@@ -437,6 +437,13 @@ object Aggregations {
   ): GeometricPartitionSelection = {
     require(epsilon > 0 && delta > 0 && delta < 1)
     val dR = dIn.toRational
+    // Fractional d_in: the reference refuses (NotImplementedError) rather
+    // than claim a linearly-scaled ε the δ derivation doesn't support.
+    require(dR >= Rational(1), s"d_in must be >= 1, got $dIn")
+    // Infinite budget is the deterministic path: α = 0 (no noise),
+    // threshold 0 — every key released (reference aggregations.py:2045-2049).
+    if (epsilon.isInfinite)
+      return GeometricPartitionSelection(inputDomain, Rational.zero, 0L, countColumn)
     val alpha = Rational.fromDouble(dR.toDouble / epsilon)
     val invA = alpha.reciprocal
     val one = ExactNum.one
@@ -453,16 +460,35 @@ object Aggregations {
     def ok(k: Long): Boolean =
       if (k > 0) (argHi - ExactNum.expOf(-(Rational(k) * invA))).signum >= 0
       else (ExactNum.expOf(Rational(k + 1) * invA) - argLo).signum >= 0
-    // log-space double candidate (underflow-safe), then exact adjustment
+    // log-space double candidate (underflow-safe) from the reference
+    // branch matching δ's regime (distributions.py:184-203): small δ'
+    // inverts the k > 0 tail, δ' ≥ 1/2 inverts the k ≤ 0 CMF — then an
+    // exact bracket + binary search with ok(k), so a coarse candidate
+    // (large α, large δ') can be thousands of steps off and the result
+    // is still the exact smallest k.
     val e1d = invA.toDouble
     val lnDeltaPrime = math.log(delta) - math.log(dR.toDouble) -
       (if (dR <= Rational(1)) 0.0 else (dR * invA).toDouble)
     val lnE1p1 = e1d + math.log1p(math.exp(-e1d))
-    var k = math.ceil(-(lnDeltaPrime + lnE1p1) * alpha.toDouble).toLong
-    var guard = 0
-    while (!ok(k) && guard < 64) { k += 1; guard += 1 }
-    while (ok(k - 1) && guard < 128) { k -= 1; guard += 1 }
-    GeometricPartitionSelection(inputDomain, alpha, k + 2L, countColumn)
+    val deltaPrimeD = math.exp(lnDeltaPrime)
+    val k0 =
+      if (deltaPrimeD < 0.5)
+        math.ceil(-(lnDeltaPrime + lnE1p1) * alpha.toDouble).toLong
+      else // k ≤ 0 branch: e^{(k+1)/α} ≥ (1−δ')(e^{1/α}+1)
+        math.ceil(
+          (math.log1p(-deltaPrimeD) + lnE1p1) * alpha.toDouble - 1.0).toLong
+    // bracket [lo, hi] with !ok(lo) && ok(hi) by exponential expansion
+    var hi = k0
+    var step = 1L
+    while (!ok(hi)) { hi += step; step *= 2 }
+    var lo = math.min(k0, hi) - 1
+    step = 1L
+    while (ok(lo)) { lo -= step; step *= 2 }
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (ok(mid)) hi = mid else lo = mid
+    }
+    GeometricPartitionSelection(inputDomain, alpha, hi + 2L, countColumn)
   }
 
   /** DP bounds finding (reference `aggregations.py:2059-2332`): bin |x| by
@@ -547,9 +573,21 @@ object Aggregations {
           if (groupColumns.isEmpty) {
             bins.join(counts, Seq("rank"), "left")
           } else {
-            df.select(groupColumns.map(col): _*).distinct()
+            // null-safe (<=>) on the group columns: a NULL group key must
+            // find its own counts, not be zero-filled into a spurious
+            // extra bounds row (reference joins with nulls_are_equal=True,
+            // aggregations.py:2283-2296)
+            val keyed = df.select(groupColumns.map(col): _*).distinct()
               .crossJoin(broadcast(bins))
-              .join(counts, groupColumns :+ "rank", "left")
+            val rhs = counts.select(
+              (groupColumns.map(c => col(c).as(s"__r_$c")) :+
+                col("rank").as("__r_rank") :+ col("count")): _*)
+            val cond = groupColumns
+              .map(c => keyed(c) <=> rhs(s"__r_$c"))
+              .reduce(_ && _) && keyed("rank") === rhs("__r_rank")
+            keyed.join(rhs, cond, "left")
+              .select((groupColumns.map(keyed(_)) :+ keyed("rank") :+
+                rhs("count")): _*)
           }
         full.na.fill(0L, Seq("count"))
       }

@@ -33,6 +33,12 @@ final case class GeometricPartitionSelection(
 
   def privacyFunction(dIn: ExactNum): PrivacyBudget = {
     if (dIn.isZero) ApproxDPBudget(ExactNum.zero, ExactNum.zero)
+    else if ((dIn - ExactNum.one).signum < 0)
+      // Fractional distances: δ₁'s derivation assumes whole added/removed
+      // rows; the reference raises NotImplementedError (spark_measurements
+      // .py:545-548) rather than claim the linearly-scaled (stronger) ε.
+      throw new UnsupportedOperationException(
+        s"GeometricPartitionSelection: d_in must be 0 or >= 1, got $dIn")
     else if (alpha.isZero) ApproxDPBudget(ExactNum.PosInf, ExactNum.zero)
     else {
       // Reference formula (spark_measurements.py:538-570):
@@ -103,6 +109,9 @@ object GeometricPartitionSelection {
     val v: JBD =
       if (k <= 0) {
         // δ₁ = 1 − e^{(1+k)/α}/(e^{1/α}+1), then ×(d·e^{d/α}) if d > 1
+        // Very negative (1+k)/α → δ₁ = 1 to far past double precision;
+        // clamp BEFORE calling expBD (whose range guard would throw).
+        if ((Rational(1 + k) * invA).toDouble < -1e5) return 1.0
         val u = expBD(Rational(1 + k) * invA)
         val denom = expBD(invA).add(one, mc)
         val d1 = one.subtract(u.divide(denom, mc), mc)
@@ -178,9 +187,19 @@ final case class SparseVectorPrefixSums(
         AddNoise(floor(col("__total") * lit(0.95)).cast("long"), GeometricMechanism(halfAlpha))
       )
       .drop("__total")
-    val prefixed = df
+    // null-safe (<=>) join: a NULL group key is a real group (reference
+    // nulls_are_equal semantics) and must meet its own threshold draw
+    val lhs = df
       .withColumn("__prefix", sum(col(countColumn)).over(wCum))
-      .join(broadcast(thresholds), groupColumns)
+    val rhs = broadcast(thresholds.select(
+      (groupColumns.map(c => col(c).as(s"__t_$c")) :+
+        col("__noisy_threshold")): _*))
+    val joinCond =
+      if (groupColumns.isEmpty) lit(true)
+      else groupColumns.map(c => lhs(c) <=> rhs(s"__t_$c")).reduce(_ && _)
+    val prefixed = lhs
+      .join(rhs, joinCond)
+      .drop(groupColumns.map(c => s"__t_$c"): _*)
       .withColumn(
         "__noisy_prefix",
         AddNoise(col("__prefix"), GeometricMechanism(alpha))

@@ -381,6 +381,11 @@ class MeasurementsSpec extends SharedSpark {
     assert(tau(1.0, 0.9, 1L) == 1L)
     assert(tau(1.0, 0.5, 1L) == 2L)
     assert(tau(2.0, 0.75, 1L) == 2L)
+    // large alpha AND delta' >= 0.5: the true k sits far below the
+    // small-delta candidate — the exact bracket + binary search must
+    // land it (60-digit replica values; a bounded linear walk cannot)
+    assert(tau(0.001, 0.9, 1L) == -1607L)
+    assert(tau(0.01, 0.6, 1L) == -20L)
     // soundness half: the measurement's own delta at the chosen tau must
     // not exceed the request (already swept in DpSoundnessSpec; spot-pin)
     val m = Aggregations.createPartitionSelectionMeasurement(
@@ -395,6 +400,58 @@ class MeasurementsSpec extends SharedSpark {
       case ApproxDPBudget(_, dd) => assert(dd.toDouble > 1e-10)
       case b                     => fail(s"unexpected $b")
     }
+  }
+
+  test("partition selection: infinite budget, fractional d_in, deep k<=0 tail") {
+    val d = DataFrameDomain(Seq("U" -> longCol))
+    // infinite epsilon is the deterministic path: alpha = 0, threshold 0,
+    // every key released (reference aggregations.py:2045-2049)
+    val inf = Aggregations.createPartitionSelectionMeasurement(
+      d, Double.PositiveInfinity, 1e-6, ExactNum.one)
+    assert(inf.alpha.isZero && inf.threshold == 0L)
+    inf.privacyFunction(ExactNum.one) match {
+      case ApproxDPBudget(e, dd) =>
+        assert(!e.isFinite && dd.isZero)
+      case b => fail(s"unexpected $b")
+    }
+    // fractional 0 < d_in < 1 is refused, as in the reference
+    // (NotImplementedError): the delta derivation is per whole row
+    intercept[IllegalArgumentException] {
+      Aggregations.createPartitionSelectionMeasurement(
+        d, 1.0, 1e-6, ExactNum(Rational(1, 2)))
+    }
+    intercept[UnsupportedOperationException] {
+      GeometricPartitionSelection(d, Rational(1), 10L)
+        .privacyFunction(ExactNum(Rational(1, 2)))
+    }
+    // a very negative threshold with small alpha lands delta at the
+    // sound clamp 1.0 instead of throwing from the exp range guard
+    GeometricPartitionSelection(d, Rational(1, 20), -100000L)
+      .privacyFunction(ExactNum.one) match {
+      case ApproxDPBudget(_, dd) => assert(dd.toDouble == 1.0)
+      case b                     => fail(s"unexpected $b")
+    }
+  }
+
+  test("bounds measurement: NULL group key joins to its own counts") {
+    // a NULL group's histogram must flow through the bin materialization
+    // (null-safe join), not be zero-filled into a spurious fallback row
+    val rows = Seq(
+      Row("a", 8.0), Row("a", 8.0), Row("a", 8.0),
+      Row(null, 100.0), Row(null, 100.0), Row(null, 100.0))
+    val data = df("G STRING, value DOUBLE", rows)
+    val m = Aggregations.createBoundsMeasurement(
+      DataFrameDomain(Seq("G" -> ColumnDescriptor.string(true),
+        "value" -> ColumnDescriptor.double(false))),
+      SymmetricDifference, ExactNum.one,
+      PureDPBudget(ExactNum.PosInf), "value", Seq("G"))
+    val out = m(data).asInstanceOf[DataFrame]
+    val got = out.collect().map(r =>
+      (Option(r.get(0)).map(_.toString).orNull,
+        r.getDouble(out.columns.indexOf("upper")))).toMap
+    // |8| bins to rank 3 (2^3), |100| to rank 7 (2^7); noise-free SVT
+    // picks each group's own 95th-percentile bin
+    assert(got == Map("a" -> 8.0, (null: String) -> 128.0), s"got $got")
   }
 
   test("SparseVectorPrefixSums noise-free picks the 95th-percentile bin") {
