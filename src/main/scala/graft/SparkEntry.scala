@@ -514,6 +514,26 @@ object SparkEntry {
       m(GroupedDataFrame(li, keys)).asInstanceOf[DataFrame]
         .withColumn("median", round(col("median"), 6))
     },
+    "q_agg_by_column" -> { (s, dir) =>
+      // the AggregateByColumn combinator: per-group median AND count in ONE
+      // keyed pass — two series measurements composed sequentially, group-
+      // complete against a key table with one absent key ('refund')
+      val e = t(s, dir, "events").select(
+        col("event_type"), col("value").as("v_med"), col("value").as("v_n"))
+      val keys = keysDf(s, Seq("event_type"),
+        Seq(Seq("click"), Seq("error"), Seq("purchase"), Seq("refund"),
+          Seq("signup"), Seq("view")))
+      val gdom = GroupedDataFrameDomain(
+        Seq("event_type" -> ColumnDescriptor.string(true),
+          "v_med" -> ColumnDescriptor.double(),
+          "v_n" -> ColumnDescriptor.double()),
+        Seq("event_type"))
+      val m = AggregateByColumn(gdom, SumOf(SymmetricDifference), Seq(
+        "v_med" -> NoisyQuantileSeries(0.5, 0.0, 400.0, None),
+        "v_n" -> NoisyCountSeries(None)))
+      m(GroupedDataFrame(e, keys)).asInstanceOf[DataFrame]
+        .withColumn("v_med", round(col("v_med"), 6))
+    },
     "q_partition_selection" -> { (s, dir) =>
       val e = t(s, dir, "events").select(col("user_id").cast(LongType))
       val m = GeometricPartitionSelection(dom(e), Rational.zero, 5L)
@@ -2688,6 +2708,17 @@ object SparkEntry {
         |             quantile_cont(least(greatest(l_quantity, 1), 50), 0.5) AS median
         |           FROM lineitem GROUP BY 1) c
         |USING (l_returnflag)""".stripMargin,
+    "q_agg_by_column" ->
+      """SELECT ks.event_type,
+        |  round(coalesce(c.v_med, 200.0), 6) AS v_med,
+        |  coalesce(c.v_n, 0) AS v_n
+        |FROM (VALUES ('click'),('error'),('purchase'),('refund'),('signup'),('view'))
+        |  AS ks(event_type)
+        |LEFT JOIN (SELECT event_type,
+        |             quantile_cont(least(greatest(value, 0), 400), 0.5) AS v_med,
+        |             count(value) AS v_n
+        |           FROM events GROUP BY 1) c
+        |USING (event_type)""".stripMargin,
     "q_partition_selection" ->
       """SELECT user_id, count(*) AS count
         |FROM events GROUP BY 1 HAVING count(*) >= 5""".stripMargin,

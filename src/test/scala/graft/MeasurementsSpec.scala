@@ -433,6 +433,50 @@ class MeasurementsSpec extends SharedSpark {
     }
   }
 
+  test("AggregateByColumn: two columns, different measurements, one pass") {
+    import graft.transformations.GroupedDataFrame
+    val data = df("G STRING, x DOUBLE, y DOUBLE",
+      Seq(Row("a", 1.0, 1.0), Row("a", 2.0, 2.0), Row("a", 3.0, 3.0),
+        Row("b", 10.0, 10.0)))
+    val keys = df("G STRING", Seq(Row("a"), Row("b"), Row("c")))
+    val gdom = GroupedDataFrameDomain(
+      Seq("G" -> ColumnDescriptor.string(true),
+        "x" -> ColumnDescriptor.double(), "y" -> ColumnDescriptor.double()),
+      Seq("G"))
+    val m = AggregateByColumn(gdom, SumOf(SymmetricDifference), Seq(
+      "x" -> NoisyQuantileSeries(0.5, 0.0, 20.0, None),
+      "y" -> NoisyCountSeries(None)))
+    val out = m(GroupedDataFrame(data, keys)).asInstanceOf[DataFrame]
+    // group-complete: absent "c" gets the empty-series answers
+    // (quantile midpoint 10.0, count 0)
+    assert(sortedRows(out) == Seq(
+      Seq("a", "2.000000000", "3"),
+      Seq("b", "10.000000000", "1"),
+      Seq("c", "10.000000000", "0")))
+    // privacy function is sequential composition across columns
+    val noisy = AggregateByColumn(gdom, SumOf(SymmetricDifference), Seq(
+      "x" -> NoisyQuantileSeries(0.5, 0.0, 20.0, Some(1.0)),
+      "y" -> NoisyCountSeries(Some(0.5))))
+    assert(noisy.privacyFunction(ExactNum.one) ==
+      PureDPBudget(ExactNum.fromDouble(1.5)))
+    // seeded noisy runs replay exactly; quantile stays within the bounds
+    val run1 = sortedRows(noisy.copy(seedOverride = Some(7L))(
+      GroupedDataFrame(data, keys)).asInstanceOf[DataFrame])
+    val run2 = sortedRows(noisy.copy(seedOverride = Some(7L))(
+      GroupedDataFrame(data, keys)).asInstanceOf[DataFrame])
+    assert(run1 == run2)
+    run1.foreach { r =>
+      val q = r(1).toDouble
+      assert(q >= 0.0 && q <= 20.0, s"quantile $q out of bounds")
+    }
+    // mixed output measures are refused, as in the reference
+    intercept[IllegalArgumentException] {
+      AggregateByColumn(gdom, SumOf(SymmetricDifference), Seq(
+        "x" -> NoisyQuantileSeries(0.5, 0.0, 20.0, Some(1.0), RhoZCDP),
+        "y" -> NoisyCountSeries(Some(1.0))))
+    }
+  }
+
   test("bounds measurement: NULL group key joins to its own counts") {
     // a NULL group's histogram must flow through the bin materialization
     // (null-safe join), not be zero-filled into a spurious fallback row
