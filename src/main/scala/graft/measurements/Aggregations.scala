@@ -216,7 +216,12 @@ object Aggregations {
       lower: Rational,
       upper: Rational,
       groupKeys: Option[DataFrame] = None,
-      outputColumn: String = "average"
+      outputColumn: String = "average",
+      // reference keep_intermediates (aggregations.py create_average_
+      // measurement): grouped output keeps the noisy `sod`/`count`
+      // components alongside the average — used by the distribution tests
+      // to KS-test each component against its exact noise law
+      keepIntermediates: Boolean = false
   ): Measurement = {
     val midpoint = (lower + upper) / Rational.two
     val halfBudget = halve(budget)
@@ -260,13 +265,13 @@ object Aggregations {
             val cntDf = countAny.asInstanceOf[DataFrame]
             val keyCols = cntDf.columns.filterNot(_ == "count").toSeq
             val joined = sodDf.join(cntDf, keyCols)
-            joined
+            val withAvg = joined
               .withColumn(
                 outputColumn,
                 col("sod") / greatest(col("count"), lit(1L)) +
                   lit(midpoint.toDouble)
               )
-              .drop("sod", "count")
+            if (keepIntermediates) withAvg else withAvg.drop("sod", "count")
         }
       }: Any => Any
     )
@@ -289,7 +294,8 @@ object Aggregations {
       upper: Rational,
       groupKeys: Option[DataFrame] = None,
       outputColumn: String = "variance",
-      stddev: Boolean = false
+      stddev: Boolean = false,
+      keepIntermediates: Boolean = false
   ): Measurement = {
     val midpoint = (lower + upper) / Rational.two
     val third = split(budget, 3)
@@ -340,9 +346,10 @@ object Aggregations {
               lit(clampHi))
             val variance =
               when(col("count") <= 1L, lit(Double.NaN)).otherwise(sampleVar)
-            joined
+            val withVar = joined
               .withColumn(outputColumn, if (stddev) sqrt(variance) else variance)
-              .drop("sod", "sos", "count")
+            if (keepIntermediates) withVar
+            else withVar.drop("sod", "sos", "count")
         }
       }: Any => Any
     )
@@ -363,11 +370,13 @@ object Aggregations {
       lower: Rational,
       upper: Rational,
       groupKeys: Option[DataFrame] = None,
-      outputColumn: String = "stddev"
+      outputColumn: String = "stddev",
+      keepIntermediates: Boolean = false
   ): Measurement =
     createVarianceMeasurement(
       inputDomain, inputMetric, kind, countKind, dIn, budget, measureColumn,
-      lower, upper, groupKeys, outputColumn, stddev = true)
+      lower, upper, groupKeys, outputColumn, stddev = true,
+      keepIntermediates = keepIntermediates)
 
   /** Noisy per-group quantile (reference `aggregations.py:1736-1902`). */
   def createQuantileMeasurement(

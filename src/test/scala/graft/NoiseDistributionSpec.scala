@@ -64,6 +64,40 @@ class NoiseDistributionSpec extends SharedSpark {
       s"$what must reject -30% scale: varHat=$varHat varDown=$varDown")
   }
 
+  /** Kolmogorov–Smirnov statistic of a sample against a CDF. */
+  private def ksD(sample: Array[Double], cdf: Double => Double): Double = {
+    val s = sample.sorted
+    val n = s.length
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val f = cdf(s(i))
+      d = math.max(d, math.max(
+        math.abs((i + 1).toDouble / n - f), math.abs(i.toDouble / n - f)))
+      i += 1
+    }
+    d
+  }
+
+  private def lapCdf(mu: Double, b: Double)(x: Double): Double =
+    if (x < mu) 0.5 * math.exp((x - mu) / b)
+    else 1 - 0.5 * math.exp(-(x - mu) / b)
+
+  /** KS accept/reject at n = 20000: the true scale's D sits near the
+    * 1.36/√n ≈ 0.0096 critical value (0.02 ≈ p = 2e-7, far above the
+    * reference's 1e-20 accept floor), while a ±30% Laplace mis-scale has a
+    * deterministic CDF gap ≥ 0.048 — cleanly above the 0.03 reject bar.
+    */
+  private def ksAcceptReject(
+      sample: Array[Double], mu: Double, b: Double, what: String): Unit = {
+    val dTrue = ksD(sample, lapCdf(mu, b))
+    val dUp = ksD(sample, lapCdf(mu, b * (1 + Fudge)))
+    val dDown = ksD(sample, lapCdf(mu, b * (1 - Fudge)))
+    assert(dTrue < 0.02, s"$what KS accept failed: D=$dTrue")
+    assert(dUp > 0.03, s"$what KS must reject +30% scale: D=$dUp")
+    assert(dDown > 0.03, s"$what KS must reject -30% scale: D=$dDown")
+  }
+
   test("count factory: geometric noise at alpha = d_in/eps") {
     val eps = 0.8
     val m = Aggregations.createCountMeasurement(
@@ -154,6 +188,54 @@ class NoiseDistributionSpec extends SharedSpark {
     acceptRejectVar(
       varOf(out, math.sqrt(vTrue)), predicted(1.0), predicted(1 + Fudge),
       predicted(1 - Fudge), 0.2, "stddev")
+  }
+
+  test("average factory intermediates: KS on the Laplace sod component") {
+    // keep_intermediates exposes the noisy sum-of-deviations — KS-test it
+    // against the EXACT Laplace law at b = devBound·d_in/(ε/2), the
+    // reference's test_average.py discipline (component CDFs, not just
+    // the composite's variance)
+    val eps = 0.8
+    val m = Aggregations.createAverageMeasurement(
+      gxDomain, SymmetricDifference, NoiseKind.Laplace, NoiseKind.Geometric,
+      ExactNum(1), PureDPBudget(ExactNum.fromDouble(eps)), "X",
+      Rational(0), Rational(20), Some(keys), keepIntermediates = true)
+    val data = fixedGroups(200, when(idx % 2 === 0, 5.0).otherwise(15.0))
+    val out = m(data).asInstanceOf[DataFrame]
+    assert(out.columns.contains("average")) // composite still present
+    val sod = out.select(col("sod").cast("double")).collect().map(_.getDouble(0))
+    assert(sod.length == Groups)
+    ksAcceptReject(sod, 0.0, 10.0 / (eps / 2), "average sod")
+  }
+
+  test("variance factory intermediates: KS on the Laplace sod and sos") {
+    val eps = 0.8
+    val m = Aggregations.createVarianceMeasurement(
+      gxDomain, SymmetricDifference, NoiseKind.Laplace, NoiseKind.Geometric,
+      ExactNum(1), PureDPBudget(ExactNum.fromDouble(eps)), "X",
+      Rational(0), Rational(20), Some(keys), keepIntermediates = true)
+    val data = fixedGroups(200, when(idx % 2 === 0, 5.0).otherwise(15.0))
+    val out = m(data).asInstanceOf[DataFrame]
+      .select(col("sod").cast("double"), col("sos").cast("double")).collect()
+    val sod = out.map(_.getDouble(0))
+    val sos = out.map(_.getDouble(1))
+    // a third of ε each: sod at b = 10/(ε/3) around 0 (symmetric data),
+    // sos at b = 100/(ε/3) around Σdev² = 200·25
+    ksAcceptReject(sod, 0.0, 10.0 / (eps / 3), "variance sod")
+    ksAcceptReject(sos, 5000.0, 100.0 / (eps / 3), "variance sos")
+  }
+
+  test("stddev factory intermediates: same component laws as variance") {
+    val eps = 0.8
+    val m = Aggregations.createStandardDeviationMeasurement(
+      gxDomain, SymmetricDifference, NoiseKind.Laplace, NoiseKind.Geometric,
+      ExactNum(1), PureDPBudget(ExactNum.fromDouble(eps)), "X",
+      Rational(0), Rational(20), Some(keys), keepIntermediates = true)
+    val data = fixedGroups(200, when(idx % 2 === 0, 5.0).otherwise(15.0))
+    val out = m(data).asInstanceOf[DataFrame]
+    assert(out.columns.contains("stddev"))
+    val sos = out.select(col("sos").cast("double")).collect().map(_.getDouble(0))
+    ksAcceptReject(sos, 5000.0, 100.0 / (eps / 3), "stddev sos")
   }
 
   test("zCDP count factory: discrete Gaussian at sigma^2 = d_in^2/(2 rho)") {
