@@ -44,12 +44,20 @@ def lint_types(con, name, sql):
     ]
 
 
+def register_tables(con, sf_dir):
+    """Driver fixtures are single parquet FILES; derived fixtures (e.g.
+    testdata_sf1) are Spark output DIRECTORIES — glob those."""
+    import os
+
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+
+
 def lint_only(sf_dir, oracle_json_path):
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    register_tables(con, sf_dir)
     with open(oracle_json_path) as f:
         oracles = json.load(f)
     n_bad = 0
@@ -91,14 +99,20 @@ def main():
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    register_tables(con, sf_dir)
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # GRAFT_COMPARE_SKIP: comma-separated entries to exclude, for fixtures
+    # where an entry's OUTPUT is intractable to dump (sf1's q_join_nullsafe
+    # null-block is ~4.6e9 rows) — checked separately by aggregate.
+    import os
+
+    skip = set(filter(None, os.environ.get("GRAFT_COMPARE_SKIP", "").split(",")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if name in skip:
+            print(f"SKIP {name} (GRAFT_COMPARE_SKIP)")
+            continue
         try:
             bad = lint_types(con, name, sql)
             if bad:

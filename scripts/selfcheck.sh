@@ -23,6 +23,22 @@ echo "== 3/4 oracle type lint =="
 sbt -batch "runMain graft.Verify --sql-only $OUT"
 python3 scripts/compare.py --lint-only "$SF" "$OUT/oracle_sql.json"
 
+if [[ "${SELFCHECK_SF1:-0}" == "1" ]]; then
+  echo "== sf1 full-suite correctness gate (10x fixture) =="
+  # partition-count-dependent behavior (multi-row-group scans, window
+  # ties, union-find fallbacks, stream state redistribution) that the
+  # single-row-group sf0.01 fixture cannot exercise. The fixture is the
+  # deterministic 10x derivation ScaleBench builds (backfilled dims).
+  SF1=${SELFCHECK_SF1_DIR:-/root/repo/testdata_sf1}
+  if [[ ! -d "$SF1/supplier.parquet" ]]; then
+    SPARK_GRAFT_SCALE_ONLY=none SPARK_DRIVER_MEM=16g \
+      sbt -batch "runMain graft.ScaleBench"
+  fi
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_DRIVER_MEM=48g \
+    bash scripts/run_verify_sf1.sh "$SF1" "${SELFCHECK_OUT:-/tmp/graft_selfcheck}_sf1"
+  python3 scripts/compare.py "$SF1" "${SELFCHECK_OUT:-/tmp/graft_selfcheck}_sf1"
+fi
+
 if [[ "${SELFCHECK_BENCH:-0}" == "1" ]]; then
   echo "== 4/4 bench (sf0.1) =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \

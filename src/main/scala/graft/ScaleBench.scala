@@ -192,8 +192,33 @@ object ScaleBench {
   /** Derive the scaled fixture once (skipped when the last-written
     * table's `_SUCCESS` marker exists).
     */
+  /** Dimension tables for the derived fixture — needed by the full-suite
+    * sf1 correctness gate (every oracle view must resolve). region/nation/
+    * part are SF-invariant here (lineitem copies do NOT shift l_partkey),
+    * so they copy verbatim; supplier scales with the SAME i·maxSupp shift
+    * the lineitem copies use, keeping the FK consistent. Runs even when
+    * the fact tables already exist, so older fixtures get backfilled.
+    */
+  private def ensureDims(
+      spark: SparkSession, base: String, big: String, scale: Int): Unit = {
+    if (new java.io.File(s"$big/supplier.parquet/_SUCCESS").isFile) return
+    System.err.println(s"backfilling dimension tables at $big ...")
+    Seq("region", "nation", "part").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$big/$t.parquet")
+    }
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val maxSupp = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1L
+    val supp = spark.read.parquet(s"$base/supplier.parquet")
+    (0 until scale).map { i =>
+      supp.withColumn("s_suppkey", col("s_suppkey") + lit(i.toLong * maxSupp))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/supplier.parquet")
+  }
+
   private def ensureFixture(
       spark: SparkSession, base: String, big: String, scale: Int): Unit = {
+    ensureDims(spark, base, big, scale)
     val done = new java.io.File(s"$big/events.parquet/_SUCCESS")
     if (done.isFile) return
     System.err.println(s"generating ${scale}x fixture at $big ...")

@@ -45,6 +45,10 @@ object SparkEntry {
     */
   private def tp(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(spark, dir, name)
+    // RCA hook: SPARK_GRAFT_NO_TP=1 measures an entry without the
+    // rebalance, to attribute toy-scale cost of the exchange in bench
+    // regression analyses. Never set by the driver.
+    if (sys.env.contains("SPARK_GRAFT_NO_TP")) return df
     val slots = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= slots) df.repartition(slots) else df
   }
@@ -5457,20 +5461,20 @@ object SparkEntry {
         |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(c) AS BIGINT) AS s,
-        |    CAST(sum(c * c) AS BIGINT) AS ssq FROM q),
+        |    CAST(sum(c * c) AS DOUBLE) AS ssq FROM q),
         |gg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
         |    CAST(sum(c) AS BIGINT) AS sg FROM q GROUP BY 1),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
         |    list_aggregate(
-        |      list(CAST(sg * sg AS DOUBLE) / ng ORDER BY g), 'sum')
-        |      AS aa
+        |      list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng ORDER BY g),
+        |      'sum') AS aa
         |  FROM gg)
         |SELECT t.n, a.k,
-        |  (a.aa - CAST(t.s * t.s AS DOUBLE) / t.n)
-        |    / (t.ssq - CAST(t.s * t.s AS DOUBLE) / t.n) AS eta2,
-        |  (a.aa - CAST(t.s * t.s AS DOUBLE) / t.n) / (a.k - 1)
-        |    / ((t.ssq - CAST(t.s * t.s AS DOUBLE) / t.n
-        |      - (a.aa - CAST(t.s * t.s AS DOUBLE) / t.n))
+        |  (a.aa - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n)
+        |    / (t.ssq - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n) AS eta2,
+        |  (a.aa - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n) / (a.k - 1)
+        |    / ((t.ssq - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n
+        |      - (a.aa - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n))
         |      / (t.n - a.k)) AS f_stat
         |FROM a CROSS JOIN t
         |WHERE a.k >= 2 AND t.n > a.k""".stripMargin,
@@ -5545,11 +5549,12 @@ object SparkEntry {
         |r AS (SELECT g, c,
         |    row_number() OVER (PARTITION BY g ORDER BY c) AS i FROM f),
         |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(c) AS BIGINT) AS sx,
-        |    CAST(sum(i * c) AS BIGINT) AS six
+        |    sum(c) AS sx,
+        |    sum(i * c) AS six
         |  FROM r GROUP BY 1)
-        |SELECT g AS l_returnflag, n, sx AS sum_c,
-        |  CAST(round(1000000.0 * (2 * six - (n + 1) * sx) / (n * sx))
+        |SELECT g AS l_returnflag, n, CAST(sx AS BIGINT) AS sum_c,
+        |  CAST(round(1000000.0 * CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))
         |    AS BIGINT) AS gini_ppm
         |FROM s WHERE sx > 0""".stripMargin,
     // q_ndcg: the discount table is interpolated from the SAME

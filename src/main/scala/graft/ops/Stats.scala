@@ -315,23 +315,29 @@ object Stats {
       scale: Int = 100): DataFrame = {
     val c = round(value * lit(scale)).cast("long")
     val base = df.filter(cat.isNotNull && value.isNotNull)
+    // ssq: per-row c·c fits a long, but the SUM crosses 2^63 well before
+    // cluster scale — sum exactly in decimal, round ONCE to double (DuckDB
+    // mirrors via its exact HUGEINT sum cast to double). The squares of
+    // the long sums likewise overflow at ~10^9.5 rows (found by the sf1
+    // gate), so square in double: the sums are < 2^53, hence exact in
+    // double, and fl(s)·fl(s) rounds identically in both engines.
     val tot = base.agg(
       count(lit(1)).as("n"),
       sum(c).as("__s"),
-      sum(c * c).as("__ssq"))
+      sum((c * c).cast("decimal(20,0)")).cast("double").as("__ssq"))
     val groups = base
       .groupBy(cat.as("__g"))
       .agg(count(lit(1)).as("__ng"), sum(c).as("__sg"))
       .select(col("__g"),
-        ((col("__sg") * col("__sg")).cast("double") / col("__ng"))
-          .as("__t"))
+        (col("__sg").cast("double") * col("__sg").cast("double")
+          / col("__ng")).as("__t"))
     val folded = groups.agg(
       count(lit(1)).as("k"),
       aggregate(
         array_sort(collect_list(struct(col("__g").as("g"),
           col("__t").as("t")))),
         lit(0.0), (acc, x) => acc + x.getField("t")).as("__a"))
-    val x = (col("__s") * col("__s")).cast("double") / col("n")
+    val x = col("__s").cast("double") * col("__s").cast("double") / col("n")
     val ssb = col("__a") - x
     val sst = col("__ssq") - x
     folded.crossJoin(broadcast(tot))
@@ -475,14 +481,19 @@ object Stats {
       .agg(
         count(lit(1)).as("n"),
         sum(col("__c")).as("__sx"),
-        sum(col("__i") * col("__c")).as("__six"))
+        // Σ i·c crosses 2^63 near 10^6.5 rows·10^6-grid values (found by
+        // the sf1 gate): sum exactly in decimal — DuckDB mirrors with its
+        // HUGEINT sum — and round the exact numerator ONCE to double
+        sum((col("__i") * col("__c")).cast("decimal(20,0)")).as("__six"))
       .filter(col("__sx") > 0)
       .select(keys.map(col) ++ Seq(
         col("n"),
         col("__sx").as("sum_c"),
         round(lit(1000000.0)
-          * (lit(2L) * col("__six") - (col("n") + lit(1L)) * col("__sx"))
-          / (col("n") * col("__sx")))
+          * (lit(2L).cast("decimal(38,0)") * col("__six")
+            - (col("n") + lit(1L)).cast("decimal(38,0)") * col("__sx"))
+            .cast("double")
+          / (col("n").cast("double") * col("__sx").cast("double")))
           .cast("long").as("gini_ppm")): _*)
   }
 

@@ -301,6 +301,41 @@ class OpsSpec extends SharedSpark {
     assert(top1 == Set((0L, 0L), (1L, 0L)))
   }
 
+  test("ANN recall@10 vs brute force stays pinned on the embeddings fixture") {
+    // retrieval-quality floor: a parameter or bucketing change that stays
+    // hash-green on its own oracle can still silently degrade recall —
+    // pin recall@10 against the exact answer for all three approximate
+    // paths at their entry parameters
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 20)
+    val k = 10
+    def pairs(out: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      out.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k))
+    def recall(approx: Set[(Long, Long)]): Double =
+      (approx & exact).size.toDouble / exact.size
+    val rLsh = recall(pairs(Similarity.lshTopK(
+      q, e, "vec_id", "embedding", k))) // auto planes + margin-ordered probes
+    val rIvf4 = recall(pairs(Similarity.ivfTopK(
+      q, e, "vec_id", "embedding", k, nlist = 16, nprobe = 4,
+      refineIterations = 2)))
+    val rIvf8 = recall(pairs(Similarity.ivfTopK(
+      q, e, "vec_id", "embedding", k, nlist = 16, nprobe = 8,
+      refineIterations = 2)))
+    info(s"recall@10: ivf nprobe=4 $rIvf4, nprobe=8 $rIvf8")
+    val rQuant = recall(pairs(Similarity.quantizedTopK(
+      q, e, "vec_id", "embedding", k)))
+    info(s"recall@10: lsh $rLsh, quant $rQuant")
+    assert(rLsh >= 0.9, s"lshTopK recall@10 = $rLsh")
+    assert(rIvf4 >= 0.75, s"ivfTopK nprobe=4 recall@10 = $rIvf4")
+    assert(rIvf8 >= 0.9, s"ivfTopK nprobe=8 recall@10 = $rIvf8")
+    assert(rQuant >= 0.9, s"quantizedTopK recall@10 = $rQuant")
+  }
+
   test("BM25 entry fixture preserves its ppm hash guard bands") {
     // the q_bm25 driver hash is stable because (a) every per-term
     // 1e6·idf·weight double sits far from a .5 rounding boundary (a 1-ulp

@@ -41,6 +41,50 @@ class SkewSpec extends SharedSpark {
     assert(salted == plain)
   }
 
+  test("AQE skew-join splits the hot partition of a multi-partition join") {
+    // how the salted paths compose with cluster-scale machinery: on a
+    // multi-partition shuffle join, AQE's runtime skew handling splits the
+    // oversized partition into reader chunks — evidence that an UNsalted
+    // hot key is re-planned at runtime, while the salted operators remain
+    // the static guarantee. Thresholds are lowered so the toy fixture
+    // crosses the same trigger a production hot partition would.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 120000).select(
+        when(col("id") < 100000, lit("hot"))
+          .otherwise(concat(lit("k"), col("id") % 1000)).as("K"),
+        col("id").as("X"))
+      val right = spark.range(0, 1000)
+        .select(concat(lit("k"), col("id")).as("K"))
+        .union(spark.range(0, 1).select(lit("hot").as("K")))
+      val joined = left.join(right, Seq("K"))
+      val qe = joined.queryExecution
+      qe.toRdd.count(): Unit // finalize the adaptive plan
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected a skew-split join in the final adaptive plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("ApproxDP count via pure mechanism spends (eps, 0)") {
     val domain = DataFrameDomain(Seq("K" -> ColumnDescriptor.string(true)))
     val keys = df("K STRING", Seq(Row("hot")))
