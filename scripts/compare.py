@@ -99,6 +99,13 @@ def main():
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Bound DuckDB so a heavy oracle at a big fixture spills to disk (or
+    # fails as a recorded FAIL) instead of OOM-killing the machine.
+    import os
+
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '32GB')}'")
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     register_tables(con, sf_dir)
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
@@ -108,10 +115,11 @@ def main():
     import os
 
     skip = set(filter(None, os.environ.get("GRAFT_COMPARE_SKIP", "").split(",")))
+    only = set(filter(None, os.environ.get("GRAFT_COMPARE_ONLY", "").split(",")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
-        if name in skip:
-            print(f"SKIP {name} (GRAFT_COMPARE_SKIP)")
+        if name in skip or (only and name not in only):
+            print(f"SKIP {name}")
             continue
         try:
             bad = lint_types(con, name, sql)

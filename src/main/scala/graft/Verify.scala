@@ -30,10 +30,30 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // SPARK_GRAFT_AGG=1: dump an order-insensitive AGGREGATE (row count +
+    // exact decimal sums of integral columns) instead of full rows — the
+    // check for entries whose output is intractable to materialize at a
+    // large fixture (sf1's q_join_nullsafe null-block is ~4.6e9 rows). The
+    // oracle side wraps its SQL in the same aggregates.
+    val aggOnly = sys.env.get("SPARK_GRAFT_AGG").contains("1")
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val res = fn(spark, sfDir)
+        val out =
+          if (!aggOnly) res
+          else {
+            import org.apache.spark.sql.functions._
+            import org.apache.spark.sql.types._
+            val sums = res.schema.fields.toSeq.collect {
+              case f if Seq(LongType, IntegerType, ShortType, ByteType)
+                .contains(f.dataType) =>
+                sum(col(f.name).cast("decimal(38,0)")).cast("double")
+                  .as(s"sum_${f.name}")
+            }
+            res.agg(count(lit(1L)).as("n"), sums: _*)
+          }
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
