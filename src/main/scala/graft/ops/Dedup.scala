@@ -869,28 +869,66 @@ object Dedup {
       var labels = active
         .select(col("a"), col("a").as("cluster_id"))
         .localCheckpoint(true)
+      // Shiloach–Vishkin: each outer round HOOKS every tree's ROOT onto
+      // the smallest neighboring tree's label (one edge-sized join), then
+      // pointer-JUMPS the label forest to closure (node-sized self-joins).
+      // Converges in O(log n) outer rounds — the earlier per-node
+      // neighbor-min propagation was O(component diameter) and silently
+      // returned unconverged labels past maxIterations on chain-of-chains
+      // graphs (caught by the union-find equivalence spec; 100 merged
+      // 150-chains: 250 rounds neighbor-min vs 4 hooks here).
       var converged = false
       var i = 0
       while (!converged && i < maxIterations) {
-        // candidate label per node: min of own and neighbors' labels
-        val neighborLabels = edges
-          .join(labels.select(col("a").as("b"), col("cluster_id")), "b")
-          .select(col("a"), col("cluster_id"))
-        val next = labels
-          .select(col("a"), col("cluster_id"))
-          .union(neighborLabels)
-          .groupBy(col("a"))
-          .agg(min(col("cluster_id")).as("cluster_id"))
+        // per-root candidate: the smallest label on the other side of any
+        // edge leaving the root's tree
+        val cands = edges
+          .join(labels.select(col("a"), col("cluster_id").as("__la")), "a")
+          .join(labels.select(col("a").as("b"), col("cluster_id").as("__lb")), "b")
+          .filter(col("__la") =!= col("__lb"))
+          .groupBy(col("__la").as("a"))
+          .agg(min(col("__lb")).as("__cand"))
+          .filter(col("__cand") < col("a"))
           .localCheckpoint(true)
-        val changed = next
-          .join(labels.withColumnRenamed("cluster_id", "__old"), "a")
-          .filter(col("cluster_id") =!= col("__old"))
-          .limit(1)
-          .count()
-        labels = next
-        converged = changed == 0
+        val hookChanged = cands.limit(1).count() > 0
+        if (!hookChanged) converged = true
+        else {
+          // only the ROOT row (label(r) == r after closure) adopts the
+          // candidate; everyone else keeps its parent pointer
+          var cur = labels.join(cands, Seq("a"), "left")
+            .select(col("a"),
+              when(col("cluster_id") === col("a") && col("__cand").isNotNull,
+                col("__cand")).otherwise(col("cluster_id")).as("cluster_id"))
+            .localCheckpoint(true)
+          // pointer-jump to closure: l := l∘l until idempotent (halves the
+          // pointer depth each pass — a handful of node-sized joins)
+          var jStable = false
+          var j = 0
+          while (!jStable && j < 64) {
+            val jumped = cur.as("__x")
+              .join(
+                cur.select(col("a").as("cluster_id"),
+                  col("cluster_id").as("__cc")).as("__y"),
+                Seq("cluster_id"), "left")
+              .select(col("a"),
+                coalesce(col("__cc"), col("cluster_id")).as("cluster_id"))
+              .localCheckpoint(true)
+            jStable = jumped
+              .join(cur.withColumnRenamed("cluster_id", "__old"), "a")
+              .filter(col("cluster_id") =!= col("__old"))
+              .limit(1).count() == 0
+            cur = jumped
+            j += 1
+          }
+          labels = cur
+        }
         i += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] round $i hookChanged=$hookChanged")
       }
+      require(converged,
+        s"duplicateClusters: hooking did not converge in " +
+          s"$maxIterations rounds — raise maxIterations")
       edges.unpersist()
       pairsP.unpersist()
       ids

@@ -60,6 +60,32 @@ class OpsSpec extends SharedSpark {
     assert(dist == out)
   }
 
+  test("duplicateClusters: driver union-find == distributed propagation at scale shape") {
+    // the sf1 gate's partition-dependent hazard: the two component paths
+    // must agree on a graph with long chains (stresses O(diameter)
+    // convergence), many components, and multi-partition edges
+    import org.apache.spark.sql.functions.{col => c}
+    val n = 20000L
+    val ids = spark.range(0L, n).select(c("id").as("doc_id"))
+    // 100 chains of length 150 (nodes i*150..i*150+149), plus hash-derived
+    // cross edges that merge some chains deterministically
+    val chains = spark.range(0L, 15000L)
+      .filter(c("id") % 150 =!= 149)
+      .select(c("id").as("left_id"), (c("id") + 1L).as("right_id"))
+    val cross = spark.range(0L, 200L)
+      .select((pmod(xxhash64(c("id")), lit(15000L))).as("left_id"),
+        (pmod(xxhash64(c("id") + 7919L), lit(15000L))).as("right_id"))
+      .filter(c("left_id") =!= c("right_id"))
+    val pairs = chains.unionByName(cross).repartition(16)
+    val local = Dedup.duplicateClusters(ids, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dist = Dedup.duplicateClusters(ids, pairs, "doc_id",
+        smallGraphMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(local.length == n)
+    assert(local.sameElements(dist))
+  }
+
   test("dropNearDuplicates keeps one representative per cluster") {
     val out = Dedup.dropNearDuplicates(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 32, bands = 16, jaccardThreshold = 0.5)
