@@ -60,7 +60,15 @@ object ScaleBench {
       System.gc()
       dt
     }
-    def best(body: => Unit): Double = (1 to runs).map(_ => timeOnce(body)).min
+    def samples(body: => Unit): Seq[Double] = (1 to runs).map(_ => timeOnce(body))
+    // trimmed median: drop the single worst run (machine debris), take the
+    // median of the rest — reported NEXT TO min, never instead of it
+    def trimmedMedian(ts: Seq[Double]): Double = {
+      val t = ts.sorted.dropRight(if (ts.size >= 3) 1 else 0)
+      if (t.size % 2 == 1) t(t.size / 2)
+      else (t(t.size / 2 - 1) + t(t.size / 2)) / 2
+    }
+    def best(body: => Unit): Double = samples(body).min
 
     // dev convenience: SPARK_GRAFT_SCALE_ONLY=q_a,q_b restricts the set
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -96,12 +104,14 @@ object ScaleBench {
     }
     System.gc()
 
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double, Double, Double)]
     entryQueries.foreach { q =>
       val fn = SparkEntry.queries(q)
-      val tBase = best(consume(fn(spark, base)))
-      val tBig = best(consume(fn(spark, big)))
-      rows += ((q, tBase, tBig))
+      val sBase = samples(consume(fn(spark, base)))
+      val sBig = samples(consume(fn(spark, big)))
+      val (tBase, tBig) = (sBase.min, sBig.min)
+      rows += ((q, tBase, tBig, trimmedMedian(sBase), trimmedMedian(sBig)))
       System.err.println(f"done $q%-18s base=$tBase%7.2fs big=$tBig%7.2fs x${tBig / tBase}%5.2f")
     }
 
@@ -111,19 +121,20 @@ object ScaleBench {
       // fresh plans: one untimed warmup each so codegen compile lands
       // outside the timed runs (same discipline as Bench.timeMedianPair)
       timeOnce(bodyBase()); timeOnce(bodyBig())
-      val tBase = best(bodyBase())
-      val tBig = best(bodyBig())
-      rows += ((name, tBase, tBig))
+      val sBase = samples(bodyBase())
+      val sBig = samples(bodyBig())
+      val (tBase, tBig) = (sBase.min, sBig.min)
+      rows += ((name, tBase, tBig, trimmedMedian(sBase), trimmedMedian(sBig)))
       System.err.println(f"done $name%-18s base=$tBase%7.2fs big=$tBig%7.2fs x${tBig / tBase}%5.2f")
     }
 
-    println(s"| query | ${"sf-base (s)"} | ${scale}x (s) | factor |")
-    println("|---|---|---|---|")
-    rows.foreach { case (q, a, b) =>
-      println(f"| $q | $a%.2f | $b%.2f | ${b / a}%.2f |")
+    println(s"| query | min base (s) | min ${scale}x (s) | factor | tmed base | tmed ${scale}x | tmed factor |")
+    println("|---|---|---|---|---|---|---|")
+    rows.foreach { case (q, a, b, ta, tb) =>
+      println(f"| $q | $a%.2f | $b%.2f | ${b / a}%.2f | $ta%.2f | $tb%.2f | ${tb / ta}%.2f |")
     }
-    val qs = rows.map { case (q, a, b) =>
-      f""""$q":{"base":$a%.3f,"big":$b%.3f,"factor":${b / a}%.2f}"""
+    val qs = rows.map { case (q, a, b, ta, tb) =>
+      f""""$q":{"base":$a%.3f,"big":$b%.3f,"factor":${b / a}%.2f,"tmed_base":$ta%.3f,"tmed_big":$tb%.3f}"""
     }.mkString("{", ",", "}")
     println(s"""SCALE_JSON {"scale":$scale,"runs":$runs,"queries":$qs}""")
     spark.stop()
