@@ -123,12 +123,27 @@ object Similarity {
     require(numProbes >= 1 && numTables >= 1)
     // numPlanes <= 0 = auto: size buckets to ~32 corpus vectors, the same
     // auto-sizing discipline as SemDeDup's nlist — candidate volume per
-    // probe stays constant as the corpus grows (one cheap count() job).
+    // probe stays constant as the corpus grows. The row count comes from
+    // Catalyst plan STATISTICS (no job — at 100 TB a count() is a full
+    // scan), assuming ~256 B/row (embedding arrays dominate); a factor-k
+    // width error shifts the plane count by log2(k), i.e. bucket sizes
+    // stay within a small constant of the target, which recall tolerates.
+    // count() remains the fallback when the plan carries no usable stats.
     val planes =
       if (numPlanes > 0) numPlanes
-      else math.min(20, math.max(4,
-        math.ceil(math.log(math.max(corpus.count(), 2L) / 32.0)
-          / math.log(2)).toInt))
+      else {
+        val sz = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+        val approxRows =
+          if (sz > 0 && sz < BigInt(Long.MaxValue) / 4) (sz / 256).toLong
+          else corpus.count()
+        // the byte-based estimate runs high (encoding overhead), so the
+        // estimate path targets ~64-vector buckets — erring toward LARGER
+        // buckets trades linear verify work for recall, the right side of
+        // the trade for a dedup/retrieval engine
+        math.min(20, math.max(4,
+          math.ceil(math.log(math.max(approxRows, 2L) / 64.0)
+            / math.log(2)).toInt))
+      }
     val effProbes = math.min(numProbes, planes + 1)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
