@@ -810,7 +810,12 @@ object Dedup {
     val pairsP = pairs.select(col("left_id"), col("right_id")).persist()
     val pairCount = pairsP.count()
 
-    if (pairCount <= smallGraphMaxEdges) {
+    // measurement hook (never set by the driver): force the distributed
+    // path to time/verify it at fixture scales where union-find would win
+    val effMaxEdges =
+      if (sys.env.contains("GRAFT_CC_FORCE_DISTRIBUTED")) -1L
+      else smallGraphMaxEdges
+    if (pairCount <= effMaxEdges) {
       // Small-graph fast path: union-find on the driver (one collect of the
       // bounded pair list), result broadcast back — one job + one broadcast
       // join instead of O(diameter) shuffle rounds.
