@@ -4996,13 +4996,13 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END)
         |      AS BIGINT) AS s1_a,
         |    CAST(sum(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END)
-        |      AS BIGINT) AS s2_a,
+        |      AS DOUBLE) AS s2_a,
         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_b,
         |    CAST(sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END)
         |      AS BIGINT) AS s1_b,
         |    CAST(sum(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END)
-        |      AS BIGINT) AS s2_b
+        |      AS DOUBLE) AS s2_b
         |  FROM q GROUP BY 1),
         |f AS (SELECT * FROM s WHERE n_a >= 2 AND n_b >= 2),
         |mo AS (SELECT day, n_a, n_b,
@@ -5120,9 +5120,9 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(x * c) AS BIGINT) AS sxy,
-        |    CAST(sum(c * c) AS BIGINT) AS syy
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(x * c) AS DOUBLE) AS sxy,
+        |    CAST(sum(c * c) AS DOUBLE) AS syy
         |  FROM q GROUP BY 1),
         |f AS (SELECT * FROM s WHERE n >= 2
         |  AND n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0.0
@@ -5369,9 +5369,9 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL),
         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(c) AS BIGINT) AS s1,
-        |    CAST(sum(c * c) AS BIGINT) AS s2,
-        |    CAST(sum(c * c * c) AS BIGINT) AS s3,
-        |    CAST(sum(c * c * c * c) AS BIGINT) AS s4
+        |    CAST(sum(c * c) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(c * c AS HUGEINT) * c) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(c * c AS HUGEINT) * (c * c)) AS DOUBLE) AS s4
         |  FROM q GROUP BY 1 HAVING count(*) >= 2),
         |m0 AS (SELECT event_type, n, s2, s3, s4,
         |    CAST(s1 AS DOUBLE) / n AS mu
@@ -5647,10 +5647,11 @@ object SparkEntry {
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_entities,
         |    CAST(sum(c) AS BIGINT) AS n_rows,
-        |    CAST(sum(c * c) AS BIGINT) AS c2
+        |    CAST(sum(c * c) AS DOUBLE) AS c2
         |  FROM c GROUP BY 1)
         |SELECT event_type, n_entities, n_rows,
-        |  CAST(round(1000000.0 * c2 / (n_rows * n_rows)) AS BIGINT)
+        |  CAST(round(1000000.0 * c2
+        |    / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))) AS BIGINT)
         |    AS hhi_ppm
         |FROM s""".stripMargin,
     // q_sql_bounds: deterministic SVT replay with the reference binning —

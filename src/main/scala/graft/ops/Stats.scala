@@ -52,7 +52,10 @@ object Stats {
       sum(when(variant === lit(v), lit(1L)).otherwise(lit(0L)))
         .as(s"n_$tag"),
       sum(when(variant === lit(v), c).otherwise(lit(0L))).as(s"s1_$tag"),
-      sum(when(variant === lit(v), c * c).otherwise(lit(0L)))
+      // Σc² in exact decimal, one rounding to double (2^63 at ~4e9 rows
+      // with the 100-grid; DuckDB replays via its HUGEINT sum)
+      sum(when(variant === lit(v), (c * c).cast("decimal(38,0)"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).cast("double")
         .as(s"s2_$tag"))
     val aggs = side(variantA, "a") ++ side(variantB, "b")
     // null metric rows carry no information: without this filter they
@@ -409,9 +412,11 @@ object Stats {
     * ONE hash aggregate. The shape detector behind drift triage (a
     * mean-stable feature whose skew flips is still drifting).
     *
-    * `scale` bounds the contract: Σc⁴ must fit a Long, so pick the
-    * coarsest grid the metric tolerates (scale=1 supports |value| ≤
-    * ~2500 at 10⁹ rows per group). Skewness uses m₃/(m₂·√m₂) — sqrt,
+    * Σc³/Σc⁴ are summed in exact decimal(38,0) and rounded once to
+    * double (DuckDB replays via its HUGEINT sums), so the contract is
+    * |c| ≲ 3·10⁹ (the long c² per-row product) and Σc⁴ < 10³⁸ — far
+    * beyond any realistic grid, where the old all-long sums crossed
+    * 2^63 at |c| ≈ 310 for 10⁹-row groups. Skewness uses m₃/(m₂·√m₂) — sqrt,
     * not pow(·, 1.5), because IEEE sqrt is exactly rounded on every
     * engine while pow is not. Degenerate groups (n < 2 or zero
     * variance) are dropped.
@@ -422,12 +427,21 @@ object Stats {
       value: Column,
       scale: Int = 1): DataFrame = {
     val c = round(value * lit(scale)).cast("long")
+    // power sums in exact decimal — Σc⁴ crosses 2^63 at |c| ≈ 310,
+    // n = 10⁹ (and the per-row long product at |c| > 55108), far inside
+    // realistic grids. c² stays a long (safe to |c| ≈ 3·10⁹); the cubes
+    // and quartics widen to decimal(38,0), summed exactly and rounded
+    // ONCE to double — DuckDB mirrors with HUGEINT sums cast to double.
+    val c2 = c * c
+    val c2d = c2.cast("decimal(38,0)")
     val sums = df.filter(value.isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(c).as("__s1"), sum(c * c).as("__s2"),
-        sum(c * c * c).as("__s3"), sum(c * c * c * c).as("__s4"))
+        sum(c).as("__s1"),
+        sum(c2d).cast("double").as("__s2"),
+        sum(c2d * c).cast("double").as("__s3"),
+        sum(c2d * c2).cast("double").as("__s4"))
       .filter(col("n") >= 2)
     val sc = lit(scale.toDouble)
     val withMu = sums.withColumn("__mu",
@@ -514,11 +528,15 @@ object Stats {
       .agg(
         count(lit(1)).as("n_entities"),
         sum(col("__c")).as("n_rows"),
-        sum(col("__c") * col("__c")).as("__c2"))
+        // Σc² exact in decimal, rounded once to double; the n_rows²
+        // denominator squares in double too — both cross 2^63 near
+        // 3e9 rows/group otherwise (DuckDB replays via HUGEINT)
+        sum((col("__c") * col("__c")).cast("decimal(38,0)"))
+          .cast("double").as("__c2"))
       .select(keys.map(col) ++ Seq(
         col("n_entities"), col("n_rows"),
         round(lit(1000000.0) * col("__c2")
-          / (col("n_rows") * col("n_rows")))
+          / (col("n_rows").cast("double") * col("n_rows").cast("double")))
           .cast("long").as("hhi_ppm")): _*)
 
   /** Per-group ordinary-least-squares trend of `value` against an
@@ -552,8 +570,12 @@ object Stats {
       .agg(
         count(lit(1)).as("n"),
         sum(xi).as("sx"), sum(c).as("sy"),
-        sum(xi * xi).as("sxx"), sum(xi * c).as("sxy"),
-        sum(c * c).as("syy"))
+        // second-order sums in exact decimal, one rounding to double —
+        // relaxes the old all-long |x| contract by ~2^63/2 of headroom
+        // (DuckDB replays via HUGEINT sums cast to double)
+        sum((xi * xi).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((xi * c).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((c * c).cast("decimal(38,0)")).cast("double").as("syy"))
     // NB: each expression stays inside one set of parentheses — a bare
     // leading `-` on a continuation line is a separate statement to the
     // Scala parser and silently drops the subtrahend
