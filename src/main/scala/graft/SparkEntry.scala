@@ -5281,11 +5281,11 @@ object SparkEntry {
         |  FROM b),
         |s AS (SELECT "key", CAST(count(*) AS BIGINT) AS n_segments,
         |    CAST(sum(gap) AS BIGINT) AS span_us,
-        |    CAST(sum(c * gap) AS BIGINT) AS sw
+        |    CAST(sum(CAST(c AS HUGEINT) * gap) AS DOUBLE) AS sw
         |  FROM g WHERE gap IS NOT NULL GROUP BY 1
         |  HAVING CAST(sum(gap) AS BIGINT) > 0)
         |SELECT "key", n_segments, span_us,
-        |  CAST(sw AS DOUBLE) / span_us / 100.0 AS twa
+        |  sw / span_us / 100.0 AS twa
         |FROM s""".stripMargin,
     // q_minhash_stream: the drained micro-batch states must equal the
     // same from-scratch signatures as q_minhash_states

@@ -848,9 +848,10 @@ object TimeSeries {
     *
     * twa = Σ cᵢ·gapᵢ / Σ gapᵢ / scale over consecutive (ts, tie)-ordered
     * segments, with cᵢ the value on the `scale` integer grid and gapᵢ
-    * exact microseconds — both sums exact longs (caller keeps
-    * value·span within Long range, ~5e4 cents over a month of µs is
-    * fine), so the one double replays identically. The final
+    * exact microseconds — the weighted sum is exact in decimal(38,0)
+    * and rounded once to double (with µs gaps even one year-long
+    * segment at c ≈ 10⁵ sits near 2^63 as a long), so the one double
+    * still replays identically against the oracle's HUGEINT sum. The final
     * observation carries no duration and is excluded, as are entities
     * with a single observation or zero total span.
     */
@@ -874,10 +875,15 @@ object TimeSeries {
       .agg(
         count(lit(1)).as("n_segments"),
         sum(col("__gap")).as("span_us"),
-        sum(col("__c") * col("__gap")).as("__sw"))
+        // Σ c·gap in exact decimal, one rounding to double: with µs gaps
+        // a single year-long segment at c ≈ 10⁵ already sits near 2^63,
+        // so even the PER-ROW product widens first (DuckDB mirrors with
+        // a HUGEINT sum cast to double)
+        sum(col("__c").cast("decimal(38,0)") * col("__gap"))
+          .cast("double").as("__sw"))
       .filter(col("span_us") > 0)
       .select(col("key"), col("n_segments"), col("span_us"),
-        (col("__sw").cast("double") / col("span_us")
+        (col("__sw") / col("span_us")
           / lit(scale.toDouble)).as("twa"))
   }
 }
