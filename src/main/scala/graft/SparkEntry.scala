@@ -5199,7 +5199,8 @@ object SparkEntry {
         |    chi2_ppm / 1000000.0 / (n * m))) AS BIGINT) AS v_ppm
         |FROM ag""".stripMargin,
     // q_auc: Mann-Whitney rank-sum with doubled-rank tie correction —
-    // every intermediate is an exact integer
+    // the ~n² rank sum is exact (HUGEINT here, decimal in Spark) and
+    // rounded once to double, so the statistic still replays exactly
     "q_auc" ->
       """WITH b AS (SELECT CAST(ts AS DATE) AS day, value AS s,
         |    (event_type = 'purchase') AS p
@@ -5214,11 +5215,13 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_neg,
         |    CAST(sum(CASE WHEN p THEN 2 * rk + tc - 1 ELSE 0 END)
-        |      AS BIGINT) AS s2
+        |      AS DOUBLE) AS s2
         |  FROM r GROUP BY 1)
         |SELECT day, n_pos, n_neg,
-        |  CAST(round(1000000.0 * (s2 - n_pos * (n_pos + 1))
-        |    / (2 * n_pos * n_neg)) AS BIGINT) AS auc_ppm
+        |  CAST(round(1000000.0 * (s2 - CAST(n_pos AS DOUBLE)
+        |      * (CAST(n_pos AS DOUBLE) + 1.0))
+        |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+        |    AS BIGINT) AS auc_ppm
         |FROM s WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
     "q_prec_at_k" ->
       """WITH b AS (SELECT CAST(ts AS DATE) AS day, value AS s,

@@ -243,15 +243,23 @@ object Stats {
       .agg(
         sum(when(col("__p"), lit(1L)).otherwise(lit(0L))).as("n_pos"),
         sum(when(!col("__p"), lit(1L)).otherwise(lit(0L))).as("n_neg"),
+        // the doubled-rank sum is ~n² — exact decimal, one rounding to
+        // double (2^63 at ~2e9 rows per group otherwise; DuckDB mirrors
+        // via its HUGEINT sum), and the n_pos(n_pos+1) / 2·n_pos·n_neg
+        // terms square in double for the same reason
         sum(when(col("__p"),
-          lit(2L) * col("__r") + col("__c") - lit(1L))
-          .otherwise(lit(0L))).as("__s2"))
+          (lit(2L) * col("__r") + col("__c") - lit(1L))
+            .cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).cast("double")
+          .as("__s2"))
       .filter(col("n_pos") > 0 && col("n_neg") > 0)
       .select(keys.map(col) ++ Seq(
         col("n_pos"), col("n_neg"),
         round(lit(1000000.0)
-          * (col("__s2") - col("n_pos") * (col("n_pos") + lit(1L)))
-          / (lit(2L) * col("n_pos") * col("n_neg")))
+          * (col("__s2") - col("n_pos").cast("double")
+            * (col("n_pos").cast("double") + lit(1.0)))
+          / (lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double")))
           .cast("long").as("auc_ppm")): _*)
   }
 
