@@ -5040,9 +5040,9 @@ object SparkEntry {
         |SELECT row_label, col_label, n_obs,
         |  CAST(round(1000.0 * rt * ct / n) AS BIGINT) AS expected_m,
         |  CAST(round(1000000.0
-        |    * ((n_obs - CAST(rt * ct AS DOUBLE) / n)
-        |      * (n_obs - CAST(rt * ct AS DOUBLE) / n))
-        |    / (CAST(rt * ct AS DOUBLE) / n)) AS BIGINT)
+        |    * ((n_obs - CAST(rt AS DOUBLE) * ct / n)
+        |      * (n_obs - CAST(rt AS DOUBLE) * ct / n))
+        |    / (CAST(rt AS DOUBLE) * ct / n)) AS BIGINT)
         |    AS chi2_contrib_ppm
         |FROM fl""".stripMargin,
     // q_collocations: same tokenizer as q_bigram_lm; PMI from the same
@@ -5158,7 +5158,7 @@ object SparkEntry {
         |  CAST(round(1000000.0
         |    * (CAST(c.n_obs AS DOUBLE) / tot.n)
         |    * ln(CAST(c.n_obs AS DOUBLE)
-        |      / (CAST(r.rt * t2.ct AS DOUBLE) / tot.n))) AS BIGINT)
+        |      / (CAST(r.rt AS DOUBLE) * t2.ct / tot.n))) AS BIGINT)
         |    AS mi_contrib_ppm
         |FROM cells c JOIN rt r USING (row_label)
         |JOIN ct t2 USING (col_label) CROSS JOIN tot""".stripMargin,
@@ -5181,9 +5181,9 @@ object SparkEntry {
         |    AND cells.col_label = c.col_label),
         |pc AS (SELECT row_label, col_label, n_obs,
         |    CAST(round(1000000.0
-        |      * ((n_obs - CAST(rt * ct AS DOUBLE) / n)
-        |        * (n_obs - CAST(rt * ct AS DOUBLE) / n))
-        |      / (CAST(rt * ct AS DOUBLE) / n)) AS BIGINT)
+        |      * ((n_obs - CAST(rt AS DOUBLE) * ct / n)
+        |        * (n_obs - CAST(rt AS DOUBLE) * ct / n))
+        |      / (CAST(rt AS DOUBLE) * ct / n)) AS BIGINT)
         |      AS chi2_contrib_ppm
         |  FROM fl),
         |ag AS (SELECT

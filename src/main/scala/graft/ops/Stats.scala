@@ -122,7 +122,10 @@ object Stats {
     val full = rowTot.crossJoin(colTot).crossJoin(broadcast(total))
       .join(cells, Seq("row_label", "col_label"), "left")
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
-    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    // rt·ct squares the row count — multiply in double (both factors are
+    // exact doubles below 2^53 rows), not long, which overflows near 3e9
+    // total rows; the oracle casts the first factor identically
+    val e = col("rt").cast("double") * col("ct") / col("n")
     full.select(
       col("row_label"), col("col_label"), col("n_obs"),
       round(lit(1000.0) * col("rt") * col("ct") / col("n"))
@@ -166,7 +169,10 @@ object Stats {
     val rowTot = cells.groupBy("row_label").agg(sum("n_obs").as("rt"))
     val colTot = cells.groupBy("col_label").agg(sum("n_obs").as("ct"))
     val total = cells.select(sum("n_obs").as("n"))
-    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    // rt·ct squares the row count — multiply in double (both factors are
+    // exact doubles below 2^53 rows), not long, which overflows near 3e9
+    // total rows; the oracle casts the first factor identically
+    val e = col("rt").cast("double") * col("ct") / col("n")
     cells
       .join(rowTot, Seq("row_label"))
       .join(colTot, Seq("col_label"))
