@@ -4938,7 +4938,8 @@ object SparkEntry {
         |  CAST(round(1000000.0 * d.pair_n / ia.n_item) AS BIGINT)
         |    AS conf_ppm,
         |  CAST(round(1000000.0 * d.pair_n * nb.n_baskets
-        |    / (ia.n_item * ic.n_item)) AS BIGINT) AS lift_ppm
+        |    / (CAST(ia.n_item AS DOUBLE) * CAST(ic.n_item AS DOUBLE)))
+        |    AS BIGINT) AS lift_ppm
         |FROM d JOIN itn ia ON d.antecedent = ia.item
         |JOIN itn ic ON d.consequent = ic.item
         |CROSS JOIN nb""".stripMargin,
@@ -5430,10 +5431,12 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |s AS (SELECT event_type, CAST(max(ta) AS BIGINT) AS n_base,
         |    CAST(max(tb) AS BIGINT) AS n_cur,
-        |    CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num
+        |    CAST(max(abs(CAST(ca AS HUGEINT) * tb
+        |      - CAST(cb AS HUGEINT) * ta)) AS DOUBLE) AS ks_num
         |  FROM r GROUP BY 1)
         |SELECT event_type, n_base, n_cur, ks_num,
-        |  CAST(round(1000000.0 * ks_num / (n_base * n_cur)) AS BIGINT)
+        |  CAST(round(1000000.0 * ks_num
+        |    / (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE))) AS BIGINT)
         |    AS ks_ppm
         |FROM s WHERE n_base > 0 AND n_cur > 0""".stripMargin,
     "q_blocklist" ->
@@ -5529,10 +5532,12 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |s AS (SELECT CAST(max(ta) AS BIGINT) AS n_base,
         |    CAST(max(tb) AS BIGINT) AS n_cur,
-        |    CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num
+        |    CAST(max(abs(CAST(ca AS HUGEINT) * tb
+        |      - CAST(cb AS HUGEINT) * ta)) AS DOUBLE) AS ks_num
         |  FROM r)
         |SELECT n_base, n_cur, ks_num,
-        |  CAST(round(1000000.0 * ks_num / (n_base * n_cur)) AS BIGINT)
+        |  CAST(round(1000000.0 * ks_num
+        |    / (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE))) AS BIGINT)
         |    AS ks_ppm
         |FROM s WHERE n_base > 0 AND n_cur > 0""".stripMargin,
     // q_bucketed_join: the bucketed catalog round-trip must produce the

@@ -96,7 +96,9 @@ object Market {
       round(lit(1000000.0) * col("pair_n") / col("n_ante"))
         .cast("long").as("conf_ppm"),
       round(lit(1000000.0) * col("pair_n") * col("n_baskets")
-        / (col("n_ante") * col("n_cons")))
+        // the denominator squares item counts — multiply in double
+        // (exact below 2^53), not long (2^63 at ~3e9 baskets)
+        / (col("n_ante").cast("double") * col("n_cons").cast("double")))
         .cast("long").as("lift_ppm"))
     out
   }

@@ -312,12 +312,16 @@ object Profile {
       .agg(
         max(col("__na")).as("n_base"),
         max(col("__nb")).as("n_cur"),
-        max(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
-          .as("ks_num"))
+        // the cross products are ~n² — exact in decimal (2^63 at ~3e9
+        // rows otherwise), max'd exactly, output cast once to double
+        // (oracle mirrors via HUGEINT)
+        max(abs(col("__ca").cast("decimal(38,0)") * col("__nb")
+          - col("__cb").cast("decimal(38,0)") * col("__na")))
+          .cast("double").as("ks_num"))
       .filter(col("n_base") > 0 && col("n_cur") > 0)
       .select(col("n_base"), col("n_cur"), col("ks_num"),
         round(lit(1000000.0) * col("ks_num")
-          / (col("n_base") * col("n_cur")))
+          / (col("n_base").cast("double") * col("n_cur").cast("double")))
           .cast("long").as("ks_ppm"))
   }
 
@@ -355,12 +359,16 @@ object Profile {
       .agg(
         max(col("__na")).as("n_base"),
         max(col("__nb")).as("n_cur"),
-        max(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
-          .as("ks_num"))
+        // the cross products are ~n² — exact in decimal (2^63 at ~3e9
+        // rows otherwise), max'd exactly, output cast once to double
+        // (oracle mirrors via HUGEINT)
+        max(abs(col("__ca").cast("decimal(38,0)") * col("__nb")
+          - col("__cb").cast("decimal(38,0)") * col("__na")))
+          .cast("double").as("ks_num"))
       .filter(col("n_base") > 0 && col("n_cur") > 0)
       .select(kcols ++ Seq(col("n_base"), col("n_cur"), col("ks_num"),
         round(lit(1000000.0) * col("ks_num")
-          / (col("n_base") * col("n_cur")))
+          / (col("n_base").cast("double") * col("n_cur").cast("double")))
           .cast("long").as("ks_ppm")): _*)
   }
 

@@ -1751,10 +1751,11 @@ class OpsSpec extends SharedSpark {
       .collect().head
     // D peaks at 2/3 (after v=2: F_base=2/3, F_cur=0): num = 6 of 9
     assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
-    assert(r.getLong(2) == 6L && r.getLong(3) == 666667L)
+    // ks_num is the once-rounded double of the exact decimal cross sum
+    assert(r.getDouble(2) == 6.0 && r.getLong(3) == 666667L)
     val same = Profile.ksDrift(d(1L, 2L, 2L), d(2L, 1L, 2L), "c")
       .collect().head
-    assert(same.getLong(2) == 0L && same.getLong(3) == 0L)
+    assert(same.getDouble(2) == 0.0 && same.getLong(3) == 0L)
     assert(Profile.ksDrift(d(), d(1L), "c").count() == 0)
   }
 
@@ -1784,9 +1785,9 @@ class OpsSpec extends SharedSpark {
       Row("y", 5L), Row("y", 5L)))
     val out = Profile.ksDriftByGroup(base, cur, Seq("g"), "c")
       .collect().map(r => r.getString(0) ->
-        (r.getLong(3), r.getLong(4))).toMap
-    assert(out("x") == ((6L, 666667L)))
-    assert(out("y") == ((0L, 0L)))
+        (r.getDouble(3), r.getLong(4))).toMap
+    assert(out("x") == ((6.0, 666667L)))
+    assert(out("y") == ((0.0, 0L)))
     assert(!out.contains("only"))
   }
 
