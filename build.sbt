@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "last stdout line is a bare JSON object".
+// Two pieces of sbt framing break that for a tail-line parser: the
+// trailing "[success] Total time..." line (suppressed here) and the
+// "[info] " prefix the default LoggedOutput strategy adds to forked
+// process output (StdoutOutput passes the child's stdout through raw).
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -368,8 +368,11 @@ object Bench {
       s"\"total_entry_queries\":${fmt(total)}").mkString("{", ",", "}")
     // complete per-run data for offline analysis (the printed line only
     // carries medians)
+    // mirror paths default next to the working directory (the repo root
+    // when launched by sbt or the driver); env vars override
+    val cwd = sys.props.getOrElse("user.dir", ".")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "/root/repo/bench_full.json")
+      s"$cwd/bench_full.json")
     try {
       val runsJson = allRuns.map { case (k, ts) =>
         s"\"$k\":[${ts.map(fmt).mkString(",")}]"
@@ -380,7 +383,10 @@ object Bench {
       val fw = new java.io.FileWriter(fullPath)
       fw.write(s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"total_entry_queries":${fmt(total)},"runs":$runsJson,"gc_sec":$gcJson}""" + "\n")
       fw.close()
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench_full write failed ($fullPath): $e")
+    }
     // complete per-query line first (archival; also mirrored on disk in
     // bench_full.json with per-run samples and GC seconds)
     println(s"""BENCH_FULL_JSON {"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
@@ -403,15 +409,22 @@ object Bench {
     // the same marker discipline as BENCH_FULL_JSON, mirror it to a file,
     // and STILL finish with the bare JSON as the very last stdout line so
     // a tail-line parser also succeeds.
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+      s"$cwd/bench_summary.json")
     try {
-      val sw = new java.io.FileWriter(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
-          "/root/repo/bench_summary.json"))
+      val sw = new java.io.FileWriter(summaryPath)
       sw.write(summaryLine + "\n")
       sw.close()
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench_summary write failed ($summaryPath): $e")
+    }
     println(s"BENCH_JSON $summaryLine")
-    println(summaryLine)
     spark.stop()
+    // the bare compact JSON is the FINAL stdout line: spark.stop() above
+    // (its shutdown logging goes to stderr), and build.sbt suppresses
+    // sbt's own framing (showSuccess := false, StdoutOutput strategy)
+    println(summaryLine)
+    Console.out.flush()
   }
 }

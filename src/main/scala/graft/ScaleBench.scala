@@ -219,8 +219,12 @@ object ScaleBench {
         .write.mode("overwrite").parquet(s"$big/$t.parquet")
     }
     val li = spark.read.parquet(s"$base/lineitem.parquet")
-    val maxSupp = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1L
     val supp = spark.read.parquet(s"$base/supplier.parquet")
+    // shift spans BOTH key ranges: suppliers with no lineitems sit above
+    // the lineitem max, and an l_suppkey-only shift would overlap copies
+    val maxSupp = math.max(
+      li.agg(max(col("l_suppkey"))).head().getLong(0),
+      supp.agg(max(col("s_suppkey"))).head().getLong(0)) + 1L
     (0 until scale).map { i =>
       supp.withColumn("s_suppkey", col("s_suppkey") + lit(i.toLong * maxSupp))
     }.reduce(_ unionByName _)
@@ -282,7 +286,12 @@ object ScaleBench {
     // the CUSTOMER dimension defines the custkey shift so the orders FK
     // stays consistent across copies (c_custkey range ⊇ o_custkey range)
     val maxCust = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1L
-    val maxSupp = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1L
+    // same combined-range shift as ensureDims, so supplier copies and
+    // lineitem copies stay FK-consistent
+    val maxSupp = math.max(
+      li.agg(max(col("l_suppkey"))).head().getLong(0),
+      spark.read.parquet(s"$base/supplier.parquet")
+        .agg(max(col("s_suppkey"))).head().getLong(0)) + 1L
     val orderCopies = (0 until scale).map { i =>
       orders
         .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * maxOrder))

@@ -215,13 +215,17 @@ final case class AggregateByColumn(
         }
       }
     }(enc)
-    // group-complete via the public key table (null-safe: NULL is a key)
-    val cond = keyCols.map(c => g.groupKeys(c) <=> perGroup(c)).reduce(_ && _)
-    val joined = g.groupKeys.join(perGroup, cond, "left")
+    // group-complete via the public key table (null-safe: NULL is a key).
+    // Presence is an explicit marker column, not inferred from the first
+    // aggregation output — a SeriesAggregate that legitimately returns null
+    // must not re-run its group as absent.
+    val marked = perGroup.withColumn("__pg_hit", lit(true))
+    val cond = keyCols.map(c => g.groupKeys(c) <=> marked(c)).reduce(_ && _)
+    val joined = g.groupKeys.join(marked, cond, "left")
     val present = joined.select(
       (keyCols.map(c => g.groupKeys(c).as(c)) :+
-        perGroup(aggCols.head).isNotNull.as("__hit")) ++
-        aggCols.map(c => perGroup(c).as(c)): _*)
+        coalesce(marked("__pg_hit"), lit(false)).as("__hit")) ++
+        aggCols.map(c => marked(c).as(c)): _*)
     val hitIdx = keyCols.size
     val out = present.mapPartitions { it =>
       it.map { r =>

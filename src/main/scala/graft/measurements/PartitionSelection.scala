@@ -33,13 +33,16 @@ final case class GeometricPartitionSelection(
 
   def privacyFunction(dIn: ExactNum): PrivacyBudget = {
     if (dIn.isZero) ApproxDPBudget(ExactNum.zero, ExactNum.zero)
+    // alpha==0 BEFORE the fractional-d_in guard: the reference answers
+    // (inf, 0) for any d_in > 0 when no noise is added
+    // (spark_measurements.py:554-555 precedes the d_in<1 raise at :556-557)
+    else if (alpha.isZero) ApproxDPBudget(ExactNum.PosInf, ExactNum.zero)
     else if ((dIn - ExactNum.one).signum < 0)
       // Fractional distances: δ₁'s derivation assumes whole added/removed
       // rows; the reference raises NotImplementedError (spark_measurements
-      // .py:545-548) rather than claim the linearly-scaled (stronger) ε.
+      // .py:556-557) rather than claim the linearly-scaled (stronger) ε.
       throw new UnsupportedOperationException(
         s"GeometricPartitionSelection: d_in must be 0 or >= 1, got $dIn")
-    else if (alpha.isZero) ApproxDPBudget(ExactNum.PosInf, ExactNum.zero)
     else {
       // Reference formula (spark_measurements.py:538-570):
       //   δ₁ = 1 − CMF(τ−2)   (two-sided geometric CMF at scale α)
