@@ -143,6 +143,13 @@ final case class AggregateByColumn(
     require(inputDomain.inner.contains(c), s"Column '$c' is not in the input schema.")
     require(!inputDomain.groupColumns.contains(c), s"Column '$c' is a grouping column.")
   }
+  // "__pg_hit" is the internal presence marker added during group
+  // completion; a measured or grouping column with that name would be
+  // silently overwritten by the marker.
+  require(
+    !columnToAggregation.exists(_._1 == "__pg_hit") &&
+      !inputDomain.groupColumns.contains("__pg_hit"),
+    "Column name '__pg_hit' is reserved.")
   require(
     columnToAggregation.map(_._2.inputMetric).distinct.size == 1,
     "All of the aggregation functions must have the same input metric.")

@@ -492,9 +492,24 @@ object Similarity {
     // [16, 4096]; past the clamp the oversize-cell hyperplane split below
     // takes over as the scale path (cells above maxBucketSize re-bucket by
     // signature), so no regime pairs a cell quadratically unbounded.
+    // Row count for auto-sizing comes from Catalyst plan statistics, the
+    // same no-job discipline as the LSH plane sizing above — at 100 TB an
+    // unconditional count() is a full scan just to pick a cell count. The
+    // byte estimate assumes ~256 B/row (embedding arrays dominate); a
+    // factor-k error moves nlist by the same factor inside the [16, 4096]
+    // clamp, which only shifts cell sizes around the ~250 target — the
+    // oversize-cell hyperplane split still bounds the quadratic regime.
+    // count() (on the persisted base) remains the fallback when the plan
+    // carries no usable stats.
     val nlistEff =
       if (nlist > 0) nlist
-      else math.max(16, math.min(4096, (base.count() / 250L).toInt))
+      else {
+        val sz = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+        val approxRows =
+          if (sz > 0 && sz < BigInt(Long.MaxValue) / 4) (sz / 256).toLong
+          else base.count()
+        math.max(16, math.min(4096, (approxRows / 250L).toInt))
+      }
     val sampled: Array[Array[Double]] = base
       .select(col("__id"), col("__v").as("__vd"))
       .withColumn("__h", xxhash64(col("__id")))

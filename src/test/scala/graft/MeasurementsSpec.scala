@@ -477,6 +477,73 @@ class MeasurementsSpec extends SharedSpark {
     }
   }
 
+  test("AggregateByColumn: null-returning aggregate keeps its group present") {
+    import graft.transformations.GroupedDataFrame
+    // Regression for the presence-marker fix: a SeriesAggregate that
+    // legitimately answers NULL for a non-empty group must not make that
+    // group look absent (and so re-run on the empty series). Presence is the
+    // explicit __pg_hit marker, never the null-ness of the first output.
+    val data = df("G STRING, x DOUBLE",
+      Seq(Row("a", 1.0), Row("a", 2.0), Row("b", 5.0)))
+    val keys = df("G STRING", Seq(Row("a"), Row("b"), Row("c")))
+    val gdom = GroupedDataFrameDomain(
+      Seq("G" -> ColumnDescriptor.string(true),
+        "x" -> ColumnDescriptor.double()),
+      Seq("G"))
+    val m = AggregateByColumn(gdom, SumOf(SymmetricDifference), Seq(
+      "x" -> NullForNonEmptySeries()))
+    val out = m(GroupedDataFrame(data, keys)).asInstanceOf[DataFrame]
+    // present groups a, b → NULL (the aggregate's real answer);
+    // absent group c → the empty-series sentinel -1.0
+    assert(sortedRows(out) == Seq(
+      Seq("a", "∅"),
+      Seq("b", "∅"),
+      Seq("c", "-1.000000000")))
+    // the marker's name is reserved: a measured or grouping column named
+    // __pg_hit would be overwritten by it
+    intercept[IllegalArgumentException] {
+      AggregateByColumn(
+        GroupedDataFrameDomain(
+          Seq("G" -> ColumnDescriptor.string(true),
+            "__pg_hit" -> ColumnDescriptor.double()),
+          Seq("G")),
+        SumOf(SymmetricDifference),
+        Seq("__pg_hit" -> NoisyCountSeries(None)))
+    }
+    intercept[IllegalArgumentException] {
+      AggregateByColumn(
+        GroupedDataFrameDomain(
+          Seq("__pg_hit" -> ColumnDescriptor.string(true),
+            "x" -> ColumnDescriptor.double()),
+          Seq("__pg_hit")),
+        SumOf(SymmetricDifference),
+        Seq("x" -> NoisyCountSeries(None)))
+    }
+  }
+
+  test("partition selection: alpha=0 answers (inf, 0) even at fractional d_in") {
+    // Regression for the guard-order fix: the alpha==0 branch precedes the
+    // fractional-d_in raise (reference spark_measurements.py:554-557), so
+    // the no-noise measurement reports (inf, 0) instead of throwing.
+    val d = DataFrameDomain(Seq("U" -> longCol))
+    GeometricPartitionSelection(d, Rational.zero, 0L)
+      .privacyFunction(ExactNum(Rational(1, 2))) match {
+      case ApproxDPBudget(e, dd) => assert(!e.isFinite && dd.isZero)
+      case b                     => fail(s"unexpected $b")
+    }
+    // d_in = 0 still dominates: (0, 0) regardless of alpha
+    GeometricPartitionSelection(d, Rational.zero, 0L)
+      .privacyFunction(ExactNum.zero) match {
+      case ApproxDPBudget(e, dd) => assert(e.isZero && dd.isZero)
+      case b                     => fail(s"unexpected $b")
+    }
+    // and with noise, the fractional raise still fires (unchanged behavior)
+    intercept[UnsupportedOperationException] {
+      GeometricPartitionSelection(d, Rational(1), 10L)
+        .privacyFunction(ExactNum(Rational(1, 2)))
+    }
+  }
+
   test("bounds measurement: NULL group key joins to its own counts") {
     // a NULL group's histogram must flow through the bin materialization
     // (null-safe join), not be zero-filled into a spurious fallback row
@@ -509,4 +576,17 @@ class MeasurementsSpec extends SharedSpark {
     val out = m(data).asInstanceOf[DataFrame]
     assert(sortedRows(out) == Seq(Seq("g", "10")))
   }
+}
+
+/** Test aggregate: NULL for any non-empty series, -1.0 for the empty one —
+  * top-level so the grouped executor's closure doesn't drag the suite in.
+  */
+private[graft] final case class NullForNonEmptySeries() extends SeriesAggregate {
+  def inputMetric: Metric = SymmetricDifference
+  def outputMeasure: Measure = PureDP
+  def outputType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  def privacyFunction(dIn: ExactNum): PrivacyBudget = PureDPBudget(ExactNum.zero)
+  def compute(values: Iterable[Double], rng: graft.random.RandomSource): Any =
+    if (values.isEmpty) -1.0 else null
 }
