@@ -43,7 +43,7 @@ object SparkEntry {
     * cluster's slots; at real input sizes (thousands of row groups) this
     * is a no-op, so the rebalance never costs a shuffle at scale.
     */
-  private def tp(spark: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def tp(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(spark, dir, name)
     // RCA hook: SPARK_GRAFT_NO_TP=1 measures an entry without the
     // rebalance, to attribute toy-scale cost of the exchange in bench

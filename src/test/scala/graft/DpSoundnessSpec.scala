@@ -136,6 +136,41 @@ class DpSoundnessSpec extends SharedSpark {
     }
   }
 
+  test("partition selection: empirical single-user survival calibrates declared delta") {
+    // Statistical calibration of the privacy function, in the reference's
+    // noise_distribution_tests accept/reject discipline: a user whose ONE
+    // row forms an otherwise-empty group survives selection iff
+    // 1 + noise >= tau — exactly the delta_1 event the privacy function
+    // prices (delta_1 = P(Y >= tau-1) = 1 - CMF(tau-2)). Run 200k
+    // independent single-user groups in ONE pass (each group draws its own
+    // noise) and hold the empirical survival rate to the declared delta
+    // within a 4.5-sigma binomial band (false-trigger odds ~7e-6; an alpha
+    // miscalibration of 5% sits ~10 sigma out, so the band is diagnostic,
+    // not decorative).
+    val N = 200000L
+    val d = DataFrameDomain(Seq("U" -> ColumnDescriptor.long))
+    val m = GeometricPartitionSelection(d, Rational(1), 5L)
+    val declared = m.privacyFunction(ExactNum(1)) match {
+      case ApproxDPBudget(_, dd) => dd.toDouble
+      case b                     => fail(s"unexpected $b")
+    }
+    // the declared delta must be the analytic survival probability itself
+    // (round-up to double, so equal to ~1e-16 relative): for the two-sided
+    // geometric at scale 1, P(Y >= 4) = e^-4 / (1 + e^-1)
+    val p = math.exp(-4.0) / (1.0 + math.exp(-1.0))
+    assert(math.abs(declared - p) / p < 1e-12, s"declared=$declared analytic=$p")
+    val singles = spark.range(N).select(col("id").as("U"))
+    val survivors = m(singles).asInstanceOf[DataFrame].count()
+    val rate = survivors.toDouble / N
+    val band = 4.5 * math.sqrt(p * (1 - p) / N)
+    assert(rate <= declared + band,
+      s"survival $rate exceeds declared delta $declared + $band — the " +
+        "mechanism releases sparse groups more often than it claims")
+    assert(rate >= declared - band,
+      s"survival $rate below declared delta $declared - $band — noise " +
+        "wider than priced (utility bug or CMF drift)")
+  }
+
   test("GroupBy rejects L2-grouped input distances") {
     val dom = DataFrameDomain(
       Seq("A" -> ColumnDescriptor.string(true), "X" -> ColumnDescriptor.long))
