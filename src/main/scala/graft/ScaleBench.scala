@@ -75,6 +75,8 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).toSet)
     def enabled(name: String): Boolean = only.forall(_.contains(name))
 
+    if (enabled("recall")) recallReport(spark, big)
+
     // cheap-to-heavy order: the 10x runs of the memory-heavy queries
     // (semdedup's verify join, cosine's pair explosion) leave enough JVM
     // debris to inflate whatever runs after them by 3-4x (measured on
@@ -138,6 +140,81 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     println(s"""SCALE_JSON {"scale":$scale,"runs":$runs,"queries":$qs}""")
     spark.stop()
+  }
+
+  /** Retrieval quality at the 10× fixture — the regime the base-fixture
+    * recall pins (OpsSpec) cannot see: the embeddings scan is MULTI-FILE,
+    * so the plan-statistics auto-sizing (lshTopK's plane count) runs on
+    * real Catalyst stats, and the perturbed copies create genuinely hard
+    * near-neighbors instead of planted collinear ones. This is the exact
+    * blind spot that hid lshTopK's 0.105 recall for several rounds.
+    *
+    * Reports recall@10 vs bruteForceTopK for each approximate path at its
+    * entry parameters, and cosineDupPairs pair-recall vs the exact
+    * all-pairs truth at threshold 0.95. Prints one `RECALL_JSON {...}`
+    * line; floors are PINNED in Sf1RecallSpec and recorded in SCALING.md —
+    * this stage is the measurement, the spec is the gate.
+    */
+  private def recallReport(spark: SparkSession, big: String): Unit = {
+    import graft.ops.Similarity
+    val t0 = System.nanoTime()
+    val e = spark.read.parquet(s"$big/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // ~1/10 of the corpus as queries, hash-chosen so the sample is
+    // deterministic and uncorrelated with the copy structure
+    val q = e.filter(pmod(xxhash64(col("vec_id")), lit(10)) === 0)
+    val k = 10
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(
+      Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k))
+    def recall(approx: Set[(Long, Long)]): Double =
+      (approx & exact).size.toDouble / exact.size
+    // entry parameters: lsh auto planes, ivf nlist=16 nprobe=4/8 refine=2,
+    // int8 quantized rerank
+    val rLsh = recall(pairSet(Similarity.lshTopK(
+      q, e, "vec_id", "embedding", k)))
+    val rIvf4 = recall(pairSet(Similarity.ivfTopK(
+      q, e, "vec_id", "embedding", k, nlist = 16, nprobe = 4,
+      refineIterations = 2)))
+    val rIvf8 = recall(pairSet(Similarity.ivfTopK(
+      q, e, "vec_id", "embedding", k, nlist = 16, nprobe = 8,
+      refineIterations = 2)))
+    val rQuant = recall(pairSet(Similarity.quantizedTopK(
+      q, e, "vec_id", "embedding", k)))
+
+    // cosineDupPairs vs the exact all-pairs truth (broadcast cross join:
+    // the corpus side is ~5 MB; 2·10⁸ codegen'd cosines, one pass)
+    val l = e.select(col("vec_id").as("left_id"), col("embedding").as("__vl"))
+    val r = e.select(col("vec_id").as("right_id"), col("embedding").as("__vr"))
+    val truth = l.crossJoin(broadcast(r))
+      .filter(col("left_id") < col("right_id"))
+      .withColumn("cosine", Similarity.cosine(
+        col("__vl").cast("array<double>"), col("__vr").cast("array<double>")))
+      .filter(col("cosine") >= 0.95)
+      .select("left_id", "right_id")
+      .persist()
+    val truthN = truth.count()
+    val found = Similarity.cosineDupPairs(e, "vec_id", "embedding",
+      threshold = 0.95)
+      .select(least(col("left_id"), col("right_id")).as("left_id"),
+        greatest(col("left_id"), col("right_id")).as("right_id"))
+      .distinct()
+    val hitN = found.join(truth, Seq("left_id", "right_id"), "inner").count()
+    truth.unpersist()
+    val rDup = hitN.toDouble / math.max(truthN, 1L)
+    val dt = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"recall stage done in $dt%.1fs")
+    println(f"| recall@10 sf1 | lsh ${rLsh}%.3f | ivf4 ${rIvf4}%.3f | " +
+      f"ivf8 ${rIvf8}%.3f | quant ${rQuant}%.3f | dup_pairs ${rDup}%.4f " +
+      f"(${hitN}/${truthN}) |")
+    println(f"""RECALL_JSON {"queries":${exact.size / k},"lsh":$rLsh%.4f,""" +
+      f""""ivf_nprobe4":$rIvf4%.4f,"ivf_nprobe8":$rIvf8%.4f,""" +
+      f""""quant":$rQuant%.4f,"dup_pairs":$rDup%.4f,""" +
+      f""""dup_truth":$truthN,"dup_found":$hitN}""")
+    spark.catalog.clearCache()
+    System.gc()
   }
 
   /** The three synthetic reference-envelope shapes, parameterized by scale:

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality floors at the 10× fixture (`testdata_sf1`, ScaleBench's
+  * deterministic derivation of sf0.1). The base-fixture pins in OpsSpec run
+  * on a single-row-group scan whose Catalyst stats are degenerate; HERE the
+  * embeddings scan is multi-file, so lshTopK's plan-statistics plane sizing
+  * runs on real stats, and the ±0.025-perturbed copies create genuinely
+  * hard (non-collinear) near-neighbors. lshTopK once sat at recall 0.105
+  * while every hash oracle stayed green — this spec is the gate that would
+  * have caught it at scale.
+  *
+  * Floors follow the reference's statistical-test discipline (accept/reject
+  * with a fudge factor): measured values (ScaleBench recall stage, recorded
+  * in SCALING.md) are lsh 1.000 / ivf@4 0.9999 / ivf@8 1.000 / quant 1.000 /
+  * dup-pairs 0.9878 over 1,945 queries and 90,000 truth pairs; the floors
+  * sit far enough below to absorb sample noise (a few σ of the smaller
+  * samples used here) yet far above every known failure mode.
+  *
+  * Skipped (assume) when the fixture has not been derived — run
+  * `SPARK_GRAFT_SCALE_ONLY=none runMain graft.ScaleBench` first.
+  */
+class Sf1RecallSpec extends SharedSpark {
+
+  private val dir = "/root/repo/testdata_sf1"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("ANN recall@10 holds at the multi-file 10x fixture (real plan stats)") {
+    assume(new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // the auto-sizing must see usable stats — i.e. exercise the estimate
+    // branch, not the count() fallback
+    val sz = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz > 0 && sz < BigInt(Long.MaxValue) / 4,
+      s"multi-file scan carries no usable plan stats (sizeInBytes=$sz)")
+    // ~1/67 of the corpus as queries: deterministic, copy-structure-blind
+    val q = e.filter(pmod(xxhash64(col("vec_id")), lit(67)) === 0)
+    val k = 10
+    val exact = pairSet(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k))
+    assert(exact.size >= 100 * k, s"query sample too small: ${exact.size / k}")
+    def recall(approx: Set[(Long, Long)]): Double =
+      (approx & exact).size.toDouble / exact.size
+    val rLsh = recall(pairSet(Similarity.lshTopK(
+      q, e, "vec_id", "embedding", k))) // auto planes from plan stats
+    val rIvf4 = recall(pairSet(Similarity.ivfTopK(
+      q, e, "vec_id", "embedding", k, nlist = 16, nprobe = 4,
+      refineIterations = 2)))
+    val rQuant = recall(pairSet(Similarity.quantizedTopK(
+      q, e, "vec_id", "embedding", k)))
+    info(f"sf1 recall@10: lsh $rLsh%.4f ivf@4 $rIvf4%.4f quant $rQuant%.4f")
+    assert(rLsh >= 0.95, s"lshTopK sf1 recall@10 = $rLsh (measured 1.000)")
+    assert(rIvf4 >= 0.90, s"ivfTopK nprobe=4 sf1 recall@10 = $rIvf4 (measured 0.9999)")
+    assert(rQuant >= 0.95, s"quantizedTopK sf1 recall@10 = $rQuant (measured 1.000)")
+  }
+
+  test("cosineDupPairs banded recall holds on the perturbed 10x geometry") {
+    assume(new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile)
+    // pair recall is governed by the per-pair miss law (1 - p^r)^b, a
+    // function of pair angle alone — so recall over a hash subsample is an
+    // unbiased estimate of full-corpus recall at a fraction of the pairs.
+    // Subsample ~1/5 of vectors; exact truth within the subsample is ~3.5k
+    // same-base near-dup pairs (binomially thinned from the 90k total).
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .filter(pmod(xxhash64(col("vec_id"), lit(13)), lit(5)) === 0)
+      .persist()
+    val l = e.select(col("vec_id").as("left_id"), col("embedding").as("__vl"))
+    val r = e.select(col("vec_id").as("right_id"), col("embedding").as("__vr"))
+    val truth = l.crossJoin(broadcast(r))
+      .filter(col("left_id") < col("right_id"))
+      .withColumn("cosine", Similarity.cosine(
+        col("__vl").cast("array<double>"), col("__vr").cast("array<double>")))
+      .filter(col("cosine") >= 0.95)
+      .select("left_id", "right_id")
+      .persist()
+    val truthN = truth.count()
+    assert(truthN >= 1000, s"subsample truth too small: $truthN pairs")
+    val found = Similarity.cosineDupPairs(e, "vec_id", "embedding",
+      threshold = 0.95)
+      .select(least(col("left_id"), col("right_id")).as("left_id"),
+        greatest(col("left_id"), col("right_id")).as("right_id"))
+      .distinct()
+    val hitN = found.join(truth, Seq("left_id", "right_id"), "inner").count()
+    val rDup = hitN.toDouble / truthN
+    info(f"sf1 cosineDupPairs recall: $rDup%.4f ($hitN/$truthN)")
+    e.unpersist(); truth.unpersist()
+    // full-fixture measurement 0.9878; the 8x4 banding law predicts ~0.989
+    // at cosine 0.99 — floor 0.95 absorbs subsample noise (sigma ~0.002)
+    // while still failing for any structural banding regression
+    assert(rDup >= 0.95, s"cosineDupPairs sf1 recall = $rDup (measured 0.9878)")
+  }
+}
