@@ -116,11 +116,35 @@ def main():
 
     skip = set(filter(None, os.environ.get("GRAFT_COMPARE_SKIP", "").split(",")))
     only = set(filter(None, os.environ.get("GRAFT_COMPARE_ONLY", "").split(",")))
+    # GRAFT_COMPARE_AGG: entries whose Verify dump was produced with
+    # SPARK_GRAFT_AGG=1 (row count + exact decimal sums of the integral
+    # columns, as doubles). The oracle SQL is wrapped in the SAME
+    # aggregates, with HUGEINT sums so DuckDB's arithmetic is exact too —
+    # the aggregate-exact class of SF1_CORRECTNESS.md, now scripted.
+    aggset = set(filter(None, os.environ.get("GRAFT_COMPARE_AGG", "").split(",")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if name in skip or (only and name not in only):
             print(f"SKIP {name}")
             continue
+        if name in aggset:
+            # derive the aggregate list from the Spark dump's own schema
+            # (n plus sum_<col> for each integral column of the entry)
+            try:
+                dump_cols = [
+                    d[0] for d in con.execute(
+                        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet') LIMIT 0"
+                    ).description
+                ]
+                sums = ", ".join(
+                    f'CAST(SUM(CAST("{c[4:]}" AS HUGEINT)) AS DOUBLE) AS "{c}"'
+                    for c in dump_cols if c.startswith("sum_"))
+                sql = (f"SELECT CAST(count(*) AS BIGINT) AS n"
+                       f"{', ' + sums if sums else ''} FROM ({sql}) __agg_t")
+            except Exception as e:
+                print(f"FAIL {name}: agg dump unreadable {e}")
+                n_fail += 1
+                continue
         try:
             bad = lint_types(con, name, sql)
             if bad:

@@ -12,6 +12,9 @@ SF=${1:-/root/testdata/sf0.01}
 OUT=${SELFCHECK_OUT:-/tmp/graft_selfcheck}
 
 echo "== 1/4 compile + test =="
+# clean first so stale reports from deleted suites can't linger: after the
+# run, report count == live suite count
+rm -rf target/test-reports
 sbt -batch test
 
 echo "== 2/4 verify + compare ($SF) =="
@@ -34,9 +37,37 @@ if [[ "${SELFCHECK_SF1:-0}" == "1" ]]; then
     SPARK_GRAFT_SCALE_ONLY=none SPARK_DRIVER_MEM=16g \
       sbt -batch "runMain graft.ScaleBench"
   fi
-  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_DRIVER_MEM=48g \
-    bash scripts/run_verify_sf1.sh "$SF1" "${SELFCHECK_OUT:-/tmp/graft_selfcheck}_sf1"
-  python3 scripts/compare.py "$SF1" "${SELFCHECK_OUT:-/tmp/graft_selfcheck}_sf1"
+  OUT1="${SELFCHECK_OUT:-/tmp/graft_selfcheck}_sf1"
+  # Three correctness classes close all 208 entries (SF1_CORRECTNESS.md):
+  #   row-exact      — 204 entries, DuckDB oracle on the sf1 tables;
+  #   aggregate-exact — q_join_nullsafe (its ~4.6e9-row null block is the
+  #                    semantics of nulls_are_equal; count + exact integral
+  #                    sums, HUGEINT on the oracle side);
+  #   invariant      — q_minhash_dedup / q_dedup_cluster / q_keep_best
+  #                    (DuckDB's replica of the banded pipeline is
+  #                    quadratic: >70 GB spill at sf1) via
+  #                    graft.InvariantCheck: independent-formulation
+  #                    re-derivations, checked exactly.
+  # q_cosine_dup / q_semdedup stay row-exact here ONLY at the base fixture;
+  # at sf1 they are approximate BY DESIGN (banded miss / cell-local
+  # semantics) — their sf1 quality is gated by Sf1RecallSpec instead.
+  SF1_AGG="q_join_nullsafe"
+  SF1_INV="q_minhash_dedup,q_dedup_cluster,q_keep_best"
+  SF1_RECALL="q_cosine_dup,q_semdedup"
+  SPARK_GRAFT_SKIP="$SF1_AGG,$SF1_INV,$SF1_RECALL" \
+    SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_DRIVER_MEM=48g \
+    bash scripts/run_verify_sf1.sh "$SF1" "$OUT1"
+  GRAFT_COMPARE_SKIP="$SF1_AGG,$SF1_INV,$SF1_RECALL" \
+    python3 scripts/compare.py "$SF1" "$OUT1"
+  SPARK_GRAFT_AGG=1 SPARK_GRAFT_ONLY="$SF1_AGG" \
+    SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_DRIVER_MEM=48g \
+    bash scripts/run_verify_sf1.sh "$SF1" "${OUT1}_agg"
+  GRAFT_COMPARE_ONLY="$SF1_AGG" GRAFT_COMPARE_AGG="$SF1_AGG" \
+    python3 scripts/compare.py "$SF1" "${OUT1}_agg"
+  GRAFT_MAIN=graft.InvariantCheck SPARK_DRIVER_MEM=48g \
+    SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+    bash scripts/run_verify_sf1.sh "$SF1"
+  sbt -batch "testOnly graft.Sf1RecallSpec"
 fi
 
 if [[ "${SELFCHECK_BENCH:-0}" == "1" ]]; then

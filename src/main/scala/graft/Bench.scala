@@ -364,6 +364,14 @@ object Bench {
     val total = results.map(_._2).sum
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // minimal JSON string escape for embedded paths
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c    => c.toString
+      } + "\""
     val qs = (ordered.map { case (k, v) => s"\"$k\":${fmt(v)}" } :+
       s"\"total_entry_queries\":${fmt(total)}").mkString("{", ",", "}")
     // complete per-run data for offline analysis (the printed line only
@@ -403,7 +411,7 @@ object Bench {
       s"\"$k\":${fmt(v)}"
     } :+ s"\"total_entry_queries\":${fmt(total)}").mkString("{", ",", "}")
     val summaryLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","n_queries":${ordered.size},"full":"bench_full.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","n_queries":${ordered.size},"full":${jstr(fullPath)}}"""
     // The driver's parser has missed the bare tail line two rounds in a
     // row (BENCH_r07/r08 "parsed": null) — emit the compact summary with
     // the same marker discipline as BENCH_FULL_JSON, mirror it to a file,

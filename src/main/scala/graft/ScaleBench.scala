@@ -246,8 +246,11 @@ object ScaleBench {
         Some(keys))
       mSum(data).asInstanceOf[DataFrame].count(): Unit
     }
-    def pjoinSkew(groups: Long): Unit = {
-      val key = when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
+    // hotMod picks the hot-key fraction: every id divisible by hotMod lands
+    // on key 0 (hotMod=10 → 10% hot, the r8 shape; hotMod=2 → 50% hot, the
+    // adversarial half-the-table-is-one-key regime)
+    def pjoinSkew(groups: Long, hotMod: Long = 10L): Unit = {
+      val key = when(col("id") % hotMod === 0, 0L).otherwise(col("id") % groups)
       val left = spark.range(groups * 10)
         .select(key.as("K"), (col("id") % 97).as("V"))
       val right = spark.range(groups)
@@ -262,8 +265,8 @@ object ScaleBench {
         Map("left" -> left, "right" -> right))
         .asInstanceOf[DataFrame].count(): Unit
     }
-    def limitKeysSkew(groups: Long): Unit = {
-      val g = when(col("id") % 10 === 0, 0L).otherwise(col("id") % groups)
+    def limitKeysSkew(groups: Long, hotMod: Long = 10L): Unit = {
+      val g = when(col("id") % hotMod === 0, 0L).otherwise(col("id") % groups)
       val data = spark.range(groups * 100)
         .select(g.as("G"), (col("id") % 997).as("K"))
       Truncation.limitKeysPerGroup(data, Seq("G"), Seq("K"), 5).count(): Unit
@@ -273,8 +276,13 @@ object ScaleBench {
         () => countsum(640000L), () => countsum(640000L * scale)),
       ("q_pjoin_skew",
         () => pjoinSkew(640000L), () => pjoinSkew(640000L * scale)),
+      ("q_pjoin_skew50",
+        () => pjoinSkew(640000L, 2L), () => pjoinSkew(640000L * scale, 2L)),
       ("q_limitkeys_skew",
-        () => limitKeysSkew(64000L), () => limitKeysSkew(64000L * scale)))
+        () => limitKeysSkew(64000L), () => limitKeysSkew(64000L * scale)),
+      ("q_limitkeys_skew50",
+        () => limitKeysSkew(64000L, 2L),
+        () => limitKeysSkew(64000L * scale, 2L)))
   }
 
   /** Derive the scaled fixture once (skipped when the last-written
@@ -297,11 +305,25 @@ object ScaleBench {
     }
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     val supp = spark.read.parquet(s"$base/supplier.parquet")
+    val baseMaxL = li.agg(max(col("l_suppkey"))).head().getLong(0)
     // shift spans BOTH key ranges: suppliers with no lineitems sit above
     // the lineitem max, and an l_suppkey-only shift would overlap copies
-    val maxSupp = math.max(
-      li.agg(max(col("l_suppkey"))).head().getLong(0),
-      supp.agg(max(col("s_suppkey"))).head().getLong(0)) + 1L
+    val combinedStride = math.max(
+      baseMaxL, supp.agg(max(col("s_suppkey"))).head().getLong(0)) + 1L
+    // When BACKFILLING into a fixture whose lineitem copies already exist,
+    // the supplier shift must match whatever stride those copies were
+    // actually written with (an older fixture may predate the combined-
+    // range rule) — derive it from the big fixture's own key spread
+    // instead of recomputing from base, so FK consistency can't drift.
+    val maxSupp =
+      if (scale > 1 &&
+        new java.io.File(s"$big/lineitem.parquet/_SUCCESS").isFile) {
+        val bigMaxL = spark.read.parquet(s"$big/lineitem.parquet")
+          .agg(max(col("l_suppkey"))).head().getLong(0)
+        val span = bigMaxL - baseMaxL
+        if (span > 0 && span % (scale - 1) == 0) span / (scale - 1)
+        else combinedStride
+      } else combinedStride
     (0 until scale).map { i =>
       supp.withColumn("s_suppkey", col("s_suppkey") + lit(i.toLong * maxSupp))
     }.reduce(_ unionByName _)
