@@ -53,6 +53,31 @@ object SparkEntry {
     if (df.rdd.getNumPartitions * 2 <= slots) df.repartition(slots) else df
   }
 
+  /** Deterministic messy URL per document row — the fixture for the
+    * UrlOps entries. Mixes upper/lower case, default and explicit ports,
+    * empty paths, tracking parameters, and fragments so every
+    * normalization rule fires; the modular structure (period 60 in
+    * doc_id, joint with the 20 sources) yields ~8× canonical-URL
+    * duplication at sf0.01 for the dedup entry. The oracle SQL builds
+    * the identical string in DuckDB.
+    */
+  private def docUrl: Column = {
+    val id = col("doc_id")
+    val scheme = when(id % 3 === 0, lit("HTTP")).otherwise(lit("https"))
+    val host = when(id % 2 === 0, concat(upper(col("source")), lit(".CO.UK")))
+      .otherwise(concat(col("source"), lit(".example.com")))
+    val port = when(id % 4 === 0, lit(":443"))
+      .when(id % 4 === 1, lit(":80"))
+      .when(id % 4 === 2, lit(":8080"))
+      .otherwise(lit(""))
+    val path = when(id % 5 === 0, lit(""))
+      .otherwise(concat(lit("/docs/"), (id % 10).cast("string")))
+    val query = concat(lit("?utm_source=feed&b="), (id % 2).cast("string"),
+      lit("&a="), (id % 3).cast("string"))
+    val frag = when(id % 2 === 1, lit("#sec")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered.
     * Stateful streaming queries create one state-store instance per
     * shuffle partition PER stateful operator PER micro-batch (a
@@ -566,6 +591,22 @@ object SparkEntry {
     "q_token_count" -> { (s, dir) =>
       graft.ops.TextAnalysis.tokenCount(t(s, dir, "documents"), "text")
         .select("doc_id", "n_tokens")
+    },
+    "q_url_normalize" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), docUrl.as("url"))
+      d.select(col("doc_id"), col("url"),
+        graft.ops.UrlOps.normalizeUrl(col("url")).as("canon"))
+    },
+    "q_url_dedup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), docUrl.as("url"))
+      graft.ops.UrlOps.dedupByUrl(d, "url", "doc_id").select("doc_id")
+    },
+    "q_host_agg" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), docUrl.as("url"), col("n_chars"))
+      graft.ops.UrlOps.hostAggregate(d, "url", "n_chars")
+        .select(col("domain"), col("n_pages"), col("n_urls"),
+          round(col("mean_quality"), 6).as("mean_quality"))
     },
     "q_fingerprint" -> { (s, dir) =>
       graft.ops.TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
@@ -2458,6 +2499,57 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops (the
     * driver records a rows-only check for those).
     */
+  /** Shared CTE chain for the q_url_* oracles: `u` rebuilds [[docUrl]]'s
+    * messy URL in SQL, `p` parses it with the same regex UrlOps uses,
+    * and `c` applies the same canonicalization rules; `body` selects from
+    * `c` (columns: doc_id, n_chars, url, host, canon).
+    */
+  private def urlOracle(body: String): String = {
+    val re = "^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:([^/@?#]*)@)?([^/:?#]+)" +
+      "(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+    s"""WITH u AS (
+       |  SELECT doc_id, n_chars,
+       |    (CASE WHEN doc_id%3=0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+       |    (CASE WHEN doc_id%2=0 THEN upper(source) || '.CO.UK'
+       |          ELSE source || '.example.com' END) ||
+       |    (CASE WHEN doc_id%4=0 THEN ':443' WHEN doc_id%4=1 THEN ':80'
+       |          WHEN doc_id%4=2 THEN ':8080' ELSE '' END) ||
+       |    (CASE WHEN doc_id%5=0 THEN ''
+       |          ELSE '/docs/' || CAST(doc_id%10 AS VARCHAR) END) ||
+       |    '?utm_source=feed&b=' || CAST(doc_id%2 AS VARCHAR) ||
+       |    '&a=' || CAST(doc_id%3 AS VARCHAR) ||
+       |    (CASE WHEN doc_id%2=1 THEN '#sec' ELSE '' END) AS url
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, n_chars, url,
+       |    lower(regexp_extract(url, '$re', 1)) AS scheme,
+       |    regexp_replace(lower(regexp_extract(url, '$re', 3)), '\\.$$', '')
+       |      AS host,
+       |    regexp_extract(url, '$re', 4) AS port,
+       |    regexp_extract(url, '$re', 5) AS path,
+       |    regexp_extract(url, '$re', 6) AS query
+       |  FROM u
+       |), k AS (
+       |  SELECT *, coalesce(list_aggregate(list_sort(list_filter(
+       |      str_split(query, '&'),
+       |      q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'gclid=')
+       |        OR starts_with(q, 'fbclid=') OR starts_with(q, 'msclkid=')
+       |        OR starts_with(q, 'ref=') OR q = ''))),
+       |      'string_agg', '&'), '') AS kept
+       |  FROM p
+       |), c AS (
+       |  SELECT doc_id, n_chars, url, host,
+       |    scheme || '://' || host ||
+       |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |          OR (scheme = 'https' AND port = '443')
+       |          THEN '' ELSE ':' || port END) ||
+       |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+       |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon
+       |  FROM k
+       |)
+       |$body""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2735,6 +2827,28 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
+    // q_url_*: the oracle rebuilds the identical messy URL, then replays
+    // the normalizer rule-for-rule (same regex, same tracking-param
+    // filter, same byte-lexicographic param sort) — an independent SQL
+    // implementation, not a shortcut to the expected output
+    "q_url_normalize" -> urlOracle("SELECT doc_id, url, canon FROM c"),
+    "q_url_dedup" ->
+      urlOracle("SELECT min(doc_id) AS doc_id FROM c GROUP BY canon"),
+    "q_host_agg" -> urlOracle(
+      """SELECT domain, count(*) AS n_pages, count(DISTINCT canon) AS n_urls,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_quality
+        |FROM (
+        |  SELECT CASE
+        |      WHEN len(labs) >= 3 AND (labs[-2] || '.' || labs[-1]) IN
+        |        ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','or.jp',
+        |         'com.au','net.au','org.au','com.br','com.cn','com.mx',
+        |         'co.in','co.kr','co.za','com.tw','com.sg','com.ar')
+        |        THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+        |      WHEN len(labs) >= 2 THEN labs[-2] || '.' || labs[-1]
+        |      ELSE host END AS domain,
+        |    canon, n_chars
+        |  FROM (SELECT *, str_split(host, '.') AS labs FROM c)
+        |) WHERE domain <> '' GROUP BY domain""".stripMargin),
     // q_bm25: full Okapi BM25 replica; every double is parenthesized to
     // associate exactly as the Spark expressions (idf product first, then
     // the tf weight as one parenthesized quotient), and per-term scores

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and host-level curation over web-style corpora.
+  *
+  * Web-scale training-data pipelines (C4, CCNet, RefinedWeb) begin with
+  * URL hygiene: canonicalize each document's URL, drop exact re-crawls of
+  * the same canonical URL, and roll quality statistics up to the
+  * registrable domain so whole hosts can be kept or dropped as a unit.
+  * These are the Spark-native versions of that stage.
+  *
+  * Scale notes. Every function here is a pure column expression built
+  * from `org.apache.spark.sql.functions` (regexp, split/filter/
+  * array_sort, concat) — whole-stage-codegen'd, no UDFs, no shuffles of
+  * their own. The only shuffles are the ones the caller's groupBy/dedup
+  * semantics require (one hash exchange on the canonical key), so the
+  * stage costs exactly one pass over the corpus at any scale.
+  */
+object UrlOps {
+
+  /** One regex, RFC-3986-shaped, shared by every extractor. Capture
+    * groups: 1 scheme, 2 userinfo, 3 host, 4 port, 5 path, 6 query
+    * (fragment is matched but never captured). Unmatched optional groups
+    * extract as "" in both Spark and DuckDB, which the normalizer relies
+    * on.
+    */
+  private val UrlRe =
+    "^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:([^/@?#]*)@)?([^/:?#]+)(?::([0-9]+))?" +
+      "([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+
+  private def part(url: Column, group: Int): Column =
+    regexp_extract(url, UrlRe, group)
+
+  /** Lowercased host with any trailing dot stripped; "" for strings that
+    * do not parse as absolute URLs. */
+  def hostOf(url: Column): Column =
+    regexp_replace(lower(part(url, 3)), "\\.$", "")
+
+  /** Query-parameter prefixes/names that identify tracking rather than
+    * content — dropped by [[normalizeUrl]]. Matches C4/CCNet practice of
+    * treating utm_* and click identifiers as noise. */
+  private val TrackingParam: Column => Column = p =>
+    p.startsWith("utm_") || p.startsWith("gclid=") ||
+      p.startsWith("fbclid=") || p.startsWith("msclkid=") ||
+      p.startsWith("ref=") || (p === "")
+
+  /** Canonical form of an absolute URL:
+    *
+    *   - scheme and host lowercased, trailing host dot stripped
+    *   - userinfo and fragment dropped
+    *   - default ports removed (http:80, https:443); others kept
+    *   - empty path becomes "/"
+    *   - tracking parameters (utm_*, gclid, fbclid, msclkid, ref)
+    *     removed; surviving parameters sorted byte-lexicographically and
+    *     re-joined, the "?" dropped when none survive
+    *
+    * Deterministic, idempotent (UrlOpsSpec pins both), and expressible
+    * in ANSI SQL — the DuckDB oracle replays it exactly. Rows that do
+    * not parse normalize to NULL so callers can route them to a reject
+    * lane instead of silently keeping malformed keys.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(part(url, 1))
+    val host = regexp_replace(lower(part(url, 3)), "\\.$", "")
+    val port = part(url, 4)
+    val path = part(url, 5)
+    val query = part(url, 6)
+    val keptPort = when(
+      (port === "") ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val normPath = when(path === "", lit("/")).otherwise(path)
+    val keptParams = array_join(
+      array_sort(filter(split(query, "&"), p => !TrackingParam(p))), "&")
+    val normQuery =
+      when(keptParams === "", lit("")).otherwise(concat(lit("?"), keptParams))
+    when(part(url, 1) === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, keptPort, normPath,
+        normQuery))
+  }
+
+  /** Second-level public suffixes common enough to matter for grouping;
+    * hosts ending in one keep three labels instead of two. A full public
+    * suffix list is data the caller can join in; this covers the
+    * high-traffic cases so host rollups don't collapse every *.co.uk
+    * site into "co.uk". */
+  private val TwoLevelSuffixes = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "co.za", "com.tw", "com.sg", "com.ar")
+
+  /** Registrable domain (eTLD+1 heuristic) of a lowercase host: the last
+    * two labels, or three when the host ends in a known two-level public
+    * suffix; hosts with a single label (or "") pass through unchanged. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val nLab = size(labels)
+    val lastTwo = when(nLab >= 2,
+      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(host)
+    val lastThree = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    val isTwoLevel = TwoLevelSuffixes
+      .map(s => lastTwo === s)
+      .reduce(_ || _)
+    when(nLab >= 3 && isTwoLevel, lastThree).otherwise(lastTwo)
+  }
+
+  /** Keep exactly one row per canonical URL — the re-crawl/mirror dedup
+    * that precedes content-level dedup in web pipelines. The keeper is
+    * the row with the smallest `idCol` (deterministic). Rows whose URL
+    * does not parse keep themselves (NULL canonical key ⇒ keyed by their
+    * own id). One hash shuffle on the canonical URL; min-of-id resolves
+    * with a map-side partial aggregate, so the exchange carries one row
+    * per (canonical, partition), not the corpus.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon = coalesce(normalizeUrl(col(urlCol)),
+      concat(lit("__unparsed__"), col(idCol).cast("string")))
+    val keep = df
+      .groupBy(canon.as("__canon"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__canon")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Host-level curation rollup: per registrable domain, the page count,
+    * distinct canonical URLs, and mean of a caller-supplied quality
+    * column — the table a pipeline thresholds to drop entire hosts.
+    * Single shuffle on the (low-cardinality) domain key; count_distinct
+    * expands to a two-phase aggregate Spark handles without a second
+    * full-data exchange.
+    */
+  def hostAggregate(
+      df: DataFrame, urlCol: String, qualityCol: String): DataFrame =
+    df.select(
+      registrableDomain(hostOf(col(urlCol))).as("domain"),
+      normalizeUrl(col(urlCol)).as("canon"),
+      col(qualityCol).cast("double").as("q"))
+      .filter(col("domain") =!= "")
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_pages"),
+        countDistinct(col("canon")).as("n_urls"),
+        avg(col("q")).as("mean_quality"))
+}

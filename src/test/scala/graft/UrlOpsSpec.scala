@@ -1,0 +1,116 @@
+package graft
+
+import graft.ops.UrlOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SharedSpark {
+
+  private def norm(u: String): String = {
+    val r = df("url STRING", Seq(Row(u)))
+      .select(UrlOps.normalizeUrl(col("url")).as("c"))
+      .head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("normalizeUrl lowercases scheme/host, drops userinfo and fragment") {
+    assert(norm("HTTPS://User:pw@WWW.Example.COM/A/b#frag") ===
+      "https://www.example.com/A/b")
+  }
+
+  test("normalizeUrl strips default ports only") {
+    assert(norm("http://a.com:80/x") === "http://a.com/x")
+    assert(norm("https://a.com:443/x") === "https://a.com/x")
+    assert(norm("http://a.com:443/x") === "http://a.com:443/x")
+    assert(norm("https://a.com:8080/x") === "https://a.com:8080/x")
+  }
+
+  test("normalizeUrl fills empty path, strips trailing host dot") {
+    assert(norm("https://a.com.") === "https://a.com/")
+    assert(norm("https://a.com?x=1") === "https://a.com/?x=1")
+  }
+
+  test("normalizeUrl drops tracking params and sorts the rest") {
+    assert(norm("https://a.com/p?utm_source=x&b=2&a=1&fbclid=z&gclid=1" +
+      "&msclkid=2&ref=home") === "https://a.com/p?a=1&b=2")
+    assert(norm("https://a.com/p?utm_campaign=only") === "https://a.com/p")
+  }
+
+  test("normalizeUrl is idempotent and NULL on unparsable input") {
+    val messy = Seq(
+      "HTTP://A.B.Co.UK:80/x?z=1&utm_a=2#f",
+      "https://h.example.com:443?b=1&a=2",
+      "ftp://files.example.org:21/pub")
+    messy.foreach { u =>
+      val once = norm(u)
+      assert(norm(once) === once, s"not idempotent for $u")
+    }
+    assert(norm("not a url") === null)
+    assert(norm("//proto-relative.example.com/x") === null)
+  }
+
+  test("registrableDomain keeps three labels on two-level public suffixes") {
+    val d = df("h STRING", Seq(
+      Row("news.bbc.co.uk"), Row("a.b.example.com"), Row("example.com"),
+      Row("co.uk"), Row("localhost"), Row("shop.example.com.au")))
+      .select(col("h"), UrlOps.registrableDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("news.bbc.co.uk") === "bbc.co.uk")
+    assert(d("a.b.example.com") === "example.com")
+    assert(d("example.com") === "example.com")
+    assert(d("co.uk") === "co.uk") // suffix alone: nothing registrable above it
+    assert(d("localhost") === "localhost")
+    assert(d("shop.example.com.au") === "example.com.au")
+  }
+
+  test("dedupByUrl keeps the min-id row per canonical URL; unparsable rows survive") {
+    val d = df("id BIGINT, url STRING", Seq(
+      Row(3L, "https://a.com/p?b=2&a=1"),
+      Row(1L, "HTTPS://A.COM:443/p?a=1&utm_x=9&b=2#frag"), // same canonical
+      Row(2L, "https://a.com/q"),
+      Row(4L, "garbage one"),
+      Row(5L, "garbage two")))
+    val kept = UrlOps.dedupByUrl(d, "url", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L, 5L))
+  }
+
+  test("hostAggregate rolls pages up to the registrable domain") {
+    val d = df("id BIGINT, url STRING, q DOUBLE", Seq(
+      Row(1L, "https://x.site.co.uk/a", 1.0),
+      Row(2L, "https://y.site.co.uk/a?utm_s=1", 3.0),
+      Row(3L, "https://y.site.co.uk/a", 5.0), // same canonical as row 2
+      Row(4L, "https://other.com/z", 7.0)))
+    val rows = UrlOps.hostAggregate(d, "url", "q")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("site.co.uk") === ((3L, 2L, 3.0)))
+    assert(rows("other.com") === ((1L, 1L, 7.0)))
+  }
+
+  test("url entry matches a hand-normalized sample row") {
+    // doc_id=6: scheme HTTP (6%3=0), host upper(source).CO.UK (even),
+    // port 8080 (6%4=2, kept), path /docs/6, params b=0,a=0 sorted,
+    // tracking dropped, no fragment (even)
+    val spark0 = spark
+    import spark0.implicits._
+    val d = Seq((6L, "src6")).toDF("doc_id", "source")
+    val url = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 2 === 0,
+        concat(upper(col("source")), lit(".CO.UK")))
+        .otherwise(concat(col("source"), lit(".example.com"))),
+      when(col("doc_id") % 4 === 0, lit(":443"))
+        .when(col("doc_id") % 4 === 1, lit(":80"))
+        .when(col("doc_id") % 4 === 2, lit(":8080"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(""))
+        .otherwise(concat(lit("/docs/"), (col("doc_id") % 10).cast("string"))),
+      concat(lit("?utm_source=feed&b="), (col("doc_id") % 2).cast("string"),
+        lit("&a="), (col("doc_id") % 3).cast("string")),
+      when(col("doc_id") % 2 === 1, lit("#sec")).otherwise(lit("")))
+    val out = d.select(UrlOps.normalizeUrl(url)).head().getString(0)
+    assert(out === "http://src6.co.uk:8080/docs/6?a=0&b=0")
+  }
+}
