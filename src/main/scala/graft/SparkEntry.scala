@@ -78,6 +78,57 @@ object SparkEntry {
     concat(scheme, lit("://"), host, port, path, query, frag)
   }
 
+  /** Deterministic crawled-HTML page per document row — the fixture for
+    * the Extraction entries. Exercises every strip rule: script blocks
+    * (with `<` and `{` inside), style blocks, multi-line comments, the
+    * five named entities plus `&amp;`-last ordering, mixed-case
+    * attribute quoting, absolute links with tracking params and an
+    * entity-encoded `&`, and a relative link for the reject lane. The
+    * oracle SQL builds the identical string in DuckDB.
+    */
+  private def docHtml: Column = {
+    val id = col("doc_id")
+    val sc = when(id % 2 === 0,
+      lit("<script type=\"text/javascript\">if (1 < 2) { track(); }</script>"))
+      .otherwise(lit(""))
+    val st = when(id % 3 === 0, lit("<style>p { color: #333; }</style>"))
+      .otherwise(lit(""))
+    val cm = when(id % 4 === 0, lit("<!-- render\nhint -->")).otherwise(lit(""))
+    val a1 = concat(lit("<a href=\"https://site"), (id % 7).cast("string"),
+      lit(".co.uk/p/"), ((id * 3) % 11).cast("string"), lit("\">more</a>"))
+    val a2 = concat(lit("<a HREF=\"HTTP://News"), (id % 5).cast("string"),
+      lit(".example.com:80/a?utm_source=x&amp;id="), (id % 4).cast("string"),
+      lit("\">news</a>"))
+    val a3 = when(id % 3 === 1, lit("<a href=\"/relative/skip\">rel</a>"))
+      .otherwise(lit(""))
+    concat(
+      lit("<html><head><title> Doc "), id.cast("string"),
+      lit(" &amp; notes </title>"), sc, st, lit("</head><body>"), cm,
+      lit("<h1>Doc "), id.cast("string"), lit("</h1><p>"), col("text"),
+      lit(" &lt;tagged&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end</p>"),
+      a1, a2, a3, lit("</body></html>"))
+  }
+
+  /** Deterministic five-line page text per document row — the fixture
+    * for the C4 boilerplate-filter entry. Line variants hit each rule:
+    * always-kept prose, a too-short line, an enable-JavaScript banner,
+    * a curly-brace code line (page-level drop), and a lorem-ipsum
+    * filler line (kept at line level, drops the page). */
+  private def docLines: Column = {
+    val id = col("doc_id")
+    val l1 = concat(lit("This document number "), id.cast("string"),
+      lit(" begins with a proper sentence."))
+    val l2 = lit("menu")
+    val l3 = when(id % 3 === 0,
+      lit("Please enable JavaScript to continue viewing."))
+      .otherwise(lit("Another perfectly fine sentence follows here."))
+    val l4 = when(id % 5 === 0, lit("function() { return 42; }"))
+      .otherwise(lit("Does the final line end with a question?"))
+    val l5 = when(id % 7 === 0, lit("Lorem ipsum dolor sit amet."))
+      .otherwise(lit(""))
+    concat_ws("\n", l1, l2, l3, l4, l5)
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered.
     * Stateful streaming queries create one state-store instance per
     * shuffle partition PER stateful operator PER micro-batch (a
@@ -607,6 +658,38 @@ object SparkEntry {
       graft.ops.UrlOps.hostAggregate(d, "url", "n_chars")
         .select(col("domain"), col("n_pages"), col("n_urls"),
           round(col("mean_quality"), 6).as("mean_quality"))
+    },
+    "q_html_strip" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), docHtml.as("html"))
+      d.select(col("doc_id"),
+        graft.ops.Extraction.extractTitle(col("html")).as("title"),
+        graft.ops.Extraction.stripHtml(col("html")).as("text_clean"))
+    },
+    "q_extract_links" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), docHtml.as("html"))
+      graft.ops.Extraction.extractLinks(d, "doc_id", "html")
+    },
+    "q_link_domains" -> { (s, dir) =>
+      // extraction -> URL hygiene -> host rollup: the in-link table a
+      // host-curation pass thresholds. Relative links normalize to NULL
+      // and are excluded (the reject lane).
+      val d = t(s, dir, "documents").select(col("doc_id"), docHtml.as("html"))
+      val links = graft.ops.Extraction.extractLinks(d, "doc_id", "html")
+      val canon = graft.ops.UrlOps.normalizeUrl(col("link"))
+      links
+        .select(col("doc_id"),
+          graft.ops.UrlOps.registrableDomain(
+            graft.ops.UrlOps.hostOf(col("link"))).as("domain"),
+          canon.as("canon"))
+        .filter(col("canon").isNotNull && col("domain") =!= "")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("canon")).as("n_targets"),
+          countDistinct(col("doc_id")).as("n_sources"))
+    },
+    "q_c4_filter" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), docLines.as("text"))
+      graft.ops.Extraction.boilerplateFilter(d, "doc_id", "text")
     },
     "q_fingerprint" -> { (s, dir) =>
       graft.ops.TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
@@ -2550,6 +2633,56 @@ object SparkEntry {
        |$body""".stripMargin
   }
 
+  /** DuckDB replica of [[graft.ops.Extraction.decodeEntities]]: the same
+    * six replacements in the same order (`&amp;` last). */
+  private def sqlEntities(e: String): String =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(e) { case (c, (a, b)) => s"replace($c, '$a', '$b')" }
+
+  /** DuckDB replica of [[graft.ops.Extraction.stripHtml]]: the identical
+    * regex chain (Java∩RE2 common subset) with the 'g' option standing
+    * in for Java's replace-all default. */
+  private def sqlStrip(e: String): String = {
+    val noScript =
+      s"regexp_replace($e, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    val noStyle =
+      s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noCom = s"regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"
+    val noTags = s"regexp_replace($noCom, '(?s)<[^>]*>', ' ', 'g')"
+    "trim(regexp_replace(" + sqlEntities(noTags) + ", '\\s+', ' ', 'g'))"
+  }
+
+  /** Shared CTE for the q_html_* / q_extract_links / q_link_domains /
+    * q_boilerplate oracles: `h` rebuilds [[docHtml]]'s page string in
+    * DuckDB (columns: doc_id, html); `body` selects from it. */
+  private def htmlOracle(body: String): String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) ||
+       |    ' &amp; notes </title>' ||
+       |    (CASE WHEN doc_id%2=0 THEN
+       |      '<script type="text/javascript">if (1 < 2) { track(); }</script>'
+       |      ELSE '' END) ||
+       |    (CASE WHEN doc_id%3=0 THEN '<style>p { color: #333; }</style>'
+       |      ELSE '' END) ||
+       |    '</head><body>' ||
+       |    (CASE WHEN doc_id%4=0 THEN '<!-- render' || chr(10) || 'hint -->'
+       |      ELSE '' END) ||
+       |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+       |    ' &lt;tagged&gt; &quot;quoted&quot; &#39;x&#39;&nbsp;end</p>' ||
+       |    '<a href="https://site' || CAST(doc_id%7 AS VARCHAR) || '.co.uk/p/'
+       |      || CAST((doc_id*3)%11 AS VARCHAR) || '">more</a>' ||
+       |    '<a HREF="HTTP://News' || CAST(doc_id%5 AS VARCHAR) ||
+       |      '.example.com:80/a?utm_source=x&amp;id=' ||
+       |      CAST(doc_id%4 AS VARCHAR) || '">news</a>' ||
+       |    (CASE WHEN doc_id%3=1 THEN '<a href="/relative/skip">rel</a>'
+       |      ELSE '' END) ||
+       |    '</body></html>' AS html
+       |  FROM documents
+       |)
+       |$body""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2849,6 +2982,104 @@ object SparkEntry {
         |    canon, n_chars
         |  FROM (SELECT *, str_split(host, '.') AS labs FROM c)
         |) WHERE domain <> '' GROUP BY domain""".stripMargin),
+    // q_html_strip: rule-for-rule replica of the strip chain (script,
+    // style, comment, tag, entities with &amp; last, whitespace)
+    "q_html_strip" -> htmlOracle(
+      "SELECT doc_id, " +
+        sqlStrip("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)") +
+        " AS title, " + sqlStrip("html") + " AS text_clean FROM h"),
+    "q_extract_links" -> htmlOracle(
+      s"""SELECT doc_id, ${sqlEntities("raw")} AS link FROM (
+         |  SELECT doc_id, unnest(regexp_extract_all(html,
+         |    '(?i)href\\s*=\\s*"([^"]*)"', 1)) AS raw
+         |  FROM h)""".stripMargin),
+    "q_link_domains" -> {
+      val re = "^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:([^/@?#]*)@)?([^/:?#]+)" +
+        "(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+      htmlOracle(
+        s""", l AS (
+           |  SELECT doc_id, ${sqlEntities("raw")} AS link FROM (
+           |    SELECT doc_id, unnest(regexp_extract_all(html,
+           |      '(?i)href\\s*=\\s*"([^"]*)"', 1)) AS raw
+           |    FROM h)
+           |), p AS (
+           |  SELECT doc_id, link,
+           |    lower(regexp_extract(link, '$re', 1)) AS scheme,
+           |    regexp_replace(lower(regexp_extract(link, '$re', 3)),
+           |      '\\.$$', '') AS host,
+           |    regexp_extract(link, '$re', 4) AS port,
+           |    regexp_extract(link, '$re', 5) AS path,
+           |    regexp_extract(link, '$re', 6) AS query
+           |  FROM l
+           |), k AS (
+           |  SELECT *, coalesce(list_aggregate(list_sort(list_filter(
+           |      str_split(query, '&'),
+           |      q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'gclid=')
+           |        OR starts_with(q, 'fbclid=') OR starts_with(q, 'msclkid=')
+           |        OR starts_with(q, 'ref=') OR q = ''))),
+           |      'string_agg', '&'), '') AS kept
+           |  FROM p WHERE regexp_extract(link, '$re', 1) <> ''
+           |), c AS (
+           |  SELECT doc_id, host,
+           |    scheme || '://' || host ||
+           |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+           |          OR (scheme = 'https' AND port = '443')
+           |          THEN '' ELSE ':' || port END) ||
+           |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+           |    (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon
+           |  FROM k
+           |)
+           |SELECT domain, count(*) AS n_links,
+           |  count(DISTINCT canon) AS n_targets,
+           |  count(DISTINCT doc_id) AS n_sources
+           |FROM (
+           |  SELECT doc_id, canon, CASE
+           |      WHEN len(labs) >= 3 AND (labs[-2] || '.' || labs[-1]) IN
+           |        ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','or.jp',
+           |         'com.au','net.au','org.au','com.br','com.cn','com.mx',
+           |         'co.in','co.kr','co.za','com.tw','com.sg','com.ar')
+           |        THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]
+           |      WHEN len(labs) >= 2 THEN labs[-2] || '.' || labs[-1]
+           |      ELSE host END AS domain
+           |  FROM (SELECT *, str_split(host, '.') AS labs FROM c)
+           |) WHERE domain <> '' GROUP BY domain""".stripMargin)
+    },
+    // q_boilerplate: C4 line rules replayed with DuckDB list lambdas;
+    // string_agg over an empty list is NULL -> coalesce to '' to match
+    // Spark's array_join
+    "q_c4_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'This document number ' || CAST(doc_id AS VARCHAR) ||
+        |      ' begins with a proper sentence.' || chr(10) ||
+        |    'menu' || chr(10) ||
+        |    (CASE WHEN doc_id%3=0
+        |      THEN 'Please enable JavaScript to continue viewing.'
+        |      ELSE 'Another perfectly fine sentence follows here.' END)
+        |      || chr(10) ||
+        |    (CASE WHEN doc_id%5=0 THEN 'function() { return 42; }'
+        |      ELSE 'Does the final line end with a question?' END)
+        |      || chr(10) ||
+        |    (CASE WHEN doc_id%7=0 THEN 'Lorem ipsum dolor sit amet.'
+        |      ELSE '' END) AS text
+        |  FROM documents
+        |), y AS (
+        |  SELECT doc_id, text,
+        |    list_transform(str_split(text, chr(10)), l -> trim(l)) AS lines,
+        |    list_filter(list_transform(str_split(text, chr(10)), l -> trim(l)),
+        |      l -> regexp_matches(l, '[.!?"]$')
+        |        AND len(regexp_split_to_array(l, '\s+')) >= 3
+        |        AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  coalesce(list_aggregate(kept, 'string_agg', chr(10)), '')
+        |    AS clean_text,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  (len(kept) >= 2 AND NOT contains(text, '{')
+        |    AND NOT contains(lower(text), 'lorem ipsum')) AS page_ok
+        |FROM y""".stripMargin,
     // q_bm25: full Okapi BM25 replica; every double is parenthesized to
     // associate exactly as the Spark expressions (idf product first, then
     // the tf weight as one parenthesized quotient), and per-term scores
