@@ -5,9 +5,20 @@ import org.apache.spark.sql.SparkSession
   * workload sweeps (BASELINE.md shapes) at SPARK_GRAFT_SF_DIR.
   *
   * Each query is timed `SPARK_GRAFT_BENCH_RUNS` times (default 3) after a
-  * full warmup pass, and the MEDIAN is reported — single-run timings carried
-  * a ±20% machine-variance band that made round-over-round comparison
-  * meaningless. The two skew-vs-uniform sweep pairs are additionally
+  * full warmup pass, and the TRIMMED MEDIAN is reported (drop the single
+  * worst run, median of the rest — ScaleBench's discipline) — single-run
+  * timings carried a ±20% machine-variance band, and the r11 window showed
+  * a plain median-of-3 has no defense against machine contention (one
+  * 120.7 s outlier run on a 200k-row noise query dragged a whole round's
+  * record). Two further defenses: any query whose max/min run spread
+  * exceeds 3× gets ONE bounded re-run round (same run count again) so a
+  * contention burst doesn't own its statistic, and every run records the
+  * host 1-min /proc/loadavg alongside its JVM GC seconds in the full dump,
+  * so contamination is self-diagnosing after the fact. The per-query
+  * minima are also written (`mins` in the full dump, `total_entry_min` on
+  * the summary line): the min is the statistic least sensitive to load
+  * and the honest floor for cross-round comparison.
+  * The two skew-vs-uniform sweep pairs are additionally
   * INTERLEAVED (u,s,u,s,...) at >= 5 runs and report a `_ratio_max` entry:
   * the max per-pairing skew/uniform ratio, computed within one machine-load
   * regime — the statistic the ~2x skew acceptance bar is judged on — plus
@@ -47,13 +58,30 @@ object Bench {
     // timed body): distinguishes an operator regression from a collection
     // storm when a run in a spread like [3.9, 4.2, 16.2] needs attribution
     val allGc = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-run host 1-min load average, read just before the timed body:
+    // the one signal that attributes an outlier to EXTERNAL machine load
+    // (the r11 bench window was contaminated by exactly that and had no
+    // on-disk evidence of it)
+    val allLoad = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime.max(0L)).sum
     }
-    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
-    def timeOnce(body: => Unit): (Double, Double) = {
+    def loadAvg1m(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // trimmed median (ScaleBench's discipline): drop the single worst run
+    // as machine debris, median of the rest — reported NEXT TO the per-run
+    // samples and minima in the full dump, never instead of them
+    def trimmedMedian(ts: Seq[Double]): Double = {
+      val t = ts.sorted.dropRight(if (ts.size >= 3) 1 else 0)
+      if (t.size % 2 == 1) t(t.size / 2)
+      else (t(t.size / 2 - 1) + t(t.size / 2)) / 2
+    }
+    def timeOnce(body: => Unit): (Double, Double, Double) = {
+      val load = loadAvg1m()
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try body catch { case _: Throwable => () }
@@ -63,18 +91,24 @@ object Bench {
       // inter-run housekeeping collection is not charged to the run
       spark.catalog.clearCache()
       System.gc()
-      (dt, gcDt)
+      (dt, gcDt, load)
     }
-    def record(name: String, runs: Seq[(Double, Double)]): Unit = {
+    def record(name: String, runs: Seq[(Double, Double, Double)]): Unit = {
       allRuns(name) = runs.map(_._1)
       allGc(name) = runs.map(_._2)
+      allLoad(name) = runs.map(_._3)
     }
     def timeMedian(name: String, runs: Int = runsPerQuery)(
         body: => Unit): (String, Double) = {
       if (!enabled(name)) return name -> 0.0
-      val ts = (1 to runs).map(_ => timeOnce(body))
+      var ts = (1 to runs).map(_ => timeOnce(body))
+      // contention guard: a >3x max/min spread within one query's runs is
+      // external load, not the plan — take ONE more round of runs so the
+      // burst can't own the statistic (bounded: at most 2x the run count)
+      if (ts.map(_._1).max / ts.map(_._1).min.max(1e-9) > 3.0)
+        ts = ts ++ (1 to runs).map(_ => timeOnce(body))
       record(name, ts)
-      name -> median(ts.map(_._1))
+      name -> trimmedMedian(ts.map(_._1))
     }
     // Interleaved pair timing (a,b,a,b,...): both bodies alternate within
     // ONE timing block so each pairing shares a machine-load regime. The
@@ -101,8 +135,8 @@ object Bench {
       val ratios = pairs.map { case (a, b) => b._1 / a._1 }
       allRuns(s"${nameB}_ratio") = ratios
       val trimmed = if (ratios.size >= 2) ratios.sorted.dropRight(1) else ratios
-      Seq(nameA -> median(pairs.map(_._1._1)),
-        nameB -> median(pairs.map(_._2._1)),
+      Seq(nameA -> trimmedMedian(pairs.map(_._1._1)),
+        nameB -> trimmedMedian(pairs.map(_._2._1)),
         s"${nameB}_ratio_max" -> ratios.max,
         s"${nameB}_ratio_max_trim" -> trimmed.max)
     }
@@ -381,6 +415,11 @@ object Bench {
     val cwd = sys.props.getOrElse("user.dir", ".")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       s"$cwd/bench_full.json")
+    // per-query minima: the load-insensitive floor (a min can only be
+    // slowed by contention, never helped), summed over the entry queries
+    val totalMin = results.collect {
+      case (name, _) if allRuns.contains(name) => allRuns(name).min
+    }.sum
     try {
       val runsJson = allRuns.map { case (k, ts) =>
         s"\"$k\":[${ts.map(fmt).mkString(",")}]"
@@ -388,8 +427,14 @@ object Bench {
       val gcJson = allGc.map { case (k, ts) =>
         s"\"$k\":[${ts.map(fmt).mkString(",")}]"
       }.mkString("{", ",", "}")
+      val loadJson = allLoad.map { case (k, ts) =>
+        s"\"$k\":[${ts.map(fmt).mkString(",")}]"
+      }.mkString("{", ",", "}")
+      val minsJson = allRuns.map { case (k, ts) =>
+        s"\"$k\":${fmt(ts.min)}"
+      }.mkString("{", ",", "}")
       val fw = new java.io.FileWriter(fullPath)
-      fw.write(s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"total_entry_queries":${fmt(total)},"runs":$runsJson,"gc_sec":$gcJson}""" + "\n")
+      fw.write(s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"value_stat":"trimmed_median","total_entry_queries":${fmt(total)},"total_entry_min":${fmt(totalMin)},"runs":$runsJson,"gc_sec":$gcJson,"loadavg_1m":$loadJson,"mins":$minsJson}""" + "\n")
       fw.close()
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -411,7 +456,7 @@ object Bench {
       s"\"$k\":${fmt(v)}"
     } :+ s"\"total_entry_queries\":${fmt(total)}").mkString("{", ",", "}")
     val summaryLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact,"sf":"$sfDir","n_queries":${ordered.size},"full":${jstr(fullPath)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_stat":"trimmed_median","total_entry_min":${fmt(totalMin)},"queries":$compact,"sf":"$sfDir","n_queries":${ordered.size},"full":${jstr(fullPath)}}"""
     // The driver's parser has missed the bare tail line two rounds in a
     // row (BENCH_r07/r08 "parsed": null) — emit the compact summary with
     // the same marker discipline as BENCH_FULL_JSON, mirror it to a file,

@@ -659,6 +659,29 @@ object SparkEntry {
         .select(col("domain"), col("n_pages"), col("n_urls"),
           round(col("mean_quality"), 6).as("mean_quality"))
     },
+    "q_host_agg_psl" -> { (s, dir) =>
+      // data-driven eTLD+1: the same host rollup, but grouping by the
+      // PSL longest-match registrable domain. The 4-suffix policy table
+      // deliberately lists "example.com" as a public suffix so the PSL
+      // path provably diverges from the 2-label heuristic on half the
+      // corpus (srcN.example.com stays whole instead of collapsing).
+      val psl = s.createDataFrame(Seq(
+        Tuple1("com"), Tuple1("uk"), Tuple1("co.uk"), Tuple1("example.com")))
+        .toDF("suffix")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.UrlOps.hostOf(docUrl).as("host"),
+          graft.ops.UrlOps.normalizeUrl(docUrl).as("canon"),
+          col("n_chars"))
+      graft.ops.UrlOps.registrableDomainPsl(d, "host", psl)
+        .filter(col("domain").isNotNull)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("canon")).as("n_urls"),
+          avg(col("n_chars").cast("double")).as("__mq"))
+        .select(col("domain"), col("n_pages"), col("n_urls"),
+          round(col("__mq"), 6).as("mean_quality"))
+    },
     "q_html_strip" -> { (s, dir) =>
       val d = t(s, dir, "documents").select(col("doc_id"), docHtml.as("html"))
       d.select(col("doc_id"),
@@ -2650,12 +2673,15 @@ object SparkEntry {
       s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     val noCom = s"regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"
     val noTags = s"regexp_replace($noCom, '(?s)<[^>]*>', ' ', 'g')"
-    "trim(regexp_replace(" + sqlEntities(noTags) + ", '\\s+', ' ', 'g'))"
+    // [ \t\n\f\r], not \s: Java's \s includes \x0B, RE2's does not
+    "trim(regexp_replace(" + sqlEntities(noTags) +
+      ", '[ \\t\\n\\f\\r]+', ' ', 'g'))"
   }
 
-  /** Shared CTE for the q_html_* / q_extract_links / q_link_domains /
-    * q_boilerplate oracles: `h` rebuilds [[docHtml]]'s page string in
-    * DuckDB (columns: doc_id, html); `body` selects from it. */
+  /** Shared CTE for the q_html_strip / q_extract_links / q_link_domains
+    * oracles: `h` rebuilds [[docHtml]]'s page string in DuckDB (columns:
+    * doc_id, html); `body` selects from it. (q_c4_filter builds its own
+    * self-contained CTE over [[docLines]] instead.) */
   private def htmlOracle(body: String): String =
     s"""WITH h AS (
        |  SELECT doc_id,
@@ -2982,6 +3008,29 @@ object SparkEntry {
         |    canon, n_chars
         |  FROM (SELECT *, str_split(host, '.') AS labs FROM c)
         |) WHERE domain <> '' GROUP BY domain""".stripMargin),
+    // q_host_agg_psl: independent replica of the PSL longest-match join
+    // (suffix matches iff it is the host's last slen labels; longest listed
+    // match wins; unlisted TLD falls back to the implicit '*' rule) and
+    // the eTLD+1 slice, then the same rollup
+    "q_host_agg_psl" -> urlOracle(
+      """, psl(suffix, slen) AS (VALUES
+        |    ('com', 1), ('uk', 1), ('co.uk', 2), ('example.com', 2)
+        |), m AS (
+        |  SELECT c.doc_id, c.host, c.canon, c.n_chars, max(p.slen) AS l
+        |  FROM c LEFT JOIN psl p
+        |    ON c.host = p.suffix OR ends_with(c.host, '.' || p.suffix)
+        |  GROUP BY 1, 2, 3, 4
+        |), d AS (
+        |  SELECT canon, n_chars,
+        |    CASE WHEN len(labs) > el
+        |         THEN array_to_string(labs[len(labs)-el:], '.')
+        |         ELSE NULL END AS domain
+        |  FROM (SELECT *, str_split(host, '.') AS labs,
+        |          coalesce(l, 1) AS el FROM m)
+        |)
+        |SELECT domain, count(*) AS n_pages, count(DISTINCT canon) AS n_urls,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_quality
+        |FROM d WHERE domain IS NOT NULL GROUP BY domain""".stripMargin),
     // q_html_strip: rule-for-rule replica of the strip chain (script,
     // style, comment, tag, entities with &amp; last, whitespace)
     "q_html_strip" -> htmlOracle(
@@ -3044,7 +3093,7 @@ object SparkEntry {
            |  FROM (SELECT *, str_split(host, '.') AS labs FROM c)
            |) WHERE domain <> '' GROUP BY domain""".stripMargin)
     },
-    // q_boilerplate: C4 line rules replayed with DuckDB list lambdas;
+    // q_c4_filter: C4 line rules replayed with DuckDB list lambdas;
     // string_agg over an empty list is NULL -> coalesce to '' to match
     // Spark's array_join
     "q_c4_filter" ->
@@ -3068,7 +3117,7 @@ object SparkEntry {
         |    list_transform(str_split(text, chr(10)), l -> trim(l)) AS lines,
         |    list_filter(list_transform(str_split(text, chr(10)), l -> trim(l)),
         |      l -> regexp_matches(l, '[.!?"]$')
-        |        AND len(regexp_split_to_array(l, '\s+')) >= 3
+        |        AND len(regexp_split_to_array(l, '[ \t\n\f\r]+')) >= 5
         |        AND NOT contains(lower(l), 'javascript')) AS kept
         |  FROM d
         |)
@@ -3077,7 +3126,7 @@ object SparkEntry {
         |    AS clean_text,
         |  CAST(len(lines) AS BIGINT) AS n_lines,
         |  CAST(len(kept) AS BIGINT) AS n_kept,
-        |  (len(kept) >= 2 AND NOT contains(text, '{')
+        |  (len(kept) >= 3 AND NOT contains(text, '{')
         |    AND NOT contains(lower(text), 'lorem ipsum')) AS page_ok
         |FROM y""".stripMargin,
     // q_bm25: full Okapi BM25 replica; every double is parenthesized to

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * rollup shuffles one (domain, count) pair per partition after the
   * map-side partial aggregate. Regexes stay inside the Java∩RE2 common
   * subset (no lookaround, no backreferences) so the DuckDB oracle can
-  * replay them literally.
+  * replay them literally; whitespace classes are spelled out as
+  * `[ \t\n\f\r]` rather than `\s` because the engines disagree on the
+  * one remaining character — Java's `\s` includes `\x0B` (vertical tab)
+  * while RE2's does not — and crawled text can contain it.
   */
 object Extraction {
 
@@ -41,7 +44,8 @@ object Extraction {
       regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
-    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+    // explicit class, not \s: Java would also collapse \x0B, RE2 would not
+    trim(regexp_replace(decodeEntities(noTags), "[ \\t\\n\\f\\r]+", " "))
   }
 
   /** The five named entities that dominate crawled text, decoded in the
@@ -82,13 +86,16 @@ object Extraction {
     * trimming, it
     *
     *   - ends in a terminal punctuation mark (`. ! ? "`),
-    *   - has at least `minWords` whitespace-separated words, and
+    *   - has at least `minWords` whitespace-separated words (the paper's
+    *     5-word line rule), and
     *   - does not mention "javascript" (case-insensitive) — the classic
     *     enable-JS boilerplate marker.
     *
     * Emits idCol, `clean_text` (surviving lines re-joined with \n),
     * `n_lines` / `n_kept`, and `page_ok`: false when the PAGE trips a
-    * whole-document rule — fewer than `minLines` surviving lines, a
+    * whole-document rule — fewer than `minLines` surviving lines
+    * (standing in for the paper's 3-*sentence* page rule: lines are the
+    * unit this operator sees, so a multi-sentence line counts once), a
     * curly brace anywhere (code), or "lorem ipsum" (filler). Callers
     * filter on `page_ok` to drop pages; the flags are kept so the
     * drop is auditable. Pure per-row expressions — no shuffle.
@@ -97,13 +104,13 @@ object Extraction {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minWords: Int = 3,
-      minLines: Int = 2): DataFrame = {
+      minWords: Int = 5,
+      minLines: Int = 3): DataFrame = {
     require(minWords >= 1 && minLines >= 1)
     val lines = transform(split(col(textCol), "\n"), l => trim(l))
     val kept = filter(lines, l =>
       l.rlike("[.!?\"]$") &&
-        size(split(l, "\\s+")) >= minWords &&
+        size(split(l, "[ \\t\\n\\f\\r]+")) >= minWords &&
         !lower(l).contains("javascript"))
     df.select(
       col(idCol),

@@ -111,20 +111,81 @@ object UrlOps {
 
   /** Keep exactly one row per canonical URL — the re-crawl/mirror dedup
     * that precedes content-level dedup in web pipelines. The keeper is
-    * the row with the smallest `idCol` (deterministic). Rows whose URL
-    * does not parse keep themselves (NULL canonical key ⇒ keyed by their
-    * own id). One hash shuffle on the canonical URL; min-of-id resolves
-    * with a map-side partial aggregate, so the exchange carries one row
-    * per (canonical, partition), not the corpus.
+    * the row with the smallest `idCol` (deterministic; `idCol` is
+    * assumed unique, as a document id is). Rows whose URL does not parse
+    * keep themselves (NULL canonical key ⇒ keyed by their own id).
+    *
+    * Single pass, single shuffle: one hash exchange on the canonical
+    * URL with a `min_by(struct(*), id)` aggregate, so the keeper row
+    * rides the aggregation itself — no second scan of `df` and no
+    * join back. The map-side partial aggregate bounds the exchange at
+    * one candidate row per (canonical, partition).
     */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
     val canon = coalesce(normalizeUrl(col(urlCol)),
       concat(lit("__unparsed__"), col(idCol).cast("string")))
-    val keep = df
-      .groupBy(canon.as("__canon"))
-      .agg(min(col(idCol)).as(idCol))
-      .drop("__canon")
-    df.join(keep, Seq(idCol), "left_semi")
+    val outCols = df.columns
+    df.groupBy(canon.as("__canon"))
+      .agg(min_by(struct(outCols.map(col).toIndexedSeq: _*), col(idCol))
+        .as("__keep"))
+      .select(outCols.map(c => col("__keep").getField(c).as(c)).toIndexedSeq: _*)
+  }
+
+  /** Data-driven registrable domain (eTLD+1) against a caller-supplied
+    * public-suffix table — the full-fidelity alternative to the
+    * zero-dependency [[registrableDomain]] heuristic. `psl` has one row
+    * per public suffix (lowercase, no leading dot — e.g. "com", "co.uk",
+    * "github.io"); the ~9k-entry list at publicsuffix.org is the usual
+    * source, but any suffix policy table works.
+    *
+    * Longest-match semantics, PSL-style: the registrable domain is the
+    * matched suffix plus one more host label. A host that IS a public
+    * suffix has no registrable domain (NULL). A host whose TLD is not in
+    * the table falls back to the PSL's implicit `*` rule — the last
+    * label is treated as the suffix, so the registrable domain is the
+    * last two labels (single-label hosts → NULL).
+    *
+    * Scale shape: NO explode and NO re-aggregation. Longest-match is a
+    * chain of `maxSuffixLabels` broadcast hash joins (suffix tables are
+    * tiny), one per candidate suffix length, each matching the host's
+    * last-i-labels string; ascending order means the last hit is the
+    * longest. The corpus side never shuffles — the only exchanges are
+    * the suffix table's own defensive dedup and its broadcasts — so the
+    * lookup fuses into whatever pass the caller is already making.
+    *
+    * @return `df` with `outCol` appended (internal `__psl_*` columns are
+    *         consumed internally and not emitted).
+    */
+  def registrableDomainPsl(
+      df: DataFrame,
+      hostCol: String,
+      psl: DataFrame,
+      suffixCol: String = "suffix",
+      outCol: String = "domain",
+      maxSuffixLabels: Int = 5): DataFrame = {
+    require(maxSuffixLabels >= 1, "maxSuffixLabels must be >= 1")
+    val labs = split(col(hostCol), "\\.")
+    val withCands = df.withColumn("__psl_labs", labs)
+    val joined = (1 to maxSuffixLabels).foldLeft(
+      withCands.withColumn("__psl_len", lit(0))) { (acc, i) =>
+      // candidate suffix of exactly i labels: the host's last i labels
+      val cand = when(size(col("__psl_labs")) >= i,
+        array_join(slice(col("__psl_labs"), -i, i), "."))
+      val side = broadcast(
+        psl.select(lower(col(suffixCol)).as(s"__psl_s$i")).distinct())
+      acc.withColumn(s"__psl_c$i", cand)
+        .join(side, col(s"__psl_c$i") === col(s"__psl_s$i"), "left")
+        .withColumn("__psl_len",
+          when(col(s"__psl_s$i").isNotNull, i).otherwise(col("__psl_len")))
+        .drop(s"__psl_c$i", s"__psl_s$i")
+    }
+    val n = size(col("__psl_labs"))
+    // no listed suffix -> implicit "*" rule: the TLD alone is the suffix
+    val effLen = when(col("__psl_len") === 0, 1).otherwise(col("__psl_len"))
+    val domain = when(n > effLen,
+      array_join(slice(col("__psl_labs"), -(effLen + lit(1)), effLen + lit(1)),
+        "."))
+    joined.withColumn(outCol, domain).drop("__psl_labs", "__psl_len")
   }
 
   /** Host-level curation rollup: per registrable domain, the page count,

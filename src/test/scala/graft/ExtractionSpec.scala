@@ -59,36 +59,42 @@ class ExtractionSpec extends SharedSpark {
       "A proper first sentence lives here.", // kept
       "menu",                                // too short, no punctuation
       "Please enable JavaScript to proceed.", // javascript marker
-      "Is this a real question?",            // kept
-      "ends without punctuation at all"      // no terminal punctuation
+      "Is this a real question?",            // kept (exactly 5 words)
+      "ends without punctuation at all",     // no terminal punctuation
+      "A closing sentence rounds out the page." // kept
     ).mkString("\n")
     val out = Extraction.boilerplateFilter(
       df("id BIGINT, text STRING", Seq(Row(1L, text))), "id", "text").head()
     assert(out.getAs[String]("clean_text") ===
-      "A proper first sentence lives here.\nIs this a real question?")
-    assert(out.getAs[Long]("n_lines") === 5L)
-    assert(out.getAs[Long]("n_kept") === 2L)
+      "A proper first sentence lives here.\nIs this a real question?" +
+        "\nA closing sentence rounds out the page.")
+    assert(out.getAs[Long]("n_lines") === 6L)
+    assert(out.getAs[Long]("n_kept") === 3L)
     assert(out.getAs[Boolean]("page_ok"))
   }
 
   test("boilerplateFilter page rules: minLines, braces, lorem ipsum") {
+    // three surviving lines satisfy the minLines=3 default, so rows 2/3
+    // fail ONLY on their page-level rule (brace, lorem); row 4 is the
+    // all-rules-pass control
+    val good = "Good line number one stays put.\nGood line two stays put." +
+      "\nGood line three stays put."
     val rows = df("id BIGINT, text STRING", Seq(
       Row(1L, "Only one good line survives here."),
-      Row(2L, "Good line number one stays put.\nvar f = () => { x }" +
-        "\nGood line number two stays put."),
-      Row(3L, "Good line number one stays put.\nLorem Ipsum dolor sit amet." +
-        "\nGood line number two stays put.")))
+      Row(2L, good + "\nvar f = () => { x }"),
+      Row(3L, good + "\nLorem Ipsum dolor sit amet."),
+      Row(4L, good)))
     val out = Extraction.boilerplateFilter(df = rows, idCol = "id",
       textCol = "text")
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("page_ok")).toMap
-    assert(out === Map(1L -> false, 2L -> false, 3L -> false))
+    assert(out === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
   test("boilerplateFilter respects minWords and minLines knobs") {
     val text = "Tiny line.\nAnother tiny line."
     val strictRow = Extraction.boilerplateFilter(
       df("id BIGINT, text STRING", Seq(Row(1L, text))), "id", "text").head()
-    assert(strictRow.getAs[Long]("n_kept") === 1L) // "Tiny line." < 3 words
+    assert(strictRow.getAs[Long]("n_kept") === 0L) // both lines < 5 words
     val lax = Extraction.boilerplateFilter(
       df("id BIGINT, text STRING", Seq(Row(1L, text))), "id", "text",
       minWords = 2, minLines = 2).head()

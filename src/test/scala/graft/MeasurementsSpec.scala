@@ -521,6 +521,42 @@ class MeasurementsSpec extends SharedSpark {
     }
   }
 
+  test("AggregateByColumn: a data column named __hit does not collide") {
+    import graft.transformations.GroupedDataFrame
+    // __pg_hit is the ONLY reserved name. The completion path also uses an
+    // internal alias literally named __hit (AggregateByColumn.scala:234),
+    // which is resolved positionally — so a MEASURED column with that
+    // exact name must flow through unharmed: present groups answer their
+    // real aggregate, absent groups re-run on the empty series. This pins
+    // that no internal marker beyond the reserved one can collide.
+    val data = df("G STRING, __hit DOUBLE",
+      Seq(Row("a", 1.0), Row("a", 2.0), Row("b", 5.0)))
+    val keys = df("G STRING", Seq(Row("a"), Row("b"), Row("c")))
+    val gdom = GroupedDataFrameDomain(
+      Seq("G" -> ColumnDescriptor.string(true),
+        "__hit" -> ColumnDescriptor.double()),
+      Seq("G"))
+    val m = AggregateByColumn(gdom, SumOf(SymmetricDifference), Seq(
+      "__hit" -> NoisyCountSeries(None))) // no noise: exact counts
+    val out = m(GroupedDataFrame(data, keys)).asInstanceOf[DataFrame]
+    assert(out.columns.toSeq == Seq("G", "__hit"))
+    assert(sortedRows(out) == Seq(
+      Seq("a", "2"), Seq("b", "1"), Seq("c", "0")))
+    // grouping column named __hit: same guarantee on the key side
+    val gdom2 = GroupedDataFrameDomain(
+      Seq("__hit" -> ColumnDescriptor.string(true),
+        "x" -> ColumnDescriptor.double()),
+      Seq("__hit"))
+    val data2 = df("__hit STRING, x DOUBLE",
+      Seq(Row("a", 1.0), Row("b", 5.0)))
+    val keys2 = df("__hit STRING", Seq(Row("a"), Row("b"), Row("c")))
+    val out2 = AggregateByColumn(gdom2, SumOf(SymmetricDifference), Seq(
+      "x" -> NoisyCountSeries(None)))(GroupedDataFrame(data2, keys2))
+      .asInstanceOf[DataFrame]
+    assert(sortedRows(out2) == Seq(
+      Seq("a", "1"), Seq("b", "1"), Seq("c", "0")))
+  }
+
   test("partition selection: alpha=0 answers (inf, 0) even at fractional d_in") {
     // Regression for the guard-order fix: the alpha==0 branch precedes the
     // fractional-d_in raise (reference spark_measurements.py:554-557), so

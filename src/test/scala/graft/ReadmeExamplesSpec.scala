@@ -64,4 +64,58 @@ class ReadmeExamplesSpec extends SharedSpark {
     assert(keep.select("doc_id").distinct().count() == kept)
     assert(keep.join(corpus, Seq("doc_id"), "left_anti").count() == 0)
   }
+
+  test("README quickstart: interactive session under one budget") {
+    assume(new java.io.File(s"$data/documents.parquet").exists)
+    // --- verbatim from README.md (Quickstart, example 3) ---
+    import graft.domains.{ColumnDescriptor, DataFrameDomain}
+    import graft.exact.ExactNum
+    import graft.interactive.{PrivacyAccountant, SequentialComposition}
+    import graft.measures.{PureDP, PureDPBudget}
+    import graft.measurements.{Aggregations, NoiseKind}
+    import graft.metrics.SymmetricDifference
+    import graft.transformations.{Filter, PartitionByKeys}
+
+    val sess = spark.read.parquet(s"$data/documents.parquet")
+      .select("lang", "n_chars")
+    val dom = DataFrameDomain(Seq(
+      "lang"    -> ColumnDescriptor.string(true),
+      "n_chars" -> ColumnDescriptor.long))
+
+    // the whole session answers to this one accountant: ε = 3 total
+    val acct = PrivacyAccountant.launch(
+      SequentialComposition(dom, SymmetricDifference, PureDP,
+        dIn = ExactNum(1), budget = PureDPBudget(ExactNum(3))),
+      sess)
+
+    // transformations spend nothing — they rebind the source in place
+    acct.transformInPlace(Filter(dom, SymmetricDifference, "n_chars >= 0"))
+
+    def count(eps: Long) = Aggregations.createCountMeasurement(
+      dom, SymmetricDifference, NoiseKind.Geometric,
+      dIn = ExactNum(1), budget = PureDPBudget(ExactNum(eps)))
+
+    // per-language children, activated in order; parallel composition
+    // charges the parent only the MAX child spend
+    val kids = acct.split(PartitionByKeys(
+      dom, SymmetricDifference, Seq("lang"), Seq(Seq("en"), Seq("de"))))
+    val enCount = kids(0).measure(count(1)).asInstanceOf[Long] // ε=1 on en
+    kids(0).retire()                                           // activates de
+    val deCount = kids(1).measure(count(1)).asInstanceOf[Long] // ε=1 on de
+    kids(1).retire()                                           // root reactivates
+
+    assert(acct.remainingBudget == PureDPBudget(ExactNum(2))) // max(1,1) spent
+    val total = acct.measure(count(2)).asInstanceOf[Long] // the rest, on a total
+    acct.retire() // session closed: any further measure() throws
+    // --- end verbatim ---
+    // the geometric mechanism at these ε keeps single draws within a few
+    // hundred of the truth with overwhelming probability; the fixture has
+    // thousands of docs, so sanity bounds are safe to assert
+    val n = sess.count()
+    assert(enCount >= -1000 && enCount <= n + 1000)
+    assert(deCount >= -1000 && deCount <= n + 1000)
+    assert(total >= n - 1000 && total <= n + 1000)
+    assertThrows[IllegalStateException](acct.measure(count(1)))
+    assert(acct.remainingBudget == PureDPBudget(ExactNum.zero))
+  }
 }

@@ -73,6 +73,48 @@ class UrlOpsSpec extends SharedSpark {
     val kept = UrlOps.dedupByUrl(d, "url", "id")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 2L, 4L, 5L))
+    // the single-pass min_by keeps the WHOLE keeper row (its own url,
+    // not another cluster member's), with the input column order
+    val full = UrlOps.dedupByUrl(d, "url", "id")
+    assert(full.columns.toSeq === Seq("id", "url"))
+    val byId = full.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) === "HTTPS://A.COM:443/p?a=1&utm_x=9&b=2#frag")
+  }
+
+  test("registrableDomainPsl: longest match, suffix-only NULL, implicit *") {
+    val spark0 = spark
+    import spark0.implicits._
+    val psl = Seq("io", "github.io", "uk", "co.uk", "blogspot.co.uk", "com")
+      .toDF("suffix")
+    val hosts = df("h STRING", Seq(
+      Row("user.github.io"),      // 2-label suffix beats "io"
+      Row("deep.user.github.io"), // domain is suffix+1, not host
+      Row("x.blogspot.co.uk"),    // 3-label suffix beats "co.uk"
+      Row("www.bar.co.uk"),       // plain 2-level suffix
+      Row("github.io"),           // host IS a suffix -> NULL
+      Row("a.b.example"),         // unlisted TLD -> implicit * rule
+      Row("localhost"),           // single label -> NULL
+      Row("shop.example.com")))   // 1-label suffix
+    val out = UrlOps.registrableDomainPsl(hosts, "h", psl)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out("user.github.io") === "user.github.io")
+    assert(out("deep.user.github.io") === "user.github.io")
+    assert(out("x.blogspot.co.uk") === "x.blogspot.co.uk")
+    assert(out("www.bar.co.uk") === "bar.co.uk")
+    assert(out("github.io") === null)
+    assert(out("a.b.example") === "b.example")
+    assert(out("localhost") === null)
+    assert(out("shop.example.com") === "example.com")
+    // the lookup never shuffles the corpus: every join is a broadcast
+    // hash join (the only exchanges are the tiny suffix table's own
+    // dedup + broadcast)
+    val plan = UrlOps.registrableDomainPsl(hosts, "h", psl)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      plan.contains("BroadcastHashJoin"),
+      s"PSL lookup must resolve as broadcast joins:\n$plan")
   }
 
   test("hostAggregate rolls pages up to the registrable domain") {
