@@ -57,6 +57,31 @@ class Sf1RecallSpec extends SharedSpark {
     assert(rLsh >= 0.95, s"lshTopK sf1 recall@10 = $rLsh (measured 1.000)")
     assert(rIvf4 >= 0.90, s"ivfTopK nprobe=4 sf1 recall@10 = $rIvf4 (measured 0.9999)")
     assert(rQuant >= 0.95, s"quantizedTopK sf1 recall@10 = $rQuant (measured 1.000)")
+    // Off-default knob sweep: recall must move the way each quality knob
+    // predicts — fewer probes/tables (or a longer forced hash) can only
+    // lose candidates, more probes can only add them. This guards the
+    // knob SEMANTICS against silent inversion (a bug that flips a knob's
+    // direction keeps every on-default floor above green while quietly
+    // wrecking off-default users). 0.005 absorbs tie-order jitter at the
+    // recall ceiling.
+    val rLshWeak = recall(pairSet(Similarity.lshTopK(
+      q, e, "vec_id", "embedding", k,
+      numPlanes = 20, numProbes = 1, numTables = 1)))
+    val rIvf2 = recall(pairSet(Similarity.ivfTopK(
+      q, e, "vec_id", "embedding", k, nlist = 16, nprobe = 2,
+      refineIterations = 2)))
+    val rIvf8 = recall(pairSet(Similarity.ivfTopK(
+      q, e, "vec_id", "embedding", k, nlist = 16, nprobe = 8,
+      refineIterations = 2)))
+    info(f"knob sweep: lsh(20 planes,1 probe,1 table) $rLshWeak%.4f " +
+      f"ivf@2 $rIvf2%.4f ivf@8 $rIvf8%.4f")
+    assert(rLshWeak <= rLsh + 0.005,
+      s"starved LSH ($rLshWeak) must not beat the default ($rLsh): " +
+        "probe/table knobs inverted?")
+    assert(rIvf2 <= rIvf4 + 0.005,
+      s"ivf nprobe=2 ($rIvf2) must not beat nprobe=4 ($rIvf4): nprobe inverted?")
+    assert(rIvf8 >= rIvf4 - 0.005,
+      s"ivf nprobe=8 ($rIvf8) must not trail nprobe=4 ($rIvf4): nprobe inverted?")
   }
 
   test("cosineDupPairs banded recall holds on the perturbed 10x geometry") {
