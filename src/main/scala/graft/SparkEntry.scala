@@ -714,6 +714,30 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(col("doc_id"), docLines.as("text"))
       graft.ops.Extraction.boilerplateFilter(d, "doc_id", "text")
     },
+    "q_gopher_filter" -> { (s, dir) =>
+      // Gopher A1.1 rules at paper defaults over a mixed fixture: the raw
+      // text plus deterministic bullet / ellipsis / hashtag line variants
+      // keyed off doc_id, so every signal varies at sf0.01 (62/500 pass).
+      // concat (not concat_ws) so NULL propagation matches the oracle's ||
+      val id = col("doc_id")
+      val mixed = t(s, dir, "documents").select(id,
+        concat(col("text"), lit("\n"),
+          when(id % 4 === 0,
+            lit("-first bullet line\n-second bullet line"))
+            .otherwise(lit("A plain closing line.")), lit("\n"),
+          when(id % 5 === 0, lit("to be continued..."))
+            .otherwise(lit("The end is here.")), lit("\n"),
+          when(id % 6 === 0, lit("#tag #spam ### extra"))
+            .otherwise(lit("clean"))).as("text"))
+      graft.ops.TextAnalysis.gopherFilter(mixed, "doc_id", "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("bullet_frac"), 6).as("bullet_frac"),
+          round(col("ellipsis_frac"), 6).as("ellipsis_frac"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          col("stop_hits"), col("gopher_ok"))
+    },
     "q_fingerprint" -> { (s, dir) =>
       graft.ops.TextAnalysis.fingerprint(t(s, dir, "documents"), "text")
         .select("doc_id", "fingerprint")
@@ -3129,6 +3153,71 @@ object SparkEntry {
         |  (len(kept) >= 3 AND NOT contains(text, '{')
         |    AND NOT contains(lower(text), 'lorem ipsum')) AS page_ok
         |FROM y""".stripMargin,
+    // q_gopher_filter: Gopher A1.1 rules replayed with DuckDB list
+    // lambdas; every ratio is the same quotient of exact integers the
+    // Spark expressions compute, so the rule booleans are IEEE-identical
+    "q_gopher_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10) ||
+        |    (CASE WHEN doc_id%4=0
+        |      THEN '-first bullet line' || chr(10) || '-second bullet line'
+        |      ELSE 'A plain closing line.' END) || chr(10) ||
+        |    (CASE WHEN doc_id%5=0 THEN 'to be continued...'
+        |      ELSE 'The end is here.' END) || chr(10) ||
+        |    (CASE WHEN doc_id%6=0 THEN '#tag #spam ### extra' ELSE 'clean' END)
+        |      AS text
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '[ \t\n\f\r]+'),
+        |      x -> x <> '') AS words,
+        |    list_transform(str_split(text, chr(10)), l -> trim(l)) AS lines
+        |  FROM d
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CASE WHEN len(words)=0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+        |        / CAST(len(words) AS DOUBLE) END AS mean_word_len,
+        |    CASE WHEN len(words)=0 THEN 0.0 ELSE
+        |      ((len(text) - len(replace(text,'#','')))
+        |        + (len(text) - len(replace(text,'...','')))/3
+        |        + (len(text) - len(replace(text,'…',''))))
+        |      / CAST(len(words) AS DOUBLE) END AS symbol_ratio,
+        |    len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+        |      / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+        |    len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$')))
+        |      / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+        |    CASE WHEN len(words)=0 THEN 0.0 ELSE
+        |      len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+        |      / CAST(len(words) AS DOUBLE) END AS alpha_frac,
+        |    (CAST(list_contains(list_transform(words, x -> lower(x)), 'the') AS BIGINT)
+        |     + CAST(list_contains(list_transform(words, x -> lower(x)), 'be') AS BIGINT)
+        |     + CAST(list_contains(list_transform(words, x -> lower(x)), 'to') AS BIGINT)
+        |     + CAST(list_contains(list_transform(words, x -> lower(x)), 'of') AS BIGINT)
+        |     + CAST(list_contains(list_transform(words, x -> lower(x)), 'and') AS BIGINT)
+        |     + CAST(list_contains(list_transform(words, x -> lower(x)), 'that') AS BIGINT)
+        |     + CAST(list_contains(list_transform(words, x -> lower(x)), 'have') AS BIGINT)
+        |     + CAST(list_contains(list_transform(words, x -> lower(x)), 'with') AS BIGINT)
+        |    ) AS stop_hits
+        |  FROM w
+        |)
+        |SELECT doc_id, n_words,
+        |  round(mean_word_len, 6) AS mean_word_len,
+        |  round(symbol_ratio, 6) AS symbol_ratio,
+        |  round(bullet_frac, 6) AS bullet_frac,
+        |  round(ellipsis_frac, 6) AS ellipsis_frac,
+        |  round(alpha_frac, 6) AS alpha_frac,
+        |  stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1
+        |    AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3
+        |    AND alpha_frac >= 0.8
+        |    AND stop_hits >= 2) AS gopher_ok
+        |FROM s""".stripMargin,
     // q_bm25: full Okapi BM25 replica; every double is parenthesized to
     // associate exactly as the Spark expressions (idf product first, then
     // the tf weight as one parenthesized quotient), and per-term scores

@@ -71,6 +71,103 @@ object TextAnalysis {
     tokenScore * 0.5 + alphaRatio * 0.5
   }
 
+  /** Gopher's "must contain two of" stop words (Rae et al. 2021, A1.1). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher's document-level quality rules (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1) over a plain-text column — the standard web-corpus
+    * quality gate alongside C4's line rules
+    * ([[Extraction.boilerplateFilter]]). Pairs with [[repetitionSignals]],
+    * which implements the paper's A1.2 repetition rules — together they
+    * are the full Gopher document gate. Emits the per-document signals
+    * plus `gopher_ok`, true when the document passes ALL rules:
+    *
+    *   1. `n_words` in [minWords, maxWords]              (paper: 50..100,000)
+    *   2. `mean_word_len` in [minMeanLen, maxMeanLen]    (paper: 3..10)
+    *   3. `symbol_ratio` ≤ maxSymbolRatio — `#` and `...`/`…` occurrences
+    *      per word                                       (paper: 0.1)
+    *   4. `bullet_frac` ≤ maxBulletFrac — lines starting `-` `*` `•`
+    *                                                     (paper: 0.90)
+    *   5. `ellipsis_frac` ≤ maxEllipsisFrac — lines ending `...`/`…`
+    *                                                     (paper: 0.30)
+    *   6. `alpha_frac` ≥ minAlphaFrac — words with ≥1 ASCII letter
+    *                                                     (paper: 0.80)
+    *   7. `stop_hits` ≥ minStopHits of [[GopherStopWords]] (paper: 2)
+    *
+    * The signals are kept so every drop is auditable (same shape as the
+    * C4 filter's page flags). Pure per-row column expressions —
+    * whole-stage codegen, zero shuffles, fuses into the scan stage at any
+    * corpus size. Whitespace is the explicit `[ \t\n\f\r]` class and the
+    * alphabetic test is ASCII `[A-Za-z]` so a SQL oracle replays
+    * byte-for-byte (Java and RE2 disagree on `\s`'s `\x0B` and on
+    * `\p{L}`); for non-Latin corpora gate per-language upstream
+    * ([[languageId]]) and pass language-specific thresholds. All ratios
+    * are quotients of exact integers, so the rule comparisons are
+    * IEEE-identical across engines; 0-word documents emit 0.0 ratios and
+    * fail rule 1.
+    */
+  def gopherFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, "word bounds")
+    val t = col(textCol)
+    val words = filter(split(trim(t), "[ \\t\\n\\f\\r]+"), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val meanLen = when(nWords === 0, lit(0.0)).otherwise(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        nWords.cast("double"))
+    def occurrences(needle: String, width: Int): Column =
+      (length(t) - length(replace(t, lit(needle), lit("")))) / lit(width)
+    val symbols =
+      occurrences("#", 1) + occurrences("...", 3) + occurrences("…", 1)
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(symbols.cast("double") / nWords.cast("double"))
+    // split() never returns an empty array, so nLines >= 1 always
+    val lines = transform(split(t, "\n"), l => trim(l))
+    val nLines = size(lines).cast("long")
+    val bulletFrac =
+      size(filter(lines, l => l.rlike("^[-*•]"))).cast("double") /
+        nLines.cast("double")
+    val ellipsisFrac =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") /
+        nLines.cast("double")
+    val alphaFrac = when(nWords === 0, lit(0.0)).otherwise(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+        nWords.cast("double"))
+    val lowered = transform(words, w => lower(w))
+    val stopHits = GopherStopWords
+      .map(w => array_contains(lowered, w).cast("long"))
+      .reduce(_ + _)
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        symbolRatio <= maxSymbolRatio &&
+        bulletFrac <= maxBulletFrac &&
+        ellipsisFrac <= maxEllipsisFrac &&
+        alphaFrac >= minAlphaFrac &&
+        stopHits >= minStopHits).as("gopher_ok"))
+  }
+
   /** Stopword lists for the language-ID heuristic (top function words). */
   private val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
