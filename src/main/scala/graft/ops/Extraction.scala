@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes. Everything here is a pure column-expression chain over
   * `org.apache.spark.sql.functions` (regexp_replace / regexp_extract /
-  * split / filter / array ops) — whole-stage-codegen'd, zero UDFs, zero
-  * shuffles of its own, so extraction fuses into the scan stage and
-  * costs one pass over the corpus at any scale. Link extraction's only
+  * split / filter / array ops) — zero UDFs, zero shuffles of its own, so
+  * extraction fuses into the scan stage and costs one pass over the
+  * corpus at any scale. The regex chains (stripHtml/extractTitle) run
+  * inside whole-stage codegen; [[boilerplateFilter]]'s line lambdas are
+  * Catalyst higher-order functions, which Spark evaluates interpreted
+  * (outside codegen) but still as the same narrow per-row projection. Link extraction's only
   * explode is line-local (bounded by hrefs-per-page), and the domain
   * rollup shuffles one (domain, count) pair per partition after the
   * map-side partial aggregate. Regexes stay inside the Java∩RE2 common

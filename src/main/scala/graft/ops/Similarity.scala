@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) via codegen'd higher-order functions — no UDF. */
+  /** dot(a, b) via Catalyst higher-order functions — no UDF, no
+    * serialization hop. (HOF lambdas evaluate interpreted — Spark excludes
+    * them from whole-stage codegen — but stay a narrow one-pass column.) */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x * y),

@@ -97,9 +97,13 @@ object TextAnalysis {
     *   7. `stop_hits` ≥ minStopHits of [[GopherStopWords]] (paper: 2)
     *
     * The signals are kept so every drop is auditable (same shape as the
-    * C4 filter's page flags). Pure per-row column expressions —
-    * whole-stage codegen, zero shuffles, fuses into the scan stage at any
-    * corpus size. Whitespace is the explicit `[ \t\n\f\r]` class and the
+    * C4 filter's page flags). Pure per-row column expressions — one
+    * narrow projection fused onto the (column-pruned) scan, zero
+    * shuffles, one pass per row at any corpus size. The array lambdas
+    * evaluate as interpreted Catalyst higher-order functions (Spark HOFs
+    * don't participate in whole-stage codegen), which costs per-row eval
+    * overhead but never changes the plan shape — pinned by the spec's
+    * plan contract. Whitespace is the explicit `[ \t\n\f\r]` class and the
     * alphabetic test is ASCII `[A-Za-z]` so a SQL oracle replays
     * byte-for-byte (Java and RE2 disagree on `\s`'s `\x0B` and on
     * `\p{L}`); for non-Latin corpora gate per-language upstream
@@ -816,7 +820,8 @@ object TextAnalysis {
     * engine with SHA-256 replays score and label bit-for-bit.
     *
     * Scale shape: one narrow map — tokenize, per-token hash chain, and an
-    * in-row `aggregate` fold, all codegen'd Catalyst builtins; no explode,
+    * in-row `aggregate` fold, all native Catalyst builtins (the HOF fold
+    * evaluates interpreted, outside whole-stage codegen); no explode,
     * no shuffle, output rows = input rows. Per-row cost is O(tokens ·
     * sha256); for throughput-critical paths reduce `dim` cost by
     * pre-hashing a vocabulary table and broadcast-joining instead.

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes. Every function here is a pure column expression built
   * from `org.apache.spark.sql.functions` (regexp, split/filter/
-  * array_sort, concat) — whole-stage-codegen'd, no UDFs, no shuffles of
-  * their own. The only shuffles are the ones the caller's groupBy/dedup
+  * array_sort, concat) — no UDFs, no shuffles of their own; the regex
+  * pieces codegen, while the query-param lambdas evaluate as interpreted
+  * higher-order functions (Spark HOFs sit outside whole-stage codegen)
+  * inside the same narrow one-pass projection.
+  * The only shuffles are the ones the caller's groupBy/dedup
   * semantics require (one hash exchange on the canonical key), so the
   * stage costs exactly one pass over the corpus at any scale.
   */

@@ -93,6 +93,24 @@ class GopherFilterSpec extends SharedSpark {
     }
   }
 
+  test("plan contract: shuffle-free projection over a column-pruned scan") {
+    // the gate must fuse into the corpus scan — a shuffle or an unpruned
+    // scan here would be paid on every row of a 100 TB corpus. A parquet
+    // scan, not a local relation: local literal inputs get
+    // constant-folded into a LocalTableScan and prove nothing. (No
+    // WholeStageCodegen assertion: array higher-order functions are
+    // interpreted in Spark — the contract is plan SHAPE, one narrow
+    // projection, nothing else.)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+    // only the two consumed columns reach the reader, not all five
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan.linesIterator.toSeq.lastOption.getOrElse("").take(400))
+  }
+
   test("paper defaults: 50-word floor and 2 stop words") {
     val doc = (Seq.fill(12)("the water flows and that is fine with everyone")
       ).mkString(" ") // 108 words, mean len ~4, 4 stop words present
