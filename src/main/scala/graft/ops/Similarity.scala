@@ -15,15 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) via Catalyst higher-order functions — no UDF, no
-    * serialization hop. (HOF lambdas evaluate interpreted — Spark excludes
-    * them from whole-stage codegen — but stay a narrow one-pass column.) */
+  /** dot(a, b) via the codegen'd [[graft.plans.DotProduct]] expression —
+    * no UDF, no serialization hop, and unlike the previous higher-order
+    * `aggregate(zip_with(...))` formulation it keeps the projection inside
+    * whole-stage codegen with one primitive loop per pair. Numerics and
+    * null semantics are bit-identical to the HOF fold (same index-order
+    * IEEE sum; NULL on null input/element or length mismatch). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x * y),
-      lit(0.0d),
-      (acc, x) => acc + x
-    )
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.plans.DotProduct(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(a),
+        org.apache.spark.sql.graftshim.ColumnShim.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
