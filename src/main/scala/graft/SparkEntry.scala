@@ -704,7 +704,13 @@ object SparkEntry {
           graft.ops.UrlOps.registrableDomain(
             graft.ops.UrlOps.hostOf(col("link"))).as("domain"),
           canon.as("canon"))
-        .filter(col("canon").isNotNull && col("domain") =!= "")
+        // domain != '' already implies the URL parsed (unparsable rows get
+        // host "" and so domain ""), and countDistinct skips NULLs — an
+        // explicit canon.isNotNull here would be pushed below the Project
+        // and evaluate the whole normalization kernel a SECOND time per
+        // link row (NormalizeUrlExpr is opaque to the isnotnull
+        // simplifier, unlike the old when()-shaped column)
+        .filter(col("domain") =!= "")
         .groupBy("domain")
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("canon")).as("n_targets"),

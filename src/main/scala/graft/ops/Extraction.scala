@@ -110,18 +110,23 @@ object Extraction {
       minWords: Int = 5,
       minLines: Int = 3): DataFrame = {
     require(minWords >= 1 && minLines >= 1)
+    // staged projection: `kept` is consumed three times below, and
+    // interpreted projections (the line lambdas are HOFs) re-evaluate a
+    // repeated subexpression per consumer — bind the arrays once
     val lines = transform(split(col(textCol), "\n"), l => trim(l))
     val kept = filter(lines, l =>
       l.rlike("[.!?\"]$") &&
         size(split(l, "[ \\t\\n\\f\\r]+")) >= minWords &&
         !lower(l).contains("javascript"))
-    df.select(
-      col(idCol),
-      array_join(kept, "\n").as("clean_text"),
-      size(lines).cast("long").as("n_lines"),
-      size(kept).cast("long").as("n_kept"),
-      (size(kept) >= minLines &&
-        !col(textCol).contains("{") &&
-        !lower(col(textCol)).contains("lorem ipsum")).as("page_ok"))
+    df.select(col(idCol), col(textCol),
+        lines.as("__c4_lines"), kept.as("__c4_kept"))
+      .select(
+        col(idCol),
+        array_join(col("__c4_kept"), "\n").as("clean_text"),
+        size(col("__c4_lines")).cast("long").as("n_lines"),
+        size(col("__c4_kept")).cast("long").as("n_kept"),
+        (size(col("__c4_kept")) >= minLines &&
+          !col(textCol).contains("{") &&
+          !lower(col(textCol)).contains("lorem ipsum")).as("page_ok"))
   }
 }

@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * registrable domain so whole hosts can be kept or dropped as a unit.
   * These are the Spark-native versions of that stage.
   *
-  * Scale notes. Every function here is a pure column expression built
-  * from `org.apache.spark.sql.functions` (regexp, split/filter/
-  * array_sort, concat) — no UDFs, no shuffles of their own; the regex
-  * pieces codegen, while the query-param lambdas evaluate as interpreted
-  * higher-order functions (Spark HOFs sit outside whole-stage codegen)
-  * inside the same narrow one-pass projection.
+  * Scale notes. Every function here is a native expression with no UDFs
+  * and no shuffles of its own. [[normalizeUrl]] is ONE codegen'd
+  * expression ([[graft.plans.NormalizeUrlExpr]]) doing one regex match
+  * per row — the previous column formulation paid 7 matches of the same
+  * pattern plus an interpreted higher-order parameter filter, because
+  * interpreted projections share no subexpressions. The rest are
+  * regexp/split/concat column chains inside whole-stage codegen.
   * The only shuffles are the ones the caller's groupBy/dedup
   * semantics require (one hash exchange on the canonical key), so the
   * stage costs exactly one pass over the corpus at any scale.
@@ -64,7 +65,18 @@ object UrlOps {
     * not parse normalize to NULL so callers can route them to a reject
     * lane instead of silently keeping malformed keys.
     */
-  def normalizeUrl(url: Column): Column = {
+  def normalizeUrl(url: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.plans.NormalizeUrlExpr(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(url)))
+
+  /** The original column-expression formulation of [[normalizeUrl]] —
+    * 7 `regexp_extract` matches plus a higher-order parameter filter per
+    * row, which interpreted projections neither share nor codegen. Kept
+    * (test-only) as the parity reference [[graft.plans.NormalizeUrlExpr]]
+    * is pinned against; the public operator now evaluates one regex match
+    * in one codegen'd kernel. */
+  private[graft] def normalizeUrlColumns(url: Column): Column = {
     val scheme = lower(part(url, 1))
     val host = regexp_replace(lower(part(url, 3)), "\\.$", "")
     val port = part(url, 4)
