@@ -33,6 +33,35 @@ class DotProductSpec extends SharedSpark {
     assert(cmp.filter(col("fast").isNull).count() === 0)
   }
 
+  test("bit-identical to the HOF fold on IEEE specials") {
+    // NaN, infinities, signed zeros, subnormals, and magnitudes whose
+    // products overflow: the kernel must propagate exactly as the fold did
+    val specials = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 0.0, -0.0, Double.MinPositiveValue,
+      -Double.MinPositiveValue, Double.MaxValue, -Double.MaxValue,
+      1e-300, -1e308, 3.141592653589793)
+    val rng = new scala.util.Random(42)
+    def vec(n: Int): Seq[java.lang.Double] =
+      (0 until n).map(_ => java.lang.Double.valueOf(
+        specials(rng.nextInt(specials.size))))
+    val rows = (1L to 200L).map(i => Row(i, vec(8), vec(8)))
+    val got = df(schema, rows).select(
+      Similarity.dot(col("a"), col("b")).as("fast"),
+      hofDot(col("a"), col("b")).as("ref")).collect()
+    // compare raw bits so ±0.0 can't hide behind SQL equality — EXCEPT
+    // among NaNs: Spark semantics treat all NaNs as one value, and the
+    // codegen path's UnsafeRow write canonicalizes NaN to 0x7FF8… while
+    // the interpreted fold can surface the hardware QNaN (0xFFF8…), a
+    // storage quirk with no SQL-visible effect (grouping/compare/oracle
+    // all see "NaN")
+    for (r <- got) {
+      val (f, g) = (r.getDouble(0), r.getDouble(1))
+      if (f.isNaN || g.isNaN) assert(f.isNaN && g.isNaN)
+      else assert(java.lang.Double.doubleToRawLongBits(f) ===
+        java.lang.Double.doubleToRawLongBits(g))
+    }
+  }
+
   test("null semantics mirror zip_with/aggregate exactly") {
     val rows = Seq(
       Row(1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),

@@ -73,6 +73,38 @@ class NormalizeUrlExprSpec extends SharedSpark {
     assert(urls.size === 432)
   }
 
+  test("parity on 2000 adversarial pseudo-random URLs") {
+    // deterministic generator sweeping the nasty regions: %-encoding,
+    // multibyte and control chars in every component, backslashes,
+    // leading-zero ports, repeated separators, absurdly long params
+    val rng = new scala.util.Random(0xbad071L)
+    val schemes = Seq("http", "https", "HtTp", "ftp+x", "a", "x-1.z")
+    val hostBits = Seq("example", "EXAMPLE", "xn--bcher-kva", "日本語",
+      "a_b", "127.0.0.1", "a..b", "trailing.")
+    val pathBits = Seq("", "/", "/a/b", "/%20%2F", "/a\\b", "/ctl",
+      "/" + "x" * 300)
+    val paramBits = Seq("a=1", "utm_source=x", "UTM_SOURCE=kept", "b",
+      "=v", "a==b", "ref=z", "refz=kept", "gclid=1", "%C3%A9=1",
+      "é=é", "k=" + "v" * 200, "")
+    def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.size))
+    val urls = (1 to 2000).map { _ =>
+      val q =
+        if (rng.nextBoolean()) ""
+        else "?" + Seq.fill(rng.nextInt(5))(pick(paramBits)).mkString("&")
+      val port = rng.nextInt(4) match {
+        case 0 => ""
+        case 1 => ":80"
+        case 2 => ":0443"
+        case 3 => ":" + (1 + rng.nextInt(65535))
+      }
+      val frag = if (rng.nextBoolean()) "#" + pick(paramBits) else ""
+      val user = if (rng.nextInt(4) == 0) "u:p@" else ""
+      pick(schemes) + "://" + user + pick(hostBits) + port +
+        pick(pathBits) + q + frag
+    } ++ (1 to 100).map(_ => rng.nextString(20)) // pure garbage
+    assertParity(urls)
+  }
+
   test("null input stays null; idempotence carries over") {
     val d = df("url STRING", Seq(Row(null.asInstanceOf[String]),
       Row("HTTP://A.com:80/x?utm_x=1&b=2&a=1")))
