@@ -80,9 +80,23 @@ object Similarity {
     lshSignatureFrom(vecCol, 0, numPlanes)
 
   /** Signature over the plane family [firstPlane, firstPlane + numPlanes) —
-    * disjoint offsets give independent hash bands.
+    * disjoint offsets give independent hash bands. One codegen'd kernel
+    * ([[graft.plans.LshSignature]]) replacing numPlanes interpreted HOF
+    * folds per row; bit-identical output (parity pinned by
+    * LshSignatureSpec against [[lshSignatureHof]]).
     */
-  def lshSignatureFrom(vecCol: Column, firstPlane: Int, numPlanes: Int): Column = {
+  def lshSignatureFrom(vecCol: Column, firstPlane: Int, numPlanes: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.plans.LshSignature(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(vecCol),
+        firstPlane, numPlanes))
+
+  /** The original higher-order formulation — numPlanes separate
+    * aggregate(zip_with) folds, each re-walking the vector with an
+    * interpreted lambda. Kept (test-only) as the parity reference the
+    * codegen kernel is pinned against. */
+  private[graft] def lshSignatureHof(
+      vecCol: Column, firstPlane: Int, numPlanes: Int): Column = {
     require(numPlanes > 0 && numPlanes <= 63, "numPlanes must be in [1, 63]")
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(

@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Codegen'd dot product over two array columns — the inner loop of every
   * embedding-similarity operator ([[graft.ops.Similarity]]: brute-force /
@@ -74,9 +75,73 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Static loop kernel shared by DotProduct's interpreted and generated
-  * paths. Returns a boxed Double so NULL (length mismatch / null element)
-  * travels in-band; one box per ROW is noise next to the per-element work.
+/** Codegen'd random-hyperplane LSH signature over the plane family
+  * [firstPlane, firstPlane + planes) — the corpus-side hot loop of
+  * [[graft.ops.Similarity.lshTopK]] and the banded cosine dedup.
+  *
+  * Replaces `planes` separate `aggregate(zip_with(...))` higher-order
+  * folds per row (each walking the vector with an interpreted lambda that
+  * itself evaluates an `xxhash64` expression per element) with one
+  * JIT-compiled double loop. Bit-identical by construction: the sign of
+  * plane p at dimension i is `pmod(xxhash64(p, i), 2) == 0 ? +1 : -1`
+  * where xxhash64 folds seed 42 → hashInt(p) → hashInt(i) — reproduced
+  * here through the same `XXH64.hashInt` statics Spark's expression
+  * calls; projections fold `0.0 + x(0)·s₀ + …` in index order (same IEEE
+  * sequence); a NaN projection SETS its bit (Spark SQL orders NaN above
+  * every double, so the HOF chain's `proj >= 0` was true — Java's
+  * comparison would say false, a trap the parity spec caught). NULL
+  * handling mirrors the HOF chain's CaseWhen exactly: a NULL vector or a
+  * NULL element made every per-plane `when(proj >= 0, bit)` fall to its
+  * `otherwise(0L)`, so the signature was 0L, never NULL — this expression
+  * is therefore non-nullable and returns 0L on those inputs. FLOAT arrays
+  * widen per element, bit-identical to a prior ARRAY<DOUBLE> cast.
+  */
+case class LshSignature(child: Expression, firstPlane: Int, planes: Int)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 63, "planes must be in [1, 63]")
+
+  override def dataType: DataType = LongType
+  // NULL input/element folded to bit 0 in the HOF chain -> always a long
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh signature expects ARRAY<DOUBLE> or ARRAY<FLOAT>, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val vec = child.eval(input)
+    if (vec == null) 0L
+    else VectorKernel.lshSignature(
+      vec.asInstanceOf[ArrayData], isFloat, firstPlane, planes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |long ${ev.value} = ${c.isNull}
+        |  ? 0L
+        |  : graft.plans.VectorKernel.lshSignature(
+        |      ${c.value}, $isFloat, $firstPlane, $planes);
+       """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+}
+
+/** Static loop kernels shared by the vector expressions' interpreted and
+  * generated paths. Boxed returns carry NULL (null element / length
+  * mismatch) in-band; one box per ROW is noise next to the per-element
+  * work.
   */
 object VectorKernel {
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean)
@@ -93,5 +158,43 @@ object VectorKernel {
       i += 1
     }
     java.lang.Double.valueOf(s)
+  }
+
+  /** Signature of the plane family [firstPlane, firstPlane + planes) for
+    * one vector; 0L when any element is null (the HOF chain's CaseWhen
+    * folded a NULL projection to bit 0 on every plane). Sign replication:
+    * xxhash64(plane: INT, i: INT) with Spark's default seed 42 folds
+    * hashInt(plane, 42) then hashInt(i, previous) — the exact sequence
+    * the XxHash64 expression evaluates.
+    */
+  def lshSignature(vec: ArrayData, isFloat: Boolean,
+      firstPlane: Int, planes: Int): Long = {
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return 0L
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val planeHash =
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(firstPlane + p, 42L)
+      var proj = 0.0
+      i = 0
+      while (i < n) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, planeHash)
+        // pmod(h, 2) == 0  <=>  h is even
+        val sign = if ((h & 1L) == 0L) 1.0 else -1.0
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        proj += x * sign
+        i += 1
+      }
+      // Spark SQL orders NaN ABOVE every double, so `proj >= 0` is TRUE
+      // for a NaN projection — unlike Java's comparison
+      if (proj >= 0 || java.lang.Double.isNaN(proj)) sig += (1L << p)
+      p += 1
+    }
+    sig
   }
 }
