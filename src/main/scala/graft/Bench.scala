@@ -430,7 +430,10 @@ object Bench {
       val loadJson = allLoad.map { case (k, ts) =>
         s"\"$k\":[${ts.map(fmt).mkString(",")}]"
       }.mkString("{", ",", "}")
-      val minsJson = allRuns.map { case (k, ts) =>
+      // the `<name>_ratio` series are dimensionless pairing ratios, not
+      // per-run seconds — keep them in `runs` (their home) but out of the
+      // seconds-denominated `mins` map
+      val minsJson = allRuns.collect { case (k, ts) if !k.endsWith("_ratio") =>
         s"\"$k\":${fmt(ts.min)}"
       }.mkString("{", ",", "}")
       val fw = new java.io.FileWriter(fullPath)

@@ -660,17 +660,20 @@ object SparkEntry {
           round(col("mean_quality"), 6).as("mean_quality"))
     },
     "q_host_agg_psl" -> { (s, dir) =>
-      // data-driven eTLD+1: the same host rollup, but grouping by the
-      // PSL longest-match registrable domain. The 4-suffix policy table
-      // deliberately lists "example.com" as a public suffix so the PSL
-      // path provably diverges from the 2-label heuristic on half the
-      // corpus (srcN.example.com stays whole instead of collapsing).
-      val psl = s.createDataFrame(Seq(
-        Tuple1("com"), Tuple1("uk"), Tuple1("co.uk"), Tuple1("example.com")))
-        .toDF("suffix")
+      // data-driven eTLD+1 at full PSL width: the same host rollup, but
+      // grouping by the longest match against the bundled ~9.5k-rule
+      // Public Suffix List (loadPsl). A slice of the corpus is rehosted
+      // under a wildcard rule (*.ck -> web.<source>.ck stays whole) and
+      // an exception rule (!www.ck -> sub.www.ck rolls to www.ck) so all
+      // three PSL rule kinds are live in the entry, not just unit-tested.
+      val psl = graft.ops.UrlOps.loadPsl(s)
+      val id = col("doc_id")
+      val host = when(id % 7 === 3,
+        concat(lit("web."), col("source"), lit(".ck")))
+        .when(id % 11 === 5, lit("sub.www.ck"))
+        .otherwise(graft.ops.UrlOps.hostOf(docUrl))
       val d = t(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.ops.UrlOps.hostOf(docUrl).as("host"),
+        .select(col("doc_id"), host.as("host"),
           graft.ops.UrlOps.normalizeUrl(docUrl).as("canon"),
           col("n_chars"))
       graft.ops.UrlOps.registrableDomainPsl(d, "host", psl)
@@ -3038,25 +3041,54 @@ object SparkEntry {
         |    canon, n_chars
         |  FROM (SELECT *, str_split(host, '.') AS labs FROM c)
         |) WHERE domain <> '' GROUP BY domain""".stripMargin),
-    // q_host_agg_psl: independent replica of the PSL longest-match join
-    // (suffix matches iff it is the host's last slen labels; longest listed
-    // match wins; unlisted TLD falls back to the implicit '*' rule) and
-    // the eTLD+1 slice, then the same rollup
+    // q_host_agg_psl: independent replica of the full-width PSL
+    // longest-match (read straight from the bundled MPL-licensed
+    // snapshot; candidate suffixes of 1..5 labels equi-joined against
+    // the rule table; wildcard tails match one label longer when that
+    // label exists; exception rules prevail at their length minus one;
+    // unlisted TLD falls back to the implicit '*' rule), the eTLD+1
+    // slice, then the same rollup. The host rewrite mirrors the entry's
+    // wildcard/exception rehosting.
     "q_host_agg_psl" -> urlOracle(
-      """, psl(suffix, slen) AS (VALUES
-        |    ('com', 1), ('uk', 1), ('co.uk', 2), ('example.com', 2)
+      """, praw AS (
+        |  SELECT trim(rule) AS rule FROM read_csv(
+        |    '/root/repo/src/main/resources/graft/public_suffix_list.dat',
+        |    header=false, columns={'rule':'VARCHAR'}, delim='\t', quote='')
+        |), prules AS (
+        |  SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+        |              WHEN rule LIKE '*.%' THEN substr(rule, 3)
+        |              ELSE rule END AS s,
+        |         CASE WHEN rule LIKE '!%' THEN 'x'
+        |              WHEN rule LIKE '*.%' THEN 'w' ELSE 'e' END AS kind
+        |  FROM praw WHERE rule <> '' AND rule NOT LIKE '//%'
+        |), ch AS (
+        |  SELECT c.doc_id, c.canon, c.n_chars,
+        |    CASE WHEN c.doc_id % 7 = 3 THEN 'web.' || d0.source || '.ck'
+        |         WHEN c.doc_id % 11 = 5 THEN 'sub.www.ck'
+        |         ELSE c.host END AS host
+        |  FROM c JOIN documents d0 ON c.doc_id = d0.doc_id
+        |), hl AS (
+        |  SELECT doc_id, canon, n_chars, host,
+        |    str_split(lower(host), '.') AS labs,
+        |    len(str_split(host, '.')) AS n
+        |  FROM ch
+        |), cand AS (
+        |  SELECT doc_id, n, i, array_to_string(labs[n-i+1:], '.') AS cs
+        |  FROM hl, range(1, 6) t(i) WHERE n >= i
         |), m AS (
-        |  SELECT c.doc_id, c.host, c.canon, c.n_chars, max(p.slen) AS l
-        |  FROM c LEFT JOIN psl p
-        |    ON c.host = p.suffix OR ends_with(c.host, '.' || p.suffix)
-        |  GROUP BY 1, 2, 3, 4
+        |  SELECT doc_id,
+        |    max(CASE WHEN r.kind = 'e' THEN i
+        |             WHEN r.kind = 'w' AND cand.n > i THEN i + 1 END) AS mlen,
+        |    max(CASE WHEN r.kind = 'x' THEN i - 1 END) AS exc
+        |  FROM cand JOIN prules r ON cand.cs = lower(r.s)
+        |  GROUP BY doc_id
         |), d AS (
         |  SELECT canon, n_chars,
-        |    CASE WHEN len(labs) > el
-        |         THEN array_to_string(labs[len(labs)-el:], '.')
-        |         ELSE NULL END AS domain
-        |  FROM (SELECT *, str_split(host, '.') AS labs,
-        |          coalesce(l, 1) AS el FROM m)
+        |    CASE WHEN n > el
+        |         THEN array_to_string(labs[n-el:], '.') END AS domain
+        |  FROM (SELECT hl.canon, hl.n_chars, hl.n, hl.labs,
+        |          coalesce(m.exc, m.mlen, 1) AS el
+        |        FROM hl LEFT JOIN m ON hl.doc_id = m.doc_id)
         |)
         |SELECT domain, count(*) AS n_pages, count(DISTINCT canon) AS n_urls,
         |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_quality

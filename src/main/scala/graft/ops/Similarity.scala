@@ -18,9 +18,16 @@ object Similarity {
   /** dot(a, b) via the codegen'd [[graft.plans.DotProduct]] expression —
     * no UDF, no serialization hop, and unlike the previous higher-order
     * `aggregate(zip_with(...))` formulation it keeps the projection inside
-    * whole-stage codegen with one primitive loop per pair. Numerics and
-    * null semantics are bit-identical to the HOF fold (same index-order
-    * IEEE sum; NULL on null input/element or length mismatch). */
+    * whole-stage codegen with one primitive loop per pair. Null semantics
+    * match the HOF fold exactly (NULL on null input/element or length
+    * mismatch). Numerics: bit-identical to the HOF fold for
+    * `ARRAY<DOUBLE>` inputs (same index-order IEEE sum). For raw
+    * `ARRAY<FLOAT>` inputs the kernel widens each element to double
+    * BEFORE multiplying (identical to casting the arrays to
+    * `array<double>` first, which is what every internal call site does),
+    * whereas the old HOF multiplied in float precision and then widened —
+    * the two can differ in the last ulp of a product. The float path is
+    * parity-tested against the cast-first formulation, not the old HOF. */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftshim.ColumnShim.column(
       graft.plans.DotProduct(

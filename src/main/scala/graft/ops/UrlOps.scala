@@ -126,9 +126,12 @@ object UrlOps {
 
   /** Keep exactly one row per canonical URL — the re-crawl/mirror dedup
     * that precedes content-level dedup in web pipelines. The keeper is
-    * the row with the smallest `idCol` (deterministic; `idCol` is
-    * assumed unique, as a document id is). Rows whose URL does not parse
-    * keep themselves (NULL canonical key ⇒ keyed by their own id).
+    * the row with the smallest `idCol` (deterministic; `idCol` must be
+    * non-null and unique, as a document id is — rows with a NULL id are
+    * dropped up front, since `min_by` skips NULL ordering keys and an
+    * all-NULL-id group would otherwise surface as one all-NULL row).
+    * Rows whose URL does not parse keep themselves (NULL canonical key
+    * ⇒ keyed by their own id).
     *
     * Single pass, single shuffle: one hash exchange on the canonical
     * URL with a `min_by(struct(*), id)` aggregate, so the keeper row
@@ -137,36 +140,64 @@ object UrlOps {
     * one candidate row per (canonical, partition).
     */
   def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    // internal names carry a graft-reserved prefix so a user column can't
+    // collide; still guarded because the select-by-name below would
+    // silently prefer the user's column if it did
+    val (canonCol, keepCol) = ("__graft_url_canon", "__graft_url_keep")
+    require(!df.columns.contains(canonCol) && !df.columns.contains(keepCol),
+      s"dedupByUrl: input must not contain reserved columns $canonCol/$keepCol")
     val canon = coalesce(normalizeUrl(col(urlCol)),
       concat(lit("__unparsed__"), col(idCol).cast("string")))
     val outCols = df.columns
-    df.groupBy(canon.as("__canon"))
+    df.filter(col(idCol).isNotNull)
+      .groupBy(canon.as(canonCol))
       .agg(min_by(struct(outCols.map(col).toIndexedSeq: _*), col(idCol))
-        .as("__keep"))
-      .select(outCols.map(c => col("__keep").getField(c).as(c)).toIndexedSeq: _*)
+        .as(keepCol))
+      .select(outCols.map(c => col(keepCol).getField(c).as(c)).toIndexedSeq: _*)
   }
 
   /** Data-driven registrable domain (eTLD+1) against a caller-supplied
     * public-suffix table — the full-fidelity alternative to the
     * zero-dependency [[registrableDomain]] heuristic. `psl` has one row
-    * per public suffix (lowercase, no leading dot — e.g. "com", "co.uk",
-    * "github.io"); the ~9k-entry list at publicsuffix.org is the usual
-    * source, but any suffix policy table works.
+    * per PSL rule, in the list's own syntax (no leading dot):
+    *   - `"com"`, `"co.uk"`     — plain public-suffix rules;
+    *   - `"*.ck"`               — wildcard: every `<label>.ck` is a
+    *     public suffix (for host `a.foo.ck` the public suffix is
+    *     `foo.ck`, so the registrable domain is `a.foo.ck`);
+    *   - `"!www.ck"`            — exception: `www.ck` is NOT a public
+    *     suffix despite `*.ck`; it is itself registrable.
+    * The ~9.5k-rule list at publicsuffix.org is the usual source (the
+    * bundled snapshot loads via [[loadPsl]]), but any policy table
+    * works; plain-suffix tables behave as before. Matching is
+    * case-insensitive (both sides lowercased; the returned domain is
+    * lowercase).
     *
-    * Longest-match semantics, PSL-style: the registrable domain is the
-    * matched suffix plus one more host label. A host that IS a public
-    * suffix has no registrable domain (NULL). A host whose TLD is not in
-    * the table falls back to the PSL's implicit `*` rule — the last
-    * label is treated as the suffix, so the registrable domain is the
-    * last two labels (single-label hosts → NULL).
+    * Prevailing-rule semantics per the PSL algorithm: an exception rule
+    * beats everything (public suffix = the exception minus its leftmost
+    * label); otherwise the longest matching rule wins, where a wildcard
+    * `*.T` matches `<label>.T` only when that extra label exists; if no
+    * rule matches, the implicit `*` rule makes the bare TLD the suffix.
+    * The registrable domain is the public suffix plus one more host
+    * label; a host that IS a public suffix yields NULL.
     *
     * Scale shape: NO explode and NO re-aggregation. Longest-match is a
     * chain of `maxSuffixLabels` broadcast hash joins (suffix tables are
     * tiny), one per candidate suffix length, each matching the host's
-    * last-i-labels string; ascending order means the last hit is the
-    * longest. The corpus side never shuffles — the only exchanges are
-    * the suffix table's own defensive dedup and its broadcasts — so the
-    * lookup fuses into whatever pass the caller is already making.
+    * last-i-labels string against that length's rules; per-length rule
+    * kinds (exact / wildcard-tail / exception) are pre-aggregated into
+    * ONE key-unique row per match string, so a string that is both an
+    * exact rule and a wildcard tail (`kawasaki.jp` under
+    * `*.kawasaki.jp`) cannot duplicate corpus rows. Ascending order
+    * means the last hit is the longest. The corpus side never shuffles —
+    * the only exchanges are the rule table's own tiny aggregation and
+    * its broadcasts — so the lookup fuses into whatever pass the caller
+    * is already making.
+    *
+    * `maxSuffixLabels` bounds the rule length considered: exact and
+    * exception rules of up to `maxSuffixLabels` labels, wildcard rules
+    * of up to `maxSuffixLabels + 1` (their tails join at length − 1).
+    * The default 5 covers the full public list (its deepest rules are
+    * 5 labels).
     *
     * @return `df` with `outCol` appended (internal `__psl_*` columns are
     *         consumed internally and not emitted).
@@ -179,28 +210,84 @@ object UrlOps {
       outCol: String = "domain",
       maxSuffixLabels: Int = 5): DataFrame = {
     require(maxSuffixLabels >= 1, "maxSuffixLabels must be >= 1")
-    val labs = split(col(hostCol), "\\.")
-    val withCands = df.withColumn("__psl_labs", labs)
-    val joined = (1 to maxSuffixLabels).foldLeft(
-      withCands.withColumn("__psl_len", lit(0))) { (acc, i) =>
+    // normalize + classify the rule table once; aggregate kind flags per
+    // match string so every per-length join side is key-unique
+    val raw = lower(trim(col(suffixCol)))
+    val rules = psl
+      .select(raw.as("__r"))
+      .filter(col("__r") =!= "" && !col("__r").startsWith("//"))
+      .select(
+        when(col("__r").startsWith("!"), substring(col("__r"), 2, 1 << 20))
+          .when(col("__r").startsWith("*."), substring(col("__r"), 3, 1 << 20))
+          .otherwise(col("__r")).as("__s"),
+        col("__r").startsWith("*.").as("__w0"),
+        col("__r").startsWith("!").as("__x0"))
+      .groupBy("__s")
+      .agg(
+        max(!col("__w0") && !col("__x0")).as("__e"),
+        max(col("__w0")).as("__w"),
+        max(col("__x0")).as("__x"))
+      .withColumn("__n", size(split(col("__s"), "\\.")))
+    val labs = split(lower(col(hostCol)), "\\.")
+    val nl = size(col("__psl_labs"))
+    val start = df.withColumn("__psl_labs", labs)
+      .withColumn("__psl_len", lit(0))
+      .withColumn("__psl_exc", lit(null).cast("int"))
+    val joined = (1 to maxSuffixLabels).foldLeft(start) { (acc, i) =>
       // candidate suffix of exactly i labels: the host's last i labels
-      val cand = when(size(col("__psl_labs")) >= i,
-        array_join(slice(col("__psl_labs"), -i, i), "."))
-      val side = broadcast(
-        psl.select(lower(col(suffixCol)).as(s"__psl_s$i")).distinct())
+      val cand = when(nl >= i, array_join(slice(col("__psl_labs"), -i, i), "."))
+      val side = broadcast(rules.filter(col("__n") === i).select(
+        col("__s").as(s"__psl_s$i"), col("__e").as(s"__psl_e$i"),
+        col("__w").as(s"__psl_w$i"), col("__x").as(s"__psl_x$i")))
       acc.withColumn(s"__psl_c$i", cand)
         .join(side, col(s"__psl_c$i") === col(s"__psl_s$i"), "left")
+        // exact rule of i labels: match length i (monotone in i, so a
+        // plain overwrite keeps the longest)
         .withColumn("__psl_len",
-          when(col(s"__psl_s$i").isNotNull, i).otherwise(col("__psl_len")))
-        .drop(s"__psl_c$i", s"__psl_s$i")
+          when(col(s"__psl_e$i"), i).otherwise(col("__psl_len")))
+        // wildcard tail of i labels: the suffix is tail + one more label,
+        // which must actually exist on the host
+        .withColumn("__psl_len",
+          when(col(s"__psl_w$i") && nl >= i + 1, i + 1)
+            .otherwise(col("__psl_len")))
+        // exception rule: the matched domain is itself registrable, so
+        // the effective public suffix is one label shorter; prevails
+        // over every non-exception match
+        .withColumn("__psl_exc",
+          when(col(s"__psl_x$i"), i - 1).otherwise(col("__psl_exc")))
+        .drop(s"__psl_c$i", s"__psl_s$i", s"__psl_e$i", s"__psl_w$i",
+          s"__psl_x$i")
     }
-    val n = size(col("__psl_labs"))
-    // no listed suffix -> implicit "*" rule: the TLD alone is the suffix
-    val effLen = when(col("__psl_len") === 0, 1).otherwise(col("__psl_len"))
-    val domain = when(n > effLen,
+    // exception prevails; no listed rule -> implicit "*": bare TLD
+    val effLen = coalesce(col("__psl_exc"),
+      when(col("__psl_len") === 0, 1).otherwise(col("__psl_len")))
+    val domain = when(nl > effLen,
       array_join(slice(col("__psl_labs"), -(effLen + lit(1)), effLen + lit(1)),
         "."))
-    joined.withColumn(outCol, domain).drop("__psl_labs", "__psl_len")
+    joined.withColumn(outCol, domain)
+      .drop("__psl_labs", "__psl_len", "__psl_exc")
+  }
+
+  /** The bundled snapshot of the Public Suffix List (publicsuffix.org,
+    * MPL 2.0 — shipped verbatim at `graft/public_suffix_list.dat` on the
+    * classpath, comments and provenance header included) as a one-column
+    * `suffix` DataFrame of raw rules (`"com"`, `"*.ck"`, `"!www.ck"`)
+    * ready for [[registrableDomainPsl]]. Comment/blank lines are dropped
+    * at load. The table is ~9.5k rows — driver-side parse is trivial and
+    * every consumer broadcasts it.
+    */
+  def loadPsl(
+      spark: org.apache.spark.sql.SparkSession,
+      resource: String = "graft/public_suffix_list.dat"): DataFrame = {
+    val in = Thread.currentThread.getContextClassLoader
+      .getResourceAsStream(resource)
+    require(in != null, s"classpath resource not found: $resource")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toArray
+      finally in.close()
+    import spark.implicits._
+    spark.createDataset(lines.toIndexedSeq).toDF("suffix")
   }
 
   /** Host-level curation rollup: per registrable domain, the page count,

@@ -117,6 +117,91 @@ class UrlOpsSpec extends SharedSpark {
       s"PSL lookup must resolve as broadcast joins:\n$plan")
   }
 
+  test("registrableDomainPsl: wildcard and exception rules (PSL algorithm)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // *.ck: every <label>.ck is a public suffix; !www.ck carves www.ck
+    // back out as registrable. The kawasaki.jp family additionally has
+    // the wildcard TAIL ("kawasaki.jp") under a plain TLD rule ("jp"),
+    // the shape that must not duplicate corpus rows in the per-length
+    // join and must resolve the tail host itself via the shorter rule.
+    val psl = Seq("ck", "*.ck", "!www.ck",
+      "jp", "*.kawasaki.jp", "!city.kawasaki.jp").toDF("suffix")
+    val hosts = df("h STRING", Seq(
+      Row("ck"),                  // bare TLD -> NULL
+      Row("foo.ck"),              // matches *.ck -> IS a suffix -> NULL
+      Row("a.foo.ck"),            // suffix foo.ck + 1
+      Row("b.a.foo.ck"),          // still a.foo.ck
+      Row("www.ck"),              // exception: itself registrable
+      Row("sub.www.ck"),          // rolls to the exception domain
+      Row("kawasaki.jp"),         // wildcard tail itself: plain "jp" rule
+      Row("x.kawasaki.jp"),       // wildcard -> IS a suffix -> NULL
+      Row("y.x.kawasaki.jp"),     // suffix x.kawasaki.jp + 1
+      Row("city.kawasaki.jp"),    // exception beats the wildcard
+      Row("z.city.kawasaki.jp"))) // rolls to the exception domain
+    val out = UrlOps.registrableDomainPsl(hosts, "h", psl)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out("ck") === null)
+    assert(out("foo.ck") === null)
+    assert(out("a.foo.ck") === "a.foo.ck")
+    assert(out("b.a.foo.ck") === "a.foo.ck")
+    assert(out("www.ck") === "www.ck")
+    assert(out("sub.www.ck") === "www.ck")
+    assert(out("kawasaki.jp") === "kawasaki.jp")
+    assert(out("x.kawasaki.jp") === null)
+    assert(out("y.x.kawasaki.jp") === "y.x.kawasaki.jp")
+    assert(out("city.kawasaki.jp") === "city.kawasaki.jp")
+    assert(out("z.city.kawasaki.jp") === "city.kawasaki.jp")
+    // row-count preservation: the kind-aggregated join sides are
+    // key-unique even though the string "ck" is simultaneously an exact
+    // rule and a wildcard tail (of "*.ck") — a naive two-row side table
+    // would duplicate every *.ck host
+    assert(UrlOps.registrableDomainPsl(hosts, "h", psl).count() === 11L)
+  }
+
+  test("registrableDomainPsl: case-insensitive host matching") {
+    val spark0 = spark
+    import spark0.implicits._
+    val psl = Seq("com", "co.uk", "*.ck").toDF("suffix")
+    val hosts = df("h STRING", Seq(
+      Row("Shop.Example.COM"), Row("WWW.BAR.CO.UK"), Row("A.Foo.CK")))
+    val out = UrlOps.registrableDomainPsl(hosts, "h", psl)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("Shop.Example.COM") === "example.com")
+    assert(out("WWW.BAR.CO.UK") === "bar.co.uk")
+    assert(out("A.Foo.CK") === "a.foo.ck")
+  }
+
+  test("loadPsl: bundled full-width list, real-world spot checks") {
+    val psl = UrlOps.loadPsl(spark)
+    val n = psl.count()
+    assert(n >= 9000L, s"bundled PSL unexpectedly small: $n rules")
+    val hosts = df("h STRING", Seq(
+      Row("www.bbc.co.uk"),      // classic 2-level suffix
+      Row("foo.github.io"),      // private-section rule
+      Row("foo.bar.ck"),         // real *.ck wildcard
+      Row("www.ck"),             // real !www.ck exception
+      Row("city.kawasaki.jp"),   // real exception under *.kawasaki.jp
+      // 5-label host under the *.compute.amazonaws.com wildcard: the
+      // public suffix is 4 labels, the whole host is registrable
+      Row("proj.region1.compute.amazonaws.com"),
+      Row("example.unknowntld"), // implicit * fallback
+      Row("shop.example.com")))
+    val out = UrlOps.registrableDomainPsl(hosts, "h", psl)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out("www.bbc.co.uk") === "bbc.co.uk")
+    assert(out("foo.github.io") === "foo.github.io")
+    assert(out("foo.bar.ck") === "foo.bar.ck")
+    assert(out("www.ck") === "www.ck")
+    assert(out("city.kawasaki.jp") === "city.kawasaki.jp")
+    assert(out("proj.region1.compute.amazonaws.com") ===
+      "proj.region1.compute.amazonaws.com")
+    assert(out("example.unknowntld") === "example.unknowntld")
+    assert(out("shop.example.com") === "example.com")
+  }
+
   test("hostAggregate rolls pages up to the registrable domain") {
     val d = df("id BIGINT, url STRING, q DOUBLE", Seq(
       Row(1L, "https://x.site.co.uk/a", 1.0),
