@@ -120,6 +120,43 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Multi-probe plane order over [firstPlane, firstPlane + numPlanes) —
+    * ARRAY<INT> of plane indices sorted by |projection| ascending, via the
+    * codegen'd [[graft.plans.LshProbeOrder]] kernel (the query-side
+    * companion of [[lshSignatureFrom]]). */
+  def lshProbeOrderFrom(
+      vecCol: Column, firstPlane: Int, numPlanes: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.plans.LshProbeOrder(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(vecCol),
+        firstPlane, numPlanes))
+
+  /** The original higher-order probe-order formulation — numPlanes
+    * aggregate(zip_with) folds plus an array_sort/transform pair, all
+    * interpreted. Kept (test-only) as the parity reference the codegen
+    * kernel is pinned against. */
+  private[graft] def lshProbeOrderHof(
+      vecCol: Column, firstPlane: Int, numPlanes: Int): Column = {
+    require(numPlanes > 0 && numPlanes <= 63, "numPlanes must be in [1, 63]")
+    val projArr = array((0 until numPlanes).map { p =>
+      aggregate(
+        zip_with(
+          vecCol.cast("array<double>"),
+          sequence(lit(0), size(vecCol) - 1),
+          (x, i) => x * planeSign(firstPlane + p, i)
+        ),
+        lit(0.0d),
+        (acc, x) => acc + x
+      )
+    }: _*)
+    transform(
+      array_sort(zip_with(
+        projArr,
+        sequence(lit(0), lit(numPlanes - 1)),
+        (x, p) => struct(abs(x).as("m"), p.as("p")))),
+      s => s.getField("p"))
+  }
+
   /** ANN top-k via random-hyperplane LSH: `numTables` independent hash
     * tables (disjoint plane families), each searched with query-directed
     * multi-probe (Lv et al., VLDB'07 — after the original bucket, flip the
@@ -181,25 +218,13 @@ object Similarity {
       col("__e.t").as("__tbl"), col("__e.b").as("__bucket"))
     def probesFor(tb: Int): Seq[Column] = {
       val first = tb * planes
-      val projArr = array((0 until planes).map { p =>
-        aggregate(
-          zip_with(
-            col(vecCol).cast("array<double>"),
-            sequence(lit(0), size(col(vecCol)) - 1),
-            (x, i) => x * planeSign(first + p, i)
-          ),
-          lit(0.0d),
-          (acc, x) => acc + x
-        )
-      }: _*)
       val sig = lshSignatureFrom(col(vecCol), first, planes)
-      // plane indices of this table, ordered by |margin| ascending
-      val order = transform(
-        array_sort(zip_with(
-          projArr,
-          sequence(lit(0), lit(planes - 1)),
-          (x, p) => struct(abs(x).as("m"), p.as("p")))),
-        s => s.getField("p"))
+      // plane indices of this table, ordered by |margin| ascending — one
+      // codegen kernel (graft.plans.LshProbeOrder) instead of `planes`
+      // interpreted aggregate(zip_with) folds + an array_sort/transform
+      // lambda pair per table (parity pinned in LshSignatureSpec against
+      // the retained HOF formulation lshProbeOrderHof)
+      val order = lshProbeOrderFrom(col(vecCol), first, planes)
       (0 until effProbes).map { j =>
         val b =
           if (j == 0) sig

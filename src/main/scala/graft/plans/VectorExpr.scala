@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Codegen'd dot product over two array columns — the inner loop of every
   * embedding-similarity operator ([[graft.ops.Similarity]]: brute-force /
@@ -138,6 +138,56 @@ case class LshSignature(child: Expression, firstPlane: Int, planes: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd multi-probe order for one LSH table: the plane indices of
+  * [firstPlane, firstPlane + planes), as ARRAY<INT>, sorted by
+  * |projection| ascending — which bit the query flips first/second/…
+  * when probing neighbor buckets.
+  *
+  * Replaces the last interpreted stretch of lshTopK's query side: `planes`
+  * aggregate(zip_with(...)) folds PLUS an array_sort/transform lambda pair
+  * per table, all evaluated per query row outside whole-stage codegen.
+  * Output parity with that chain (tie, NaN, NULL semantics) is documented
+  * on [[VectorKernel.lshProbeOrder]] and pinned by LshSignatureSpec.
+  */
+case class LshProbeOrder(child: Expression, firstPlane: Int, planes: Int)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 63, "planes must be in [1, 63]")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // NULL input degrades to identity order, mirroring the HOF chain
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh probe order expects ARRAY<DOUBLE> or ARRAY<FLOAT>, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any =
+    new GenericArrayData(VectorKernel.lshProbeOrder(
+      child.eval(input).asInstanceOf[ArrayData], isFloat, firstPlane, planes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |    graft.plans.VectorKernel.lshProbeOrder(
+        |      ${c.isNull} ? null : ${c.value}, $isFloat, $firstPlane, $planes));
+       """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshProbeOrder =
+    copy(child = newChild)
+}
+
 /** Static loop kernels shared by the vector expressions' interpreted and
   * generated paths. Boxed returns carry NULL (null element / length
   * mismatch) in-band; one box per ROW is noise next to the per-element
@@ -170,6 +220,11 @@ object VectorKernel {
   def lshSignature(vec: ArrayData, isFloat: Boolean,
       firstPlane: Int, planes: Int): Long = {
     val n = vec.numElements()
+    // empty vector: zip_with pads the empty side against the DESCENDING
+    // [0, -1] sequence that sequence(0, size-1) yields at size = 0, so
+    // every HOF projection was NULL -> bit 0; an empty fold here would
+    // instead give +0.0 >= 0 on every plane (all bits SET)
+    if (n == 0) return 0L
     var i = 0
     while (i < n) {
       if (vec.isNullAt(i)) return 0L
@@ -196,5 +251,62 @@ object VectorKernel {
       p += 1
     }
     sig
+  }
+
+  /** Plane indices [0, planes) of the family [firstPlane, firstPlane +
+    * planes), ordered by |projection| ascending — the multi-probe order of
+    * [[graft.ops.Similarity.lshTopK]]'s query side (flip the lowest-margin
+    * plane first). Mirrors the retired HOF chain
+    * `transform(array_sort(zip_with(projArr, sequence, struct(abs, p))), p)`
+    * exactly:
+    *   - ties on equal |margin| break by plane index ascending (the struct
+    *     sort's second field);
+    *   - a NaN projection sorts ABOVE every non-NaN (Spark double order),
+    *     with index tie-break among NaNs — `java.lang.Double.compare`
+    *     agrees on both counts;
+    *   - a NULL vector or any NULL element made every per-plane projection
+    *     NULL, so the struct sort fell through to the index tie-break:
+    *     identity order.
+    */
+  def lshProbeOrder(vec: ArrayData, isFloat: Boolean,
+      firstPlane: Int, planes: Int): Array[Int] = {
+    val order = Array.tabulate(planes)(identity)
+    if (vec == null) return order
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return order
+      i += 1
+    }
+    val margins = new Array[Double](planes)
+    var p = 0
+    while (p < planes) {
+      val planeHash =
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(firstPlane + p, 42L)
+      var proj = 0.0
+      i = 0
+      while (i < n) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, planeHash)
+        val sign = if ((h & 1L) == 0L) 1.0 else -1.0
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        proj += x * sign
+        i += 1
+      }
+      margins(p) = math.abs(proj)
+      p += 1
+    }
+    // insertion sort by (margin, index): planes <= 63, and stability gives
+    // the index tie-break for free since the input order IS index order
+    var a = 1
+    while (a < planes) {
+      val op = order(a); val om = margins(op)
+      var b = a - 1
+      while (b >= 0 && java.lang.Double.compare(margins(order(b)), om) > 0) {
+        order(b + 1) = order(b); b -= 1
+      }
+      order(b + 1) = op
+      a += 1
+    }
+    order
   }
 }

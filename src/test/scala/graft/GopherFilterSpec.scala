@@ -120,4 +120,135 @@ class GopherFilterSpec extends SharedSpark {
     assert(r.getAs[Long]("stop_hits") === 4L) // the, and, that, with
     assert(r.getAs[Boolean]("gopher_ok"))
   }
+
+  // ---------------------------------------------------------------------
+  // Fuzz block (the NormalizeUrlExprSpec discipline): every signal is
+  // re-derived by a straightforward plain-Scala reformulation of the
+  // documented rules and compared EXACTLY (the ratios are quotients of
+  // exact integers, so doubles must match bit-for-bit). The reformulation
+  // mirrors the column formulation's published semantics, which a naive
+  // java.lang.String port gets wrong in three places:
+  //   - length() counts CODE POINTS (String.length counts UTF-16 units,
+  //     splitting every beyond-BMP char in two);
+  //   - trim() strips ' ' (0x20) ONLY (String.trim strips all <= 0x20,
+  //     eating \r from CRLF line ends — so "x...\r" is NOT an ellipsis
+  //     line and "\tx" keeps its tab);
+  //   - split keeps trailing empty strings (String.split drops them).
+  // ---------------------------------------------------------------------
+
+  /** Independent plain-Scala re-derivation of the 7 Gopher signals. */
+  private object Ref {
+    private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    private def trimSp(s: String): String = {
+      var i = 0; var j = s.length
+      while (i < j && s.charAt(i) == ' ') i += 1
+      while (j > i && s.charAt(j - 1) == ' ') j -= 1
+      s.substring(i, j)
+    }
+    private def splitKeepTrailing(s: String, sep: String): Seq[String] =
+      s.split(sep, -1).toSeq
+    private def occ(t: String, needle: String, width: Int): Double =
+      (cp(t) - cp(t.replace(needle, ""))).toDouble / width
+    private val bulletRe = java.util.regex.Pattern.compile("^[-*•]")
+    private val ellipsisRe = java.util.regex.Pattern.compile("(\\.\\.\\.|…)$")
+    private val alphaRe = java.util.regex.Pattern.compile("[A-Za-z]")
+
+    def signals(t: String): (Long, Double, Double, Double, Double, Double, Long) = {
+      val words = splitKeepTrailing(trimSp(t), "[ \\t\\n\\f\\r]+")
+        .filter(_.nonEmpty)
+      val nWords = words.size.toLong
+      val meanLen =
+        if (nWords == 0) 0.0
+        else words.map(cp).sum.toDouble / nWords.toDouble
+      val symbols = occ(t, "#", 1) + occ(t, "...", 3) + occ(t, "…", 1)
+      val symbolRatio = if (nWords == 0) 0.0 else symbols / nWords.toDouble
+      val lines = splitKeepTrailing(t, "\n").map(trimSp)
+      val nLines = lines.size.toLong
+      val bulletFrac =
+        lines.count(l => bulletRe.matcher(l).find()).toDouble / nLines
+      val ellipsisFrac =
+        lines.count(l => ellipsisRe.matcher(l).find()).toDouble / nLines
+      val alphaFrac =
+        if (nWords == 0) 0.0
+        else words.count(w => alphaRe.matcher(w).find()).toDouble / nWords
+      val lowered = words.map(_.toLowerCase)
+      val stopHits =
+        TextAnalysis.GopherStopWords.count(lowered.contains).toLong
+      (nWords, meanLen, symbolRatio, bulletFrac, ellipsisFrac, alphaFrac,
+        stopHits)
+    }
+  }
+
+  private def assertParity(docs: Seq[String]): Unit = {
+    val rows = TextAnalysis.gopherFilter(
+      df("id BIGINT, text STRING",
+        docs.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }),
+      "id", "text").collect()
+    assert(rows.length === docs.size)
+    for (r <- rows) {
+      val t = docs(r.getAs[Long]("id").toInt)
+      val (nw, ml, sr, bf, ef, af, sh) = Ref.signals(t)
+      val tag = t.take(60).replace("\n", "\\n")
+      assert(r.getAs[Long]("n_words") === nw, s"n_words on <$tag>")
+      assert(r.getAs[Double]("mean_word_len") === ml, s"mean_word_len on <$tag>")
+      assert(r.getAs[Double]("symbol_ratio") === sr, s"symbol_ratio on <$tag>")
+      assert(r.getAs[Double]("bullet_frac") === bf, s"bullet_frac on <$tag>")
+      assert(r.getAs[Double]("ellipsis_frac") === ef, s"ellipsis_frac on <$tag>")
+      assert(r.getAs[Double]("alpha_frac") === af, s"alpha_frac on <$tag>")
+      assert(r.getAs[Long]("stop_hits") === sh, s"stop_hits on <$tag>")
+    }
+  }
+
+  test("fuzz: adversarial unicode, whitespace and glyph corners") {
+    assertParity(Seq(
+      // combining marks: 'e' + U+0301 is 2 code points, é precomposed is 1
+      "café and the crème with brûlée that",
+      // zero-width space / joiner / BOM are NOT in the whitespace class:
+      // they glue words together and count toward word length
+      "the​zero‍width﻿glued and that be with",
+      // CJK no-space text: one enormous "word" with no ASCII letter
+      "的是了在我有和就不人" * 40,
+      // beyond-BMP (surrogate pairs): 𝒜 is 1 code point, 2 UTF-16 units
+      "𝒜𝒝 and the 𝒵 that be",
+      // CRLF: split is on \n alone and trim strips ' ' only, so the \r
+      // survives — "x...\r" must NOT count as an ellipsis line
+      "the first line...\r\nthe second line\r\n- bullet\r",
+      // tabs/newlines inside: word split includes \t\n\f\r, trim does not
+      "\tthe\tand\fthat\rbe\nwith ",
+      // vertical tab \x0B is NOT whitespace here: it glues two words
+      "the andthat be with",
+      // bullet glyph edges: •/-/* match; −(U+2212) ‣ · must NOT
+      "• bullet\n- dash\n* star\n− minus\n‣ tri\n· dot\nplain the and",
+      // ellipsis edges: "....", ". . .", "…" + trailing space, ".." and
+      // lone "." — only true ... / … suffixes (post-trim) count
+      "ends....\nends ...\nends .. \nends . . .\nends … \nends .\nthe and",
+      // '#' inside words, '...' spanning a '…', interleaved symbols
+      "C# and F# the ....... x…y.z.. that #hash#tag be",
+      // empty / single char / only separators
+      "", " ", "\n", "#", "…", "the", "\n\n\n")) }
+
+  test("fuzz: 500 pseudo-random adversarial documents") {
+    val rng = new scala.util.Random(0x60b8e5L)
+    val atoms = Array(
+      "the", "and", "that", "be", "with", "of", "to", "have",
+      "word", "x", "C#", "...", "…", "•", "-", "*", "−",
+      "的是了", "𝒜", "é", "​", "﻿",
+      " ", "  ", "\t", "\n", "\r\n", "\f", "", ".", "..",
+      "....", ". ", "#", "##", "a" * 40, "lòng")
+    val docs = (1 to 500).map { _ =>
+      val n = rng.nextInt(120)
+      (1 to n).map(_ => atoms(rng.nextInt(atoms.length))).mkString
+    }
+    assertParity(docs)
+  }
+
+  test("fuzz: a 10MB single-line document stays exact") {
+    // ~10 MB of text on ONE line: stresses the per-row array machinery
+    // (1.4M words, one lines entry) without overflowing anything; also
+    // plants beyond-BMP chars and symbols so every signal is non-trivial
+    val unit = "the quick brown fox and that with... 𝒜# "
+    val doc = unit * 262144 // 42 ASCII-ish chars -> ~10.5 MB, no newline
+    assert(doc.length > 10 * 1024 * 1024)
+    assertParity(Seq(doc))
+  }
 }
