@@ -63,12 +63,27 @@ object IvMath {
 
   def mul(a: Iv, b: Iv, d: Int): Iv = {
     val f = mcF(d); val c = mcC(d)
-    def min4(x1: JBD, x2: JBD, x3: JBD, x4: JBD) = x1.min(x2).min(x3).min(x4)
-    def max4(x1: JBD, x2: JBD, x3: JBD, x4: JBD) = x1.max(x2).max(x3).max(x4)
-    Iv(
-      min4(a.lo.multiply(b.lo, f), a.lo.multiply(b.hi, f), a.hi.multiply(b.lo, f), a.hi.multiply(b.hi, f)),
-      max4(a.lo.multiply(b.lo, c), a.lo.multiply(b.hi, c), a.hi.multiply(b.lo, c), a.hi.multiply(b.hi, c))
-    )
+    // Sign-determined fast paths compute the two extreme products
+    // directly — VALUE-IDENTICAL to the 4-way min/max below (directed
+    // rounding is monotone: x ≤ y ⟹ round_F(x) ≤ round_F(y), so the
+    // rounded min IS the min of the rounded), skipping 6 of 8
+    // full-precision multiplies on the sampler's hot path.
+    if (a.lo.signum() >= 0 && b.lo.signum() >= 0)
+      Iv(a.lo.multiply(b.lo, f), a.hi.multiply(b.hi, c))
+    else if (a.hi.signum() <= 0 && b.hi.signum() <= 0)
+      Iv(a.hi.multiply(b.hi, f), a.lo.multiply(b.lo, c))
+    else if (a.lo.signum() >= 0 && b.hi.signum() <= 0)
+      Iv(a.hi.multiply(b.lo, f), a.lo.multiply(b.hi, c))
+    else if (a.hi.signum() <= 0 && b.lo.signum() >= 0)
+      Iv(a.lo.multiply(b.hi, f), a.hi.multiply(b.lo, c))
+    else {
+      def min4(x1: JBD, x2: JBD, x3: JBD, x4: JBD) = x1.min(x2).min(x3).min(x4)
+      def max4(x1: JBD, x2: JBD, x3: JBD, x4: JBD) = x1.max(x2).max(x3).max(x4)
+      Iv(
+        min4(a.lo.multiply(b.lo, f), a.lo.multiply(b.hi, f), a.hi.multiply(b.lo, f), a.hi.multiply(b.hi, f)),
+        max4(a.lo.multiply(b.lo, c), a.lo.multiply(b.hi, c), a.hi.multiply(b.lo, c), a.hi.multiply(b.hi, c))
+      )
+    }
   }
 
   /** abs is exact (negation and max introduce no rounding). */
@@ -425,8 +440,17 @@ object Precise {
   private val StepBits = 63
   private val MaxBits = 16065 // 255 rounds; P(reaching this) < 2^-1000
 
-  /** 2^-n as an exact BigDecimal. */
-  private def pow2Neg(n: Int): JBD = new JBD(BigInteger.valueOf(5).pow(n), n)
+  /** 2^-n as an exact BigDecimal; memoized — n is a multiple of StepBits
+    * and 5^63 alone is a 45-digit BigInteger pow per draw otherwise. */
+  private val pow2NegCache = new java.util.concurrent.ConcurrentHashMap[Int, JBD]()
+  private def pow2Neg(n: Int): JBD = {
+    var v = pow2NegCache.get(n)
+    if (v == null) {
+      v = new JBD(BigInteger.valueOf(5).pow(n), n)
+      pow2NegCache.put(n, v)
+    }
+    v
+  }
 
   def inverseSample(invCdf: (Iv, Int) => Iv, rng: RandomSource): Double = {
     var n = 0
@@ -452,18 +476,24 @@ object Precise {
   /** Inverse CDF of Laplace(u, b): u − b·sgn(p−1/2)·ln(1 − 2|p−1/2|)
     * (`random/laplace.py:12-49`).
     */
-  def laplaceInvCdf(u: Double, b: Double)(p: Iv, bits: Int): Iv = {
-    val d = IvMath.digitsFor(bits)
-    val pmh = Iv(p.lo.subtract(Half), p.hi.subtract(Half)) // exact
-    val s = IvMath.sgn(pmh)
-    val a = IvMath.abs(pmh)
-    // 1 − 2|p−1/2|, exact dyadic arithmetic
-    val arg = Iv(
-      JBD.ONE.subtract(a.hi.add(a.hi)),
-      JBD.ONE.subtract(a.lo.add(a.lo)))
-    val l = IvMath.ln(arg, bits)
-    val term = IvMath.mul(IvMath.mul(Iv.point(b), s, d), l, d)
-    IvMath.sub(Iv.point(u), term, d)
+  def laplaceInvCdf(u: Double, b: Double): (Iv, Int) => Iv = {
+    // the exact decimal expansions of u and b are loop constants of the
+    // refinement (new JBD(double) re-derives them otherwise)
+    val bPt = Iv.point(b)
+    val uPt = Iv.point(u)
+    (p: Iv, bits: Int) => {
+      val d = IvMath.digitsFor(bits)
+      val pmh = Iv(p.lo.subtract(Half), p.hi.subtract(Half)) // exact
+      val s = IvMath.sgn(pmh)
+      val a = IvMath.abs(pmh)
+      // 1 − 2|p−1/2|, exact dyadic arithmetic
+      val arg = Iv(
+        JBD.ONE.subtract(a.hi.add(a.hi)),
+        JBD.ONE.subtract(a.lo.add(a.lo)))
+      val l = IvMath.ln(arg, bits)
+      val term = IvMath.mul(IvMath.mul(bPt, s, d), l, d)
+      IvMath.sub(uPt, term, d)
+    }
   }
 
   /** Inverse CDF of N(u, σ²): u + σ·√2·erfinv(2p−1)
