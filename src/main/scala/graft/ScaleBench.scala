@@ -39,11 +39,21 @@ object ScaleBench {
         "/root/testdata/sf1"
       else "/root/repo/testdata_sf1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    // second-decade support: when base is itself a scaled fixture (sf1 ->
+    // sf10), the synthetic sweep shapes must start from the matching
+    // larger base count (e.g. 6.4M groups, not 640k)
+    val baseMult = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE_MULT", "1").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // On a cluster, shuffle partitions scale with the data (AQE
+      // right-sizes from a high initialPartitionNum); local[n] pins them
+      // to the slot count by default, which at the 256M-row second-decade
+      // point concentrates whole-shuffle sorts into 32 heap-sharing tasks
+      // — override to model the cluster's partitioning (SCALING.md r13).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -85,7 +95,8 @@ object ScaleBench {
     val entryQueries = Seq("q_tfidf", "q_minhash_states", "q_source_sim",
       "q_repetition", "q_ngram_jaccard", "q_keep_best", "q_minhash_dedup",
       "q_assoc_rules", "q_dedup_cluster", "q_join_nullsafe", "q_triangles",
-      "q_pagerank", "q_containment", "q_cosine_text", "q_semdedup")
+      "q_pagerank", "q_containment", "q_cosine_text", "q_lsh_topk",
+      "q_semdedup")
       .filter(enabled)
 
     // codegen warmup at the smallest SF so neither side absorbs JIT cost
@@ -118,7 +129,7 @@ object ScaleBench {
     }
 
     // synthetic sweep shapes ×1 and ×scale (bodies mirror Bench.scala)
-    syntheticShapes(spark, scale).filter(s => enabled(s._1)).foreach {
+    syntheticShapes(spark, scale, baseMult).filter(s => enabled(s._1)).foreach {
       case (name, bodyBase, bodyBig) =>
       // fresh plans: one untimed warmup each so codegen compile lands
       // outside the timed runs (same discipline as Bench.timeMedianPair)
@@ -221,7 +232,8 @@ object ScaleBench {
     * (name, base body, scaled body). Bodies rebuild their plans per run
     * exactly like Bench.scala's sweeps.
     */
-  private def syntheticShapes(spark: SparkSession, scale: Int)
+  private def syntheticShapes(
+      spark: SparkSession, scale: Int, baseMult: Int = 1)
       : Seq[(String, () => Unit, () => Unit)] = {
     import graft.domains.{ColumnDescriptor, DataFrameDomain}
     import graft.exact.{ExactNum, Rational}
@@ -271,18 +283,26 @@ object ScaleBench {
         .select(g.as("G"), (col("id") % 997).as("K"))
       Truncation.limitKeysPerGroup(data, Seq("G"), Seq("K"), 5).count(): Unit
     }
+    // hotMod > 10·groups means the only "hot" id is 0: a uniform key
+    // distribution through the same PrivateJoin body as the skew shapes
+    def pjoinUniform(groups: Long): Unit = pjoinSkew(groups, groups * 100L)
+    val b = baseMult.toLong
     Seq(
       ("q_countsum_640000g",
-        () => countsum(640000L), () => countsum(640000L * scale)),
+        () => countsum(640000L * b), () => countsum(640000L * b * scale)),
+      ("q_pjoin_uniform",
+        () => pjoinUniform(640000L * b),
+        () => pjoinUniform(640000L * b * scale)),
       ("q_pjoin_skew",
-        () => pjoinSkew(640000L), () => pjoinSkew(640000L * scale)),
+        () => pjoinSkew(640000L * b), () => pjoinSkew(640000L * b * scale)),
       ("q_pjoin_skew50",
-        () => pjoinSkew(640000L, 2L), () => pjoinSkew(640000L * scale, 2L)),
+        () => pjoinSkew(640000L * b, 2L),
+        () => pjoinSkew(640000L * b * scale, 2L)),
       ("q_limitkeys_skew",
-        () => limitKeysSkew(64000L), () => limitKeysSkew(64000L * scale)),
+        () => limitKeysSkew(64000L * b), () => limitKeysSkew(64000L * b * scale)),
       ("q_limitkeys_skew50",
-        () => limitKeysSkew(64000L, 2L),
-        () => limitKeysSkew(64000L * scale, 2L)))
+        () => limitKeysSkew(64000L * b, 2L),
+        () => limitKeysSkew(64000L * b * scale, 2L)))
   }
 
   /** Derive the scaled fixture once (skipped when the last-written

@@ -251,13 +251,20 @@ object Incremental {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(numHashes >= 1, "numHashes must be >= 1")
     val numDigests = (numHashes + 3) / 4
-    val digest = sha2(concat_ws("|", lit(salt.toString),
-      col("digest_id").cast("string"),
-      col(elementCol).cast("string")), 256)
-    val lanes = array((0 until 4).map { lane =>
-      conv(substring(col("__digest"), 1 + 15 * lane, 15), 16, 10)
-        .cast("long")
-    }: _*)
+    // 60-bit lanes straight off the digest bytes (graft.plans.Sha2Lanes)
+    // instead of sha2-hex → 4×substring → 4×conv: value-identical (the
+    // recipe is pinned cross-engine: lane i = hex digits [15i, 15i+15)
+    // of sha256("salt|digest_id|element") as a base-16 long), but ~10
+    // short-lived allocations per (key, element, digest) fewer — the
+    // churn that pushed the sf10 decade factor past linear (SCALING.md
+    // round-13 RCA).
+    val lanes = org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.plans.Sha2Lanes(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(
+          concat_ws("|", lit(salt.toString),
+            col("digest_id").cast("string"),
+            col(elementCol).cast("string"))),
+        numLanes = 4))
     val in = df.select((keyCols :+ elementCol).map(col): _*)
       .filter(col(elementCol).isNotNull)
     val slots = df.sparkSession.sparkContext.defaultParallelism
@@ -266,7 +273,6 @@ object Incremental {
     balanced
       .withColumn("digest_id",
         explode(sequence(lit(0L), lit((numDigests - 1).toLong))))
-      .withColumn("__digest", digest)
       .select(keyCols.map(col) :+ col("digest_id") :+
         posexplode(lanes).as(Seq("__lane", "__h")): _*)
       .withColumn("hash_id", col("digest_id") * 4 + col("__lane"))
