@@ -2638,6 +2638,30 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops (the
     * driver records a rows-only check for those).
     */
+  /** Absolute path the q_host_agg_psl oracle reads the PSL snapshot
+    * from: the classpath resource `loadPsl` itself uses, materialized
+    * byte-for-byte to a stable file under `java.io.tmpdir` (atomic
+    * replace, so a concurrent reader never sees a torn file). Keeps the
+    * oracle independent of where the repo is checked out AND provably
+    * reading the same bytes as the engine — a path into `src/main/
+    * resources` could drift from the jar/classpath copy.
+    */
+  private lazy val pslOraclePath: String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val res = "graft/public_suffix_list.dat"
+    val in = Thread.currentThread.getContextClassLoader
+      .getResourceAsStream(res)
+    require(in != null, s"classpath resource not found: $res")
+    val bytes = try in.readAllBytes() finally in.close()
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"))
+    val target = dir.resolve("graft_psl_snapshot.dat")
+    val tmp = Files.createTempFile(dir, "graft_psl_", ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    target.toString
+  }
+
   /** Shared CTE chain for the q_url_* oracles: `u` rebuilds [[docUrl]]'s
     * messy URL in SQL, `p` parses it with the same regex UrlOps uses,
     * and `c` applies the same canonicalization rules; `body` selects from
@@ -3050,10 +3074,10 @@ object SparkEntry {
     // slice, then the same rollup. The host rewrite mirrors the entry's
     // wildcard/exception rehosting.
     "q_host_agg_psl" -> urlOracle(
-      """, praw AS (
+      s""", praw AS (
         |  SELECT trim(rule) AS rule FROM read_csv(
-        |    '/root/repo/src/main/resources/graft/public_suffix_list.dat',
-        |    header=false, columns={'rule':'VARCHAR'}, delim='\t', quote='')
+        |    '$pslOraclePath',
+        |    header=false, columns={'rule':'VARCHAR'}, delim='\\t', quote='')
         |), prules AS (
         |  SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
         |              WHEN rule LIKE '*.%' THEN substr(rule, 3)

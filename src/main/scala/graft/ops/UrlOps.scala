@@ -133,13 +133,25 @@ object UrlOps {
     * Rows whose URL does not parse keep themselves (NULL canonical key
     * ⇒ keyed by their own id).
     *
+    * `nullIds` selects what a NULL `idCol` means: `"drop"` (default) is
+    * the documented silent drop above; `"fail"` makes a NULL id a hard
+    * error raised inside the scan itself (`raise_error` in the id
+    * projection — still one pass, no pre-count job), for callers who
+    * want an upstream data problem to surface instead of vanishing.
+    *
     * Single pass, single shuffle: one hash exchange on the canonical
     * URL with a `min_by(struct(*), id)` aggregate, so the keeper row
     * rides the aggregation itself — no second scan of `df` and no
     * join back. The map-side partial aggregate bounds the exchange at
     * one candidate row per (canonical, partition).
     */
-  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+  def dedupByUrl(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      nullIds: String = "drop"): DataFrame = {
+    require(nullIds == "drop" || nullIds == "fail",
+      s"dedupByUrl: nullIds must be 'drop' or 'fail' (got '$nullIds')")
     // internal names carry a graft-reserved prefix so a user column can't
     // collide; still guarded because the select-by-name below would
     // silently prefer the user's column if it did
@@ -149,7 +161,14 @@ object UrlOps {
     val canon = coalesce(normalizeUrl(col(urlCol)),
       concat(lit("__unparsed__"), col(idCol).cast("string")))
     val outCols = df.columns
-    df.filter(col(idCol).isNotNull)
+    val base =
+      if (nullIds == "fail")
+        df.withColumn(idCol,
+          when(col(idCol).isNull, raise_error(lit(
+            s"dedupByUrl: NULL value in id column '$idCol' (nullIds=fail)")))
+            .otherwise(col(idCol)))
+      else df.filter(col(idCol).isNotNull)
+    base
       .groupBy(canon.as(canonCol))
       .agg(min_by(struct(outCols.map(col).toIndexedSeq: _*), col(idCol))
         .as(keepCol))
@@ -200,7 +219,9 @@ object UrlOps {
     * 5 labels).
     *
     * @return `df` with `outCol` appended (internal `__psl_*` columns are
-    *         consumed internally and not emitted).
+    *         consumed internally and not emitted; the input must not
+    *         already contain any `__psl_`-prefixed column — `withColumn`
+    *         would silently replace and then drop it).
     */
   def registrableDomainPsl(
       df: DataFrame,
@@ -210,6 +231,12 @@ object UrlOps {
       outCol: String = "domain",
       maxSuffixLabels: Int = 5): DataFrame = {
     require(maxSuffixLabels >= 1, "maxSuffixLabels must be >= 1")
+    // same contract dedupByUrl enforces for its reserved names: refuse
+    // rather than silently overwrite-and-drop a caller's column
+    val pslClash = df.columns.filter(_.startsWith("__psl_"))
+    require(pslClash.isEmpty,
+      "registrableDomainPsl: input must not contain reserved __psl_* " +
+        s"columns (found: ${pslClash.mkString(", ")})")
     // normalize + classify the rule table once; aggregate kind flags per
     // match string so every per-length join side is key-unique
     val raw = lower(trim(col(suffixCol)))

@@ -81,6 +81,44 @@ class UrlOpsSpec extends SharedSpark {
     assert(byId(1L) === "HTTPS://A.COM:443/p?a=1&utm_x=9&b=2#frag")
   }
 
+  test("dedupByUrl nullIds: 'drop' silently drops, 'fail' raises in-plan") {
+    val d = df("id BIGINT, url STRING", Seq(
+      Row(1L, "https://a.com/p"),
+      Row(null, "https://a.com/p"),
+      Row(null, "https://b.com/q"))) // all-NULL-id group: must NOT surface
+    // default drop: null-id rows vanish, no all-NULL row for b.com
+    val kept = UrlOps.dedupByUrl(d, "url", "id").collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(1L))
+    // fail: the same plan raises instead of dropping
+    val ex = intercept[Exception] {
+      UrlOps.dedupByUrl(d, "url", "id", nullIds = "fail").collect()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("dedupByUrl")), msgs.mkString(" | "))
+    // and a clean input passes through fail mode unchanged
+    val clean = df("id BIGINT, url STRING", Seq(
+      Row(1L, "https://a.com/p"), Row(2L, "https://a.com/p")))
+    assert(UrlOps.dedupByUrl(clean, "url", "id", nullIds = "fail")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val bad = intercept[IllegalArgumentException] {
+      UrlOps.dedupByUrl(clean, "url", "id", nullIds = "keep")
+    }
+    assert(bad.getMessage.contains("nullIds"))
+  }
+
+  test("registrableDomainPsl rejects reserved __psl_* input columns") {
+    val spark0 = spark
+    import spark0.implicits._
+    val psl = Seq("com").toDF("suffix")
+    val hosts = df("h STRING, __psl_len INT", Seq(Row("a.com", 7)))
+    val ex = intercept[IllegalArgumentException] {
+      UrlOps.registrableDomainPsl(hosts, "h", psl)
+    }
+    assert(ex.getMessage.contains("__psl_len"))
+  }
+
   test("registrableDomainPsl: longest match, suffix-only NULL, implicit *") {
     val spark0 = spark
     import spark0.implicits._
