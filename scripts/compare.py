@@ -98,6 +98,10 @@ def main():
         lint_only(sys.argv[2], sys.argv[3])
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Oracle environment pin (ROADMAP #6): the gate's semantics depend on
+    # the DuckDB dialect; record the version in every run's output so a
+    # future engine bump is auditable against scripts/oracle_env.md.
+    print(f"oracle engine: duckdb {duckdb.__version__}")
     con = duckdb.connect()
     # Bound DuckDB so a heavy oracle at a big fixture spills to disk (or
     # fails as a recorded FAIL) instead of OOM-killing the machine.
