@@ -14,8 +14,16 @@ object Verify {
     }
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER lets the same correctness harness run against a
+    // real multi-JVM cluster (scripts/cluster_smoke.sh: standalone master
+    // + workers on this box) — the execution mode local[n] cannot test:
+    // closure/expression serialization, netty shuffle and broadcast
+    // transport, per-executor heaps. Cluster-side knobs (executor
+    // memory/cores, spark.jars for our classes) arrive as -Dspark.*
+    // system properties, which SparkConf reads natively.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
