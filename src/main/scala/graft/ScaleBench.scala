@@ -56,6 +56,15 @@ object ScaleBench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // Shuffle files of a finished run are cleaned ASYNCHRONOUSLY by the
+      // ContextCleaner; at the sf100 point a single q_semdedup run leaves
+      // ~20 GB of shuffle spill, and three back-to-back timed runs
+      // out-raced the async cleaner into ENOSPC (measured round 14, 68 GB
+      // free). Blocking mode makes the per-run System.gc() in timeOnce
+      // reclaim shuffle files synchronously — outside the timed window,
+      // so the measurement is unchanged; only the accumulation is gone.
+      .config("spark.cleaner.referenceTracking.blocking", "true")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -352,11 +361,26 @@ object ScaleBench {
 
   private def ensureFixture(
       spark: SparkSession, base: String, big: String, scale: Int): Unit = {
-    ensureDims(spark, base, big, scale)
-    val done = new java.io.File(s"$big/events.parquet/_SUCCESS")
-    if (done.isFile) return
-    System.err.println(s"generating ${scale}x fixture at $big ...")
+    // SPARK_GRAFT_SCALE_TABLES=documents,embeddings derives a PARTIAL
+    // fixture — only the tables a targeted run reads. The third-decade
+    // sf100 spot-check needs just the dedup/ANN inputs (~1 GB) where the
+    // full fixture would spend ~17 GB on lineitem/orders/events no query
+    // in the run touches. Resume is per-table (_SUCCESS marker), so an
+    // interrupted derivation picks up where it stopped.
+    val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(t: String): Boolean =
+      tables.forall(_.contains(t)) &&
+        !new java.io.File(s"$big/$t.parquet/_SUCCESS").isFile
+    if (tables.isEmpty) {
+      ensureDims(spark, base, big, scale)
+      if (new java.io.File(s"$big/events.parquet/_SUCCESS").isFile) return
+    } else if (!Seq("documents", "embeddings", "orders", "lineitem",
+        "customer", "events").exists(want)) return
+    System.err.println(s"generating ${scale}x fixture at $big ..." +
+      tables.fold("")(t => s" (tables: ${t.toSeq.sorted.mkString(",")})"))
 
+    if (want("documents")) {
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("w"))
@@ -383,7 +407,9 @@ object ScaleBench {
     }.reduce(_ unionByName _)
     docCopies.repartition(32)
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
 
+    if (want("embeddings")) {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val embCopies = (0 until scale).map { i =>
@@ -397,7 +423,9 @@ object ScaleBench {
     }.reduce(_ unionByName _)
     embCopies.repartition(32)
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    }
 
+    if (want("orders") || want("lineitem") || want("customer")) {
     val orders = spark.read.parquet(s"$base/orders.parquet")
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     val cust = spark.read.parquet(s"$base/customer.parquet")
@@ -411,25 +439,34 @@ object ScaleBench {
       li.agg(max(col("l_suppkey"))).head().getLong(0),
       spark.read.parquet(s"$base/supplier.parquet")
         .agg(max(col("s_suppkey"))).head().getLong(0)) + 1L
-    val orderCopies = (0 until scale).map { i =>
-      orders
-        .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * maxOrder))
-        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * maxCust))
-    }.reduce(_ unionByName _)
-    orderCopies.repartition(32)
-      .write.mode("overwrite").parquet(s"$big/orders.parquet")
-    val liCopies = (0 until scale).map { i =>
-      li
-        .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * maxOrder))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * maxSupp))
-    }.reduce(_ unionByName _)
-    liCopies.repartition(32)
-      .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
-    val custCopies = (0 until scale).map { i =>
-      cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * maxCust))
-    }.reduce(_ unionByName _)
-    custCopies.repartition(32)
-      .write.mode("overwrite").parquet(s"$big/customer.parquet")
+    if (want("orders")) {
+      val orderCopies = (0 until scale).map { i =>
+        orders
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * maxOrder))
+          .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * maxCust))
+      }.reduce(_ unionByName _)
+      orderCopies.repartition(32)
+        .write.mode("overwrite").parquet(s"$big/orders.parquet")
+    }
+    if (want("lineitem")) {
+      val liCopies = (0 until scale).map { i =>
+        li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * maxOrder))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * maxSupp))
+      }.reduce(_ unionByName _)
+      liCopies.repartition(32)
+        .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    }
+    if (want("customer")) {
+      val custCopies = (0 until scale).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * maxCust))
+      }.reduce(_ unionByName _)
+      custCopies.repartition(32)
+        .write.mode("overwrite").parquet(s"$big/customer.parquet")
+    }
+    }
+
+    if (want("events")) {
     val ev = spark.read.parquet(s"$base/events.parquet")
     val maxEvent = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
     val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
@@ -440,6 +477,7 @@ object ScaleBench {
     }.reduce(_ unionByName _)
     evCopies.repartition(32)
       .write.mode("overwrite").parquet(s"$big/events.parquet")
+    }
     System.err.println("fixture ready")
   }
 }
