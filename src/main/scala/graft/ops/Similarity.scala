@@ -599,34 +599,51 @@ object Similarity {
         Row.fromSeq(r.toSeq :+ nearestCell(v))
       }
     }(Encoders.row(schema)).persist()
-    // oversized cells switch to (cell, hyperplane-signature) sub-buckets;
-    // collinear duplicates share the signature, so a split never loses them
+    // Oversized cells switch to (cell, hyperplane-signature) sub-buckets;
+    // collinear duplicates share every signature bit, so a split never
+    // loses them. The split is ADAPTIVE: any cell above 4× the ~250-row
+    // design target splits with JUST ENOUGH planes to restore the target
+    // (p = ceil(log2(n / target)), capped at splitPlanes). A fixed
+    // threshold left a dead zone once auto-nlist hit its 4096 clamp
+    // (cells grew with the corpus until the old 10000-row trigger, so
+    // pair volume grew as n²/nlist — the sf100 spot-check measured that
+    // regime at >63 GB of verify-join spill, SCALING.md round 14). Each
+    // extra plane costs recall only for pairs NEAR the threshold
+    // (P[same bit | cos 0.95] ≈ 0.9 per plane) and nothing for the
+    // collinear/exact duplicates the operator targets.
+    val targetCell = 250
     val over = celled
       .groupBy(col("__cell"))
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucketSize)
-      .select(col("__cell"), lit(true).as("__over"))
+      .filter(col("__n") > 4L * targetCell || col("__n") > maxBucketSize)
+      .select(col("__cell"),
+        least(lit(splitPlanes),
+          ceil(log(2.0, col("__n").cast("double") / targetCell)).cast("int"))
+          .as("__p"))
     val bucketed = celled
       .join(broadcast(over), Seq("__cell"), "left")
       .select(
-        col("__id"),
-        when(col("__over").isNotNull,
+        col("__id"), col("__v"),
+        when(col("__p").isNotNull,
           concat_ws(":", col("__cell"),
-            lshSignatureFrom(col("__v"), 0, splitPlanes)))
+            lshSignatureFrom(col("__v"), 0, splitPlanes)
+              .bitwiseAND(expr("shiftleft(1L, __p) - 1L"))))
           .otherwise(col("__cell").cast("string"))
           .as("__bkt"))
-    val candidates = Dedup
-      .pairsFromBuckets(
-        Dedup.boundedBuckets(bucketed, Seq("__bkt"), col("__id"), maxBucketSize),
-        "__ids")
-      .distinct()
-    val dropped = candidates
-      .join(base.select(col("__id").as("left_id"), col("__v").as("__vl")), "left_id")
-      .join(base.select(col("__id").as("right_id"), col("__v").as("__vr")), "right_id")
-      .filter(
-        cosine(col("__vl").cast("array<double>"), col("__vr").cast("array<double>"))
-          >= threshold)
-      .select(col("right_id").as("__did"))
+    // Verify WITHIN the bucket row (plans/VerifyExpr.scala): buckets carry
+    // (id, vector) structs and a codegen'd kernel emits the dropped ids
+    // directly — no pair materialization, no pair shuffle, no re-attach
+    // joins. The only exchange in the verify stage is the bucket grouping
+    // itself; everything after it is narrow. Membership is single-bucket
+    // (one cell, one signature), so pairs cannot repeat across buckets —
+    // the old pair-level distinct was already redundant.
+    val buckets = Dedup.boundedBuckets(
+      bucketed, Seq("__bkt"), struct(col("__id"), col("__v")), maxBucketSize)
+    val dropped = buckets
+      .select(explode(org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.plans.EarlierNeighborIds(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(col("__ids")),
+          threshold))).as("__did"))
       .distinct()
     corpus.join(dropped, corpus(idCol) <=> dropped("__did"), "left_anti")
   }
