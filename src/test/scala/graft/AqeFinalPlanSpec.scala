@@ -33,17 +33,18 @@ class AqeFinalPlanSpec extends SharedSpark {
 
   /** The plan-audit set: most expensive entries per VERDICT + one
     * representative per shuffle-heavy family (join, agg, dedup, ANN,
-    * packing/layout, truncation). Deliberately EXCLUDED: the iterative /
-    * multi-pass-persist entries (q_pagerank, q_triangles, q_tfidf) —
-    * their finalized plan STRINGS embed the persisted intermediates of
-    * the loop, and whether a subtree prints as an InMemoryTableScan or
-    * its full recomputation lineage depends on asynchronous unpersist
-    * timing, so their node counts are not a stable pin (observed ±30%
-    * across identical runs). Their declared shapes are still pinned by
-    * the AQE-off PlanFingerprintSpec, which never executes.
+    * packing/layout, truncation). Deliberately EXCLUDED: entries whose
+    * construction persists multi-use intermediates (q_pagerank,
+    * q_triangles, q_tfidf, q_semdedup) — their finalized plan STRINGS
+    * embed the persisted/reused subtrees, and whether a repeat prints as
+    * InMemoryTableScan / ReusedExchange or as its full recomputation
+    * lineage depends on cache state and stage-materialization timing, so
+    * their node counts are not a stable pin (observed ±30–150% across
+    * identical runs). Their declared shapes are still pinned by the
+    * AQE-off PlanFingerprintSpec, which never executes.
     */
   private val entries = Seq(
-    "q_write_shards", "q_semdedup", "q_minhash_dedup",
+    "q_write_shards", "q_minhash_dedup",
     "q_dedup_cluster", "q_lsh_topk", "q_containment",
     "q_join_nullsafe", "q_public_join", "q_private_join",
     "q_groupby_sum", "q_bucketed_join", "q_zorder", "q_keep_best",

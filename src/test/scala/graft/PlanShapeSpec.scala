@@ -70,6 +70,9 @@ class PlanShapeSpec extends SharedSpark {
     assert(count(pa, "dotproduct") >= 1, describe(pa))
     val ps = planOf("q_semdedup")
     assert(foreignLambdaLines(ps) === Seq.empty)
-    assert(count(ps, "dotproduct") >= 1, describe(ps))
+    // since the round-14 verify rework, semDeDup's cosines run inside the
+    // within-bucket EarlierNeighborIds kernel (plans/VerifyExpr.scala)
+    // instead of a DotProduct column expression over materialized pairs
+    assert(count(ps, "earlierneighborids") >= 1, describe(ps))
   }
 }
