@@ -1,0 +1,125 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Measures the recall cost of semDeDup's ADAPTIVE oversize-cell split
+  * (round 14) — the knob SCALING.md derives but did not measure: pairs
+  * NEAR the threshold can land in different hyperplane sub-buckets, with
+  * per-plane keep probability 1 − θ/π (θ = angle of the pair), while
+  * collinear/exact duplicates share every plane bit and lose nothing.
+  *
+  * Construction (deterministic, seed-pinned): one tight vector cluster
+  * big enough to force the split (3000 vectors in a single cell at
+  * nlist = 1 → p = ceil(log2(3000/250)) = 4 planes), carrying
+  *   - 60 planted NON-COLLINEAR near-dup pairs at cosine ≈ 0.96
+  *     (θ ≈ 0.28 rad → theory: keep ≈ (1 − θ/π)⁴ ≈ 0.69), and
+  *   - 40 planted COLLINEAR duplicates (scaled copies, cosine = 1).
+  * Ground truth = the brute-force earlier-neighbor rule over all pairs
+  * at the threshold — computed here with plain Scala, no Spark.
+  *
+  * Gates: collinear recall is EXACTLY 1.0 (the split never separates
+  * them — bit-equal signatures); near-threshold drop recall is within
+  * the theory's neighborhood (≥ 0.45, i.e. no silent collapse; the
+  * measured value is reported via info() and recorded in SCALING.md).
+  * The unsplit path (same corpus, maxBucketSize above the cell size...
+  * n/a — split is driven by the 4× target rule) is covered by the
+  * sf0.01 oracle where no cell exceeds the target.
+  */
+class SemDedupSplitRecallSpec extends SharedSpark {
+
+  private val dim = 32
+  private val threshold = 0.95
+
+  test("adaptive split: collinear recall 1.0, near-threshold recall near theory") {
+    val rnd = new java.util.Random(20260816L)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // one tight cluster: base direction + small jitter so every vector
+    // assigns to the single cell but natural pairs stay far below the
+    // threshold (jitter scale 0.55 → typical natural cosine ~0.6-0.8)
+    val center = unit()
+    def clusterVec(): Array[Double] = {
+      val j = unit()
+      val v = center.zip(j).map { case (c, x) => c + 0.55 * x }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    /** b = cos·a + sqrt(1−cos²)·(unit component of jitter orthogonal to a):
+      * exact cosine by construction. */
+    def atCosine(a: Array[Double], cos: Double): Array[Double] = {
+      val j = unit()
+      val dotAJ = a.zip(j).map { case (x, y) => x * y }.sum
+      val orth = j.zip(a).map { case (y, x) => y - dotAJ * x }
+      val on = math.sqrt(orth.map(x => x * x).sum)
+      val s = math.sqrt(1 - cos * cos) / on
+      a.zip(orth).map { case (x, o) => cos * x + s * o }
+    }
+
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    var id = 0L
+    (1 to 2800).foreach { _ => vecs += ((id, clusterVec())); id += 1 }
+    // 60 non-collinear near-dup pairs at cosine 0.96
+    val nearIds = (1 to 60).map { _ =>
+      val a = clusterVec()
+      val ia = id; vecs += ((ia, a)); id += 1
+      val ib = id; vecs += ((ib, atCosine(a, 0.96))); id += 1
+      (ia, ib)
+    }
+    // 40 collinear duplicates (scaled copies)
+    val colIds = (1 to 40).map { _ =>
+      val a = clusterVec()
+      val ia = id; vecs += ((ia, a)); id += 1
+      val ib = id; vecs += ((ib, a.map(_ * 2.0))); id += 1
+      (ia, ib)
+    }
+
+    // brute-force ground truth: earlier-neighbor drops at the threshold
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val arr = vecs.toArray.sortBy(_._1)
+    val trueDrops = (1 until arr.length).filter { j =>
+      (0 until j).exists(i => cos(arr(i)._2, arr(j)._2) >= threshold)
+    }.map(arr(_)._1).toSet
+
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vecs.toSeq.map { case (i, v) => Row(i, v.toSeq) }, 8),
+      StructType(Seq(
+        StructField("vec_id", LongType, false),
+        StructField("embedding", ArrayType(DoubleType, false), false))))
+
+    val kept = Similarity.semDeDup(df, "vec_id", "embedding",
+      threshold = threshold, nlist = 1, refineIterations = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val foundDrops = vecs.map(_._1).toSet -- kept
+
+    // collinear pairs: the later id must ALWAYS be dropped
+    val colMissed = colIds.filterNot { case (_, ib) => foundDrops.contains(ib) }
+    assert(colMissed.isEmpty,
+      s"collinear duplicates lost by the split: $colMissed")
+
+    // no false drops: everything dropped must be a true drop
+    val false_ = foundDrops -- trueDrops
+    assert(false_.isEmpty, s"dropped ids with no qualifying neighbor: ${false_.take(5)}")
+
+    // near-threshold recall vs theory (~0.69 at 4 planes): gate the floor,
+    // report the measurement
+    val nearTrue = nearIds.map(_._2).filter(trueDrops.contains)
+    val nearFound = nearTrue.count(foundDrops.contains)
+    val recall = nearFound.toDouble / math.max(nearTrue.size, 1)
+    info(f"near-threshold (cos 0.96) drop recall under the split: " +
+      f"$nearFound/${nearTrue.size} = $recall%.3f (theory ≈ (1-θ/π)^p)")
+    info(s"total: ${trueDrops.size} true drops, ${foundDrops.size} found")
+    assert(recall >= 0.45,
+      f"split recall collapsed: $recall%.3f — planes over-splitting?")
+  }
+}
