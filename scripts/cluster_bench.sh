@@ -61,6 +61,12 @@ if ! pgrep -f org.apache.spark.deploy.worker.Worker >/dev/null; then
 fi
 
 echo "== Bench on $MASTER_URL ($SF) =="
+# record files go to /tmp: bench_summary.json at the repo root is the
+# LOCAL quiet-box canonical record (commit_round.sh convention) and a
+# cluster run must not overwrite it — cluster results are recorded in
+# SCALING.md ("cluster-mode bench") instead.
+SPARK_GRAFT_BENCH_SUMMARY=/tmp/cluster_bench_summary.json \
+SPARK_GRAFT_BENCH_FULL=/tmp/cluster_bench_full.json \
 SPARK_GRAFT_MASTER="$MASTER_URL" \
 SPARK_GRAFT_SF_DIR="$SF" \
 SPARK_GRAFT_CPUS=$((WORKERS * WORKER_CORES)) \
