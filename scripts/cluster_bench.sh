@@ -27,6 +27,14 @@ OPTS=$(grep '^OPTS' scripts/run_verify_sf1.sh | cut -d'"' -f2)
 JAR=$(ls -t target/scala-2.13/*.jar | head -1)
 [[ -n "$JAR" ]] || { echo "no jar — run: sbt package"; exit 1; }
 JAR=$(readlink -f "$JAR")
+# Driver and executors must run the SAME code: the driver classpath uses
+# the jar (below), and we fail fast if any compiled class is newer than
+# the jar — a stale jar would ship old expressions/closures to executors
+# while a classes-dir driver silently ran newer ones.
+NEWER=$(find target/scala-2.13/classes -name '*.class' -newer "$JAR" | head -1)
+if [[ -n "$NEWER" ]]; then
+  echo "classes are newer than $JAR (e.g. $NEWER) — run: sbt package"; exit 1
+fi
 
 cleanup() {
   if [[ "${KEEP_CLUSTER:-0}" != "1" ]]; then
@@ -75,6 +83,6 @@ java -Xmx8g $OPTS \
   -Dspark.executor.memory="$EXEC_MEM" \
   -Dspark.executor.extraJavaOptions="$OPTS" \
   -Dspark.ui.enabled=false \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$JAR:/opt/spark/jars/*" \
   graft.Bench
 echo "== cluster bench done: $WORKERS workers x $WORKER_CORES cores, executor mem $EXEC_MEM =="

@@ -33,6 +33,12 @@ OPTS=$(grep '^OPTS' scripts/run_verify_sf1.sh | cut -d'"' -f2)
 JAR=$(ls -t target/scala-2.13/*.jar | head -1)
 [[ -n "$JAR" ]] || { echo "no jar — run: sbt package"; exit 1; }
 JAR=$(readlink -f "$JAR")
+# Fail fast if compiled classes are newer than the jar: executors load the
+# jar, and a stale one would silently diverge from a classes-dir driver.
+NEWER=$(find target/scala-2.13/classes -name '*.class' -newer "$JAR" | head -1)
+if [[ -n "$NEWER" ]]; then
+  echo "classes are newer than $JAR (e.g. $NEWER) — run: sbt package"; exit 1
+fi
 
 cleanup() {
   if [[ "${KEEP_CLUSTER:-0}" != "1" ]]; then
@@ -77,7 +83,7 @@ java -Xmx8g $OPTS \
   -Dspark.executor.memory="$EXEC_MEM" \
   -Dspark.executor.extraJavaOptions="$OPTS" \
   -Dspark.ui.enabled=false \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$JAR:/opt/spark/jars/*" \
   graft.Verify "$SF" "$OUT"
 
 echo "== DuckDB compare =="

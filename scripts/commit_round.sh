@@ -25,23 +25,28 @@ LOAD_MAX=${GRAFT_LOAD_MAX:-10}
 
 # 1. bench_summary.json: keep quiet-box canonical.
 if ! git diff --quiet -- bench_summary.json 2>/dev/null; then
-  VERDICT=$(python3 - "$LOAD_MAX" <<'EOF'
+  VERDICT=$(python3 - "$LOAD_MAX" "${GRAFT_LOAD_MAX_SWEEP:-27}" <<'EOF'
 import json, re, sys
 try:
     full = json.load(open("bench_full.json"))
     # The synthetic sweep families run 32 threads flat-out for minutes at
     # the bench tail, which alone drives 1-min loadavg to ~22 (measured
     # r14: entry queries 8.99 max, sweeps 22.3 on an otherwise idle box).
-    # Contamination is EXTERNAL load, visible on the entry queries — so
-    # the check reads only those; self-load on the sweeps is expected.
+    # Sweeps therefore get a RAISED threshold (expected self-load 22.3 +
+    # margin, default 27) rather than an exemption — external load landing
+    # during the sweep tail still trips the gate, while the sweeps' own
+    # 32-thread churn does not. Entry queries keep the strict threshold.
     sweep = re.compile(
         r"^q_(countsum_|quantile_\d|pjoin_|limitkeys_|noise_"
         r"|map_5m|flatmap_5m|pubjoin_)")
-    loads = [v for k, vs in full.get("loadavg_1m", {}).items()
-             if not sweep.match(k) for v in vs]
-    mx = max(loads) if loads else 0.0
-    print("contaminated" if mx > float(sys.argv[1]) else "quiet")
-    print(f"max 1-min loadavg over entry queries: {mx:.2f}", file=sys.stderr)
+    strict, raised = float(sys.argv[1]), float(sys.argv[2])
+    mx_e = max((v for k, vs in full.get("loadavg_1m", {}).items()
+                if not sweep.match(k) for v in vs), default=0.0)
+    mx_s = max((v for k, vs in full.get("loadavg_1m", {}).items()
+                if sweep.match(k) for v in vs), default=0.0)
+    print("contaminated" if (mx_e > strict or mx_s > raised) else "quiet")
+    print(f"max 1-min loadavg: entry {mx_e:.2f} (limit {strict}), "
+          f"sweep {mx_s:.2f} (limit {raised})", file=sys.stderr)
 except Exception as e:
     # no/unreadable full dump -> cannot certify quiet; keep the old record
     print("contaminated")

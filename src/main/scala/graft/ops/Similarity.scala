@@ -617,8 +617,14 @@ object Similarity {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 4L * targetCell || col("__n") > maxBucketSize)
       .select(col("__cell"),
-        least(lit(splitPlanes),
-          ceil(log(2.0, col("__n").cast("double") / targetCell)).cast("int"))
+        // Clamped to [1, splitPlanes]: a cell can enter this set with
+        // n <= targetCell when maxBucketSize < 4*targetCell, where
+        // ceil(log2(n/target)) <= 0 would build an empty bit mask (no
+        // split at all) and boundedBuckets would then silently drop the
+        // still-oversized bucket. One plane is the minimum useful split.
+        greatest(lit(1),
+          least(lit(splitPlanes),
+            ceil(log(2.0, col("__n").cast("double") / targetCell)).cast("int")))
           .as("__p"))
     val bucketed = celled
       .join(broadcast(over), Seq("__cell"), "left")

@@ -23,8 +23,15 @@ import org.apache.spark.sql.types._
   * aggregation itself (one corpus-sized shuffle), and the output is the
   * dropped-id stream. Per-bucket work is the same i<j cosine loop the
   * join pipeline evaluated, minus pair materialization; buckets are
-  * capped (maxBucketSize structs ≈ 5 MB), so a row's working set is
-  * bounded.
+  * capped at maxBucketSize structs, so a row's working set is bounded —
+  * but the BYTE bound scales with embedding width (one struct ≈ 8·dim
+  * bytes, and the bucket-grouping collect_list buffer holds
+  * maxBucketSize of them per in-flight bucket): the default cap of 500
+  * is ~5 MB only near the test fixture's dim≈1000; at dim 4096 the
+  * same cap is ~16 MB per bucket row, a memory profile the old
+  * ids-only collection never had. For large dims, derive the cap from
+  * a byte budget instead of a row count: maxBucketSize ≈
+  * bytesBudget / (8 · dim), e.g. a 5 MB budget at dim 4096 → cap ≈ 160.
   *
   * Value parity with the join formulation (pinned by OpsSpec +
   * the q_semdedup oracle):

@@ -13,17 +13,19 @@ import org.apache.spark.sql.functions._
   * cost). This suite drives [[Streams.windowedCounts]] (append mode, the
   * production finalize-once path) over a fixed arrival pattern with a
   * controlled lateness mix — every minute one on-time event plus one
-  * event each arriving 1, 4 and 8 minutes late — at watermarks 0s, 2m,
-  * 5m and 15m, and records (events counted in finalized windows, peak
+  * event each arriving 2, 22 and 45 minutes late (far from the drop
+  * boundaries, see the comment on `Lateness`) — at watermarks 0s, 15m
+  * and 40m, and records (events counted in finalized windows, peak
   * state rows) per setting.
   *
   * Gates (direction, not exact values — the exact boundary row depends on
   * per-batch watermark propagation):
   *   - counted events are MONOTONE NONDECREASING in the watermark, and
-  *     the 15m watermark loses nothing (every lateness ≤ 8m is inside);
+  *     the 40m watermark loses nothing (every lateness ≤ 45m clears it
+  *     once the one-batch watermark lag and window slack are added);
   *   - the 0s watermark drops most late events (< half the late mass
   *     survives);
-  *   - peak state rows at 15m exceed peak state at 0s — the memory bill
+  *   - peak state rows at 40m exceed peak state at 0s — the memory bill
   *     for the accuracy.
   * The measured sweep is recorded in STREAMING.md.
   */
