@@ -574,6 +574,15 @@ object Dedup {
     *  5. verify exact shingle-set Jaccard ≥ threshold via a join on shingles
     *
     * Returns (left_id, right_id, jaccard) with left_id < right_id.
+    *
+    * `observeDropped`: optional [[org.apache.spark.sql.Observation]] that
+    * surfaces what the bucket cap silently discarded — after any action on
+    * the result, `obs.get` carries `dropped_buckets` and
+    * `rows_in_dropped_buckets` (bucket memberships, not distinct docs). At
+    * 100 TB this is the recall-loss monitor for degenerate skew (e.g. a
+    * boilerplate shingle family collapsing a corpus slice into one
+    * bucket); the cost is one broadcast-mark null-check per banded row
+    * (see [[boundedBuckets]]) — the default plan is untouched.
     */
   def minHashPairs(
       df: DataFrame,
@@ -583,7 +592,8 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       jaccardThreshold: Double = 0.8,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      observeDropped: Option[org.apache.spark.sql.Observation] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
 
@@ -601,7 +611,8 @@ object Dedup {
     // no task ever materializes more than maxBucketSize elements or
     // C(maxBucketSize, 2) pairs.
     val candidates = pairsFromBuckets(
-      boundedBuckets(banded, Seq("__band", "__bh"), col("__id"), maxBucketSize),
+      boundedBuckets(banded, Seq("__band", "__bh"), col("__id"), maxBucketSize,
+        observeDropped),
       "__ids"
     ).distinct()
 
@@ -739,18 +750,52 @@ object Dedup {
     * very array it is about to drop (one degenerate key — e.g. every empty
     * document hashing to the same signature — puts the whole corpus into a
     * single aggregation buffer); counting first bounds every task at `cap`
-    * members. The dropped keys are observable via [[oversizedBucketKeys]].
+    * members. The dropped keys are observable via [[oversizedBucketKeys]],
+    * or in-flight (no second job) via `observeDropped`, which reports
+    * `rows_in_dropped_buckets` (memberships removed by the cap) and
+    * `dropped_buckets` (distinct capped keys, HLL — exact at diagnostic
+    * cardinalities) after any action on the result. Plan note: Spark only
+    * delivers observed metrics from the MAIN lineage — a CollectMetrics
+    * node on a join's build side reports nothing (measured on 4.1) — so
+    * the observed variant marks oversized keys with a broadcast LEFT
+    * OUTER join, observes the probe stream, and filters the marks back
+    * out: row-identical to the anti join, same broadcast build, one
+    * extra null-check per row, and only when observation is requested —
+    * the default plan keeps the pure anti join. One more measured 4.1
+    * edge: if the cap drops EVERY bucket (pathological corpus), AQE's
+    * empty-relation propagation replaces the downstream aggregation —
+    * and the observed node with it — so the metrics come back empty;
+    * any surviving bucket keeps them intact. Read with `getOrEmpty` if
+    * the corpus could be fully degenerate.
     */
   private[ops] def boundedBuckets(
       rows: DataFrame,
       keyCols: Seq[String],
       value: Column,
-      cap: Int
+      cap: Int,
+      observeDropped: Option[org.apache.spark.sql.Observation] = None
   ): DataFrame = {
     val keys = keyCols.map(col)
-    rows
-      .join(broadcast(oversizedBucketKeys(rows, keyCols, cap).select(keys: _*)),
-        keyCols, "left_anti")
+    val over = oversizedBucketKeys(rows, keyCols, cap)
+    val pruned = observeDropped match {
+      case None =>
+        rows.join(broadcast(over.select(keys: _*)), keyCols, "left_anti")
+      case Some(o) =>
+        val mark = "__graft_over"
+        rows
+          .join(
+            broadcast(over.select(keys :+ lit(true).as(mark): _*)),
+            keyCols, "left")
+          .observe(o,
+            coalesce(sum(when(col(mark), 1L)), lit(0L))
+              .as("rows_in_dropped_buckets"),
+            coalesce(approx_count_distinct(when(col(mark),
+              concat_ws(" ", keys.map(_.cast("string")): _*))), lit(0L))
+              .as("dropped_buckets"))
+          .filter(col(mark).isNull)
+          .drop(mark)
+    }
+    pruned
       .groupBy(keys: _*)
       .agg(sort_array(collect_list(value)).as("__ids"))
       .filter(size(col("__ids")) >= 2)

@@ -511,6 +511,26 @@ object Similarity {
     * irreducible near-identical sets larger than `maxBucketSize` are
     * dropped from PAIR GENERATION (their members then all survive —
     * conservative), observably via the same bucket diagnostics.
+    *
+    * `probes` (default 0 = off) is the RECALL-PRESERVING opt-in for the
+    * adaptive split: each vector in a split cell is additionally assigned
+    * to the `probes` neighbor sub-buckets reached by flipping its least
+    * confident signature bits (smallest |projection| first, the
+    * [[lshProbeOrderFrom]] order restricted to the cell's active planes) —
+    * classic multi-probe LSH on the split signature. A near-threshold
+    * pair separated by ONE disagreeing plane is recovered whenever either
+    * member probes that plane, and the disagreeing plane is, with high
+    * probability, a low-|projection| one for at least one member (a big
+    * margin on both sides means the pair's angle rarely crosses the
+    * plane). Collinear duplicates never needed it (bit-equal signatures).
+    * Cost, stated for capacity planning: bucket-grouping shuffle bytes and
+    * per-bucket membership grow by ≤ (probes+1)× FOR SPLIT CELLS ONLY
+    * (unsplit cells are untouched), and the within-bucket verify loop is
+    * quadratic in membership, so verify work grows ≤ (probes+1)². The
+    * `maxBucketSize` cap counts probed membership. Dropped-id duplicates
+    * across probed buckets collapse in the existing distinct; pair
+    * semantics are unchanged (every candidate still exact-cosine
+    * verified), so probing can only ADD true drops, never a false one.
     */
   def semDeDup(
       corpus: DataFrame,
@@ -520,7 +540,8 @@ object Similarity {
       nlist: Int = 16,
       refineIterations: Int = 2,
       splitPlanes: Int = 10,
-      maxBucketSize: Int = 10000
+      maxBucketSize: Int = 10000,
+      probes: Int = 0
   ): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -626,23 +647,49 @@ object Similarity {
           least(lit(splitPlanes),
             ceil(log(2.0, col("__n").cast("double") / targetCell)).cast("int")))
           .as("__p"))
-    val bucketed = celled
-      .join(broadcast(over), Seq("__cell"), "left")
-      .select(
-        col("__id"), col("__v"),
-        when(col("__p").isNotNull,
-          concat_ws(":", col("__cell"),
-            lshSignatureFrom(col("__v"), 0, splitPlanes)
-              .bitwiseAND(expr("shiftleft(1L, __p) - 1L"))))
-          .otherwise(col("__cell").cast("string"))
-          .as("__bkt"))
+    val joined = celled.join(broadcast(over), Seq("__cell"), "left")
+    val maskedSig = lshSignatureFrom(col("__v"), 0, splitPlanes)
+      .bitwiseAND(expr("shiftleft(1L, __p) - 1L"))
+    val bucketed =
+      if (probes <= 0)
+        joined.select(
+          col("__id"), col("__v"),
+          when(col("__p").isNotNull,
+            concat_ws(":", col("__cell"), maskedSig))
+            .otherwise(col("__cell").cast("string"))
+            .as("__bkt"))
+      else {
+        // Multi-probe (see scaladoc): in split cells, also land in the
+        // `probes` sub-buckets reached by flipping the lowest-|projection|
+        // ACTIVE planes (probe order is computed over all splitPlanes,
+        // then restricted to the cell's [0, __p) range — the kernel takes
+        // static plane counts, the active count is per-cell data). Flip
+        // keys are distinct from the base by construction (xor of a live
+        // bit), so a bucket holds each id at most once.
+        val probePlanes = slice(
+          filter(lshProbeOrderFrom(col("__v"), 0, splitPlanes),
+            k => k < col("__p")),
+          1, probes)
+        val probeSigs = transform(probePlanes,
+          k => maskedSig.bitwiseXOR(call_function("shiftleft", lit(1L), k)))
+        joined.select(
+          col("__id"), col("__v"),
+          explode(
+            when(col("__p").isNotNull,
+              transform(
+                array_prepend(probeSigs, maskedSig),
+                s => concat_ws(":", col("__cell"), s)))
+              .otherwise(array(col("__cell").cast("string"))))
+            .as("__bkt"))
+      }
     // Verify WITHIN the bucket row (plans/VerifyExpr.scala): buckets carry
     // (id, vector) structs and a codegen'd kernel emits the dropped ids
     // directly — no pair materialization, no pair shuffle, no re-attach
     // joins. The only exchange in the verify stage is the bucket grouping
-    // itself; everything after it is narrow. Membership is single-bucket
-    // (one cell, one signature), so pairs cannot repeat across buckets —
-    // the old pair-level distinct was already redundant.
+    // itself; everything after it is narrow. At probes = 0 membership is
+    // single-bucket (one cell, one signature), so pairs cannot repeat
+    // across buckets; with probing a pair can co-occur in up to two
+    // buckets, and the dropped-id distinct below already collapses that.
     val buckets = Dedup.boundedBuckets(
       bucketed, Seq("__bkt"), struct(col("__id"), col("__v")), maxBucketSize)
     val dropped = buckets

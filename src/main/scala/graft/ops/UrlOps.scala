@@ -138,6 +138,13 @@ object UrlOps {
     * error raised inside the scan itself (`raise_error` in the id
     * projection — still one pass, no pre-count job), for callers who
     * want an upstream data problem to surface instead of vanishing.
+    * `observeDrops` makes the `"drop"` path observable without a second
+    * job: pass an [[org.apache.spark.sql.Observation]] and, after any
+    * action on the result, `obs.get("null_id_rows_dropped")` reports how
+    * many rows the null-id filter discarded. The observation node sits
+    * between scan and filter (it must see the dropped rows to count
+    * them), which blocks the not-null predicate from pushing into the
+    * scan — opt-in, so the default plan is unchanged.
     *
     * Single pass, single shuffle: one hash exchange on the canonical
     * URL with a `min_by(struct(*), id)` aggregate, so the keeper row
@@ -149,7 +156,8 @@ object UrlOps {
       df: DataFrame,
       urlCol: String,
       idCol: String,
-      nullIds: String = "drop"): DataFrame = {
+      nullIds: String = "drop",
+      observeDrops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(nullIds == "drop" || nullIds == "fail",
       s"dedupByUrl: nullIds must be 'drop' or 'fail' (got '$nullIds')")
     // internal names carry a graft-reserved prefix so a user column can't
@@ -167,7 +175,12 @@ object UrlOps {
           when(col(idCol).isNull, raise_error(lit(
             s"dedupByUrl: NULL value in id column '$idCol' (nullIds=fail)")))
             .otherwise(col(idCol)))
-      else df.filter(col(idCol).isNotNull)
+      else observeDrops
+        .map(o => df.observe(o,
+          coalesce(sum(when(col(idCol).isNull, 1L)), lit(0L))
+            .as("null_id_rows_dropped")))
+        .getOrElse(df)
+        .filter(col(idCol).isNotNull)
     base
       .groupBy(canon.as(canonCol))
       .agg(min_by(struct(outCols.map(col).toIndexedSeq: _*), col(idCol))

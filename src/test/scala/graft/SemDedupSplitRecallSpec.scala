@@ -10,6 +10,9 @@ import org.apache.spark.sql.types._
   * NEAR the threshold can land in different hyperplane sub-buckets, with
   * per-plane keep probability 1 − θ/π (θ = angle of the pair), while
   * collinear/exact duplicates share every plane bit and lose nothing.
+  * Round 15 adds the recall-preserving opt-in (`probes` — multi-probe
+  * over the least-confident split bits) and gates that it strictly
+  * recovers near-threshold recall on the same fixture.
   *
   * Construction (deterministic, seed-pinned): one tight vector cluster
   * big enough to force the split (3000 vectors in a single cell at
@@ -20,20 +23,29 @@ import org.apache.spark.sql.types._
   * Ground truth = the brute-force earlier-neighbor rule over all pairs
   * at the threshold — computed here with plain Scala, no Spark.
   *
-  * Gates: collinear recall is EXACTLY 1.0 (the split never separates
-  * them — bit-equal signatures); near-threshold drop recall is within
-  * the theory's neighborhood (≥ 0.45, i.e. no silent collapse; the
-  * measured value is reported via info() and recorded in SCALING.md).
-  * The unsplit path (same corpus, maxBucketSize above the cell size...
-  * n/a — split is driven by the 4× target rule) is covered by the
-  * sf0.01 oracle where no cell exceeds the target.
+  * Gates: collinear recall is EXACTLY 1.0 at every probes setting (the
+  * split never separates them — bit-equal signatures, and probing only
+  * adds buckets); near-threshold drop recall at probes = 0 is within the
+  * theory's neighborhood (≥ 0.45, i.e. no silent collapse); probes = 2
+  * recall dominates probes = 0 (monotone by construction — every base
+  * bucket still exists) and clears the 1-bit-recovery floor (theory:
+  * P[≤1 disagreeing plane] = q⁴ + 4q³(1−q) ≈ 0.96 of which probing
+  * recovers the mass where the disagreeing plane is a low-margin bit of
+  * either member; ≥ 0.70 is the no-regression floor). Measured values
+  * are reported via info() and recorded in SCALING.md.
   */
 class SemDedupSplitRecallSpec extends SharedSpark {
 
   private val dim = 32
   private val threshold = 0.95
 
-  test("adaptive split: collinear recall 1.0, near-threshold recall near theory") {
+  // ---- deterministic fixture, shared by the probes = 0 / 2 cases ----
+  private lazy val fixture: (
+      Seq[(Long, Array[Double])],   // vectors
+      Seq[(Long, Long)],            // planted near-threshold pairs
+      Seq[(Long, Long)],            // planted collinear pairs
+      Set[Long]                     // brute-force true drops
+  ) = {
     val rnd = new java.util.Random(20260816L)
     def unit(): Array[Double] = {
       val v = Array.fill(dim)(rnd.nextGaussian())
@@ -90,36 +102,68 @@ class SemDedupSplitRecallSpec extends SharedSpark {
       (0 until j).exists(i => cos(arr(i)._2, arr(j)._2) >= threshold)
     }.map(arr(_)._1).toSet
 
+    (vecs.toSeq, nearIds, colIds, trueDrops)
+  }
+
+  /** Run semDeDup on the fixture at one probes setting; returns the set
+    * of DROPPED ids. */
+  private def runDrops(probes: Int): Set[Long] = {
+    val (vecs, _, _, _) = fixture
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        vecs.toSeq.map { case (i, v) => Row(i, v.toSeq) }, 8),
+        vecs.map { case (i, v) => Row(i, v.toSeq) }, 8),
       StructType(Seq(
         StructField("vec_id", LongType, false),
         StructField("embedding", ArrayType(DoubleType, false), false))))
-
     val kept = Similarity.semDeDup(df, "vec_id", "embedding",
-      threshold = threshold, nlist = 1, refineIterations = 1)
+      threshold = threshold, nlist = 1, refineIterations = 1, probes = probes)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val foundDrops = vecs.map(_._1).toSet -- kept
+    vecs.map(_._1).toSet -- kept
+  }
 
+  private def checkInvariants(foundDrops: Set[Long], tag: String): Unit = {
+    val (_, _, colIds, trueDrops) = fixture
     // collinear pairs: the later id must ALWAYS be dropped
     val colMissed = colIds.filterNot { case (_, ib) => foundDrops.contains(ib) }
     assert(colMissed.isEmpty,
-      s"collinear duplicates lost by the split: $colMissed")
-
+      s"[$tag] collinear duplicates lost by the split: $colMissed")
     // no false drops: everything dropped must be a true drop
     val false_ = foundDrops -- trueDrops
-    assert(false_.isEmpty, s"dropped ids with no qualifying neighbor: ${false_.take(5)}")
+    assert(false_.isEmpty,
+      s"[$tag] dropped ids with no qualifying neighbor: ${false_.take(5)}")
+  }
 
-    // near-threshold recall vs theory (~0.69 at 4 planes): gate the floor,
-    // report the measurement
+  private def nearRecall(foundDrops: Set[Long]): (Int, Int, Double) = {
+    val (_, nearIds, _, trueDrops) = fixture
     val nearTrue = nearIds.map(_._2).filter(trueDrops.contains)
     val nearFound = nearTrue.count(foundDrops.contains)
-    val recall = nearFound.toDouble / math.max(nearTrue.size, 1)
+    (nearFound, nearTrue.size, nearFound.toDouble / math.max(nearTrue.size, 1))
+  }
+
+  test("adaptive split: collinear recall 1.0, near-threshold recall near theory") {
+    val foundDrops = runDrops(probes = 0)
+    checkInvariants(foundDrops, "probes=0")
+    val (nearFound, nearTotal, recall) = nearRecall(foundDrops)
     info(f"near-threshold (cos 0.96) drop recall under the split: " +
-      f"$nearFound/${nearTrue.size} = $recall%.3f (theory ≈ (1-θ/π)^p)")
-    info(s"total: ${trueDrops.size} true drops, ${foundDrops.size} found")
+      f"$nearFound/$nearTotal = $recall%.3f (theory ≈ (1-θ/π)^p)")
+    info(s"total: ${fixture._4.size} true drops, ${foundDrops.size} found")
     assert(recall >= 0.45,
       f"split recall collapsed: $recall%.3f — planes over-splitting?")
+  }
+
+  test("multi-probe opt-in (probes=2): dominates probes=0, clears the recovery floor") {
+    val drops0 = runDrops(probes = 0)
+    val drops2 = runDrops(probes = 2)
+    checkInvariants(drops2, "probes=2")
+    // monotone: probing only adds buckets, so every probes=0 drop remains
+    val lost = drops0 -- drops2
+    assert(lost.isEmpty, s"probing LOST drops the base run found: ${lost.take(5)}")
+    val (f0, t0, r0) = nearRecall(drops0)
+    val (f2, t2, r2) = nearRecall(drops2)
+    info(f"near-threshold recall: probes=0 $f0/$t0 = $r0%.3f → " +
+      f"probes=2 $f2/$t2 = $r2%.3f")
+    assert(r2 >= r0, f"multi-probe reduced recall: $r2%.3f < $r0%.3f")
+    assert(r2 >= 0.70,
+      f"multi-probe recall below the 1-bit-recovery floor: $r2%.3f")
   }
 }
