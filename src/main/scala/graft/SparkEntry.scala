@@ -979,6 +979,25 @@ object SparkEntry {
         threshold = 0.95, nlist = 0, refineIterations = 2)
         .select("vec_id")
     },
+    "q_semdedup_probes" -> { (s, dir) =>
+      // the multi-probe opt-in on the SAME provably-exact construction:
+      // collinear duplicates collide in every bucket at any probes
+      // setting and probing can only ADD exact-verified pairs, so the
+      // survivor set must still equal the global earlier-neighbor rule —
+      // this pins "no false drops, no lost exact dups" value-level
+      // against DuckDB (recall on near-threshold geometry is measured
+      // separately: SemDedupSplitRecallSpec + SCALING.md round 15)
+      val e = tp(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e
+        .filter(col("vec_id") % 40 === 0)
+        .select(
+          (col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      graft.ops.Similarity.semDeDup(
+        e.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.95, nlist = 0, refineIterations = 2, probes = 2)
+        .select("vec_id")
+    },
     "q_repetition" -> { (s, dir) =>
       // documents are single-line, so plant a repeated line plus a
       // 3-way-shared note to exercise the line-level signals; the token
@@ -4603,6 +4622,20 @@ object SparkEntry {
     // neighbor (all such pairs are planted collinear copies, same cell by
     // construction, so the cluster structure cannot change the answer)
     "q_semdedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, x -> x * 2) AS embedding
+        |  FROM base WHERE vec_id % 40 = 0),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id FROM allv a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM allv b WHERE b.vec_id < a.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95)""".stripMargin,
+    // multi-probe setting: same global earlier-neighbor oracle — probing
+    // only adds exact-verified candidate pairs, and on this construction
+    // every qualifying pair is collinear (found at any setting)
+    "q_semdedup_probes" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |planted AS (
         |  SELECT vec_id + 1000000 AS vec_id,

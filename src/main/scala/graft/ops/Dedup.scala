@@ -617,13 +617,22 @@ object Dedup {
     ).distinct()
 
     // 5. exact verification on shingle sets: equi-join on (id, shingle) so
-    // the shared-shingle count IS the join cardinality per pair
+    // the shared-shingle count IS the join cardinality per pair. The join
+    // key is xxhash64 of the shingle, not the string: equality is all the
+    // join tests, and the two corpus-sized exchanges here carry 8-byte
+    // keys instead of ~30-byte shingle text — measured round 15, these
+    // exchanges were the operator's scale wall (the 50M-doc decade-4
+    // probe ENOSPC'd >70 GB of shuffle spill on string keys). Collisions:
+    // 64-bit, ~n²/2⁶⁵ expected across the corpus — a collision inflates
+    // one pair's intersection by 1 only if it lands inside that compared
+    // pair, vanishing risk traded for ~4× less verify shuffle.
     val sizes = shingleSets.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val shh = shingleSets.select(col("__id"), xxhash64(col("__sh")).as("__shh"))
     val inter = candidates
-      .join(shingleSets.select(col("__id").as("left_id"), col("__sh")), "left_id")
+      .join(shh.select(col("__id").as("left_id"), col("__shh")), "left_id")
       .join(
-        shingleSets.select(col("__id").as("right_id"), col("__sh")),
-        Seq("right_id", "__sh")
+        shh.select(col("__id").as("right_id"), col("__shh")),
+        Seq("right_id", "__shh")
       )
       .groupBy(col("left_id"), col("right_id"))
       .agg(count(lit(1)).as("__inter"))
@@ -1417,7 +1426,16 @@ object Dedup {
       maxDocFreq: Int,
       prune: (Column, Column, Column) => Column
   ): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleSize).persist()
+    // Every consumer below tests shingle IDENTITY only (df grouping, set
+    // sizes, intersection joins) — never the text — so shingles are
+    // replaced by their xxhash64 at the source: the persisted cache and
+    // every corpus-sized exchange (the by-shingle grouping and the two
+    // verify joins) carry 8-byte keys instead of shingle strings. Same
+    // collision analysis as in [[minHashPairs]] step 5 — and this was
+    // the same round-15 decade-4 scale wall.
+    val sh = shingleRows(df, idCol, textCol, shingleSize)
+      .select(col("__id"), xxhash64(col("__sh")).as("__sh"))
+      .persist()
     // Candidate pairs share ≥ 1 rare shingle (doc frequency ≤ maxDocFreq):
     // group ids per shingle in ONE aggregation and explode pairs in place
     // (≤ C(maxDocFreq, 2) per shingle) — no self-join. Counting a pair's

@@ -4,14 +4,19 @@ import org.apache.spark.sql.functions._
 
 /** Dev utility: per-mechanism sampling throughput of the AddNoise
   * expression — `NoiseProbe [rows]` prints rows/sec for each mechanism.
+  * `SPARK_GRAFT_CPUS` sets the local core count (default 32), so a sweep
+  * over 4/8/16/32 yields the rows/s/core capacity-planning table in
+  * SCALING.md (samplers are pure per-row CPU — the one family whose
+  * cluster cost scales with cores, not transport).
   */
 object NoiseProbe {
   def main(args: Array[String]): Unit = {
     import graft.exact.Rational
     import graft.measurements._
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
