@@ -1431,8 +1431,16 @@ object Dedup {
     // replaced by their xxhash64 at the source: the persisted cache and
     // every corpus-sized exchange (the by-shingle grouping and the two
     // verify joins) carry 8-byte keys instead of shingle strings. Same
-    // collision analysis as in [[minHashPairs]] step 5 — and this was
-    // the same round-15 decade-4 scale wall.
+    // ~n²/2⁶⁵ collision probability as in [[minHashPairs]] step 5 (and
+    // the same round-15 decade-4 scale wall), but a DIFFERENT failure
+    // mode: here the hashed keys also drive CANDIDATE GENERATION, so a
+    // cross-shingle collision merges two shingles' id lists — which can
+    // push a genuinely rare shared shingle past maxDocFreq and silently
+    // lose a qualifying pair (a false-NEGATIVE channel the exact
+    // verification below cannot recover, because the pair never becomes
+    // a candidate), or conjure a spurious candidate (harmless — exact
+    // verification removes it). In minHashPairs only the verify count is
+    // affected. The sf1 large-cardinality gate covers this join shape.
     val sh = shingleRows(df, idCol, textCol, shingleSize)
       .select(col("__id"), xxhash64(col("__sh")).as("__sh"))
       .persist()

@@ -527,10 +527,27 @@ object Similarity {
     * per-bucket membership grow by ≤ (probes+1)× FOR SPLIT CELLS ONLY
     * (unsplit cells are untouched), and the within-bucket verify loop is
     * quadratic in membership, so verify work grows ≤ (probes+1)². The
-    * `maxBucketSize` cap counts probed membership. Dropped-id duplicates
-    * across probed buckets collapse in the existing distinct; pair
-    * semantics are unchanged (every candidate still exact-cosine
-    * verified), so probing can only ADD true drops, never a false one.
+    * `maxBucketSize` cap counts probed membership — but a bucket pushed
+    * over the cap ONLY by probe copies is trimmed back to its base
+    * membership rather than dropped (probe rows removed; the trim costs
+    * one map-side-combinable bucket count plus a broadcast of the few
+    * over-cap keys, probed runs only), so the bucket drops are EXACTLY
+    * the buckets probes = 0 would drop and the probes = 0 drop set is a
+    * true lower bound. Dropped-id duplicates across probed buckets
+    * collapse in the existing distinct; pair semantics are unchanged
+    * (every candidate still exact-cosine verified), so probing can only
+    * ADD true drops, never a false one.
+    *
+    * `maxBucketBytes` (default 0 = off) derives the bucket cap from a
+    * byte budget at the corpus's ACTUAL embedding width — effective cap
+    * = min(maxBucketSize, max(16, maxBucketBytes / (8·dim))) — the
+    * [[graft.plans.EarlierNeighborIds]] sizing rule lifted into the API:
+    * one bucket struct is ~8·dim bytes and the bucket-grouping
+    * collect_list buffer holds a full bucket per in-flight key, so a
+    * row-count cap alone lets per-bucket memory scale with dim (the
+    * default 10000-row cap is ~80 MB per bucket at dim 1000 but ~320 MB
+    * at dim 4096). With a byte budget the memory profile is
+    * dim-independent and large-dim users stop hand-deriving the cap.
     */
   def semDeDup(
       corpus: DataFrame,
@@ -541,7 +558,8 @@ object Similarity {
       refineIterations: Int = 2,
       splitPlanes: Int = 10,
       maxBucketSize: Int = 10000,
-      probes: Int = 0
+      probes: Int = 0,
+      maxBucketBytes: Long = 0L
   ): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
@@ -594,6 +612,17 @@ object Similarity {
         kMeansCentroids(base.select(col("__v").as("__kv")), "__kv",
           sampled, refineIterations)
       else sampled
+    // Byte-budget cap (scaladoc): dim is known for free here — the
+    // centroid sample already crossed the driver — so the derivation
+    // costs no job. Floored at 16: a budget below 16 structs degenerates
+    // to drop-every-bucket, which silently disables the operator.
+    val capEff =
+      if (maxBucketBytes <= 0L) maxBucketSize
+      else {
+        val dim = math.max(1, centroids(0).length)
+        math.min(maxBucketSize.toLong,
+          math.max(16L, maxBucketBytes / (8L * dim))).toInt
+      }
     def nearestCell(v: Array[Double]): Int = {
       var best = 0; var bestSim = Double.NegativeInfinity
       var c = 0
@@ -636,10 +665,10 @@ object Similarity {
     val over = celled
       .groupBy(col("__cell"))
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 4L * targetCell || col("__n") > maxBucketSize)
+      .filter(col("__n") > 4L * targetCell || col("__n") > capEff)
       .select(col("__cell"),
         // Clamped to [1, splitPlanes]: a cell can enter this set with
-        // n <= targetCell when maxBucketSize < 4*targetCell, where
+        // n <= targetCell when the cap < 4*targetCell, where
         // ceil(log2(n/target)) <= 0 would build an empty bit mask (no
         // split at all) and boundedBuckets would then silently drop the
         // still-oversized bucket. One plane is the minimum useful split.
@@ -672,15 +701,37 @@ object Similarity {
           1, probes)
         val probeSigs = transform(probePlanes,
           k => maskedSig.bitwiseXOR(call_function("shiftleft", lit(1L), k)))
-        joined.select(
+        // The base signature is element 0 of the exploded array, so the
+        // position IS the probe flag — no struct packing needed.
+        val probed = joined.select(
           col("__id"), col("__v"),
-          explode(
+          posexplode(
             when(col("__p").isNotNull,
               transform(
                 array_prepend(probeSigs, maskedSig),
                 s => concat_ws(":", col("__cell"), s)))
-              .otherwise(array(col("__cell").cast("string"))))
-            .as("__bkt"))
+              .otherwise(array(col("__cell").cast("string")))))
+          .select(col("__id"), col("__v"), col("col").as("__bkt"),
+            (col("pos") > 0).as("__probe"))
+        // Near-cap monotonicity (ADVICE r15): probed membership counts
+        // toward the cap, so a bucket under the cap at probes = 0 could
+        // be pushed OVER it by probe copies alone and then be dropped
+        // whole by boundedBuckets — losing drops the base run finds.
+        // Over-cap buckets are therefore trimmed back to their BASE
+        // membership first: boundedBuckets then drops exactly the
+        // buckets probes = 0 drops (base rows are never removed, and a
+        // trimmed bucket's base count either fits the cap or was over
+        // it without probing too), every surviving bucket stays within
+        // the byte budget, and the probes = 0 drop set is a true lower
+        // bound. Costs one map-side-combinable bucket count plus a
+        // broadcast of the (pathological, few) over-cap keys.
+        val over = Dedup.oversizedBucketKeys(probed, Seq("__bkt"), capEff)
+        probed
+          .join(
+            broadcast(over.select(col("__bkt"), lit(true).as("__trim"))),
+            Seq("__bkt"), "left")
+          .filter(col("__trim").isNull || !col("__probe"))
+          .select(col("__id"), col("__v"), col("__bkt"))
       }
     // Verify WITHIN the bucket row (plans/VerifyExpr.scala): buckets carry
     // (id, vector) structs and a codegen'd kernel emits the dropped ids
@@ -691,7 +742,7 @@ object Similarity {
     // across buckets; with probing a pair can co-occur in up to two
     // buckets, and the dropped-id distinct below already collapses that.
     val buckets = Dedup.boundedBuckets(
-      bucketed, Seq("__bkt"), struct(col("__id"), col("__v")), maxBucketSize)
+      bucketed, Seq("__bkt"), struct(col("__id"), col("__v")), capEff)
     val dropped = buckets
       .select(explode(org.apache.spark.sql.graftshim.ColumnShim.column(
         graft.plans.EarlierNeighborIds(

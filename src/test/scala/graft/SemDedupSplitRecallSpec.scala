@@ -28,7 +28,10 @@ import org.apache.spark.sql.types._
   * adds buckets); near-threshold drop recall at probes = 0 is within the
   * theory's neighborhood (≥ 0.45, i.e. no silent collapse); probes = 2
   * recall dominates probes = 0 (monotone by construction — every base
-  * bucket still exists) and clears the 1-bit-recovery floor (theory:
+  * bucket still exists, and a bucket pushed over the cap only by probe
+  * copies is trimmed back to base membership rather than dropped — the
+  * near-cap case gets its own gate below) and clears the
+  * 1-bit-recovery floor (theory:
   * P[≤1 disagreeing plane] = q⁴ + 4q³(1−q) ≈ 0.96 of which probing
   * recovers the mass where the disagreeing plane is a low-margin bit of
   * either member; ≥ 0.70 is the no-regression floor). Measured values
@@ -107,7 +110,7 @@ class SemDedupSplitRecallSpec extends SharedSpark {
 
   /** Run semDeDup on the fixture at one probes setting; returns the set
     * of DROPPED ids. */
-  private def runDrops(probes: Int): Set[Long] = {
+  private def runDrops(probes: Int, cap: Int = 10000): Set[Long] = {
     val (vecs, _, _, _) = fixture
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(
@@ -116,7 +119,8 @@ class SemDedupSplitRecallSpec extends SharedSpark {
         StructField("vec_id", LongType, false),
         StructField("embedding", ArrayType(DoubleType, false), false))))
     val kept = Similarity.semDeDup(df, "vec_id", "embedding",
-      threshold = threshold, nlist = 1, refineIterations = 1, probes = probes)
+      threshold = threshold, nlist = 1, refineIterations = 1,
+      maxBucketSize = cap, probes = probes)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     vecs.map(_._1).toSet -- kept
   }
@@ -155,7 +159,10 @@ class SemDedupSplitRecallSpec extends SharedSpark {
     val drops0 = runDrops(probes = 0)
     val drops2 = runDrops(probes = 2)
     checkInvariants(drops2, "probes=2")
-    // monotone: probing only adds buckets, so every probes=0 drop remains
+    // monotone: probing only adds buckets, and a bucket pushed over the
+    // cap by probe copies is trimmed back to base membership (never
+    // dropped whole), so every probes=0 drop remains — guaranteed, not
+    // just probabilistic (the near-cap case is gated separately below)
     val lost = drops0 -- drops2
     assert(lost.isEmpty, s"probing LOST drops the base run found: ${lost.take(5)}")
     val (f0, t0, r0) = nearRecall(drops0)
@@ -165,5 +172,68 @@ class SemDedupSplitRecallSpec extends SharedSpark {
     assert(r2 >= r0, f"multi-probe reduced recall: $r2%.3f < $r0%.3f")
     assert(r2 >= 0.70,
       f"multi-probe recall below the 1-bit-recovery floor: $r2%.3f")
+  }
+
+  test("near-cap buckets: probe copies are trimmed, never drop the bucket") {
+    // cap = 400 sits BETWEEN base and probed membership: the 3000-vector
+    // cell splits into 16 sub-buckets (~190 base members each ≤ 400),
+    // and probes = 2 triples split-cell membership (~560 > 400). Before
+    // the trim, boundedBuckets dropped those buckets whole, losing the
+    // drops the probes = 0 run finds — the ADVICE r15 monotonicity hole.
+    // With the trim they revert to base membership, so the probed run
+    // must still find every base drop (and no false ones). NOTE: the
+    // collinear-always-dropped invariant does NOT apply under a tight
+    // cap — the skewed sub-buckets exceed 400 with base members alone,
+    // and their whole-bucket drop (members survive, conservative) is
+    // the documented cap behavior at EVERY probes setting — so this
+    // gate checks exactly what the trim guarantees: monotonicity and
+    // no false drops.
+    val drops0 = runDrops(probes = 0, cap = 400)
+    val drops2 = runDrops(probes = 2, cap = 400)
+    val falseDrops = drops2 -- fixture._4
+    assert(falseDrops.isEmpty,
+      s"[probes=2,cap=400] dropped ids with no qualifying neighbor: ${falseDrops.take(5)}")
+    assert(drops0.nonEmpty, "vacuous fixture: probes=0 found no drops at cap=400")
+    val lost = drops0 -- drops2
+    assert(lost.isEmpty,
+      s"near-cap probing LOST drops the base run found: ${lost.take(5)}")
+    info(s"cap=400: probes=0 drops ${drops0.size}, probes=2 drops ${drops2.size}")
+  }
+
+  test("maxBucketBytes derives the cap from the actual dim (4096)") {
+    // 200 collinear copies + 60 independent vectors at dim 4096. With a
+    // 5 MB byte budget the derived cap is 5·2²⁰/(8·4096) = 160 rows: the
+    // 260-row cell splits, the collinear set lands in one irreducible
+    // over-cap sub-bucket, pair generation drops it, and ALL rows
+    // survive (conservative). With the default row cap (10000) the same
+    // corpus verifies in one bucket and the 199 later collinear copies
+    // are dropped. The survivor-count gap pins that the cap really was
+    // derived from the byte budget at dim 4096.
+    val bigDim = 4096
+    val rnd = new java.util.Random(20260816L)
+    def unit(): Array[Double] = {
+      val v = Array.fill(bigDim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dup = unit()
+    val rows =
+      (0 until 200).map(i => (i.toLong, dup.map(_ * (1.0 + i)).toSeq)) ++
+      (0 until 60).map(i => ((200 + i).toLong, unit().toSeq))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, v) => Row(i, v) }, 4),
+      StructType(Seq(
+        StructField("vec_id", LongType, false),
+        StructField("embedding", ArrayType(DoubleType, false), false))))
+    def kept(bytes: Long): Long =
+      Similarity.semDeDup(df, "vec_id", "embedding",
+        threshold = threshold, nlist = 1, refineIterations = 0,
+        maxBucketBytes = bytes).count()
+    assert(kept(5L * 1024 * 1024) === 260L,
+      "5 MB budget at dim 4096 should cap buckets at 160 rows and drop " +
+        "the 200-member collinear set from pair generation (all survive)")
+    assert(kept(0L) === 61L,
+      "default row cap should verify the single 260-row bucket exactly")
   }
 }
