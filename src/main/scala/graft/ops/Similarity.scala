@@ -529,11 +529,12 @@ object Similarity {
     * quadratic in membership, so verify work grows ≤ (probes+1)². The
     * `maxBucketSize` cap counts probed membership — but a bucket pushed
     * over the cap ONLY by probe copies is trimmed back to its base
-    * membership rather than dropped (probe rows removed; the trim costs
-    * one map-side-combinable bucket count plus a broadcast of the few
-    * over-cap keys, probed runs only), so the bucket drops are EXACTLY
-    * the buckets probes = 0 would drop and the probes = 0 drop set is a
-    * true lower bound. Dropped-id duplicates across probed buckets
+    * membership rather than dropped (probe rows removed; the trim is
+    * fused into the count-before-collect pass bounded bucketing runs
+    * anyway, so the probed plan has the same exchange count as
+    * probes = 0), so the bucket drops are EXACTLY the buckets
+    * probes = 0 would drop and the probes = 0 drop set is a true lower
+    * bound. Dropped-id duplicates across probed buckets
     * collapse in the existing distinct; pair semantics are unchanged
     * (every candidate still exact-cosine verified), so probing can only
     * ADD true drops, never a false one.
@@ -679,14 +680,24 @@ object Similarity {
     val joined = celled.join(broadcast(over), Seq("__cell"), "left")
     val maskedSig = lshSignatureFrom(col("__v"), 0, splitPlanes)
       .bitwiseAND(expr("shiftleft(1L, __p) - 1L"))
-    val bucketed =
+    // Verify WITHIN the bucket row (plans/VerifyExpr.scala): buckets carry
+    // (id, vector) structs and a codegen'd kernel emits the dropped ids
+    // directly — no pair materialization, no pair shuffle, no re-attach
+    // joins. The only exchange in the verify stage is the bucket grouping
+    // itself; everything after it is narrow. At probes = 0 membership is
+    // single-bucket (one cell, one signature), so pairs cannot repeat
+    // across buckets; with probing a pair can co-occur in up to two
+    // buckets, and the dropped-id distinct below already collapses that.
+    val buckets =
       if (probes <= 0)
-        joined.select(
-          col("__id"), col("__v"),
-          when(col("__p").isNotNull,
-            concat_ws(":", col("__cell"), maskedSig))
-            .otherwise(col("__cell").cast("string"))
-            .as("__bkt"))
+        Dedup.boundedBuckets(
+          joined.select(
+            col("__id"), col("__v"),
+            when(col("__p").isNotNull,
+              concat_ws(":", col("__cell"), maskedSig))
+              .otherwise(col("__cell").cast("string"))
+              .as("__bkt")),
+          Seq("__bkt"), struct(col("__id"), col("__v")), capEff)
       else {
         // Multi-probe (see scaladoc): in split cells, also land in the
         // `probes` sub-buckets reached by flipping the lowest-|projection|
@@ -716,33 +727,34 @@ object Similarity {
         // Near-cap monotonicity (ADVICE r15): probed membership counts
         // toward the cap, so a bucket under the cap at probes = 0 could
         // be pushed OVER it by probe copies alone and then be dropped
-        // whole by boundedBuckets — losing drops the base run finds.
-        // Over-cap buckets are therefore trimmed back to their BASE
-        // membership first: boundedBuckets then drops exactly the
-        // buckets probes = 0 drops (base rows are never removed, and a
-        // trimmed bucket's base count either fits the cap or was over
-        // it without probing too), every surviving bucket stays within
-        // the byte budget, and the probes = 0 drop set is a true lower
-        // bound. Costs one map-side-combinable bucket count plus a
-        // broadcast of the (pathological, few) over-cap keys.
-        val over = Dedup.oversizedBucketKeys(probed, Seq("__bkt"), capEff)
+        // whole — losing drops the base run finds. Over-cap buckets are
+        // therefore trimmed back to their BASE membership instead, and
+        // only buckets whose base count exceeds the cap drop whole —
+        // exactly the buckets probes = 0 drops — so the probes = 0 drop
+        // set is a true lower bound and every surviving bucket stays
+        // within the byte budget. The trim is FUSED into the
+        // count-before-collect pass [[Dedup.boundedBuckets]] performs
+        // anyway (one aggregation computes total AND base counts; one
+        // broadcast of the pathological few over-cap keys marks both
+        // "trim probes" and "drop whole"), so the probed plan has the
+        // same exchange count as probes = 0. The skew-proof discipline
+        // is preserved: counts first (no arrays), member arrays
+        // collected only after the prune, every collect buffer ≤ cap.
+        val stats = probed.groupBy(col("__bkt")).agg(
+          count(lit(1)).as("__tot"),
+          count(when(!col("__probe"), 1)).as("__base"))
+        val marks = stats
+          .filter(col("__tot") > capEff)
+          .select(col("__bkt"), (col("__base") > capEff).as("__dropall"))
         probed
-          .join(
-            broadcast(over.select(col("__bkt"), lit(true).as("__trim"))),
-            Seq("__bkt"), "left")
-          .filter(col("__trim").isNull || !col("__probe"))
-          .select(col("__id"), col("__v"), col("__bkt"))
+          .join(broadcast(marks), Seq("__bkt"), "left")
+          .filter(col("__dropall").isNull ||
+            (!col("__dropall") && !col("__probe")))
+          .groupBy(col("__bkt"))
+          .agg(sort_array(collect_list(struct(col("__id"), col("__v"))))
+            .as("__ids"))
+          .filter(size(col("__ids")) >= 2)
       }
-    // Verify WITHIN the bucket row (plans/VerifyExpr.scala): buckets carry
-    // (id, vector) structs and a codegen'd kernel emits the dropped ids
-    // directly — no pair materialization, no pair shuffle, no re-attach
-    // joins. The only exchange in the verify stage is the bucket grouping
-    // itself; everything after it is narrow. At probes = 0 membership is
-    // single-bucket (one cell, one signature), so pairs cannot repeat
-    // across buckets; with probing a pair can co-occur in up to two
-    // buckets, and the dropped-id distinct below already collapses that.
-    val buckets = Dedup.boundedBuckets(
-      bucketed, Seq("__bkt"), struct(col("__id"), col("__v")), capEff)
     val dropped = buckets
       .select(explode(org.apache.spark.sql.graftshim.ColumnShim.column(
         graft.plans.EarlierNeighborIds(

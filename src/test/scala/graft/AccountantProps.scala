@@ -82,7 +82,21 @@ object AccountantProps extends Properties("accountant") {
     var state: Char = 'A'
     var kids: Vector[MNode] = Vector.empty
     def depth: Int = parent.map(_.depth + 1).getOrElse(0)
-    def retireSubtree(): Unit = { kids.foreach(_.retireSubtree()); state = 'R' }
+    /** Retire this node and its descendants, resolving budgets BOTTOM-UP:
+      * a WAITING_FOR_CHILDREN node's remainder is the meet of its
+      * children's (now folded) remainders — the meet must recurse through
+      * nested splits, or a grandchild's spend would vanish from the
+      * ledger (the accountant retires a C node by force-activating it
+      * first, which folds the meet, then retiring; a non-recursive model
+      * here is UNSOUND — it overstates the refund after force-retiring a
+      * nested split — and scalacheck found exactly that divergence).
+      * A node that already reactivated from its children folded at that
+      * moment and may have spent since, so only state 'C' folds here. */
+    def retireSubtree(): Unit = {
+      kids.foreach(_.retireSubtree())
+      if (state == 'C') eps = kids.map(_.eps).min
+      state = 'R'
+    }
     /** Retire all descendants, then become ACTIVE holding the meet of the
       * children's remainders (parallel composition). */
     def forceUpFromChildren(): Unit = {
@@ -245,4 +259,17 @@ object AccountantProps extends Properties("accountant") {
 
   property("random interleavings match the reference state machine") =
     forAll(sessionGen) { case (budget, ops) => runSession(budget, ops) }
+
+  /** The minimized divergence scalacheck found in round 16 (generator
+    * luck made it a ~1-in-3 full-suite flake before): split the root,
+    * force-retire the first child, split the second child, spend the
+    * whole budget in a grandchild, then forceActivate the root. The
+    * root's remainder must fold the grandchild's spend through the
+    * nested split (recursive meet → 0); the old model skipped the inner
+    * fold and expected 1. Replayed deterministically so the nested-split
+    * fold is pinned regardless of what the generator draws. */
+  property("nested split: force-activated root folds grandchild spend") =
+    runSession(1, List(
+      Op(3, 0, 4), Op(5, 10000, 3), Op(3, 1274, 1), Op(0, 1371, 1),
+      Op(6, 0, 4)))
 }
