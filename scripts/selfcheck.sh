@@ -38,7 +38,7 @@ if [[ "${SELFCHECK_SF1:-0}" == "1" ]]; then
       sbt -batch "runMain graft.ScaleBench"
   fi
   OUT1="${SELFCHECK_OUT:-/tmp/graft_selfcheck}_sf1"
-  # Four correctness classes close all 217 entries (SF1_CORRECTNESS.md):
+  # Four correctness classes close all 218 entries (SF1_CORRECTNESS.md):
   #   row-exact      — 211 entries, DuckDB oracle on the sf1 tables;
   #   aggregate-exact — q_join_nullsafe (its ~4.6e9-row null block is the
   #                    semantics of nulls_are_equal; count + exact integral
