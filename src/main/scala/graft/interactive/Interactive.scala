@@ -368,11 +368,24 @@ final class PrivacyAccountant private (
 
   /** Retire this subtree without the activation chaining — used when an
     * out-of-turn sibling takes over and the skipped siblings' turns are
-    * simply over.
+    * simply over. Budgets resolve BOTTOM-UP: a WAITING_FOR_CHILDREN node
+    * never reactivated, so its `remaining` is still the stale pre-split
+    * value; it must fold to the meet of its (recursively folded)
+    * children's remainders before retiring, or a descendant's spend
+    * would vanish from the ledger and the ancestor's reactivation meet
+    * (activateNext) would refund budget that was actually spent — a
+    * privacy-soundness bug (r16 AccountantProps divergence: impl
+    * PureDPBudget(3) vs model eps 0). A node in any other state already
+    * folded (or spent) through its own reactivation, so only
+    * WaitingForChildren folds here. The reference avoids the issue by
+    * deducting the split budget up-front (interactive_measurements.py:
+    * 1368-1389); graft's refund-the-meet design requires this fold.
     */
   private def retireSubtree(): Unit = {
     if (state == Retired) return
     children.foreach(_.retireSubtree())
+    if (state == WaitingForChildren && children.nonEmpty)
+      remaining = children.map(_.remaining).reduce(PrivacyAccountant.meet)
     state = Retired
   }
 

@@ -272,4 +272,21 @@ object AccountantProps extends Properties("accountant") {
     runSession(1, List(
       Op(3, 0, 4), Op(5, 10000, 3), Op(3, 1274, 1), Op(0, 1371, 1),
       Op(6, 0, 4)))
+
+  /** The round-16 post-commit divergence (impl PureDPBudget(3) vs model
+    * eps 0 at the root), pinned: an out-of-turn sibling takeover
+    * (forceActivate on a WAITING_FOR_SIBLING node) retires the preceding
+    * sibling's subtree via retireSubtree — NOT via the forced-retire
+    * cascade, which folds — so that sibling, itself WAITING_FOR_CHILDREN
+    * with a grandchild that spent the whole budget, must fold the
+    * grandchild's spend bottom-up before retiring. The unfixed
+    * implementation kept its stale pre-split remainder (3), and the
+    * root's reactivation meet then refunded 3ε of spent budget — a
+    * privacy-soundness bug. Sequence: split root (k=2), split child 0
+    * (k=2), grandchild 0 measures the full budget, forceActivate child 1
+    * (sibling takeover retires child 0's subtree), retire child 1 (root
+    * reactivates holding the meet, which must be 0). */
+  property("sibling takeover folds a skipped nested split's spend") =
+    runSession(3, List(
+      Op(3, 0, 4), Op(3, 1, 4), Op(0, 3, 3), Op(6, 2, 1), Op(4, 2, 1)))
 }
