@@ -38,16 +38,18 @@ if [[ "${SELFCHECK_SF1:-0}" == "1" ]]; then
       sbt -batch "runMain graft.ScaleBench"
   fi
   OUT1="${SELFCHECK_OUT:-/tmp/graft_selfcheck}_sf1"
-  # Four correctness classes close all 218 entries (SF1_CORRECTNESS.md):
+  # Four correctness classes close all 219 entries (SF1_CORRECTNESS.md;
+  # 219 = 218 from r16 + q_minhash_staged, r17):
   #   row-exact      — 211 entries, DuckDB oracle on the sf1 tables;
   #   aggregate-exact — q_join_nullsafe (its ~4.6e9-row null block is the
   #                    semantics of nulls_are_equal; count + exact integral
   #                    sums, HUGEINT on the oracle side);
-  #   invariant      — q_minhash_dedup / q_dedup_cluster / q_keep_best
-  #                    (DuckDB's replica of the banded pipeline is
-  #                    quadratic: >70 GB spill at sf1) via
-  #                    graft.InvariantCheck: independent-formulation
-  #                    re-derivations, checked exactly.
+  #   invariant      — q_minhash_dedup / q_minhash_staged /
+  #                    q_dedup_cluster / q_keep_best (DuckDB's replica of
+  #                    the banded pipeline is quadratic: >70 GB spill at
+  #                    sf1) via graft.InvariantCheck:
+  #                    independent-formulation re-derivations (staged ==
+  #                    single-pass identity), checked exactly.
   # q_cosine_dup / q_semdedup / q_semdedup_probes stay row-exact ONLY at
   # the base fixture; at sf1 they are approximate BY DESIGN (banded miss /
   # cell-local semantics — the ×10 embedding derivation's ±0.025
@@ -56,7 +58,7 @@ if [[ "${SELFCHECK_SF1:-0}" == "1" ]]; then
   # sf1 quality is gated by Sf1RecallSpec instead (probes additionally by
   # SemDedupSplitRecallSpec's monotonicity gate: probes ⊇ probes=0).
   SF1_AGG="q_join_nullsafe"
-  SF1_INV="q_minhash_dedup,q_dedup_cluster,q_keep_best"
+  SF1_INV="q_minhash_dedup,q_minhash_staged,q_dedup_cluster,q_keep_best"
   SF1_RECALL="q_cosine_dup,q_semdedup,q_semdedup_probes"
   SPARK_GRAFT_SKIP="$SF1_AGG,$SF1_INV,$SF1_RECALL" \
     SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_DRIVER_MEM=48g \

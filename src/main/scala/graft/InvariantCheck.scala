@@ -122,6 +122,22 @@ object InvariantCheck {
       s"sf1 output restricted to copy-0 ids == sf0.1 oracle-exact output " +
         s"(${copy0.count()} pairs; $missing missing, $extra extra)")
 
+    // ---------- q_minhash_staged ----------
+    // the scratch-constrained staged mode claims exact result identity
+    // with the single-pass run (same per-band hash family, exact verify,
+    // distinct over the union) — checked here at sf1 scale, where band
+    // groups genuinely overlap on the derived duplicate families
+    val stagedPairs = Dedup.minHashPairs(d, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
+      bandPasses = 4).select("left_id", "right_id")
+    val singleLR = pairs.select("left_id", "right_id")
+    val stMissing = singleLR.exceptAll(stagedPairs).count()
+    val stExtra = stagedPairs.exceptAll(singleLR).count()
+    check("q_minhash_staged identity",
+      stMissing == 0 && stExtra == 0,
+      s"bandPasses=4 output == single-pass output " +
+        s"($stMissing missing, $stExtra extra)")
+
     // ---------- q_dedup_cluster ----------
     val ids = d.select("doc_id")
     val mapUF = Dedup.duplicateClusters(ids, pairs, "doc_id").persist()

@@ -1068,6 +1068,17 @@ object SparkEntry {
         shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
         .select("left_id", "right_id")
     },
+    "q_minhash_staged" -> { (s, dir) =>
+      // scratch-constrained staged mode (bandPasses > 1): result-identical
+      // to q_minhash_dedup by construction (same hash family per band,
+      // union over band groups, exact verify) — so it shares that entry's
+      // exact-Jaccard oracle. 4 sequential passes of 4 bands each.
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.minHashPairs(d, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5,
+        bandPasses = 4)
+        .select("left_id", "right_id")
+    },
     "q_dedup_cluster" -> { (s, dir) =>
       val d = tp(s, dir, "documents")
       graft.ops.Dedup.dropNearDuplicates(d, "doc_id", "text",
@@ -4652,6 +4663,33 @@ object SparkEntry {
     // banding recall is 1 − (1−j^4)^16 ≥ 0.9998 per pair — the sets coincide
     // (checked at sf0.01 and sf0.1), making the exact set a valid oracle.
     "q_minhash_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [] END)) AS sh
+        |  FROM t
+        |), sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.id AS l, b.id AS r FROM sh a JOIN sh b USING (sh)
+        |  WHERE a.id < b.id GROUP BY 1, 2
+        |), inter AS (
+        |  SELECT c.l, c.r, count(*) AS i FROM cand c
+        |  JOIN sh x ON x.id = c.l JOIN sh y ON y.id = c.r AND y.sh = x.sh
+        |  GROUP BY 1, 2
+        |)
+        |SELECT l AS left_id, r AS right_id
+        |FROM inter JOIN sizes sl ON sl.id = l JOIN sizes sr ON sr.id = r
+        |WHERE CAST(i AS DOUBLE)/(sl.n + sr.n - i) >= 0.5""".stripMargin,
+    // staged band passes are result-identical to the single-pass run
+    // (same per-band hash family; exact verify; distinct over the union),
+    // so the staged entry replays the same exact-Jaccard oracle
+    "q_minhash_staged" ->
       """WITH t AS (
         |  SELECT doc_id AS id,
         |    list_filter(string_split_regex(trim(lower(text)), '\s+'),

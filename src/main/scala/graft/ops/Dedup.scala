@@ -593,9 +593,20 @@ object Dedup {
       bands: Int = 32,
       jaccardThreshold: Double = 0.8,
       maxBucketSize: Int = 1000,
-      observeDropped: Option[org.apache.spark.sql.Observation] = None
+      observeDropped: Option[org.apache.spark.sql.Observation] = None,
+      bandPasses: Int = 1,
+      verifyBroadcastMaxPairs: Long = 4000000L
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(bandPasses >= 1 && bands % bandPasses == 0,
+      "bandPasses must divide bands")
+    require(observeDropped.isEmpty || bandPasses == 1,
+      "observeDropped is single-query; staged band passes run several")
+
+    if (bandPasses > 1)
+      return minHashPairsStaged(df, idCol, textCol, shingleSize, numHashes,
+        bands, jaccardThreshold, maxBucketSize, bandPasses,
+        verifyBroadcastMaxPairs)
 
     val shingleSets = shingleRows(df, idCol, textCol, shingleSize).persist()
 
@@ -614,20 +625,56 @@ object Dedup {
       boundedBuckets(banded, Seq("__band", "__bh"), col("__id"), maxBucketSize,
         observeDropped),
       "__ids"
-    ).distinct()
+    ).distinct().persist()
+    // one action up front: the pair count decides whether the verify can
+    // broadcast-restrict the shingle table (see verifyCandidates) — for a
+    // dedup corpus candidates cover a small fraction of docs, and the
+    // count is what the adaptive choice needs. The candidate pipeline
+    // materializes into the cache exactly once either way (the verify
+    // below would have evaluated it anyway); observeDropped metrics are
+    // delivered by this count.
+    val nPairs = candidates.count()
+    verifyCandidates(shingleSets, candidates,
+      restrict = nPairs <= verifyBroadcastMaxPairs, jaccardThreshold)
+  }
 
-    // 5. exact verification on shingle sets: equi-join on (id, shingle) so
-    // the shared-shingle count IS the join cardinality per pair. The join
-    // key is xxhash64 of the shingle, not the string: equality is all the
-    // join tests, and the two corpus-sized exchanges here carry 8-byte
-    // keys instead of ~30-byte shingle text — measured round 15, these
-    // exchanges were the operator's scale wall (the 50M-doc decade-4
-    // probe ENOSPC'd >70 GB of shuffle spill on string keys). Collisions:
-    // 64-bit, ~n²/2⁶⁵ expected across the corpus — a collision inflates
-    // one pair's intersection by 1 only if it lands inside that compared
-    // pair, vanishing risk traded for ~4× less verify shuffle.
-    val sizes = shingleSets.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val shh = shingleSets.select(col("__id"), xxhash64(col("__sh")).as("__shh"))
+  /** Exact shingle-set Jaccard verification of candidate pairs: equi-join
+    * on (id, shingle-hash) so the shared-shingle count IS the join
+    * cardinality per pair. The join key is xxhash64 of the shingle, not
+    * the string: equality is all the join tests, and the exchanges here
+    * carry 8-byte keys instead of ~30-byte shingle text — measured round
+    * 15, these exchanges were the operator's scale wall (the 50M-doc
+    * decade-4 probe ENOSPC'd >70 GB of shuffle spill on string keys).
+    * Collisions: 64-bit, ~n²/2⁶⁵ expected across the corpus — a collision
+    * inflates one pair's intersection by 1 only if it lands inside that
+    * compared pair, vanishing risk traded for ~4× less verify shuffle.
+    *
+    * `restrict` is the round-17 scale fix for the OTHER half of that
+    * wall: even with 8-byte keys the verify exchanged the WHOLE corpus's
+    * shingle hashes on both sides, though only candidate docs matter.
+    * When the candidate set is small (the normal dedup regime — dup rate
+    * × corpus, known from the caller's pair count), the shingle table is
+    * first cut down to candidate docs with a broadcast left-semi join —
+    * a NARROW operation, no corpus-wide exchange — so the verify
+    * exchanges shrink from corpus-sized to candidate-sized (scratch-rule
+    * effect measured in SCALING.md round 17). A pathological all-dup
+    * corpus falls back to the full exchange.
+    */
+  private def verifyCandidates(
+      shingleSets: DataFrame,
+      candidates: DataFrame,
+      restrict: Boolean,
+      jaccardThreshold: Double
+  ): DataFrame = {
+    val base =
+      if (restrict) {
+        val candIds = candidates.select(col("left_id").as("__id"))
+          .union(candidates.select(col("right_id").as("__id")))
+          .distinct()
+        shingleSets.join(broadcast(candIds), Seq("__id"), "left_semi")
+      } else shingleSets
+    val sizes = base.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val shh = base.select(col("__id"), xxhash64(col("__sh")).as("__shh"))
     val inter = candidates
       .join(shh.select(col("__id").as("left_id"), col("__shh")), "left_id")
       .join(
@@ -648,6 +695,76 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** Staged execution of [[minHashPairs]] for scratch-disk-constrained
+    * boxes (VERDICT r15 #7 option (b)): the `bands` LSH bands are
+    * processed in `bandPasses` sequential groups, each pass running the
+    * full candidate + verify pipeline over only its band subset and
+    * landing its verified pairs in a temp directory; passes are separate
+    * Spark actions whose shuffle references are dropped (and the driver
+    * GC nudged) before the next starts, so the ContextCleaner reclaims
+    * each pass's shuffle files instead of accumulating all of them into
+    * one job's peak — on-disk scratch falls to ~1/passes of the measured
+    * 27.7 B-per-corpus-byte rule, for ~2× wall (per-pass shingle
+    * recompute and duplicate-candidate re-verification).
+    *
+    * Result-identical to the single-pass run: each band's hash functions
+    * and band hash are the same seeds as the full run (bandedSignatures'
+    * subset path indexes the same hash family), so the union of per-group
+    * candidate sets IS the full candidate set, verification is exact
+    * either way, and the final distinct collapses pairs found by several
+    * groups (jaccard is deterministic, so triples are identical).
+    *
+    * Nothing is persisted across or within passes — in this mode disk is
+    * the scarce resource, and a corpus-sized cache would spill into the
+    * very scratch the staging protects (measured round 15: the pinned
+    * storage floor OOM'd the 64g box).
+    *
+    * Shuffle-file reclamation between passes is ASYNC by default; on a
+    * scratch-critical box set `spark.cleaner.referenceTracking.blocking
+    * .shuffle=true` so the per-pass GC nudge reclaims synchronously
+    * before the next pass writes (the async cleaner lost that race into
+    * ENOSPC in round 14's back-to-back decade runs).
+    */
+  private def minHashPairsStaged(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      jaccardThreshold: Double,
+      maxBucketSize: Int,
+      bandPasses: Int,
+      verifyBroadcastMaxPairs: Long
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val groups = (0 until bands).grouped(bands / bandPasses).toList
+    val tmpDir = java.nio.file.Files
+      .createTempDirectory("graft_minhash_staged").toFile
+    tmpDir.deleteOnExit()
+    val passDirs = groups.zipWithIndex.map { case (g, i) =>
+      val out = new java.io.File(tmpDir, s"pass_$i").getAbsolutePath
+      val sh = shingleRows(df, idCol, textCol, shingleSize)
+      val banded = bandedSignatures(sh, numHashes, bands, Some(g))
+      val cand = pairsFromBuckets(
+        boundedBuckets(banded, Seq("__band", "__bh"), col("__id"),
+          maxBucketSize),
+        "__ids"
+      ).distinct().persist()
+      val nPairs = cand.count()
+      verifyCandidates(sh, cand,
+        restrict = nPairs <= verifyBroadcastMaxPairs, jaccardThreshold)
+        .write.mode("overwrite").parquet(out)
+      cand.unpersist(blocking = true)
+      // this pass's shuffle dependencies are unreachable now; a driver GC
+      // lets the ContextCleaner's weak references fire so the pass's
+      // shuffle files are reclaimed before the next pass piles on
+      System.gc()
+      out
+    }
+    spark.read.parquet(passDirs: _*).distinct()
+  }
+
   /** MinHash signature → LSH bands for a shingle table: per doc, numHashes
     * min-aggregates in ONE map-side-combined pass, banded into
     * (band index, band hash) rows. Shared by [[minHashPairs]] (self-dedup)
@@ -656,20 +773,29 @@ object Dedup {
   private def bandedSignatures(
       shingleSets: DataFrame,
       numHashes: Int,
-      bands: Int
+      bands: Int,
+      bandSubset: Option[Seq[Int]] = None
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigAggs = (0 until numHashes).map { i =>
+    // a subset run (staged band passes) indexes the SAME hash family by
+    // the band's global position, so band b's bucket keys are identical
+    // whether computed alone or in the full run — the staged union is
+    // then result-identical to single-pass. Only the subset's hashes are
+    // aggregated: a pass pays 1/passes of the min-agg width.
+    val bandIdx = bandSubset.getOrElse(0 until bands)
+    val hashIdx =
+      bandIdx.flatMap(b => (0 until rowsPerBand).map(r => b * rowsPerBand + r))
+    val sigAggs = hashIdx.map { i =>
       min(xxhash64(lit(i), col("__sh"))).as(s"__h$i")
     }
     val sigs =
       shingleSets.groupBy(col("__id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val bandCols = (0 until bands).map { b =>
+    val bandCols = bandIdx.map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))
     }
     sigs
-      .select(col("__id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("__id"), explode(array(bandCols.toSeq: _*)).as("b"))
       .select(col("__id"), col("b.band").as("__band"), col("b.bh").as("__bh"))
   }
 
@@ -998,7 +1124,9 @@ object Dedup {
   }
 
   /** End-to-end near-duplicate removal: keep one representative (the
-    * cluster-minimum id) per MinHash near-dup cluster.
+    * cluster-minimum id) per MinHash near-dup cluster. `bandPasses > 1`
+    * selects [[minHashPairs]]' scratch-constrained staged mode
+    * (result-identical, ~1/passes peak scratch, ~2× wall).
     */
   def dropNearDuplicates(
       df: DataFrame,
@@ -1007,10 +1135,12 @@ object Dedup {
       shingleSize: Int = 5,
       numHashes: Int = 128,
       bands: Int = 32,
-      jaccardThreshold: Double = 0.8
+      jaccardThreshold: Double = 0.8,
+      bandPasses: Int = 1
   ): DataFrame = {
     val pairs =
-      minHashPairs(df, idCol, textCol, shingleSize, numHashes, bands, jaccardThreshold)
+      minHashPairs(df, idCol, textCol, shingleSize, numHashes, bands,
+        jaccardThreshold, bandPasses = bandPasses)
     val clusters =
       duplicateClusters(df.select(idCol), pairs, idCol)
     df.join(

@@ -92,4 +92,36 @@ class MinHashBandRecallSpec extends SharedSpark {
       f"coarse-band recall $rCoarse%.3f outside the s-curve window " +
         "[0.20, 0.80] (theory 0.47 ± binomial noise on 150 pairs)")
   }
+
+  test("staged band passes are result-identical to the single-pass run") {
+    // the scratch-constrained mode (bandPasses > 1) claims exact result
+    // identity — same per-band hash family, exact verify, distinct over
+    // the union — so compare full (left, right, jaccard) triples, not
+    // just recall. Run two pass counts, the second with a broadcast
+    // threshold of 0 to force the unrestricted verify fallback (both
+    // verify paths must agree).
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    def run(passes: Int, bcastMax: Long): Set[(Long, Long, Double)] =
+      Dedup.minHashPairs(df, "doc_id", "text",
+        shingleSize = 1, numHashes = 128, bands = 32,
+        jaccardThreshold = threshold, bandPasses = passes,
+        verifyBroadcastMaxPairs = bcastMax)
+        .select(col("left_id").cast("long"), col("right_id").cast("long"),
+          col("jaccard"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val single = run(1, 4000000L)
+    val staged4 = run(4, 4000000L)
+    val staged8NoBcast = run(8, 0L)
+    assert(staged4 == single,
+      s"bandPasses=4 diverged: only-staged ${staged4 -- single}, " +
+        s"only-single ${single -- staged4}")
+    assert(staged8NoBcast == single,
+      s"bandPasses=8 (unrestricted verify) diverged: " +
+        s"only-staged ${staged8NoBcast -- single}, " +
+        s"only-single ${single -- staged8NoBcast}")
+    assert(single.nonEmpty, "equivalence vacuous: no pairs found")
+  }
 }
