@@ -62,6 +62,9 @@ object ScratchProbe {
       walk(new java.io.File(path))
     }
     val corpusBytes = dirBytes(s"$dir/documents.parquet")
+    // a missing PROBE_DIR or empty corpus would make the ratio divide to
+    // Infinity/NaN — not valid JSON, silently breaking downstream parsers
+    require(corpusBytes > 0, s"no corpus at $dir/documents.parquet")
 
     queries.foreach { q =>
       shuffleWrite.set(0); diskSpill.set(0); memSpill.set(0)

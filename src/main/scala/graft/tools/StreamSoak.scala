@@ -36,6 +36,7 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
   */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
     val minutes = sys.env.getOrElse("SOAK_MINUTES", "60").toInt
     val rate = sys.env.getOrElse("SOAK_RATE", "2000").toInt
     val base = sys.env.getOrElse("SOAK_DIR", "/tmp/graft_soak")
@@ -64,6 +65,15 @@ object StreamSoak {
     //                          stateRowsTotal, stateMemUsedBytes)
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, Long, Long, Long, Long, Long, Long)]()
+    // RocksDB store custom metrics per batch — the r16 soak's latency
+    // drift was unattributable (store-level compaction/read-path debt vs
+    // host drift) because only state SIZE was recorded; get/commit
+    // latencies, block-cache hit rates, writer stalls and sst totals are
+    // what separate the two (a store-debt drift shows rising get latency
+    // or falling cache hit rate with flat state rows; host drift shows
+    // uniform batch-ms inflation with flat store metrics).
+    val rocks = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Map[String, Long])]()
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -78,6 +88,12 @@ object StreamSoak {
           .map(s => (s.numRowsTotal, s.memoryUsedBytes)).getOrElse((0L, 0L))
         batches.add((p.name, p.batchId, System.currentTimeMillis(), dur,
           p.numInputRows, srows, smem))
+        val cm = p.stateOperators.headOption.map { s =>
+          s.customMetrics.asScala.collect {
+            case (k, v) if k.startsWith("rocksdb") => k -> v.longValue
+          }.toMap
+        }.getOrElse(Map.empty[String, Long])
+        rocks.add((p.name, System.currentTimeMillis(), cm)): Unit
       }
     })
 
@@ -158,6 +174,29 @@ object StreamSoak {
       ok = false
     }
 
+    // per-quarter means of the attribution-relevant RocksDB metrics
+    // (latencies in their native units; sst size in bytes; cache
+    // hit/miss as counts — the reader derives the rate)
+    val rocksAll = rocks.asScala.toSeq
+    val rocksKeysOut = Seq(
+      "rocksdbGetLatency", "rocksdbPutLatency",
+      "rocksdbReadBlockCacheHitCount", "rocksdbReadBlockCacheMissCount",
+      "rocksdbCommitCompactLatency", "rocksdbCommitFlushLatency",
+      "rocksdbWriterStallLatencyMs", "rocksdbSstFileSize")
+      .filter(k => rocksAll.exists(_._3.contains(k)))
+    val rocksJson = names.map { n =>
+      val perKey = rocksKeysOut.map { k =>
+        val qs = (0 to 3).map { q =>
+          val xs = rocksAll
+            .filter(r => r._1 == n && quarter(r._2) == q)
+            .flatMap(_._3.get(k))
+          if (xs.isEmpty) 0L else xs.sum / xs.size
+        }
+        s""""$k":[${qs.mkString(",")}]"""
+      }.mkString(",")
+      s""""$n":{$perKey}"""
+    }.mkString(",")
+
     val durJson = durTable.map { case (n, qs) =>
       s""""$n":[${qs.map(d => f"$d%.0f").mkString(",")}]"""
     }.mkString(",")
@@ -168,6 +207,7 @@ object StreamSoak {
       s"""SOAK_JSON {"minutes":$minutes,"rate":$rate,"batches":${all.size},""" +
       s""""mean_batch_ms_by_quarter":{$durJson},$rowsJson,""" +
       s""""ckpt_mb_by_quarter":[${sizeTable.map(s => f"${s / 1e6}%.1f").mkString(",")}],""" +
+      s""""rocksdb_by_quarter":{$rocksJson},""" +
       s""""plateau_ok":$ok}""")
     if (!ok) sys.exit(1)
   }
