@@ -595,7 +595,8 @@ object Dedup {
       maxBucketSize: Int = 1000,
       observeDropped: Option[org.apache.spark.sql.Observation] = None,
       bandPasses: Int = 1,
-      verifyBroadcastMaxPairs: Long = 4000000L
+      verifyBroadcastMaxPairs: Long = 4000000L,
+      verifyRestrictMinInputBytes: Long = 2L << 30
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(bandPasses >= 1 && bands % bandPasses == 0,
@@ -603,10 +604,23 @@ object Dedup {
     require(observeDropped.isEmpty || bandPasses == 1,
       "observeDropped is single-query; staged band passes run several")
 
+    // Scale gate for the candidate-restricted verify: the restriction's
+    // payoff is the CORPUS-SIZED verify exchanges it removes, and its cost
+    // (an up-front pair count, a candidate-id broadcast, a narrow semi-join
+    // pass) is roughly input-independent — so below a couple of GB of
+    // input the old unrestricted plan is strictly cheaper (measured round
+    // 17 at sf0.1: restrict cost +1.2–2.4 s per entry while saving
+    // nothing). The gate reads the optimizer's size estimate (actual file
+    // bytes for parquet scans) — no job — so toy inputs keep the r16 plan
+    // bit-for-bit and 100 TB inputs always qualify.
     if (bandPasses > 1)
       return minHashPairsStaged(df, idCol, textCol, shingleSize, numHashes,
         bands, jaccardThreshold, maxBucketSize, bandPasses,
-        verifyBroadcastMaxPairs)
+        verifyBroadcastMaxPairs, verifyRestrictMinInputBytes)
+
+    val restrictEligible = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes)
+      .map(_ >= verifyRestrictMinInputBytes).getOrElse(true)
 
     val shingleSets = shingleRows(df, idCol, textCol, shingleSize).persist()
 
@@ -621,11 +635,14 @@ object Dedup {
     // buckets are removed BEFORE the array aggregation (boundedBuckets), so
     // no task ever materializes more than maxBucketSize elements or
     // C(maxBucketSize, 2) pairs.
-    val candidates = pairsFromBuckets(
+    val candidates0 = pairsFromBuckets(
       boundedBuckets(banded, Seq("__band", "__bh"), col("__id"), maxBucketSize,
         observeDropped),
       "__ids"
-    ).distinct().persist()
+    ).distinct()
+    if (!restrictEligible)
+      return verifyCandidates(shingleSets, candidates0,
+        restrict = false, jaccardThreshold)
     // one action up front: the pair count decides whether the verify can
     // broadcast-restrict the shingle table (see verifyCandidates) — for a
     // dedup corpus candidates cover a small fraction of docs, and the
@@ -633,6 +650,7 @@ object Dedup {
     // materializes into the cache exactly once either way (the verify
     // below would have evaluated it anyway); observeDropped metrics are
     // delivered by this count.
+    val candidates = candidates0.persist()
     val nPairs = candidates.count()
     verifyCandidates(shingleSets, candidates,
       restrict = nPairs <= verifyBroadcastMaxPairs, jaccardThreshold)
@@ -668,9 +686,15 @@ object Dedup {
   ): DataFrame = {
     val base =
       if (restrict) {
-        val candIds = candidates.select(col("left_id").as("__id"))
-          .union(candidates.select(col("right_id").as("__id")))
+        // one explode pass over the (persisted, small) candidate pairs,
+        // materialized eagerly: the verify plan references `base` three
+        // times (sizes, left shh, right shh) — without the checkpoint each
+        // reference would re-run the distinct aggregation and re-build the
+        // broadcast
+        val candIds = candidates
+          .select(explode(array(col("left_id"), col("right_id"))).as("__id"))
           .distinct()
+          .localCheckpoint()
         shingleSets.join(broadcast(candIds), Seq("__id"), "left_semi")
       } else shingleSets
     val sizes = base.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
@@ -714,10 +738,15 @@ object Dedup {
     * either way, and the final distinct collapses pairs found by several
     * groups (jaccard is deterministic, so triples are identical).
     *
-    * Nothing is persisted across or within passes — in this mode disk is
-    * the scarce resource, and a corpus-sized cache would spill into the
-    * very scratch the staging protects (measured round 15: the pinned
-    * storage floor OOM'd the 64g box).
+    * The shingle table is shared across passes at MEMORY_ONLY — never
+    * disk, so the cache cannot spill into the very scratch the staging
+    * protects (measured round 15: the pinned MEMORY_AND_DISK storage
+    * floor OOM'd the 64g box). Each pass's plan references the shingle
+    * table ~4× (banding plus the verify's three reads); without the
+    * cache a 4-pass run re-ran the narrow shingle explosion ~16× — at
+    * sf0.1 that was 14.7 s vs 2.8 s single-pass (round 17 A/B). When the
+    * corpus outgrows executor memory, MEMORY_ONLY partitions evict and
+    * those reads recompute narrowly — graceful, still zero scratch.
     *
     * Shuffle-file reclamation between passes is ASYNC by default; on a
     * scratch-critical box set `spark.cleaner.referenceTracking.blocking
@@ -735,33 +764,47 @@ object Dedup {
       jaccardThreshold: Double,
       maxBucketSize: Int,
       bandPasses: Int,
-      verifyBroadcastMaxPairs: Long
+      verifyBroadcastMaxPairs: Long,
+      verifyRestrictMinInputBytes: Long
   ): DataFrame = {
     val spark = df.sparkSession
     val groups = (0 until bands).grouped(bands / bandPasses).toList
     val tmpDir = java.nio.file.Files
       .createTempDirectory("graft_minhash_staged").toFile
     tmpDir.deleteOnExit()
+    // same scale gate as the single-pass path: below a couple of GB the
+    // corpus-wide verify exchanges are cheaper than the restriction pass
+    val restrictEligible = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes)
+      .map(_ >= verifyRestrictMinInputBytes).getOrElse(true)
+    val sh = shingleRows(df, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val passDirs = groups.zipWithIndex.map { case (g, i) =>
       val out = new java.io.File(tmpDir, s"pass_$i").getAbsolutePath
-      val sh = shingleRows(df, idCol, textCol, shingleSize)
       val banded = bandedSignatures(sh, numHashes, bands, Some(g))
-      val cand = pairsFromBuckets(
+      val cand0 = pairsFromBuckets(
         boundedBuckets(banded, Seq("__band", "__bh"), col("__id"),
           maxBucketSize),
         "__ids"
-      ).distinct().persist()
-      val nPairs = cand.count()
-      verifyCandidates(sh, cand,
-        restrict = nPairs <= verifyBroadcastMaxPairs, jaccardThreshold)
-        .write.mode("overwrite").parquet(out)
-      cand.unpersist(blocking = true)
+      ).distinct()
+      if (restrictEligible) {
+        val cand = cand0.persist()
+        val nPairs = cand.count()
+        verifyCandidates(sh, cand,
+          restrict = nPairs <= verifyBroadcastMaxPairs, jaccardThreshold)
+          .write.mode("overwrite").parquet(out)
+        cand.unpersist(blocking = true)
+      } else {
+        verifyCandidates(sh, cand0, restrict = false, jaccardThreshold)
+          .write.mode("overwrite").parquet(out)
+      }
       // this pass's shuffle dependencies are unreachable now; a driver GC
       // lets the ContextCleaner's weak references fire so the pass's
       // shuffle files are reclaimed before the next pass piles on
       System.gc()
       out
     }
+    sh.unpersist()
     spark.read.parquet(passDirs: _*).distinct()
   }
 

@@ -99,14 +99,18 @@ class MinHashBandRecallSpec extends SharedSpark {
     // the union — so compare full (left, right, jaccard) triples, not
     // just recall. Run two pass counts, the second with a broadcast
     // threshold of 0 to force the unrestricted verify fallback (both
-    // verify paths must agree).
+    // verify paths must agree). verifyRestrictMinInputBytes = 0 defeats
+    // the input-size gate so the restricted verify actually runs on this
+    // toy corpus (in production the gate keeps small inputs on the
+    // unrestricted plan).
     import spark.implicits._
     val df = docs.toDF("doc_id", "text")
     def run(passes: Int, bcastMax: Long): Set[(Long, Long, Double)] =
       Dedup.minHashPairs(df, "doc_id", "text",
         shingleSize = 1, numHashes = 128, bands = 32,
         jaccardThreshold = threshold, bandPasses = passes,
-        verifyBroadcastMaxPairs = bcastMax)
+        verifyBroadcastMaxPairs = bcastMax,
+        verifyRestrictMinInputBytes = 0L)
         .select(col("left_id").cast("long"), col("right_id").cast("long"),
           col("jaccard"))
         .collect()
