@@ -50,7 +50,15 @@ object Graph {
     val parts =
       if (numPartitions > 0) numPartitions
       else edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // The caller's edge derivation can be arbitrarily expensive (q_pagerank
+    // joins two tables and distincts), and the preamble below reads it from
+    // FIVE subtrees across SEPARATE actions (deg + the e side of ed, both
+    // nodes union legs, the nodes.count). Persist it once: without this the
+    // derivation re-executed per action — ~2× the whole entry at sf0.1
+    // (round-17 phase probe: nodes 2.3 s + ed 3.0 s vs 2.8 s for all three
+    // iterations), and 3–4 redundant full input passes at scale.
     val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
@@ -61,23 +69,43 @@ object Graph {
     val ed = e.join(deg, "src")
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize ed from the cached e, then drop e — iterations only read
+    // ed and nodes, and holding a second edge-sized cache would double the
+    // operator's storage footprint at scale
+    ed.count(): Unit
+    e.unpersist()
     val teleport = (1.0 - damping) / n
     var rank = initial.getOrElse(nodes.withColumn("r", lit(1.0 / n)))
     var prev: DataFrame = null
-    for (_ <- 1 to iters) {
+    // Iterations are chained LAZILY and only materialized every few rounds:
+    // each materialization is a full Spark action (broadcast build + shuffle
+    // + cache write + count), so running one per iteration serialized the
+    // recurrence into iters jobs — measured round 17 at sf0.1, the three
+    // per-iteration jobs were ~1 s each while the same three rounds fused
+    // into one job share scheduling, codegen and the ed cache scan. The
+    // interval still bounds plan depth (lineage never exceeds
+    // materializeEvery rounds), which is the reason the per-iteration
+    // persist existed — long PageRank runs must not grow an unbounded plan.
+    val materializeEvery = 4
+    var sinceMat = 0
+    for (i <- 1 to iters) {
       val contrib = ed.join(rank, ed("src") === rank("id"))
         .groupBy(ed("dst").as("id"))
         .agg(sum(col("r") / col("outdeg")).as("c"))
       val raw =
         lit(teleport) + lit(damping) * coalesce(col("c"), lit(0.0))
-      val next = nodes.join(contrib, Seq("id"), "left")
+      rank = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (if (roundDigits > 0) round(raw, roundDigits) else raw).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count(): Unit // materialize before dropping the predecessor
-      if (prev != null) prev.unpersist()
-      prev = next
-      rank = next
+      sinceMat += 1
+      if (sinceMat == materializeEvery || i == iters) {
+        val mat = rank.persist(StorageLevel.MEMORY_AND_DISK)
+        mat.count(): Unit // materialize before dropping the predecessor
+        if (prev != null) prev.unpersist()
+        prev = mat
+        rank = mat
+        sinceMat = 0
+      }
     }
     rank
   }

@@ -15,15 +15,16 @@ import org.apache.spark.sql.functions._
   * curriculum mixing.
   *
   * Scale design. The only quadratic step is the per-basket pair
-  * explosion, and it is bounded BEFORE the join: baskets are capped at
+  * explosion, and it is bounded BEFORE it happens: baskets are capped at
   * `maxBasketSize` items (deterministically — the k smallest item ids
   * survive, so reruns and engine replays agree), which bounds the
-  * per-basket fan-out at k(k-1)/2 regardless of skew. Both join legs
-  * share one shuffle layout (same distinct projection, partitioned by
-  * basket), so the self-join reuses the exchange; pair counts and item
-  * counts are ordinary combinable aggregations. Nothing is collected to
-  * the driver except the single basket-count scalar, which rides a
-  * broadcast cross join.
+  * per-basket fan-out at k(k-1)/2 regardless of skew. The cap itself is
+  * a bounded map-side-combinable aggregate (one exchange whose partial
+  * buffers hold ≤ k items per basket, skew-immune), pairs explode in
+  * place from the per-basket sorted arrays (no self-join), and pair and
+  * item counts are ordinary combinable aggregations. Nothing is
+  * collected to the driver except the single basket-count scalar, which
+  * rides a broadcast cross join.
   *
   * Determinism discipline (the DuckDB-oracle contract used across this
   * repo): all ratios are emitted as integer ppm computed by the exact
@@ -42,7 +43,7 @@ object Market {
       itemCol: String,
       minPairCount: Long = 2L,
       maxBasketSize: Int = 64): DataFrame =
-    pairsOf(cappedBaskets(df, basketCol, itemCol, maxBasketSize))
+    pairsOf(cappedBasketArrays(df, basketCol, itemCol, maxBasketSize))
       .filter(col("pair_n") >= minPairCount)
 
   /** Association rules in both directions from the frequent pairs:
@@ -65,13 +66,16 @@ object Market {
     // unpersisted here — the returned frame is lazy, so an eager
     // unpersist at build time would silently defeat the cache; callers
     // (and the verify/bench harnesses) clear caches between queries.
-    val baskets = cappedBaskets(df, basketCol, itemCol, maxBasketSize)
+    val baskets = cappedBasketArrays(df, basketCol, itemCol, maxBasketSize)
       .persist()
     val pairs = pairsOf(baskets).filter(col("pair_n") >= minPairCount)
     // per-item basket count and the global basket count; rows are
-    // (item, count) — tiny next to the pair table, broadcast-friendly
-    val itemN = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val nB = baskets.select(countDistinct(col("basket")).as("n_baskets"))
+    // (item, count) — tiny next to the pair table, broadcast-friendly.
+    // baskets is one array row per basket, so item counts explode it and
+    // the basket count is a plain count of rows.
+    val itemN = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val nB = baskets.select(count(lit(1)).as("n_baskets"))
     // one scan of the pair aggregate: explode both rule directions from
     // each pair row (a two-branch union would re-run the self-join agg)
     val directed = pairs.select(explode(array(
@@ -128,29 +132,55 @@ object Market {
           .as("n_items_dropped"))
   }
 
-  /** Distinct (basket, item), capped at the k smallest items per basket
-    * so the downstream pair explosion is bounded under basket skew. */
-  private def cappedBaskets(
+  /** Per-basket sorted array of the k smallest distinct items —
+    * `(basket, items array<itemType>)`, ascending, NULL item first when
+    * present (a NULL occupies a cap slot exactly as the rank-window
+    * formulation counted it, though it never pairs).
+    *
+    * One bounded aggregation replaces the previous distinct + rank window
+    * (two exchanges + a sort): partial buffers are capped at k items, so
+    * a degenerate basket with millions of distinct items contributes ≤ k
+    * entries per map partition instead of shipping every row to one
+    * reducer (the window sorted the whole basket on one task). The array
+    * form also lets [[pairsOf]] explode pairs in place — the previous
+    * basket self-join evaluated the capping subtree once per join leg.
+    */
+  private def cappedBasketArrays(
       df: DataFrame,
       basketCol: String,
       itemCol: String,
       maxBasketSize: Int): DataFrame = {
     val b0 = df
       .select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
-    if (maxBasketSize <= 0) b0
-    else {
-      val w = Window.partitionBy(col("basket")).orderBy(col("item"))
-      b0.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= maxBasketSize)
-        .drop("__rn")
-    }
+    if (maxBasketSize <= 0)
+      b0.distinct()
+        .groupBy(col("basket"))
+        .agg(sort_array(collect_list(col("item"))).as("items"))
+    else
+      b0.groupBy(col("basket"))
+        .agg(graft.plans.BoundedTopKAgg
+          .column(Seq(col("item")), maxBasketSize, distinct = true)
+          .as("__top"))
+        .select(col("basket"),
+          transform(col("__top"), r => r.getField("_o0")).as("items"))
   }
 
-  private def pairsOf(baskets: DataFrame): DataFrame =
-    baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+  /** Unordered in-basket item pairs with co-occurrence counts, exploded
+    * directly from the sorted per-basket arrays: element i pairs with
+    * every later element, so `item_a < item_b` by construction (arrays
+    * ascending, distinct) and no basket self-join is needed. NULL items
+    * sort first and are skipped — the join formulation's `a.item <
+    * b.item` never matched them either. */
+  private def pairsOf(basketArrays: DataFrame): DataFrame =
+    basketArrays
+      // nulls sort first, so dropping them up front (type-generically)
+      // keeps the remaining array sorted; the join formulation's
+      // `a.item < b.item` never matched a NULL either
+      .select(filter(col("items"), x => x.isNotNull).as("__it"))
+      .select(explode(flatten(transform(col("__it"), (x, i) =>
+        transform(slice(col("__it"), i + lit(2),
+          greatest(size(col("__it")) - i - lit(1), lit(0))),
+          y => struct(x.as("item_a"), y.as("item_b")))))).as("__p"))
+      .groupBy(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
       .agg(count(lit(1)).as("pair_n"))
 }

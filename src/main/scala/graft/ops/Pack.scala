@@ -294,14 +294,24 @@ object Pack {
       outDir: String,
       format: String = "parquet",
       mode: String = "errorifexists"
-  ): Unit =
-    df.repartition(col(binCol))
+  ): Unit = {
+    // Explicit partition count: a keyless `repartition(col)` is an AQE
+    // coalescible exchange, and a many-small-bins write coalesces to ONE
+    // task that creates every bin directory+file sequentially (measured
+    // round 17: 383 bins at sf0.1 wrote serially at ~15 ms/file, 6.0 s vs
+    // 0.3 s for the same rows written wide). Pinning the count to the
+    // session's shuffle width keeps file creation spread across the
+    // cluster; each bin still lands in exactly one task (hash on binCol),
+    // preserving the one-file-per-directory contract.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(parts, col(binCol))
       .sortWithinPartitions((binCol +: sortCols).map(col): _*)
       .write
       .partitionBy(binCol)
       .format(format)
       .mode(mode)
       .save(outDir)
+  }
 }
 
 /** Row shape for [[Pack.packChunked]]'s broadcast prefix-offset table. */

@@ -35,6 +35,47 @@ object Truncation {
   /** Stable per-row hash over all columns. */
   def rowHash(df: DataFrame): Column = colsHash(df.columns.toSeq)
 
+  /** Thresholds at or below this take the bounded-aggregate selection
+    * (BoundedTopKAgg) instead of a window / the salted two-phase windows:
+    * one map-side-combined exchange whose partial buffers hold ≤ threshold
+    * rows per group, so a hot group contributes ≤ threshold rows per map
+    * partition — skew-immune WITHOUT the sampling probe, the hot-key
+    * routing joins, or the full-input window shuffle. Above the bound
+    * (per-group buffers would no longer be small) the window paths stay.
+    */
+  private val aggPathMaxThreshold = 1024
+
+  /** `sha2` emits lowercase hex; `unhex` halves the ordering key's bytes
+    * in the aggregate buffers and shuffle while preserving the EXACT
+    * selection — hex chars 0-9a-f are ascending in ASCII, two chars per
+    * byte, so unsigned byte order equals hex-string order.
+    */
+  private def hashKey(hash: Column): Column = unhex(hash)
+
+  /** Bounded-aggregate keepSmallest: per group, keep the `threshold`
+    * rows smallest under (`sortPrefix`, every df column) — row-identical
+    * to `keepSmallest` whenever `sortPrefix` alone is already a total
+    * order on the group's rows (the rowHash orderings) or ties are
+    * interchangeable; appending the full row makes the refined order
+    * deterministic either way. */
+  private def keepSmallestAgg(
+      df: DataFrame,
+      groupColumns: Seq[String],
+      sortPrefix: Seq[Column],
+      threshold: Int
+  ): DataFrame = {
+    val cols = df.columns.toSeq
+    val pre = sortPrefix.length
+    df.groupBy(groupColumns.map(col): _*)
+      .agg(graft.plans.BoundedTopKAgg
+        .column(sortPrefix ++ cols.map(col), threshold, distinct = false)
+        .as("__top"))
+      .select(explode(col("__top")).as("__r"))
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        col(s"__r._o${pre + i}").as(c)
+      }: _*)
+  }
+
   /** Single-window top-τ: rank rows within each group by `order`, keep the
     * first `threshold`.
     */
@@ -170,8 +211,14 @@ object Truncation {
       saltBuckets: Int = 32,
       hotGroupMinRows: Long = 100000L
   ): DataFrame =
-    saltedKeepSmallest(df, groupColumns, rowHash(df),
-      df.columns.map(col).toSeq, threshold, saltBuckets, hotGroupMinRows)
+    // small thresholds (the DP-truncation regime) take the bounded
+    // aggregate: selection is by (rowHash, full row) exactly as below,
+    // with one exchange and no probe (see aggPathMaxThreshold)
+    if (threshold <= aggPathMaxThreshold)
+      keepSmallestAgg(df, groupColumns, Seq(hashKey(rowHash(df))), threshold)
+    else
+      saltedKeepSmallest(df, groupColumns, rowHash(df),
+        df.columns.map(col).toSeq, threshold, saltBuckets, hotGroupMinRows)
 
   /** Keep the `k` HIGHEST-`scoreCol` rows per group, ties broken by the
     * ascending `tieBreak` columns (pass a unique id for a deterministic
@@ -194,19 +241,27 @@ object Truncation {
       hotGroupMinRows: Long = 100000L
   ): DataFrame = {
     require(tieBreak.nonEmpty, "pass at least one tie-break column")
-    saltedKeepSmallest(
-      df,
-      groupColumns,
-      // ascending sort on -score == descending on score; NULL -> -inf so
-      // null scores lose to every real one, and -NaN = NaN sorts last
-      negate(coalesce(col(scoreCol).cast("double"),
-        lit(Double.NegativeInfinity))),
-      tieBreak.map(col),
-      k,
-      saltBuckets,
-      hotGroupMinRows,
-      saltExpr = Some(xxhash64(colsHash(df.columns.toSeq)))
-    )
+    // ascending sort on -score == descending on score; NULL -> -inf so
+    // null scores lose to every real one, and -NaN = NaN sorts last
+    val negScore = negate(coalesce(col(scoreCol).cast("double"),
+      lit(Double.NegativeInfinity)))
+    // bounded-aggregate path (see aggPathMaxThreshold): identical row set
+    // whenever (score, tieBreak) is unique per row — the documented
+    // determinism contract; with ambiguous ties the window picked an
+    // arbitrary row, the aggregate picks the full-row-smallest one
+    if (k <= aggPathMaxThreshold)
+      keepSmallestAgg(df, groupColumns, negScore +: tieBreak.map(col), k)
+    else
+      saltedKeepSmallest(
+        df,
+        groupColumns,
+        negScore,
+        tieBreak.map(col),
+        k,
+        saltBuckets,
+        hotGroupMinRows,
+        saltExpr = Some(xxhash64(colsHash(df.columns.toSeq)))
+      )
   }
 
   /** Drop groups with more than `threshold` rows (reference `truncation.py:165-225`).
@@ -259,6 +314,28 @@ object Truncation {
       hotGroupMinKeys: Long = 100000L
   ): DataFrame = {
     val pairCols = groupColumns ++ keyColumns
+    if (threshold <= aggPathMaxThreshold) {
+      // Bounded-aggregate path: ONE map-side-combined exchange computes,
+      // per group, the `threshold` distinct keys smallest by
+      // (keyHash, keyColumns) — identical to ranking the distinct pairs.
+      // Replaces the previous cascade (dropDuplicates exchange +
+      // localCheckpoint materialization + hot-group sampling probe + rank
+      // window exchange) with partial buffers capped at `threshold`
+      // distinct keys per group, so a key holding 10% of all rows
+      // contributes one buffer entry per map partition — skew-immune by
+      // construction.
+      val ordered = hashKey(colsHash(keyColumns)) +: keyColumns.map(col)
+      val kept = df
+        .groupBy(groupColumns.map(col): _*)
+        .agg(graft.plans.BoundedTopKAgg
+          .column(ordered, threshold, distinct = true).as("__top"))
+        .select(groupColumns.map(col) :+ explode(col("__top")).as("__r"): _*)
+        .select(groupColumns.map(col) ++ keyColumns.zipWithIndex.map {
+          case (c, i) => col(s"__r._o${i + 1}").as(c)
+        }: _*)
+      val cond = pairCols.map(c => df(c) <=> kept(c)).reduce(_ && _)
+      return df.join(kept, cond, "left_semi")
+    }
     // The distinct aggregation is the expensive stage (a full shuffle of
     // the projected input); materialize its result once, because the salted
     // selection's eager hot-group probe is a separate action from the rank
