@@ -54,9 +54,12 @@ if [[ "${SELFCHECK_SF1:-0}" == "1" ]]; then
   # the base fixture; at sf1 they are approximate BY DESIGN (banded miss /
   # cell-local semantics — the ×10 embedding derivation's ±0.025
   # perturbed copies create natural near-threshold pairs, so the
-  # collinear-only oracle constructions stop being exhaustive) — their
-  # sf1 quality is gated by Sf1RecallSpec instead (probes additionally by
-  # SemDedupSplitRecallSpec's monotonicity gate: probes ⊇ probes=0).
+  # collinear-only oracle constructions stop being exhaustive).
+  # q_cosine_dup's sf1 recall is gated by Sf1RecallSpec (ANN +
+  # cosineDupPairs gates on the perturbed 10x geometry); the semDeDup
+  # entries have NO sf1-scale recall gate — their quality is gated only
+  # at the base fixture by SemDedupSplitRecallSpec (split-recall +
+  # monotonicity: probed drops ⊇ probes=0 drops).
   SF1_AGG="q_join_nullsafe"
   SF1_INV="q_minhash_dedup,q_minhash_staged,q_dedup_cluster,q_keep_best"
   SF1_RECALL="q_cosine_dup,q_semdedup,q_semdedup_probes"
