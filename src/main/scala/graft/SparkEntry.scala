@@ -2284,6 +2284,11 @@ object SparkEntry {
           concat(lit("c"), col("o_custkey").cast("string")).as("src"),
           concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
         .distinct()
+        // both legs of the symmetrizing union read e0; without the cache
+        // the join+distinct runs twice inside pageRank's one edge
+        // materialization (same persist discipline as Market; the
+        // harnesses clear caches between queries)
+        .persist()
       val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       // roundDigits=9 snaps each iterate to a 1e-9 grid: contribution

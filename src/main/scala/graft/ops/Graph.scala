@@ -167,16 +167,20 @@ object Graph {
   }
 
   /** In/out degree profile per node — the first quality signal over a link
-    * graph (spam hosts are out-degree outliers). One aggregate per side,
-    * one outer merge on the (small) per-node results. */
-  def degrees(edges: DataFrame): DataFrame = {
-    val out = edges.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("out_deg"))
-    val in = edges.groupBy(col("dst").as("id"))
-      .agg(count(lit(1)).as("in_deg"))
-    out.join(in, Seq("id"), "full_outer")
-      .select(col("id"),
-        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
-  }
+    * graph (spam hosts are out-degree outliers). One scan and ONE
+    * map-side-combined aggregation: each edge explodes to an (endpoint,
+    * is-out) pair and both degrees are conditional sums — the previous
+    * two-aggregate + full-outer-join shape read the caller's edge
+    * derivation twice and paid three exchanges. A NULL endpoint now
+    * yields one merged NULL-id row (the outer join kept the two sides'
+    * NULL groups as separate rows — null keys never join); no declared
+    * caller emits NULL node ids. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges
+      .select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("__o")),
+        struct(col("dst").as("id"), lit(0L).as("__o")))).as("__e"))
+      .groupBy(col("__e.id").as("id"))
+      .agg(sum(col("__e.__o")).as("out_deg"),
+        sum(lit(1L) - col("__e.__o")).as("in_deg"))
 }

@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * threshold as the variable (default 128 groups forces a map-side sort
   * on every many-group shape).
   *
-  * Usage: runMain graft.tools.TopKProbe
+  * Usage: runMain graft.tools.TopKProbe [scale] [reps]
+  * `scale` multiplies every shape's row count (default 1; 10 = the
+  * decade check — does the agg path's win GROW with input size as the
+  * skew-immunity argument predicts), `reps` repeats (default 2).
   */
 object TopKProbe {
   private def time(label: String)(body: => Unit): Double = {
@@ -29,6 +32,8 @@ object TopKProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    val scale = if (args.length >= 1) args(0).toLong else 1L
+    val reps = if (args.length >= 2) args(1).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,15 +61,23 @@ object TopKProbe {
     }
 
     val cases = Seq(
-      ("uniform 640k x 10, tau 5", shape(640000L, 10L, skew = false), 5),
-      ("groups 3k x 200, tau 2", shape(3000L, 200L, skew = false), 2),
-      ("skew 640k x 10 (10% hot), tau 5", shape(640000L, 10L, skew = true), 5))
+      (s"uniform ${640 * scale}k x 10, tau 5",
+        shape(640000L * scale, 10L, skew = false), 5),
+      (s"groups ${3 * scale}k x 200, tau 2",
+        shape(3000L * scale, 200L, skew = false), 2),
+      (s"skew ${640 * scale}k x 10 (10% hot), tau 5",
+        shape(640000L * scale, 10L, skew = true), 5))
 
-    for (rep <- 1 to 2; (name, df, tau) <- cases) {
+    for (rep <- 1 to reps; (name, df, tau) <- cases) {
       time(s"[$rep] window    $name") {
         consume(windowPath(df, tau))
       }
-      for (fb <- Seq("128", "4096", "1000000")) {
+      // at scale > 1 only the production default runs: fb=1e6 holds a
+      // TreeMap buffer per in-flight group and OOMs the probe JVM at 64M
+      // rows — the 128-group fallback IS the memory-safety mechanism,
+      // which is why the session conf stays at its default
+      val fbs = if (scale > 1L) Seq("128") else Seq("128", "4096", "1000000")
+      for (fb <- fbs) {
         spark.conf.set(
           "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", fb)
         time(s"[$rep] agg fb=$fb  $name") {
