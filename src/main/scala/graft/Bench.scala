@@ -418,13 +418,36 @@ object Bench {
     // mirror paths default next to the working directory (the repo root
     // when launched by sbt or the driver); env vars override
     val cwd = sys.props.getOrElse("user.dir", ".")
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      s"$cwd/bench_full.json")
+    // per-run-unique default path: round 17's 8-core companion run clobbered
+    // the 32-core run's dump (both wrote bench_full.json), leaving the
+    // contaminated 32-core window with no auditable load series. The default
+    // now keys on (cpus, runs); the legacy path is still mirrored below so
+    // existing tooling keeps working. An explicit SPARK_GRAFT_BENCH_FULL is
+    // honored verbatim (single path, no mirror).
+    val fullPathEnv = sys.env.get("SPARK_GRAFT_BENCH_FULL")
+    val fullPath = fullPathEnv.getOrElse(
+      s"$cwd/bench_full_c${cpus}_r$runsPerQuery.json")
     // per-query minima: the load-insensitive floor (a min can only be
     // slowed by contention, never helped), summed over the entry queries
     val totalMin = results.collect {
       case (name, _) if allRuns.contains(name) => allRuns(name).min
     }.sum
+    // Contamination self-diagnosis (round-17 verdict item: the driver's
+    // 32-core window carried a poisoned stretch that PERF ingested blind).
+    // A query is SUSPECT when, even after the bounded re-run round, either
+    //  - its max/min run spread exceeds 3x (a burst owned the statistic), or
+    //  - the 1-min loadavg at EVERY run start exceeded cpus + 4: the bench's
+    //    own load never reaches the core count at a run start (clean r17
+    //    8-core record: max per-query min-loadavg 7.37 on 8 cores), so a
+    //    floor persistently above it is sustained external load.
+    val loadGate = scala.util.Try(cpus.toDouble).getOrElse(1e9) + 4.0
+    val suspects = allRuns.keys.toSeq.filterNot(_.endsWith("_ratio")).filter {
+      k =>
+        val ts = allRuns(k)
+        val spread = ts.max / ts.min.max(1e-9)
+        val loadFloor = allLoad.get(k).map(_.min).getOrElse(-1.0)
+        spread > 3.0 || loadFloor > loadGate
+    }.sorted
     try {
       val runsJson = allRuns.map { case (k, ts) =>
         s"\"$k\":[${ts.map(fmt).mkString(",")}]"
@@ -441,9 +464,23 @@ object Bench {
       val minsJson = allRuns.collect { case (k, ts) if !k.endsWith("_ratio") =>
         s"\"$k\":${fmt(ts.min)}"
       }.mkString("{", ",", "}")
+      // the complete median map, machine-parseable (the stdout summary line
+      // is byte-bounded by the driver's 2000-char tail capture and can only
+      // carry the costliest entries; THIS is the full record)
+      val mediansJson = (ordered.map { case (k, v) => s"\"$k\":${fmt(v)}" })
+        .mkString("{", ",", "}")
+      val suspectJson = suspects.map(jstr).mkString("[", ",", "]")
+      val fullLine = s"""{"sf":"$sfDir","cpus":${jstr(cpus)},"runs_per_query":$runsPerQuery,"value_stat":"trimmed_median","total_entry_queries":${fmt(total)},"total_entry_min":${fmt(totalMin)},"suspect":$suspectJson,"medians":$mediansJson,"runs":$runsJson,"gc_sec":$gcJson,"loadavg_1m":$loadJson,"mins":$minsJson}""" + "\n"
       val fw = new java.io.FileWriter(fullPath)
-      fw.write(s"""{"sf":"$sfDir","runs_per_query":$runsPerQuery,"value_stat":"trimmed_median","total_entry_queries":${fmt(total)},"total_entry_min":${fmt(totalMin)},"runs":$runsJson,"gc_sec":$gcJson,"loadavg_1m":$loadJson,"mins":$minsJson}""" + "\n")
+      fw.write(fullLine)
       fw.close()
+      // mirror to the legacy fixed path so pre-r18 tooling keeps working
+      // (the unique path above is the one the summary line references)
+      if (fullPathEnv.isEmpty) {
+        val lw = new java.io.FileWriter(s"$cwd/bench_full.json")
+        lw.write(fullLine)
+        lw.close()
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench_full write failed ($fullPath): $e")
@@ -458,13 +495,31 @@ object Bench {
     // numbers always arrive machine-parseable; the full map is one line
     // up and in bench_full.json.
     val ratioEntries = ordered.filter(_._1.contains("ratio"))
-    val topEntries = ordered.filterNot(_._1.contains("ratio"))
-      .sortBy(-_._2).take(40).sortBy(_._1)
-    val compact = ((topEntries ++ ratioEntries).map { case (k, v) =>
-      s"\"$k\":${fmt(v)}"
-    } :+ s"\"total_entry_queries\":${fmt(total)}").mkString("{", ",", "}")
-    val summaryLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_stat":"trimmed_median","total_entry_min":${fmt(totalMin)},"queries":$compact,"sf":"$sfDir","n_queries":${ordered.size},"full":${jstr(fullPath)}}"""
+    // ADAPTIVE top-N (round-17 verdict: fixed top-40 churns entries in and
+    // out of the line each round, which PERF misreads as dropped queries).
+    // Entries are admitted in descending cost until the whole summary line
+    // would exceed the byte budget — the driver's tail capture is 2000
+    // chars (measured from BENCH_r17.json) and the line must survive it
+    // whole, so the budget leaves ~10% slack. This is a strict superset of
+    // the old top-40 (which measured ~1385 bytes); typical capacity is
+    // ~60 entries, covering everything >= ~1.1 s at sf0.1.
+    val lineBudget = 1800
+    val byCost = ordered.filterNot(_._1.contains("ratio")).sortBy(-_._2)
+    val fixedTail = (ratioEntries.map { case (k, v) => s"\"$k\":${fmt(v)}" } :+
+      s"\"total_entry_queries\":${fmt(total)}").mkString(",")
+    val suspectField =
+      s""","n_suspect":${suspects.size},"suspect":${
+        suspects.take(12).map(jstr).mkString("[", ",", "]")}"""
+    def lineFor(entries: Seq[(String, Double)]): String = {
+      val compact = (entries.sortBy(_._1).map { case (k, v) =>
+        s"\"$k\":${fmt(v)}"
+      } :+ fixedTail).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_stat":"trimmed_median","total_entry_min":${fmt(totalMin)},"queries":$compact,"sf":"$sfDir","n_queries":${ordered.size}$suspectField,"full":${jstr(fullPath)}}"""
+    }
+    var nTop = 40.min(byCost.size) // never below the historical floor
+    while (nTop < byCost.size &&
+      lineFor(byCost.take(nTop + 1)).length <= lineBudget) nTop += 1
+    val summaryLine = lineFor(byCost.take(nTop))
     // The driver's parser has missed the bare tail line two rounds in a
     // row (BENCH_r07/r08 "parsed": null) — emit the compact summary with
     // the same marker discipline as BENCH_FULL_JSON, mirror it to a file,
