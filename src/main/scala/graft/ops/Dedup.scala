@@ -728,8 +728,10 @@ object Dedup {
     * GC nudged) before the next starts, so the ContextCleaner reclaims
     * each pass's shuffle files instead of accumulating all of them into
     * one job's peak — on-disk scratch falls to ~1/passes of the measured
-    * 27.7 B-per-corpus-byte rule, for ~2× wall (per-pass shingle
-    * recompute and duplicate-candidate re-verification).
+    * 27.7 B-per-corpus-byte rule. The wall overhead vs single-pass is the
+    * per-pass corpus-wide verify plus duplicate-candidate
+    * re-verification; the signature aggregation is shared across passes
+    * (below), so it is no longer pass-proportional.
     *
     * Result-identical to the single-pass run: each band's hash functions
     * and band hash are the same seeds as the full run (bandedSignatures'
@@ -779,9 +781,20 @@ object Dedup {
       .map(_ >= verifyRestrictMinInputBytes).getOrElse(true)
     val sh = shingleRows(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // Full signature table computed ONCE and shared across passes (round-18
+    // fix for the pass-proportional recompute): each pass previously ran its
+    // own quarter-width signature aggregation, which still scans the whole
+    // shingle table and shuffles one row per doc — 4 passes paid the
+    // pipeline's most expensive aggregation 4 times. One row of 64 longs
+    // per doc is tiny next to the corpus, so MEMORY_ONLY keeps the staged
+    // mode's zero-scratch property (eviction recomputes from the cached
+    // shingle table, never spills to disk). Band slices read only their 4
+    // signature columns from the cache.
+    val sigs = minhashSignatures(sh, 0 until numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val passDirs = groups.zipWithIndex.map { case (g, i) =>
       val out = new java.io.File(tmpDir, s"pass_$i").getAbsolutePath
-      val banded = bandedSignatures(sh, numHashes, bands, Some(g))
+      val banded = bandsFromSignatures(sigs, numHashes, bands, g)
       val cand0 = pairsFromBuckets(
         boundedBuckets(banded, Seq("__band", "__bh"), col("__id"),
           maxBucketSize),
@@ -804,6 +817,7 @@ object Dedup {
       System.gc()
       out
     }
+    sigs.unpersist()
     sh.unpersist()
     spark.read.parquet(passDirs: _*).distinct()
   }
@@ -828,11 +842,35 @@ object Dedup {
     val bandIdx = bandSubset.getOrElse(0 until bands)
     val hashIdx =
       bandIdx.flatMap(b => (0 until rowsPerBand).map(r => b * rowsPerBand + r))
+    bandsFromSignatures(
+      minhashSignatures(shingleSets, hashIdx), numHashes, bands, bandIdx)
+  }
+
+  /** Per-doc MinHash signature columns `__h<i>` for the given hash-family
+    * indices: one map-side-combined aggregation over the shingle table.
+    * Split out of [[bandedSignatures]] so the staged runner can compute
+    * the FULL signature table once and slice bands from it per pass. */
+  private def minhashSignatures(
+      shingleSets: DataFrame,
+      hashIdx: Seq[Int]
+  ): DataFrame = {
     val sigAggs = hashIdx.map { i =>
       min(xxhash64(lit(i), col("__sh"))).as(s"__h$i")
     }
-    val sigs =
-      shingleSets.groupBy(col("__id")).agg(sigAggs.head, sigAggs.tail: _*)
+    shingleSets.groupBy(col("__id")).agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** LSH band rows from a signature table: band b hashes signature slots
+    * [b·rowsPerBand, (b+1)·rowsPerBand) — indices are GLOBAL positions in
+    * the hash family, so a band's bucket keys are identical whether the
+    * signature table was computed for that band alone or for all bands. */
+  private def bandsFromSignatures(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      bandIdx: Seq[Int]
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val bandCols = bandIdx.map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"__h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("bh"))

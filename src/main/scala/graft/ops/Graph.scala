@@ -60,23 +60,33 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // nodes and ed are LINEAGE-TRUNCATED, not merely persisted: the fused
+    // multi-iteration action below references nodes 4x and ed 3x, and with
+    // plain persist every reference re-embeds the caller's whole edge
+    // derivation in the logical plan (the round-17 q_pagerank explain was
+    // 13k lines of nested InMemoryRelation subtrees — per-materialization
+    // analyzer/optimizer work that is driver-side and core-count-
+    // independent). localCheckpoint materializes the same blocks (eager,
+    // MEMORY_AND_DISK) but replaces the subtree with a LogicalRDD leaf, so
+    // every downstream plan is iteration-sized. Trade-off, documented: a
+    // lost executor can no longer recompute a checkpointed block from
+    // lineage — acceptable for an iterative operator that re-runs from the
+    // caller's edges on failure.
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val n = nodes.count() // one driver-side long — bounded by construction
     // edge×degree joined once, laid out by src for every later rank join
     val ed = e.join(deg, "src")
       .repartition(parts, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize ed from the cached e, then drop e — iterations only read
-    // ed and nodes, and holding a second edge-sized cache would double the
-    // operator's storage footprint at scale
-    ed.count(): Unit
+      .localCheckpoint()
+    // ed is materialized from the cached e by the checkpoint; drop e —
+    // iterations only read ed and nodes, and holding a second edge-sized
+    // cache would double the operator's storage footprint at scale
     e.unpersist()
     val teleport = (1.0 - damping) / n
     var rank = initial.getOrElse(nodes.withColumn("r", lit(1.0 / n)))
-    var prev: DataFrame = null
     // Iterations are chained LAZILY and only materialized every few rounds:
     // each materialization is a full Spark action (broadcast build + shuffle
     // + cache write + count), so running one per iteration serialized the
@@ -99,11 +109,14 @@ object Graph {
           (if (roundDigits > 0) round(raw, roundDigits) else raw).as("r"))
       sinceMat += 1
       if (sinceMat == materializeEvery || i == iters) {
-        val mat = rank.persist(StorageLevel.MEMORY_AND_DISK)
-        mat.count(): Unit // materialize before dropping the predecessor
-        if (prev != null) prev.unpersist()
-        prev = mat
-        rank = mat
+        // localCheckpoint (eager): materializes the iterate AND truncates
+        // its lineage to a LogicalRDD leaf, so the next chain's plan starts
+        // iteration-sized instead of stacking materializeEvery more rounds
+        // on top of the previous chain's full plan. The predecessor's
+        // blocks are reclaimed by the ContextCleaner once the old Dataset
+        // is unreachable (each checkpoint is one nodes-sized table — tiny
+        // next to the edge cache, so no explicit unpersist is needed).
+        rank = rank.localCheckpoint()
         sinceMat = 0
       }
     }

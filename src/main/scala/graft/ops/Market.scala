@@ -137,6 +137,15 @@ object Market {
     * present (a NULL occupies a cap slot exactly as the rank-window
     * formulation counted it, though it never pairs).
     *
+    * NULL-item divergence between the branches, documented (round-17
+    * ADVICE): the capped path keeps a NULL in a cap slot (it counts
+    * toward k, never pairs); the uncapped path's `collect_list` silently
+    * drops NULLs. Outputs agree because [[pairsOf]] filters NULLs before
+    * pairing and no declared caller feeds NULL items with maxBasketSize
+    * <= 0; filtering NULLs in the capped branch instead would CHANGE the
+    * cap semantics q_assoc_rules replays (a NULL would stop occupying a
+    * slot), so the divergence is kept and pinned in MarketSpec.
+    *
     * One bounded aggregation replaces the previous distinct + rank window
     * (two exchanges + a sort): partial buffers are capped at k items, so
     * a degenerate basket with millions of distinct items contributes ≤ k

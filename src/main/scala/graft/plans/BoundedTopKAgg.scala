@@ -34,6 +34,15 @@ import org.apache.spark.sql.types._
   * State is O(k) per group; merge is the same bounded insert. Reference
   * counterpart: none — the reference's truncation utilities
   * (`utils/truncation.py`) are window-based; this is the scale path.
+  *
+  * Memory safety: buffers are per-group object trees of up to k boxed
+  * (row, count) entries, so peak map-side memory is bounded by
+  * ObjectHashAggregate's sort-based fallback, which caps in-flight groups
+  * at `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+  * (default 128). Sessions running these operators MUST NOT raise that
+  * threshold toward unbounded values: the round-17 decade probe
+  * (TopKProbe, 64M rows) OOM'd a 48g JVM at fallbackThreshold=1e6 while
+  * the default completed — the fallback IS the memory-safety mechanism.
   */
 case class BoundedTopKAgg(
     child: Expression,
@@ -78,14 +87,27 @@ case class BoundedTopKAgg(
     new BoundedTopKAgg.Buffer(
       new java.util.TreeMap[InternalRow, Long](ordering))
 
+  // The ordering struct the callers pass embeds the selection hash
+  // (unhex(sha2(to_json(...)))): evaluated per input row. A bare
+  // `child.eval(input)` walks that expression tree INTERPRETED — measured
+  // round 18 as the dominant per-row cost of the agg path vs the window
+  // path it replaced (whose sort keys were computed by whole-stage
+  // codegen). Routing the update through a generated UnsafeProjection
+  // compiles the same tree once per task; falls back to the interpreted
+  // projection automatically if codegen fails.
+  @transient private lazy val childProj: UnsafeProjection =
+    UnsafeProjection.create(Seq(child))
+
   override def update(
       buffer: BoundedTopKAgg.Buffer,
       input: InternalRow): BoundedTopKAgg.Buffer = {
-    val v = child.eval(input)
-    if (v != null)
+    val projected = childProj(input)
+    if (!projected.isNullAt(0)) {
+      val v = projected.getStruct(0, structType.fields.length)
       BoundedTopKAgg.offer(
-        buffer, v.asInstanceOf[InternalRow], 1L, k, distinct,
+        buffer, v, 1L, k, distinct,
         copyOnInsert = true)
+    }
     buffer
   }
 

@@ -44,6 +44,20 @@ class GraphSpec extends SharedSpark {
     assert(out("c") == ((0L, 2L)))
   }
 
+  test("degrees merges NULL endpoints into ONE null-id row (pinned: the " +
+    "pre-r17 full-outer-join shape emitted two separate NULL rows)") {
+    // No declared caller emits NULL node ids; this pins the contract so a
+    // future caller with NULL ids gets the documented merged shape, not a
+    // silent change (round-17 ADVICE item).
+    val out = Graph.degrees(edges("a" -> null, null.asInstanceOf[String] -> "a"))
+      .collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
+    val nullRows = out.filter(_._1.isEmpty)
+    assert(nullRows.length == 1, s"expected one merged NULL row, got $out")
+    assert(nullRows.head._2 == ((1L, 1L))) // out-deg from (null->a), in-deg from (a->null)
+    assert(out.filter(_._1.contains("a")).head._2 == ((1L, 1L)))
+  }
+
   test("q_pagerank guard band: every pre-round iterate sits far from a " +
     "1e-9 grid boundary") {
     // The driver gate hashes values, and per-node contribution sums are

@@ -44,6 +44,23 @@ class MarketSpec extends SharedSpark {
     assert(out.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("capped path: a NULL item occupies a cap slot but never pairs " +
+    "(pinned NULL divergence vs the uncapped collect_list branch)") {
+    // basket 1 = {NULL, 1, 2, 3}; cap 3 keeps the 3 smallest slots with
+    // NULL first -> {NULL, 1, 2}, so the only emitted pair is (1, 2).
+    val withNull = df("basket BIGINT, item BIGINT",
+      Seq(Row(1L, null), Row(1L, 1L), Row(1L, 2L), Row(1L, 3L)))
+    val capped = Market.frequentPairs(withNull, "basket", "item",
+      minPairCount = 1L, maxBasketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(capped.toSeq == Seq((1L, 2L)))
+    // the uncapped branch drops the NULL entirely: all 3 real pairs emit
+    val uncapped = Market.frequentPairs(withNull, "basket", "item",
+      minPairCount = 1L, maxBasketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(uncapped.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("basketCapReport quantifies what the cap excludes") {
     val wide = baskets(
       (1L to 5L).map(i => 1L -> i) ++ Seq(2L -> 1L, 2L -> 2L): _*)
